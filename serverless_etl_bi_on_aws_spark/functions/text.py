@@ -1,0 +1,86 @@
+"""Text-analysis column expressions (north-star extension X5; SURVEY.md §2.10).
+
+All pure ``pyspark.sql.functions`` compositions — array/lambda higher-order
+functions run JVM-side inside codegen, so these scale to a 100 TB documents
+table with zero Python-worker traffic. DuckDB-oracle equivalents live in
+``plans/oracles.py``; formulas here are written so both engines execute the
+same arithmetic in the same order (hash-stable results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization: ``split(text, ' ')``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def distinct_tokens(text: str | Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles_from_tokens(toks: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a *materialized* token-array column.
+
+    ``transform(sequence(1, len-n+1), i -> concat_ws(' ', slice(toks, i, n)))``
+    — all JVM-side. Documents shorter than ``n`` tokens yield an empty array
+    (guarded: Spark's ``sequence(1, 0)`` would count *down*).
+
+    IMPORTANT perf contract: pass an attribute (a column produced by a prior
+    ``select``), not an inline ``split(...)`` expression. Higher-order
+    functions are interpreted (no codegen), and an inline split would be
+    re-evaluated for every lambda element — measured ~30x slowdown on the
+    near-dup pipeline. Catalyst's CollapseProject keeps multi-referenced
+    non-trivial aliases materialized, so a two-step select is enough.
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def shingles(text: str | Column, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience form for one-shot
+    expressions. Hot paths should materialize tokens first and use
+    :func:`shingles_from_tokens` (see its perf contract)."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def avg_token_len(text: str | Column) -> Column:
+    """Mean token length = chars-excluding-spaces / token count. Written this
+    way (rather than aggregate over per-token lengths) so the DuckDB oracle
+    can reproduce it bit-for-bit."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, " ", "")) / token_count(c)
+
+
+def type_token_ratio(text: str | Column) -> Column:
+    """Lexical diversity: distinct tokens / total tokens."""
+    return F.size(distinct_tokens(text)) / token_count(text)
+
+
+def quality_score(text: str | Column) -> Column:
+    """Heuristic document-quality score in [0, 1] — the length / diversity /
+    token-shape blend a pretraining-data filter would use:
+
+        0.4 * min(n_tokens/100, 1)      (enough content)
+      + 0.3 * type_token_ratio          (not degenerate repetition)
+      + 0.3 * min(avg_token_len/8, 1)   (real words, not fragments)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c).cast("double")
+    return (
+        F.lit(0.4) * F.least(n / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.size(distinct_tokens(c)).cast("double") / n)
+        + F.lit(0.3) * F.least(avg_token_len(c) / F.lit(8.0), F.lit(1.0))
+    )

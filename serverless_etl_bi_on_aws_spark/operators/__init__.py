@@ -1,0 +1,18 @@
+"""Relational + pipeline operators that go beyond a single DataFrame call:
+the staging->final merge-upsert (the reference's 4-step Redshift load), the
+dedup family, similarity search, and sessionization."""
+
+from serverless_etl_bi_on_aws_spark.operators.merge import merge_upsert  # noqa: F401
+from serverless_etl_bi_on_aws_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    dedup_latest_by_key,
+    neardup_jaccard_pairs,
+    minhash_signatures,
+    neardup_minhash_lsh,
+    simhash64,
+)
+from serverless_etl_bi_on_aws_spark.operators.similarity import (  # noqa: F401
+    topk_cosine_bruteforce,
+    topk_cosine_lsh,
+)
+from serverless_etl_bi_on_aws_spark.operators.sessionize import sessionize  # noqa: F401

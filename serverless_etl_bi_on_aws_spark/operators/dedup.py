@@ -1,0 +1,253 @@
+"""Deduplication family (north-star X1/X2; SURVEY.md §2.10).
+
+The reference deduplicates on load via the staging delete-matching merge
+(README.md:67, 120, 151) — key-exact dedup. A 100 TB training-data pipeline
+additionally needs *near*-duplicate detection; this module provides the
+standard ladder, all expressed as DataFrame algebra (no Python in the hot
+path):
+
+    dedup_exact            hash groupBy / dropDuplicates
+    dedup_latest_by_key    row_number()=1 survivor policy (deterministic)
+    neardup_jaccard_pairs  exact n-gram Jaccard via shingle inverted index
+    minhash_signatures     k-permutation MinHash over xxhash64'd shingles
+    neardup_minhash_lsh    banded LSH candidate join + signature similarity
+    simhash64              64-bit SimHash + hamming-distance pairing
+
+Scale ladder: ``neardup_jaccard_pairs`` is exact but its inverted-index join
+can blow up on hot shingles (stopword-grams). ``neardup_minhash_lsh`` is the
+100 TB path — signature size is constant per doc, the band-bucket join only
+pairs plausible candidates, and every stage is a plain shuffle on a
+well-distributed key. All hashes are Spark built-ins (xxhash64), so
+signatures are deterministic across runs/clusters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from serverless_etl_bi_on_aws_spark.functions.text import shingles_from_tokens, tokens
+
+#: Mersenne prime 2^31 - 1: universal-hash modulus. a*x+b stays < 2^62 for
+#: x < P and a < 2^31, so the arithmetic never overflows a Spark LongType.
+_P = (1 << 31) - 1
+
+
+def dedup_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup (X1): one survivor per distinct value of ``subset`` (or
+    the whole row). Spark plans this as a hash aggregate with map-side
+    partial dedup — the right shape at any scale. Survivor choice is
+    arbitrary; use :func:`dedup_latest_by_key` when it must be deterministic.
+    """
+    return df.dropDuplicates(list(subset) if subset else None)
+
+
+def dedup_latest_by_key(
+    df: DataFrame, keys: Sequence[str], order_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """Deterministic survivor policy: newest row per key wins — the same
+    semantics the reference's staging merge gives the hourly re-extract
+    (latest copy of each order_id survives, README.md:67-70).
+
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_col DESC)`` — a
+    single shuffle on the key, no driver involvement.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def neardup_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (X2, exact baseline).
+
+    Inverted-index formulation: explode distinct shingles, self-join on the
+    shingle (pairs only share a shuffle partition if they share a shingle),
+    count intersections, then |A∪B| = |A|+|B|-|A∩B|.
+
+    Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard >= threshold.
+    At 100 TB scale prefer :func:`neardup_minhash_lsh`; this operator is the
+    correctness oracle for it.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        .select("_id", F.explode(shingles_from_tokens("_toks", n)).alias("_shingle"))
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="_shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_1").withColumnRenamed("_n", "_n1"), "id_1")
+        .join(sizes.withColumnRenamed("_id", "id_2").withColumnRenamed("_n", "_n2"), "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_n1") + F.col("_n2") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) universal-hash coefficients, a odd and non-zero."""
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, _P) | 1 for _ in range(num_hashes)]
+    b = [rng.randrange(0, _P) for _ in range(num_hashes)]
+    return a, b
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash signature per document (X2 scale path).
+
+    shingle --xxhash64--> 64-bit, reduced mod P, then k universal hashes
+    h_i(x) = (a_i*x + b_i) mod P; signature_i = min over shingles. The whole
+    computation is two nested JVM higher-order functions — constant output
+    size per doc regardless of doc length.
+
+    Returns (id_col, sig: array<bigint> of length num_hashes). Empty-shingle
+    docs are dropped (nothing to compare).
+    """
+    a, b = _hash_params(num_hashes, seed)
+    a_col, b_col = F.array(*[F.lit(x) for x in a]), F.array(*[F.lit(x) for x in b])
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_hashes"),
+                lambda x: F.pmod(F.element_at(a_col, i) * x + F.element_at(b_col, i), F.lit(_P)),
+            )
+        ),
+    )
+    # three-step select keeps _toks/_hashes materialized (multi-referenced
+    # non-cheap aliases survive CollapseProject) — see shingles_from_tokens
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                shingles_from_tokens("_toks", n), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
+            ).alias("_hashes"),
+        )
+        .filter(F.size("_hashes") > 0)
+        .select(F.col(id_col), sig.alias("sig"))
+    )
+
+
+def neardup_minhash_lsh(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH near-dup detection (X2 at scale): shingle -> minhash ->
+    band -> bucket-join -> signature-estimated Jaccard.
+
+    With 128 hashes / 32 bands (rows=4), the S-curve gives ~98% recall at
+    J=0.5 while keeping bucket collisions rare for unrelated docs. The
+    candidate join shuffles on (band, bucket-hash) — a uniform key — and
+    compares only colliding pairs, never all O(N^2).
+
+    Returns (id_1, id_2, est_jaccard) with est_jaccard >= threshold, where
+    est_jaccard = fraction of matching signature components.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
+    banded = sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(F.slice("sig", band * rows + 1, rows)).alias("bucket"),
+                ),
+            )
+        ).alias("_bb"),
+    ).select("_id", "sig", "_bb.band", "_bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_1"),
+            F.col("b._id").alias("id_2"),
+            F.col("a.sig").alias("_s1"),
+            F.col("b.sig").alias("_s2"),
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    est = F.aggregate(
+        F.zip_with("_s1", "_s2", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_1", "id_2", "est_jaccard")
+    )
+
+
+def simhash64(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document (X2 alternative; near-dups have small
+    hamming distance). For each bit j: sum (+1/-1) of bit j of xxhash64(tok)
+    over distinct tokens; simhash bit j = (sum > 0). All JVM-side HOFs —
+    the 64 per-bit folds are unrolled at plan-build time (shift amounts must
+    be literals), yielding one wide codegen'd projection per document.
+
+    Returns (id_col, simhash bigint). Pair via
+    ``F.bit_count(a.bitwiseXOR(b)) <= radius`` on candidate blocks (split the
+    64 bits into 4 x 16-bit blocks; near-dups within radius 3 share a block).
+    """
+    th = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: F.xxhash64(t)
+    )
+
+    def bit_sum(j: int):
+        return F.aggregate(
+            F.col("_th"),
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1),
+        )
+
+    bitvec = F.array(*[bit_sum(j) for j in range(63, -1, -1)])
+    packed = F.aggregate(
+        bitvec,
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc * 2 + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+    )
+    # materialize the token-hash array once; bit_sum references it 64 times
+    return docs.select(F.col(id_col), th.alias("_th")).select(
+        F.col(id_col), packed.alias("simhash")
+    )

@@ -1,0 +1,74 @@
+"""Merge-upsert: the heart of the reference's incremental load.
+
+The reference's hourly Glue python-shell job does (README.md:67-70, its own
+summary at README.md:70/154):
+
+    1. COPY current CSV from S3 into mysql_dwh_staging.orders
+    2. DELETE FROM final WHERE order_id IN (SELECT order_id FROM staging)
+    3. INSERT INTO final SELECT * FROM staging
+    4. TRUNCATE staging
+
+Steps 2+3 are exactly a delete-matching upsert: staging wins on key
+collision, everything else survives. In Spark that is one expression —
+``final ANTI-JOIN staging ON keys  UNION ALL  staging`` — no staging table,
+no truncate, and it is *idempotent*: replaying the same staging batch yields
+the same final table (the reference relies on the same property, "so that we
+don't have to worry about the duplicacy", README.md:120).
+
+Scale notes (100 TB final, ~GBs staging per batch): the anti-join shuffles
+on the key unless staging is broadcastable — it usually is (one hour of
+changes), so we hint ``broadcast(staging_keys)`` below a row threshold and
+the whole merge becomes a map-side pass over final. For a partitioned final
+table, pair this with :func:`overwrite_changed_partitions` so only
+partitions containing staged keys are rewritten (dynamic partition
+overwrite), not all 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Below this many staging rows we broadcast the staging key set; one hourly
+#: increment is tiny next to the final table, so the DELETE-matching side of
+#: the merge becomes a broadcast anti-join (no shuffle of the big side).
+BROADCAST_STAGING_MAX_ROWS = 10_000_000
+
+
+def merge_upsert(
+    final: DataFrame,
+    staging: DataFrame,
+    keys: Sequence[str],
+    broadcast_staging: bool | None = None,
+) -> DataFrame:
+    """Delete-matching upsert (README.md:67-70): rows of ``final`` whose key
+    appears in ``staging`` are replaced by the staging rows.
+
+    Returns a DataFrame with ``final``'s column set (``unionByName``).
+    """
+    key_list = list(keys)
+    staging_keys = staging.select(*key_list).dropDuplicates(key_list)
+    if broadcast_staging is None:
+        # cheap physical hint: hourly increments are small; let callers force
+        # it off when staging is a backfill comparable to final in size
+        broadcast_staging = True
+    if broadcast_staging:
+        staging_keys = F.broadcast(staging_keys)
+    kept = final.join(staging_keys, on=key_list, how="left_anti")
+    return kept.unionByName(staging.select(*final.columns))
+
+
+def overwrite_changed_partitions(
+    merged: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Sink half of the merge for a partitioned final table: with
+    ``partitionOverwriteMode=dynamic`` only the partitions present in
+    ``merged`` are replaced — the Spark analog of Redshift touching only the
+    staged keys rather than rewriting the warehouse."""
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

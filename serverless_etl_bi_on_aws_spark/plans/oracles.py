@@ -1,0 +1,307 @@
+"""DuckDB oracle SQL — the ANSI-SQL twin of every oracle-checkable query in
+plans/queries.py. The driver registers the fixture parquet files as views
+named region/nation/customer/supplier/part/orders/lineitem/events/documents/
+embeddings, runs each pair at sf0.01, and hash-compares (count, schema,
+order-insensitive values).
+
+Alignment rules (mirrored in queries.py):
+  * identical output column names and rounding;
+  * count()-style columns cast to BIGINT (DuckDB SUM(int) is HUGEINT);
+  * year()/month()/row_number() cast to INT (Spark emits 32-bit there);
+  * timestamps exported as DATE or epoch-micros BIGINT.
+
+q13/q14/q18 (minhash-LSH, simhash, LSH-ANN) are deliberately absent: their
+bucket/signature internals are engine-defined, so the driver applies its
+weaker rows-only check and pytest cross-validates them against the exact
+operators (q12/q6).
+"""
+
+from __future__ import annotations
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                                 AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                            AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4)                                 AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4)                            AS avg_price,
+               ROUND(AVG(l_discount), 4)                                 AS avg_disc,
+               COUNT(*)                                                  AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q2_denorm_customer_orders": """
+        SELECT c_custkey, c_name, c_mktsegment, o_orderkey, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q3_sales_by_category": """
+        SELECT p_type                                   AS category,
+               CAST(year(o_orderdate) AS INT)           AS order_year,
+               COUNT(*)                                 AS n_sold,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part   ON l_partkey  = p_partkey
+        GROUP BY category, order_year
+        ORDER BY category, order_year
+    """,
+    "q4_funnel_counts": """
+        SELECT event_type,
+               CAST(year(ts) AS INT)  AS year,
+               CAST(month(ts) AS INT) AS month,
+               COUNT(*)               AS n_events,
+               ROUND(SUM(value), 2)   AS sum_value
+        FROM events
+        GROUP BY event_type, year, month
+        ORDER BY event_type, year, month
+    """,
+    "q5_incremental_window": """
+        SELECT COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_totalprice
+        FROM orders
+        WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 3 MONTH FROM orders)
+    """,
+    "q6_topk_cosine": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               ROUND(list_cosine_similarity(embedding::DOUBLE[], q.e), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
+        LIMIT 10
+    """,
+    "q7_text_stats": """
+        SELECT lang,
+               COUNT(*)                                        AS n_docs,
+               ROUND(AVG(n_chars), 4)                          AS avg_chars,
+               ROUND(AVG(len(string_split(text, ' '))), 4)     AS avg_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    "q8_view_not_buy": """
+        WITH recent AS (
+            SELECT * FROM events
+            WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+        ), per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS n_views,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys
+            FROM recent GROUP BY user_id
+        )
+        SELECT c_custkey, c_name, c_mktsegment, n_views
+        FROM per_user JOIN customer ON user_id = c_custkey
+        WHERE n_views > 0 AND n_buys = 0
+        ORDER BY c_custkey
+    """,
+    "q9_merge_upsert": """
+        WITH staging AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + 100000.0 AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderdate >= TIMESTAMP '2001-03-01'
+        ), final AS (
+            SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2001-06-01'
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        FROM (
+            SELECT * FROM final
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staging)
+            UNION ALL
+            SELECT * FROM staging
+        )
+    """,
+    "q10_top_customers_per_segment": """
+        WITH rev AS (
+            SELECT c_mktsegment, c_custkey,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, c_custkey
+        ), ranked AS (
+            SELECT c_mktsegment, c_custkey, revenue,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY c_mktsegment
+                        ORDER BY revenue DESC, c_custkey) AS INT) AS rn
+            FROM rev
+        )
+        SELECT * FROM ranked WHERE rn <= 3
+        ORDER BY c_mktsegment, rn
+    """,
+    "q11_latest_event_per_user_type": """
+        WITH ranked AS (
+            SELECT user_id, event_type, event_id, ts,
+                   ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts DESC, event_id) AS rn
+            FROM events
+        )
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        FROM ranked WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+    "q12_neardup_jaccard": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  FOR i IN range(1, len(t) - 1)]) AS s
+            FROM toks WHERE len(t) >= 3
+        ), tok AS (
+            SELECT doc_id, unnest(s) AS shingle FROM sh
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+            FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_1, id_2,
+               ROUND(i * 1.0 / (s1.n + s2.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id_1
+        JOIN sizes s2 ON s2.doc_id = id_2
+        WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.5
+        ORDER BY id_1, id_2
+    """,
+    "q15_doc_quality_by_source": """
+        WITH scored AS (
+            SELECT source,
+                   len(string_split(text, ' '))                       AS n_toks,
+                   len(list_distinct(string_split(text, ' ')))        AS n_distinct,
+                   len(replace(text, ' ', ''))                        AS tok_chars
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(
+                   0.4 * LEAST(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE))
+                 + 0.3 * LEAST((CAST(tok_chars AS DOUBLE) / CAST(n_toks AS DOUBLE)) / 8.0, 1.0)
+               ), 6) AS avg_quality,
+               ROUND(AVG(n_toks), 4) AS avg_tokens,
+               ROUND(AVG(CAST(tok_chars AS DOUBLE) / CAST(n_toks AS DOUBLE)), 4) AS avg_token_len
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+    "q16_props_json_stats": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q17_session_stats": """
+        WITH lagged AS (
+            SELECT user_id, event_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN prev IS NULL
+                             OR epoch_us(ts) - epoch_us(prev) > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM lagged
+        ), sess AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ), per_session AS (
+            SELECT user_id, session_id, COUNT(*) AS n,
+                   (max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6 AS dur
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT COUNT(*) AS n_sessions,
+               ROUND(AVG(n), 4)   AS avg_events_per_session,
+               ROUND(AVG(dur), 4) AS avg_duration_sec
+        FROM per_session
+    """,
+    "q19_top_tokens": """
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+    """,
+    "q20_lang_id_naive_bayes": """
+        WITH doc_tokens AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), dt AS (
+            SELECT doc_id, token, COUNT(*) AS m FROM doc_tokens GROUP BY 1, 2
+        ), profile AS (
+            SELECT lang AS cand_lang, token, COUNT(*) AS cnt FROM doc_tokens GROUP BY 1, 2
+        ), lang_totals AS (
+            SELECT lang AS cand_lang, COUNT(*) AS total FROM doc_tokens GROUP BY 1
+        ), vocab AS (
+            SELECT COUNT(DISTINCT token) AS v FROM doc_tokens
+        ), nd AS (
+            SELECT COUNT(*) AS nd FROM documents
+        ), priors AS (
+            SELECT lang AS cand_lang, ln(COUNT(*) * 1.0 / (SELECT nd FROM nd)) AS logprior
+            FROM documents GROUP BY lang
+        ), scored AS (
+            SELECT dt.doc_id, lt.cand_lang,
+                   ROUND(pr.logprior + SUM(
+                       dt.m * ln(CAST(COALESCE(prof.cnt, 0) + 1 AS DOUBLE)
+                                 / CAST(lt.total + v.v AS DOUBLE))
+                   ), 4) AS score
+            FROM dt
+            CROSS JOIN lang_totals lt
+            JOIN priors pr         ON pr.cand_lang = lt.cand_lang
+            LEFT JOIN profile prof ON prof.cand_lang = lt.cand_lang AND prof.token = dt.token
+            CROSS JOIN vocab v
+            GROUP BY dt.doc_id, lt.cand_lang, pr.logprior
+        ), ranked AS (
+            SELECT doc_id, cand_lang, score,
+                   ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+            FROM scored
+        )
+        SELECT r.doc_id, d.lang, r.cand_lang AS pred_lang, r.score
+        FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+        WHERE r.rn = 1
+        ORDER BY r.doc_id
+    """,
+    "q21_revenue_by_region": """
+        SELECT r_name                          AS region,
+               CAST(year(l_shipdate) AS INT)   AS ship_year,
+               COUNT(*)                        AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "q22_priority_status_matrix": """
+        SELECT o_orderpriority,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "q23_rollup_order_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*)                    AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_totalprice
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+}

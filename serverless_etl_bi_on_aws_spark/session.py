@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+The reference tunes its warehouse via Redshift WLM parameter groups and
+``search_path`` (README.md:104-107); the Spark analog is session conf.
+Defaults here are chosen for the 100 TB design point *shape* (AQE on,
+skew-join handling, partition coalescing) while remaining correct on
+local[N] test runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Conf applied to every session we build. Values are strings per Spark conf
+#: convention. These are safe on a real cluster: AQE re-plans at runtime,
+#: coalesces post-shuffle partitions, and splits skewed join partitions —
+#: exactly the knobs that matter when one key holds 1% of 100 TB.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # deterministic oracle comparison: DuckDB timestamps are UTC-naive
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas_udf / toPandas path (vectorized transfer)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # dims under this size go broadcast-hash without a hint
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # partition pruning for the year/month-partitioned funnel sink
+    "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+    # scale hygiene: bound single-task input; on a cluster this keeps tasks
+    # ~128MB regardless of file layout
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.parquet.compression.codec": "snappy",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "serverless-etl-bi-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — the guide's
+    "~cores for local" rule; on a real cluster callers pass
+    ``executors * cores * 2-3`` or rely on AQE coalescing from a high value.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,62 @@
+"""t2 correctness: every oracle-checkable query in plans/queries.py must
+match its DuckDB twin at sf0.01 — same row count, same column names, same
+values (order-insensitive, like the driver's hash compare)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
+from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _canon(value):
+    """Canonicalize a cell for cross-engine comparison."""
+    if value is None:
+        return None
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        # the queries round explicitly; this only collapses -0.0 vs 0.0
+        return value + 0.0
+    if hasattr(value, "isoformat"):  # date/datetime
+        return value.isoformat()
+    return value
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_canon(r[i]) for i in order) for r in rows
+    ), [cols[i] for i in order]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_CORRECT)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    rel = duck.sql(ORACLE_SQL[name])
+    dcols = rel.columns
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    s_set, _ = _rowset(scols, [tuple(r) for r in srows])
+    d_set, _ = _rowset(dcols, drows)
+    mismatches = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_smoke_sf0001(spark, name):
+    """t1: every registered query runs end-to-end on the smoke fixtures."""
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert df.count() >= 0
