@@ -31,9 +31,16 @@ TABLES: tuple[str, ...] = (
 )
 
 
+#: (session id, sf_dir, name) -> DataFrame. A registered table is immutable
+#: catalog state; caching the DataFrame shares the scan's InMemoryFileIndex
+#: and schema across queries instead of re-reading footers per query build.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Plain parquet scan: vectorized reader, column
-    pruning and filter pushdown are Catalyst built-ins.
+    """Read one fixture table (cached per session). Plain parquet scan:
+    vectorized reader, column pruning and filter pushdown are Catalyst
+    built-ins.
 
     Spark (unlike DuckDB/Arrow) refuses parquet TIMESTAMP(NANOS) columns
     outright; the fixture ``events.ts`` is timestamp[ns]. Fallback: re-read
@@ -42,6 +49,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     never float division: epoch-nanos exceed 2^53). Truncation matches how
     DuckDB narrows ns -> us.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin the session to UTC: fixture timestamps are wall-clock-naive (like
     # the reference warehouse), and every date-part derivation / oracle
     # comparison assumes UTC. Without this, a driver session in another zone

@@ -60,6 +60,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill files on tmpfs when available: on this container's
+    # overlay filesystem, disk-backed shuffle writes intermittently stall
+    # whole stages for 60-90 s (measured on a 42-group aggregate). On a real
+    # cluster leave spark.local.dir to the provisioned fast local disks.
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
