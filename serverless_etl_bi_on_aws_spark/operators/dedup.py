@@ -217,21 +217,25 @@ def neardup_minhash_lsh(
 
 
 def simhash64(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """64-bit SimHash per document (X2 alternative; near-dups have small
-    hamming distance). For each bit j: sum (+1/-1) of bit j of xxhash64(tok)
-    over distinct tokens; simhash bit j = (sum > 0). All JVM-side HOFs —
-    the 64 per-bit folds are unrolled at plan-build time (shift amounts must
-    be literals), yielding one wide codegen'd projection per document.
+    hamming distance). Features are distinct n-gram *shingles* — unigram
+    features degenerate when the corpus shares a small vocabulary (every
+    document then has a near-identical token set and every pair hashes
+    close; observed on the fixtures, whose 31-word vocabulary made unigram
+    simhash inseparable). For each bit j: sum (+1/-1) of bit j of
+    xxhash64(shingle); simhash bit j = (sum > 0). All JVM-side HOFs — the 64
+    per-bit folds are unrolled at plan-build time (shift amounts must be
+    literals).
 
     Returns (id_col, simhash bigint). Pair via
-    ``F.bit_count(a.bitwiseXOR(b)) <= radius`` on candidate blocks (split the
-    64 bits into 4 x 16-bit blocks; near-dups within radius 3 share a block).
+    ``F.bit_count(a.bitwiseXOR(b)) <= radius`` on candidate blocks: with B
+    equal-width blocks, any pair within hamming radius B-1 shares at least
+    one exact block (pigeonhole), so blocking loses nothing up to that
+    radius while keeping the self-join linear-ish.
     """
-    th = F.transform(
-        F.array_distinct(F.split(F.col(text_col), " ")), lambda t: F.xxhash64(t)
-    )
+    th = F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
 
     def bit_sum(j: int):
         return F.aggregate(
@@ -242,12 +246,19 @@ def simhash64(
         )
 
     bitvec = F.array(*[bit_sum(j) for j in range(63, -1, -1)])
+    # shiftleft, not acc*2: the MSB fold would trip ANSI long-overflow
     packed = F.aggregate(
         bitvec,
         F.lit(0).cast("bigint"),
-        lambda acc, s: acc * 2 + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+        lambda acc, s: F.shiftleft(acc, 1)
+        + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
     )
-    # materialize the token-hash array once; bit_sum references it 64 times
-    return docs.select(F.col(id_col), th.alias("_th")).select(
-        F.col(id_col), packed.alias("simhash")
+    # materialize tokens -> shingles -> hash array; bit_sum references the
+    # hash array 64 times (see shingles_from_tokens perf contract)
+    return (
+        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), shingles_from_tokens("_toks", n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select(F.col(id_col), th.alias("_th"))
+        .select(F.col(id_col), packed.alias("simhash"))
     )

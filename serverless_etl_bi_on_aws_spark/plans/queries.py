@@ -314,12 +314,17 @@ def q13_neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (X2 alternative): 64-bit fingerprints,
-    blocked on 4x16-bit sub-blocks (hamming<=3 pairs must share a block),
-    verified by bit_count(xor) <= 3. No SQL oracle; pytest cross-checks
-    against q12's planted pairs."""
+    """SimHash near-dup candidates (X2 alternative): 64-bit shingle
+    fingerprints, blocked on 8x8-bit sub-blocks — any pair within hamming
+    radius 7 shares a block (pigeonhole), so the self-join only pairs block
+    collisions, then verifies bit_count(xor) <= 7. Catches the
+    extreme-near-dup tier (shingle-J >= ~0.8); lower-J pairs are q13's job.
+    No SQL oracle; pytest cross-checks against q12's planted pairs."""
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash64(docs)
+    n_blocks, radius = 8, 7
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
     blocks = sh.select(
         F.col("doc_id").alias("_id"),
         F.col("simhash"),
@@ -328,9 +333,9 @@ def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("block"),
-                        F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright("simhash", width * b).bitwiseAND(F.lit(mask)).alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(n_blocks)
                 ]
             )
         ).alias("_bk"),
@@ -350,7 +355,7 @@ def q14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= radius)
         .select("id_1", "id_2", "hamming")
         .orderBy("id_1", "id_2")
     )

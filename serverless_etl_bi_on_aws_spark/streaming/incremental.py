@@ -1,0 +1,104 @@
+"""Incremental load engine: EP1 (README.md:53-76) as one Spark pipeline.
+
+The reference choreographs five services: Data Pipeline extracts hourly
+(ST2), S3 object-create events fire a Lambda (ST3), a Glue shell job COPYies
+into staging, delete-matches, inserts, truncates (ST4; README.md:67-70).
+Structured Streaming's file source *is* steps 2-3's event plumbing — new
+files are detected via checkpointed listing (exactly-once per file), and
+``foreachBatch`` applies the staging merge transactionally per micro-batch:
+
+    readStream(dir) --AvailableNow/hourly--> foreachBatch(merge_upsert)
+
+Lateness (ST5): the reference tolerates 3 months of late rows by re-
+extracting the whole window hourly and relying on the key-merge to dedup;
+the same property holds here because the merge is idempotent on keys.
+
+Target-table atomicity: with no transaction-log format in the image (Delta/
+Iceberg jars absent), the target is a parquet directory swapped atomically
+via rename — the classic write-new-then-swap protocol. At 100 TB deploy the
+identical ``foreachBatch`` body over Delta's ``MERGE INTO`` (or pair
+``merge_upsert`` with dynamic partition overwrite) instead of a full-dir
+swap; the operator algebra is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from serverless_etl_bi_on_aws_spark.operators.merge import merge_upsert
+
+
+def backfill(source_df: DataFrame, target_path: str) -> None:
+    """ST1 (README.md:55, 141): one-time historical load — plain overwrite
+    write of the full extract."""
+    source_df.write.mode("overwrite").parquet(target_path)
+
+
+def merge_into_parquet_target(
+    spark: SparkSession, staging: DataFrame, target_path: str, keys: Sequence[str]
+) -> None:
+    """ST4 (README.md:67-70): the 4-step Redshift staging merge against a
+    parquet target directory, with write-new-then-swap atomicity.
+
+    Idempotent: re-applying the same staging batch yields a byte-identical
+    table (anti-join removes exactly the staged keys each time).
+    """
+    if not os.path.exists(target_path):
+        staging.write.mode("overwrite").parquet(target_path)
+        return
+    final = spark.read.parquet(target_path)
+    merged = merge_upsert(final, staging, keys)
+    tmp = f"{target_path}.__new__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
+    os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def start_incremental_merge(
+    spark: SparkSession,
+    source_dir: str,
+    target_path: str,
+    keys: Sequence[str],
+    schema: StructType,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """ST2+ST3+ST4 in one query: watch ``source_dir`` for new files (the
+    Lambda-trigger analog — checkpointed, each file processed exactly once,
+    README.md:128's recompute-avoidance for free) and merge every
+    micro-batch into the target keyed on ``keys``.
+
+    ``available_now=True`` = drain-everything-then-stop (the hourly batch
+    cadence, ST2, run from any scheduler); ``False`` = stay up with a
+    processing-time trigger.
+    """
+    # pathGlobFilter: a landing zone accumulates manifests/notes/_SUCCESS
+    # markers; only files of the declared format participate (a stray
+    # readme.txt would otherwise fail the whole micro-batch — observed).
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
+    stream = getattr(reader, fmt)(source_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_into_parquet_target(spark, batch_df, target_path, keys)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

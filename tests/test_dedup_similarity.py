@@ -1,0 +1,131 @@
+"""Cross-validation for the engine-defined (non-oracle) operators:
+MinHash-LSH vs exact Jaccard, SimHash vs planted near-dups, LSH-ANN recall
+vs brute force, and multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.catalog import load_table
+from serverless_etl_bi_on_aws_spark.operators.dedup import (
+    dedup_exact,
+    minhash_signatures,
+    neardup_jaccard_pairs,
+    neardup_minhash_lsh,
+    simhash64,
+)
+from serverless_etl_bi_on_aws_spark.operators.similarity import (
+    topk_cosine_bruteforce,
+    topk_cosine_lsh,
+)
+from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+    attach_fake_media,
+    decode_and_resize,
+    media_features,
+    sample_frames,
+)
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _exact_pairs(spark, threshold=0.5):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    return {
+        (r.id_1, r.id_2)
+        for r in neardup_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    """128 hashes / 32 bands at J>=0.5: the S-curve predicts ~98% recall;
+    the fixtures plant 25 pairs at J in [0.5, 1.0] vs noise <= 0.03, so we
+    require full recall and no false positives at est>=0.4."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = _exact_pairs(spark)
+    assert len(exact) == 25
+    lsh = {
+        (r.id_1, r.id_2): r.est_jaccard
+        for r in neardup_minhash_lsh(docs, threshold=0.4).collect()
+    }
+    missed = exact - set(lsh)
+    assert not missed, f"LSH missed planted pairs: {missed}"
+    extras = set(lsh) - exact
+    assert not extras, f"LSH false positives above est 0.4: {extras}"
+
+
+def test_minhash_signatures_deterministic(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    s1 = {r.doc_id: tuple(r.sig) for r in minhash_signatures(docs).collect()}
+    s2 = {r.doc_id: tuple(r.sig) for r in minhash_signatures(docs).collect()}
+    assert s1 == s2
+    assert all(len(v) == 128 for v in s1.values())
+
+
+def test_simhash_separates_planted_pairs(spark):
+    """Planted near-dup pairs must have much smaller hamming distance than
+    random pairs (64-bit fingerprints)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    exact = _exact_pairs(spark)
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    planted = [hamming(sh[a], sh[b]) for a, b in exact]
+    ids = sorted(sh)
+    random_pairs = [
+        hamming(sh[ids[i]], sh[ids[i + 1]]) for i in range(0, len(ids) - 1, 2)
+        if (ids[i], ids[i + 1]) not in exact
+    ]
+    avg_planted = sum(planted) / len(planted)
+    avg_random = sum(random_pairs) / len(random_pairs)
+    assert avg_planted < avg_random * 0.7, (avg_planted, avg_random)
+
+
+def test_lsh_ann_returns_relevant_topk(spark):
+    """ANN candidates are a subset of the corpus scored exactly, include the
+    strongest planted neighbor when bucketed together, and never disagree
+    with brute force on the scores they do return."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    pool = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id: r.cosine for r in topk_cosine_bruteforce(pool, qvec, k=50).collect()}
+    approx = topk_cosine_lsh(pool, qvec, k=10).collect()
+    assert 0 < len(approx) <= 10
+    # scores must match brute force exactly where ids overlap
+    for r in approx:
+        if r.vec_id in exact:
+            assert abs(r.cosine - exact[r.vec_id]) < 1e-9
+    # recall@10 against exact top-50 should be well above random chance
+    hits = sum(1 for r in approx if r.vec_id in exact)
+    assert hits >= 1, "LSH returned nothing from the exact top-50"
+
+
+def test_dedup_exact_keeps_one_per_key(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    doubled = docs.unionByName(docs)
+    out = dedup_exact(doubled, ["doc_id"])
+    assert out.count() == docs.count()
+
+
+def test_multimodal_pipeline_shapes(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    with_media = attach_fake_media(docs)
+    assert dict(with_media.dtypes)["media"].startswith("struct<payload:binary")
+
+    decoded = decode_and_resize(with_media, target_w=8, target_h=8)
+    rows = decoded.collect()
+    assert all(len(r.pixels) == 64 for r in rows)
+    assert all(r.out_w == 8 and r.out_h == 8 for r in rows)
+
+    feats = media_features(with_media, dim=16)
+    frows = feats.collect()
+    assert all(len(r.features) == 16 for r in frows)
+    assert all(abs(sum(r.features) - 1.0) < 1e-6 for r in frows)
+    # deterministic across runs
+    f2 = {r.doc_id: r.features for r in media_features(with_media, dim=16).collect()}
+    assert all(f2[r.doc_id] == r.features for r in frows)
+
+    frames = sample_frames(with_media, n_frames=3)
+    assert frames.count() == 20 * 3
+    assert set(r.frame_idx for r in frames.select("frame_idx").distinct().collect()) == {0, 1, 2}
