@@ -296,6 +296,60 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "q24_embedding_similar_pairs": """
+        WITH normed AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                   list_cosine_similarity(a.v, b.v) AS c
+            FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        )
+        SELECT id_1, id_2, ROUND(c, 6) AS cosine
+        FROM pairs
+        ORDER BY c DESC, id_1, id_2
+        LIMIT 20
+    """,
+    "q25_doc_fingerprint": """
+        WITH h AS (
+            SELECT doc_id,
+                   [('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647
+                    FOR t IN string_split(text, ' ')] AS hs
+            FROM documents
+        )
+        SELECT doc_id,
+               list_reduce(list_prepend(0::BIGINT, hs),
+                           (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+        FROM h
+        ORDER BY doc_id
+    """,
+    "q26_distinct_users": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*)                AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q27_funnel_conversion_lag": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)     AS v,
+                   min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+            GROUP BY user_id
+        ), lags AS (
+            SELECT user_id, (p - v) / 1e6 AS lag_sec
+            FROM per_user
+            WHERE v IS NOT NULL AND p IS NOT NULL AND p > v
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_converted,
+               ROUND(AVG(lag_sec), 4) AS avg_lag_sec
+        FROM lags JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
     "q23_rollup_order_counts": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*)                    AS n_orders,

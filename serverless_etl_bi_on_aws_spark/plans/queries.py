@@ -529,6 +529,112 @@ def q23_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q24_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, exact baseline (X2/X3): the 20
+    most-similar vector pairs. Vectors are L2-normalized once in a
+    projection so the pair stage is a single fold dot product; top-k plans
+    as TakeOrderedAndProject. At 100 TB the pair join is LSH-bucketed
+    (q18's machinery) or blocked matmul via mapInPandas — this exact variant
+    is their correctness oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from serverless_etl_bi_on_aws_spark.functions.vectors import l2_norm
+
+    # normalize in two selects so _v/_norm are materialized attributes
+    # (HOF perf contract — see functions/text.py)
+    normed = (
+        emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("_v"))
+        .select("vec_id", "_v", l2_norm("_v").alias("_norm"))
+        .select(
+            "vec_id",
+            F.transform("_v", lambda x: x / F.col("_norm")).alias("_unit"),
+        )
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_1"),
+            F.col("b.vec_id").alias("id_2"),
+            F.aggregate(
+                F.zip_with("a._unit", "b._unit", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_cos"),
+        )
+    )
+    return (
+        pairs.orderBy(F.col("_cos").desc(), "id_1", "id_2")
+        .limit(20)
+        .select("id_1", "id_2", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def q25_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via token-level rolling hash (X5): fold
+    h = (31*h + md5int(token)) mod (2^31-1) over the token stream. md5 is
+    the cross-engine-stable token hash (xxhash64 is Spark-specific); the
+    fold is one interpreted HOF pass per doc, constant memory. Fingerprints
+    feed shard-local exact-dup checks without shipping text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hash = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"), F.lit((1 << 31) - 1)
+    )
+    fingerprint = F.aggregate(
+        F.col("_h"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit((1 << 31) - 1)),
+    )
+    return (
+        docs.select("doc_id", tokens("text").alias("_toks"))
+        .select("doc_id", F.transform("_toks", tok_hash).alias("_h"))
+        .select("doc_id", fingerprint.alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+def q26_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (SURVEY §2.4 extension surface): exact distinct
+    users per event type. Spark plans count(distinct) as a two-phase
+    expand+agg — scales without collecting key sets anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q27_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion timing (README.md:102's behavioral analysis, one
+    step deeper): for users who viewed then purchased, the mean lag from
+    first view to first purchase, by market segment. events aggregate first
+    (one row per user), then broadcast-join customer."""
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    per_user = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("_v"),
+            F.min(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("_p"),
+        )
+        .filter(F.col("_v").isNotNull() & F.col("_p").isNotNull() & (F.col("_p") > F.col("_v")))
+        .withColumn("_lag_sec", (F.col("_p") - F.col("_v")) / 1e6)
+    )
+    return (
+        per_user.join(F.broadcast(customer), per_user.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.avg("_lag_sec"), 4).alias("avg_lag_sec"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -554,4 +660,8 @@ QUERIES: dict[str, QueryFn] = {
     "q21_revenue_by_region": q21_revenue_by_region,
     "q22_priority_status_matrix": q22_priority_status_matrix,
     "q23_rollup_order_counts": q23_rollup_order_counts,
+    "q24_embedding_similar_pairs": q24_embedding_similar_pairs,
+    "q25_doc_fingerprint": q25_doc_fingerprint,
+    "q26_distinct_users": q26_distinct_users,
+    "q27_funnel_conversion_lag": q27_funnel_conversion_lag,
 }

@@ -66,6 +66,11 @@ def get_spark(
     # cluster leave spark.local.dir to the provisioned fast local disks.
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
+    # keep managed-table/warehouse artifacts out of the repo working dir
+    builder = builder.config(
+        "spark.sql.warehouse.dir",
+        os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"),
+    )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,62 @@
+"""Physical-plan shape assertions — the 100 TB scale contract, checked on
+every commit: dims broadcast, scans pruned to needed columns, no accidental
+cartesian products, filters pushed to parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_are_broadcast(spark):
+    for name in [
+        "q2_denorm_customer_orders",
+        "q3_sales_by_category",
+        "q21_revenue_by_region",
+        "q8_view_not_buy",
+    ]:
+        assert "BroadcastHashJoin" in _plan(spark, name), f"{name}: dim join not broadcast"
+
+
+def test_no_accidental_cartesian(spark):
+    # q24 is exact pairwise by design (nested-loop is the point; its scale
+    # path is q18). q5/q8's scalar cutoff joins are single-row broadcasts.
+    exempt = {"q24_embedding_similar_pairs"}
+    for name in QUERIES:
+        if name in exempt:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    scan = plan[plan.index("FileScan") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("ReadSchema") + 400]
+    for col in ["l_partkey", "l_suppkey", "l_linenumber"]:
+        assert col not in read_schema, f"q1 scan reads unneeded column {col}"
+    assert "l_shipdate" in scan  # filter column present
+
+
+def test_filter_pushdown_to_parquet(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_topk_plans_as_take_ordered(spark):
+    plan = _plan(spark, "q2_denorm_customer_orders")
+    assert "TakeOrderedAndProject" in plan, "top-k should not global-sort"
+
+
+@pytest.mark.parametrize("name", ["q24_embedding_similar_pairs", "q25_doc_fingerprint",
+                                  "q26_distinct_users", "q27_funnel_conversion_lag"])
+def test_new_queries_smoke(spark, name):
+    assert QUERIES[name](spark, SF_SMOKE).count() >= 0
