@@ -59,6 +59,33 @@ def merge_upsert(
     return kept.unionByName(staging.select(*final.columns))
 
 
+def staging_table_merge(
+    spark,
+    incoming: DataFrame,
+    staging_table: str,
+    final_table: str,
+    keys: Sequence[str],
+) -> None:
+    """The reference's literal 4-step protocol over *catalog tables*
+    (README.md:67-70: COPY into staging -> DELETE matching keys from final
+    -> INSERT staging -> TRUNCATE staging), for deployments that keep a
+    materialized staging table for audit/restart visibility. The pure-
+    DataFrame path (:func:`merge_upsert`) is preferred when staging can be
+    ephemeral; semantics are identical.
+    """
+    incoming.write.mode("overwrite").saveAsTable(staging_table)  # step 1 (S9)
+    staging = spark.table(staging_table)
+    final = spark.table(final_table)
+    merged = merge_upsert(final, staging, keys)  # steps 2+3 (J6)
+    # overwrite via checkpoint-free self-read: materialize to a temp view of
+    # collected plan first is unsafe at scale; write to a swap table instead
+    swap = f"{final_table}__swap"
+    merged.write.mode("overwrite").saveAsTable(swap)
+    spark.sql(f"DROP TABLE {final_table}")
+    spark.sql(f"ALTER TABLE {swap} RENAME TO {final_table}")
+    spark.sql(f"TRUNCATE TABLE {staging_table}")  # step 4 (S10)
+
+
 def overwrite_changed_partitions(
     merged: DataFrame, path: str, partition_cols: Sequence[str]
 ) -> None:

@@ -635,6 +635,24 @@ def q27_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (SURVEY §2.4 free headroom, the 100 TB
+    workhorses): HLL distinct counts + t-digest percentiles per return flag.
+    No SQL oracle — sketch internals are engine-defined; pytest bounds the
+    estimates against exact values (rows-only driver check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("p50_price"),
+            F.round(F.percentile_approx("l_extendedprice", 0.99), 2).alias("p99_price"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -664,4 +682,5 @@ QUERIES: dict[str, QueryFn] = {
     "q25_doc_fingerprint": q25_doc_fingerprint,
     "q26_distinct_users": q26_distinct_users,
     "q27_funnel_conversion_lag": q27_funnel_conversion_lag,
+    "q28_approx_aggregates": q28_approx_aggregates,
 }

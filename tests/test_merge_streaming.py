@@ -71,6 +71,28 @@ def test_parquet_target_merge_roundtrip(spark, tmp_path):
     assert after == again
 
 
+def test_staging_table_merge(spark):
+    """S9/S10: the catalog-table variant of the 4-step merge — staging is
+    materialized, final swapped, staging truncated."""
+    from serverless_etl_bi_on_aws_spark.operators.merge import staging_table_merge
+
+    orders, hist, stage = _split_orders(spark)
+    spark.sql("DROP TABLE IF EXISTS t_final")
+    spark.sql("DROP TABLE IF EXISTS t_staging")
+    spark.sql("DROP TABLE IF EXISTS t_final__swap")
+    hist.write.mode("overwrite").saveAsTable("t_final")
+    staging_table_merge(spark, stage, "t_staging", "t_final", ["o_orderkey"])
+    assert spark.table("t_final").count() == orders.count()
+    assert spark.table("t_staging").count() == 0  # truncated (S10)
+    # staged rows won
+    joined = (
+        spark.table("t_final")
+        .join(stage.select("o_orderkey", F.col("o_totalprice").alias("expect")), "o_orderkey")
+        .filter(F.col("o_totalprice") != F.col("expect"))
+    )
+    assert joined.count() == 0
+
+
 def test_streaming_file_merge_end_to_end(spark, tmp_path):
     """EP1 as a stream: land historical file -> drain -> land the hourly
     window re-extract -> drain -> target holds exactly the upserted table,

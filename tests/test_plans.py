@@ -60,3 +60,26 @@ def test_topk_plans_as_take_ordered(spark):
                                   "q26_distinct_users", "q27_funnel_conversion_lag"])
 def test_new_queries_smoke(spark, name):
     assert QUERIES[name](spark, SF_SMOKE).count() >= 0
+
+
+def test_approx_aggregates_bounded_error(spark):
+    """q28's sketches must land near exact values (HLL rsd default 5%;
+    percentile_approx within the value range)."""
+    from pyspark.sql import functions as F
+    from serverless_etl_bi_on_aws_spark.catalog import load_table
+
+    rows = {r.l_returnflag: r for r in QUERIES["q28_approx_aggregates"](spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for flag, r in rows.items():
+        assert abs(r.approx_orders - exact[flag].n) / exact[flag].n < 0.1
+        assert abs(r.p50_price - exact[flag].p50) / exact[flag].p50 < 0.05
+        assert r.p50_price <= r.p99_price

@@ -18,7 +18,9 @@ from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
 from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
 from serverless_etl_bi_on_aws_spark.session import get_spark
 
-SF = "/root/testdata/sf0.01"
+import os
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(v):
