@@ -322,6 +322,20 @@ ORACLE_SQL: dict[str, str] = {
         FROM h
         ORDER BY doc_id
     """,
+    "q29_regex_token_stats": """
+        WITH p AS (
+            SELECT lang, n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n
+            FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n), 4) AS avg_pieces,
+               ROUND(AVG(n * 100.0 / n_chars), 4) AS pieces_per_100_chars
+        FROM p
+        GROUP BY lang
+        ORDER BY lang
+    """,
     "q26_distinct_users": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

@@ -653,6 +653,27 @@ def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word ("BPE-ish") tokenization via regex piece classes
+    (letters | digits | single punctuation), the pre-tokenizer shape real
+    BPE pipelines use (X5). Aggregated per language: mean pieces per doc and
+    pieces-per-100-chars density. JVM-side regexp_extract_all."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+    return (
+        docs.select("lang", "n_chars", F.size(pieces).alias("_n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_n"), 4).alias("avg_pieces"),
+            F.round(F.avg(F.col("_n") * 100.0 / F.col("n_chars")), 4).alias(
+                "pieces_per_100_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -683,4 +704,5 @@ QUERIES: dict[str, QueryFn] = {
     "q26_distinct_users": q26_distinct_users,
     "q27_funnel_conversion_lag": q27_funnel_conversion_lag,
     "q28_approx_aggregates": q28_approx_aggregates,
+    "q29_regex_token_stats": q29_regex_token_stats,
 }
