@@ -66,10 +66,13 @@ def get_spark(
     # cluster leave spark.local.dir to the provisioned fast local disks.
     if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
-    # keep managed-table/warehouse artifacts out of the repo working dir
+    # keep managed-table/warehouse artifacts out of the repo working dir,
+    # and per-process: the in-memory catalog forgets tables between sessions
+    # while their files persist, so a shared dir turns every re-run into
+    # LOCATION_ALREADY_EXISTS
     builder = builder.config(
         "spark.sql.warehouse.dir",
-        os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"),
+        os.environ.get("SPARK_GRAFT_WAREHOUSE", f"/tmp/spark-warehouse-{os.getpid()}"),
     )
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
