@@ -336,6 +336,18 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY lang
         ORDER BY lang
     """,
+    "q30_asof_last_purchase": """
+        WITH views AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ), buys AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.event_id, v.user_id, epoch_us(v.ts) AS ts_us,
+               ROUND(b.value, 2) AS last_purchase_value
+        FROM views v
+        ASOF LEFT JOIN buys b ON v.user_id = b.user_id AND v.ts >= b.ts
+        ORDER BY v.event_id
+    """,
     "q26_distinct_users": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
