@@ -348,6 +348,35 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN buys b ON v.user_id = b.user_id AND v.ts >= b.ts
         ORDER BY v.event_id
     """,
+    # Range-join comparisons run in exact integer MICROS on both engines:
+    # the fixture timestamps carry sub-microsecond nanos that Spark truncates
+    # at load (catalog.load_table, `div 1000`), so a nanos-precision DuckDB
+    # predicate could flip boundary rows the micros engine keeps.
+    "q31_incident_window_counts": """
+        WITH inc AS (
+            SELECT event_id AS incident_id, epoch_us(ts) AS t0_us
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT i.incident_id,
+               COUNT(*)               AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM inc i
+        JOIN events e
+          ON epoch_us(e.ts) >= i.t0_us
+         AND epoch_us(e.ts) <  i.t0_us + 1800000000
+        GROUP BY i.incident_id
+        ORDER BY i.incident_id
+    """,
+    "q32_time_bucket_rollup": """
+        SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+               event_type,
+               COUNT(*)                 AS n_events,
+               ROUND(SUM(value), 2)     AS sum_value,
+               COUNT(DISTINCT user_id)  AS n_users
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "q26_distinct_users": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

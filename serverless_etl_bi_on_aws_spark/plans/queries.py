@@ -667,6 +667,66 @@ def q30_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q31_incident_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator; operators/range_join.py): every 'error'
+    event opens a 30-minute incident window; count events and distinct users
+    landing inside each window. A pure interval predicate — naive Spark
+    plans a nested loop; the operator bins time so it runs as an equi join.
+    Scale: incidents broadcast here (small side); at 100 TB both sides
+    shuffle on bin id and AQE absorbs time-of-day skew."""
+    from serverless_etl_bi_on_aws_spark.operators.range_join import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"),
+    )
+    observations = ev.select(
+        F.col("event_id").alias("obs_id"),
+        F.col("user_id").alias("obs_user"),
+        F.col("ts").alias("obs_ts"),
+    )
+    hits = range_join_binned(
+        observations, incidents, "obs_ts", "t0", "t1",
+        bin_seconds=1800, broadcast_right=True,
+    )
+    return (
+        hits.groupBy("incident_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("obs_user").alias("n_users"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+def q32_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: 6-hour time buckets × event
+    type, the materialized rollup a TimescaleDB/Druid user would maintain
+    over the funnel stream. Native F.window (epoch-aligned, UTC-pinned
+    session) — map-side partial agg; shuffle carries only
+    buckets × types rows. The streaming twin is streaming/funnel.py's
+    watermarked window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+        .orderBy("bucket_us", "event_type")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -699,4 +759,6 @@ QUERIES: dict[str, QueryFn] = {
     "q28_approx_aggregates": q28_approx_aggregates,
     "q29_regex_token_stats": q29_regex_token_stats,
     "q30_asof_last_purchase": q30_asof_last_purchase,
+    "q31_incident_window_counts": q31_incident_window_counts,
+    "q32_time_bucket_rollup": q32_time_bucket_rollup,
 }

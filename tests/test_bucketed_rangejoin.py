@@ -1,0 +1,123 @@
+"""Bucketed co-located joins, the binned range join, and the Delta gate.
+
+Scale contracts checked here:
+  * bucketed tables joined on their bucket keys plan NO Exchange — the
+    write-once shuffle is actually reused;
+  * the binned range join agrees row-for-row with the naive nested-loop
+    interval join and plans an equi (hash/broadcast) join, not a
+    BroadcastNestedLoopJoin;
+  * the transactional-format gate reports honestly and its fallback merge
+    produces correct upsert results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.catalog import load_table
+from serverless_etl_bi_on_aws_spark.operators.bucketed import (
+    colocated_join,
+    write_bucketed_table,
+)
+from serverless_etl_bi_on_aws_spark.operators.range_join import range_join_binned
+from serverless_etl_bi_on_aws_spark.sources import delta_gate
+
+from tests.conftest import SF_SMOKE
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    write_bucketed_table(orders, "bkt_orders", "o_custkey", 8)
+    write_bucketed_table(customer, "bkt_customer", "c_custkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force SMJ so the assertion targets the shuffle, not broadcast.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(
+            spark, "bkt_orders", "bkt_customer", "o_custkey", "c_custkey"
+        )
+        n = joined.count()
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join re-shuffled"
+        # Same result as the plain (shuffling) join.
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert n == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_range_join_matches_naive_and_plans_equi(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t1"),
+    )
+    obs = ev.select(F.col("event_id").alias("obs_id"), F.col("ts").alias("obs_ts"))
+
+    binned = range_join_binned(
+        obs, incidents, "obs_ts", "t0", "t1", bin_seconds=1800
+    ).select("obs_id", "incident_id")
+    naive = obs.join(
+        incidents,
+        (F.col("obs_ts") >= F.col("t0")) & (F.col("obs_ts") < F.col("t1")),
+    ).select("obs_id", "incident_id")
+
+    got = sorted(map(tuple, binned.collect()))
+    want = sorted(map(tuple, naive.collect()))
+    assert got == want and len(want) > 0
+
+    plan = _executed_plan(binned)
+    assert "BroadcastNestedLoopJoin" not in plan, "range join fell back to NLJ"
+    assert "Join" in plan
+
+
+def test_range_join_bin_width_invariance(spark):
+    # Bins much smaller / larger than the interval must not change results.
+    ev = load_table(spark, SF_SMOKE, "events")
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("iv_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("t1"),
+    )
+    obs = ev.select(F.col("event_id").alias("obs_id"), F.col("ts").alias("obs_ts"))
+    results = [
+        sorted(
+            map(
+                tuple,
+                range_join_binned(obs, iv, "obs_ts", "t0", "t1", bin_seconds=w)
+                .select("obs_id", "iv_id")
+                .collect(),
+            )
+        )
+        for w in (60, 420, 86_400)
+    ]
+    assert results[0] == results[1] == results[2]
+
+
+def test_delta_gate_fallback_merge(spark, tmp_path):
+    # This image has no delta-spark; the gate must say so and fall back.
+    assert delta_gate.delta_available() is False
+    target = str(tmp_path / "tgt")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    )
+    which = delta_gate.merge_upsert_target(spark, base, target, ["k"])
+    assert which == "parquet"
+    staged = spark.range(5, 15).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")
+    )
+    which = delta_gate.merge_upsert_target(spark, staged, target, ["k"])
+    assert which == "parquet"
+    rows = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
+    assert rows == {(i, "old") for i in range(5)} | {(i, "new") for i in range(5, 15)}
