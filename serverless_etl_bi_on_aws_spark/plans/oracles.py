@@ -377,6 +377,72 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    "q33_moving_avg_revenue": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+            FROM orders GROUP BY 1
+        )
+        SELECT d,
+               ROUND(rev, 2) AS revenue,
+               ROUND(AVG(rev) OVER (
+                   ORDER BY date_diff('day', DATE '1970-01-01', d)
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+               ), 4) AS ma7
+        FROM daily
+        ORDER BY d
+    """,
+    "q34_lapsed_customers": """
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 2) AS acctbal_sum
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+    "q35_embedding_centroids": """
+        SELECT e.label,
+               t.dim,
+               ROUND(AVG(e.embedding[t.dim + 1]), 6) AS centroid_val,
+               COUNT(*) AS n_vecs
+        FROM embeddings e, range(64) t(dim)
+        GROUP BY e.label, t.dim
+        ORDER BY e.label, t.dim
+    """,
+    "q36_funnel_set_ops": """
+        SELECT user_id, d FROM (
+            SELECT user_id, CAST(ts AS DATE) AS d
+            FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT user_id, CAST(ts AS DATE) AS d
+            FROM events WHERE event_type = 'purchase'
+        )
+        EXCEPT
+        SELECT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE event_type = 'error'
+        ORDER BY user_id, d
+    """,
+    "q37_train_val_test_split": """
+        WITH assigned AS (
+            SELECT lang, n_chars,
+                   (doc_id * 2654435761) % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM assigned
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "q26_distinct_users": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

@@ -727,6 +727,113 @@ def q32_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (SURVEY §2.5 free headroom): 7-day moving average
+    of daily revenue. The frame is keyed on day-number (datediff from epoch),
+    so calendar gaps shrink the window — true RANGE semantics, not ROWS.
+    Scale: one shuffle to daily grain (a tiny aggregate), then a single-
+    partition window over ~2.4k days; at 100 TB you'd window per (year) or
+    per sales region to keep partitions bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            "d",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.avg("rev").over(w), 4).alias("ma7"),
+        )
+        .orderBy("d")
+    )
+
+
+def q34_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic anti-join (P4/J6's predicate shape, outside the merge): per
+    nation, the *lapsed* customers — no order since 2000-01-01 — and their
+    idle account balance. The anti-join's filter pushes to the orders scan
+    before the shuffle on custkey; nation broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    lapsed = cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        lapsed.join(F.broadcast(nation), lapsed.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q35_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label centroid of the 64-dim embeddings in
+    long form (label, dim, mean) — the reduce step of k-means / class
+    prototypes. posexplode keeps it JVM-side; partial aggregation means the
+    shuffle carries labels × 64 partial sums, not vectors. (float values
+    accumulate in double in both engines, so 6dp rounding is stable.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select(
+            "label", F.col("pos").cast("long").alias("dim"),
+            "centroid_val", "n_vecs",
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def q36_funnel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7 — the reference only unions) at
+    (user, day) grain: days a user both viewed AND purchased (INTERSECT),
+    minus the days that user hit an error (EXCEPT). Spark plans these as
+    distinct-aggregated semi/anti joins — each leg shuffles on the full
+    composite key, so the 100 TB plan is the same as a groupBy's."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def days_of(event_type: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id", F.to_date("ts").alias("d")
+        )
+
+    res = days_of("view").intersect(days_of("purchase")).subtract(days_of("error"))
+    return res.orderBy("user_id", "d")
+
+
+def q37_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment over documents
+    (operators/sampling.py — run-stable multiplicative-hash bucketing, the
+    thing randomSplit can't promise), rolled up per (split, lang). The
+    oracle reruns the identical integer formula in DuckDB — engine-portable
+    by construction."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -761,4 +868,9 @@ QUERIES: dict[str, QueryFn] = {
     "q30_asof_last_purchase": q30_asof_last_purchase,
     "q31_incident_window_counts": q31_incident_window_counts,
     "q32_time_bucket_rollup": q32_time_bucket_rollup,
+    "q33_moving_avg_revenue": q33_moving_avg_revenue,
+    "q34_lapsed_customers": q34_lapsed_customers,
+    "q35_embedding_centroids": q35_embedding_centroids,
+    "q36_funnel_set_ops": q36_funnel_set_ops,
+    "q37_train_val_test_split": q37_train_val_test_split,
 }

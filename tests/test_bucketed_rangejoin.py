@@ -105,6 +105,44 @@ def test_range_join_bin_width_invariance(spark):
     assert results[0] == results[1] == results[2]
 
 
+def test_deterministic_split_is_stable_and_partition_invariant(spark):
+    from serverless_etl_bi_on_aws_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {
+        (r.doc_id, r.split)
+        for r in deterministic_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    # Same assignment regardless of physical layout (randomSplit's failure mode).
+    b = {
+        (r.doc_id, r.split)
+        for r in deterministic_split(docs.repartition(13), "doc_id")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    frac_train = sum(1 for _, s in a if s == "train") / len(a)
+    assert 0.7 < frac_train < 0.9  # ~80% by construction
+
+
+def test_stratified_sample_respects_fractions(spark):
+    from serverless_etl_bi_on_aws_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fr = {"en": 0.5, "de": 0.1}
+    sampled = stratified_sample(docs, "lang", fr)
+    got = {r.lang: r.n for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(fr)  # unlisted strata dropped
+    for lang, f in fr.items():
+        assert got.get(lang, 0) <= base[lang]
+        # Bernoulli tolerance: ±4 sigma
+        import math
+
+        sigma = math.sqrt(base[lang] * f * (1 - f))
+        assert abs(got.get(lang, 0) - base[lang] * f) < 4 * sigma + 1
+
+
 def test_delta_gate_fallback_merge(spark, tmp_path):
     # This image has no delta-spark; the gate must say so and fall back.
     assert delta_gate.delta_available() is False
