@@ -62,6 +62,21 @@ def test_new_queries_smoke(spark, name):
     assert QUERIES[name](spark, SF_SMOKE).count() >= 0
 
 
+def test_range_join_broadcasts_incidents(spark):
+    # q31's binned range join: the exploded incident side is explicitly
+    # broadcast — the bin equi-join must be a BroadcastHashJoin, not SMJ/NLJ.
+    plan = _plan(spark, "q31_incident_window_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lapsed_customers_pushes_date_filter(spark):
+    # q34's anti-join: the 2000-01-01 cutoff must reach the orders scan,
+    # not run post-shuffle.
+    plan = _plan(spark, "q34_lapsed_customers")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
 def test_approx_aggregates_bounded_error(spark):
     """q28's sketches must land near exact values (HLL rsd default 5%;
     percentile_approx within the value range)."""
