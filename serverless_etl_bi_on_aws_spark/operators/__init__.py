@@ -12,7 +12,23 @@ from serverless_etl_bi_on_aws_spark.operators.dedup import (  # noqa: F401
     simhash64,
 )
 from serverless_etl_bi_on_aws_spark.operators.similarity import (  # noqa: F401
+    pairwise_topk_blocked,
     topk_cosine_bruteforce,
+    topk_cosine_ivf,
     topk_cosine_lsh,
 )
 from serverless_etl_bi_on_aws_spark.operators.sessionize import sessionize  # noqa: F401
+from serverless_etl_bi_on_aws_spark.operators.asof import asof_join  # noqa: F401
+from serverless_etl_bi_on_aws_spark.operators.range_join import (  # noqa: F401
+    range_join_binned,
+)
+from serverless_etl_bi_on_aws_spark.operators.skew import salted_join  # noqa: F401
+from serverless_etl_bi_on_aws_spark.operators.bucketed import (  # noqa: F401
+    colocated_join,
+    write_bucketed_table,
+)
+from serverless_etl_bi_on_aws_spark.operators.sampling import (  # noqa: F401
+    deterministic_split,
+    split_bucket,
+    stratified_sample,
+)

@@ -15,3 +15,7 @@ from serverless_etl_bi_on_aws_spark.sources.ingest import (  # noqa: F401
     ingest_named_file,
 )
 from serverless_etl_bi_on_aws_spark.sources.jdbc import jdbc_table  # noqa: F401
+from serverless_etl_bi_on_aws_spark.sources.delta_gate import (  # noqa: F401
+    delta_available,
+    merge_upsert_target,
+)
