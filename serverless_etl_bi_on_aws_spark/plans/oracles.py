@@ -443,6 +443,24 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
+    "q38_chunked_docs": """
+        WITH tok AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS tokens,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), st AS (
+            SELECT doc_id, tokens, n,
+                   unnest(range(0, n, 40)) AS start
+            FROM tok
+        )
+        SELECT doc_id,
+               start // 40 AS chunk_id,
+               LEAST(50, n - start) AS n_tokens_chunk,
+               md5(array_to_string(tokens[start + 1 : start + 50], ' ')) AS chunk_md5
+        FROM st
+        ORDER BY doc_id, chunk_id
+    """,
     "q26_distinct_users": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

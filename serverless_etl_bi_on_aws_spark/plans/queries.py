@@ -834,6 +834,21 @@ def q37_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (operators/chunking.py): 50-token windows, stride
+    40 (10-token overlap) — the context-window prep step of an LLM data
+    pipeline. Map-only JVM column algebra (split → sequence → explode →
+    slice); the md5 makes chunk *content* oracle-checkable, not just
+    counts. The UDTF twin (functions/udtf_fns.py) is pinned equal in
+    tests/test_chunking.py."""
+    from serverless_etl_bi_on_aws_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=50, stride=40
+    ).orderBy("doc_id", "chunk_id")
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -873,4 +888,5 @@ QUERIES: dict[str, QueryFn] = {
     "q35_embedding_centroids": q35_embedding_centroids,
     "q36_funnel_set_ops": q36_funnel_set_ops,
     "q37_train_val_test_split": q37_train_val_test_split,
+    "q38_chunked_docs": q38_chunked_docs,
 }
