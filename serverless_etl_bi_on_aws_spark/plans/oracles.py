@@ -489,6 +489,15 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
     """,
+    "q39_cube_event_matrix": """
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(year(ts), -1)      AS yr,
+               COUNT(*)             AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY CUBE(event_type, year(ts))
+        ORDER BY 1, 2
+    """,
     "q23_rollup_order_counts": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*)                    AS n_orders,

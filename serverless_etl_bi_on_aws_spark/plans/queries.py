@@ -849,6 +849,30 @@ def q38_chunked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+def q39_cube_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(event_type, year) over the funnel (q23's rollup twin — all four
+    grouping sets, the BI cross-tab Redshift would serve). Spark expands the
+    cube before the shuffle; partial aggregation keeps it one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.year("ts").alias("yr"), "value")
+        .cube("event_type", "yr")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        # Label the grouping-set marker rows instead of emitting NULLs —
+        # null-free output hashes/sorts identically everywhere.
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "yr")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -889,4 +913,5 @@ QUERIES: dict[str, QueryFn] = {
     "q36_funnel_set_ops": q36_funnel_set_ops,
     "q37_train_val_test_split": q37_train_val_test_split,
     "q38_chunked_docs": q38_chunked_docs,
+    "q39_cube_event_matrix": q39_cube_event_matrix,
 }

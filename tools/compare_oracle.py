@@ -37,7 +37,9 @@ def canon(v):
 
 def rowset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # Sort by repr: a deterministic total order even when a column mixes
+    # None with values (grouping-set markers) where tuple < would raise.
+    return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
 def main() -> int:
