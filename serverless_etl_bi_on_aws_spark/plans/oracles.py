@@ -499,11 +499,12 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY 1, 2
     """,
     "q23_rollup_order_counts": """
-        SELECT o_orderstatus, o_orderpriority,
+        SELECT COALESCE(o_orderstatus, 'ALL')   AS o_orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
                COUNT(*)                    AS n_orders,
                ROUND(SUM(o_totalprice), 2) AS sum_totalprice
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        ORDER BY 1, 2
     """,
 }

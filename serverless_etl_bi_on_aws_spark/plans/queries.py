@@ -522,10 +522,15 @@ def q23_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
         )
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
+        # Null-free grouping markers (see q39): subtotal rows labeled 'ALL'
+        # sort/hash identically in every comparator.
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_totalprice",
         )
+        .orderBy("o_orderstatus", "o_orderpriority")
     )
 
 
