@@ -32,8 +32,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-checkable query. q13/q14/q18
-    (minhash-LSH / simhash / LSH-ANN) are engine-defined by design — the
-    driver records the weaker rows-only check and pytest cross-validates
-    them against their exact counterparts (q12/q6)."""
+    """DuckDB-equivalent SQL for every oracle-checkable query. q13/q14/q18/
+    q28 (minhash-LSH / simhash / LSH-ANN / HLL+t-digest sketches) are
+    engine-defined by design — the driver records the weaker rows-only
+    check and pytest cross-validates each against its exact counterpart
+    (q12/q6/exact aggregates)."""
     return dict(ORACLE_SQL)
