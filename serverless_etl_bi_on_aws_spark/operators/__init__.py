@@ -32,3 +32,9 @@ from serverless_etl_bi_on_aws_spark.operators.sampling import (  # noqa: F401
     split_bucket,
     stratified_sample,
 )
+from serverless_etl_bi_on_aws_spark.operators.packing import (  # noqa: F401
+    pack_sequential,
+)
+from serverless_etl_bi_on_aws_spark.operators.chunking import (  # noqa: F401
+    chunk_documents,
+)

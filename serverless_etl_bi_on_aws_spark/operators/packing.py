@@ -1,0 +1,39 @@
+"""Sequential shard packing — assign rows to ~fixed-token-budget shards.
+
+The step between chunking and the trainer: stream documents in a stable
+order and cut a new shard whenever the running token count crosses the
+budget (greedy sequential packing — the scheme TFRecord/WebDataset-style
+writers use). Deterministic given the ordering column, so it is exactly
+reproducible across engines and runs, unlike randomized bin packing.
+
+Shard id = (tokens accumulated BEFORE this row) div budget: a row that
+crosses the boundary still joins the shard it started in, so every shard
+except the last holds ≥ budget tokens minus one document's overhang.
+
+Scale: the running sum is a single-partition window — correct but serial.
+At 100 TB pack *within* partitions (partition by date/source bucket, same
+window per partition) and write one shard family per partition; the global
+variant here is the semantic reference for that."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pack_sequential(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Add a ``shard_id`` column: greedy sequential packing of ``size_col``
+    units into shards of ~``budget``, in ``order_col`` order."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    before = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(size_col).over(before), F.lit(0))
+    return (
+        df.withColumn("__cum_before", cum_before)
+        .withColumn("shard_id", F.expr(f"__cum_before div {budget}"))
+        .drop("__cum_before")
+    )

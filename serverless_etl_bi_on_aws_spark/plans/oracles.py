@@ -461,6 +461,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM st
         ORDER BY doc_id, chunk_id
     """,
+    "q40_pack_token_shards": """
+        WITH toks AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM toks
+        )
+        SELECT cum_before // 5000 AS shard_id,
+               COUNT(*)       AS n_docs,
+               SUM(n_tokens)  AS total_tokens,
+               MIN(doc_id)    AS first_doc,
+               MAX(doc_id)    AS last_doc
+        FROM packed
+        GROUP BY 1
+        ORDER BY 1
+    """,
     "q26_distinct_users": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

@@ -878,6 +878,29 @@ def q39_cube_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential shard packing (operators/packing.py): documents in
+    doc_id order into ~5000-token shards, summarized per shard — the
+    sample-packing step between chunking (q38) and training. Deterministic,
+    so it oracles exactly; at 100 TB pack per-partition (see operator
+    docstring)."""
+    from serverless_etl_bi_on_aws_spark.operators.packing import pack_sequential
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    return (
+        pack_sequential(toks, "doc_id", "n_tokens", budget=5000)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -919,4 +942,5 @@ QUERIES: dict[str, QueryFn] = {
     "q37_train_val_test_split": q37_train_val_test_split,
     "q38_chunked_docs": q38_chunked_docs,
     "q39_cube_event_matrix": q39_cube_event_matrix,
+    "q40_pack_token_shards": q40_pack_token_shards,
 }
