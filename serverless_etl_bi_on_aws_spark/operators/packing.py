@@ -25,12 +25,19 @@ def pack_sequential(
     order_col: str,
     size_col: str,
     budget: int,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Add a ``shard_id`` column: greedy sequential packing of ``size_col``
-    units into shards of ~``budget``, in ``order_col`` order."""
+    units into shards of ~``budget``, in ``order_col`` order.
+
+    ``partition_by`` is the scale path: pack independently within each
+    partition value (date, source, language bucket) so the running sum
+    parallelizes — shard_id is then local to its partition."""
     if budget <= 0:
         raise ValueError("budget must be positive")
-    before = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    before = (
+        Window.partitionBy(partition_by) if partition_by is not None else Window
+    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     cum_before = F.coalesce(F.sum(size_col).over(before), F.lit(0))
     return (
         df.withColumn("__cum_before", cum_before)

@@ -482,6 +482,26 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
         ORDER BY 1
     """,
+    "q41_pack_shards_by_lang": """
+        WITH toks AS (
+            SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT lang, doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM toks
+        )
+        SELECT lang,
+               cum_before // 2000 AS shard_id,
+               COUNT(*)      AS n_docs,
+               SUM(n_tokens) AS total_tokens
+        FROM packed
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
     "q26_distinct_users": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

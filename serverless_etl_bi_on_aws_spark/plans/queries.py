@@ -901,6 +901,28 @@ def q40_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_pack_shards_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40's scale path: shard packing partitioned by language — each lang
+    packs independently, so the running-sum window parallelizes across
+    partitions instead of serializing globally. This is the shape to run
+    at 100 TB (partition by date/source bucket)."""
+    from serverless_etl_bi_on_aws_spark.operators.packing import pack_sequential
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return (
+        pack_sequential(toks, "doc_id", "n_tokens", budget=2000, partition_by="lang")
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -943,4 +965,5 @@ QUERIES: dict[str, QueryFn] = {
     "q38_chunked_docs": q38_chunked_docs,
     "q39_cube_event_matrix": q39_cube_event_matrix,
     "q40_pack_token_shards": q40_pack_token_shards,
+    "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
 }
