@@ -473,9 +473,9 @@ ORACLE_SQL: dict[str, str] = {
                    ), 0) AS cum_before
             FROM toks
         )
-        SELECT cum_before // 5000 AS shard_id,
+        SELECT CAST(cum_before // 5000 AS BIGINT) AS shard_id,
                COUNT(*)       AS n_docs,
-               SUM(n_tokens)  AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                MIN(doc_id)    AS first_doc,
                MAX(doc_id)    AS last_doc
         FROM packed
@@ -495,9 +495,9 @@ ORACLE_SQL: dict[str, str] = {
             FROM toks
         )
         SELECT lang,
-               cum_before // 2000 AS shard_id,
+               CAST(cum_before // 2000 AS BIGINT) AS shard_id,
                COUNT(*)      AS n_docs,
-               SUM(n_tokens) AS total_tokens
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM packed
         GROUP BY 1, 2
         ORDER BY 1, 2
