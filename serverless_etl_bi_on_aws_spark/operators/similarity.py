@@ -78,58 +78,100 @@ def pairwise_topk_blocked(
     k: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    batch_rows: int = 4096,
+    block_rows: int = 2048,
 ) -> DataFrame:
-    """Exact pairwise top-k similarity via broadcast + blocked matmul — the
-    numpy scale path for q24's HOF formulation.
+    """Exact pairwise top-k cosine over the whole corpus — distributed
+    block-pair matmul, no driver materialization.
 
-    Pattern: the (normalized) corpus matrix is broadcast once (the same
-    fits-in-executor-memory contract as a broadcast join — embedding shards
-    at 100 TB are chunked so each index shard fits); the distributed side
-    streams through ``mapInPandas`` in Arrow batches, each batch doing ONE
-    ``B @ M.T`` matmul and keeping its per-row top-k. A final global top-k
-    merges candidates. Wall-clock is matmul-bound (BLAS), not per-element
-    interpreted — at 2k x 64-d this is ~100x fewer Python/JVM ops than the
-    pair-join HOF plan.
+    The corpus is hash-bucketed into B blocks of ~``block_rows`` rows; every
+    unordered block pair (bi <= bj) becomes one ``applyInPandas`` group that
+    does ONE BLAS matmul ``L @ R.T`` and keeps per-left-row top-k candidates.
+    Any global top-k pair has fewer than k pairs above it, so it necessarily
+    survives its left row's per-group top-k — the final global
+    TakeOrdered(k) is exact.
+
+    Scale contract: the driver never holds the corpus (the only driver-side
+    action is a ``count()`` to size B); executor memory per task is two
+    blocks plus a block_rows^2 sims matrix (~33 MB at the 2048 default).
+    Replication factor is B (each row joins B block pairs), the honest
+    quadratic cost of exact all-pairs — the subquadratic scale paths are the
+    LSH/IVF candidates (q13/q18) with this operator as exact re-ranker over
+    candidate subsets. ids must be integral (cast to int64; pairs are
+    canonicalized by id comparison).
 
     Returns (id_1, id_2, cosine) with id_1 < id_2, global top-k pairs.
     """
-    import numpy as np
+    import math
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype="int64")
-    mat = np.array([r[1] for r in rows], dtype="float64")
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = embeddings.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
-    per_row_k = min(k, len(ids) - 1)
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    per_row_k = max(1, min(k, n - 1))
 
-    def blocks(it):
+    src = embeddings.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pair_dim = spark.createDataFrame(pair_rows, "bi int, bj int")
+    # left role: every pair where this row's block is the bi side (covers the
+    # diagonal); right role: only off-diagonal bj sides (diagonal groups use
+    # their left rows for both operands).
+    left = src.join(F.broadcast(pair_dim), src["_blk"] == pair_dim["bi"]).withColumn(
+        "_role", F.lit(0)
+    )
+    off_diag = pair_dim.filter(F.col("bi") != F.col("bj"))
+    right = src.join(F.broadcast(off_diag), src["_blk"] == off_diag["bj"]).withColumn(
+        "_role", F.lit(1)
+    )
+    tagged = left.unionByName(right).select("bi", "bj", "_role", "_id", "_vec")
+
+    def group_topk(pdf):
+        import numpy as np
         import pandas as pd
 
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in it:
-            bm = np.array(pdf[vec_col].tolist(), dtype="float64")
-            bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
-            sims = bm @ all_mat.T  # one BLAS call per Arrow batch
-            out_1, out_2, out_c = [], [], []
-            for r, my_id in enumerate(pdf[id_col].tolist()):
-                row = sims[r].copy()
-                # enforce i<j BEFORE the per-row top-k so slots aren't wasted
-                # on already-counted (j<i) or self pairs
-                row[all_ids <= int(my_id)] = -np.inf
-                kk = min(per_row_k, int((row > -np.inf).sum()))
-                if kk <= 0:
-                    continue
-                idx = np.argpartition(row, -kk)[-kk:]
-                for j in idx:
-                    out_1.append(int(my_id))
-                    out_2.append(int(all_ids[j]))
-                    out_c.append(float(row[j]))
-            yield pd.DataFrame({"id_1": out_1, "id_2": out_2, "_cos": out_c})
+        lp = pdf[pdf["_role"] == 0]
+        diag = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
+        rp = lp if diag else pdf[pdf["_role"] == 1]
+        empty = pd.DataFrame(
+            {
+                "id_1": pd.Series(dtype="int64"),
+                "id_2": pd.Series(dtype="int64"),
+                "_cos": pd.Series(dtype="float64"),
+            }
+        )
+        if len(lp) == 0 or len(rp) == 0:
+            return empty
+        lm = np.array(lp["_vec"].tolist(), dtype="float64")
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        rm = lm if diag else np.array(rp["_vec"].tolist(), dtype="float64")
+        if not diag:
+            rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        lids = lp["_id"].to_numpy(dtype="int64")
+        rids = rp["_id"].to_numpy(dtype="int64")
+        sims = lm @ rm.T  # one BLAS call per block pair
+        out_1, out_2, out_c = [], [], []
+        for r in range(len(lids)):
+            row = sims[r]
+            if diag:
+                row = row.copy()
+                row[rids <= lids[r]] = -np.inf  # self + already-counted pairs
+            kk = min(per_row_k, int((row > -np.inf).sum()))
+            if kk <= 0:
+                continue
+            idx = np.argpartition(row, -kk)[-kk:]
+            for j in idx:
+                a, b = int(lids[r]), int(rids[j])
+                out_1.append(min(a, b))
+                out_2.append(max(a, b))
+                out_c.append(float(row[j]))
+        if not out_1:
+            return empty
+        return pd.DataFrame({"id_1": out_1, "id_2": out_2, "_cos": out_c})
 
-    cand = embeddings.select(id_col, vec_col).mapInPandas(
-        blocks, schema="id_1 bigint, id_2 bigint, _cos double"
+    cand = tagged.groupBy("bi", "bj").applyInPandas(
+        group_topk, schema="id_1 bigint, id_2 bigint, _cos double"
     )
     return (
         cand.orderBy(F.col("_cos").desc(), "id_1", "id_2")

@@ -536,11 +536,12 @@ def q23_rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection, exact (X2/X3): the 20
-    most-similar vector pairs, via broadcast + blocked numpy matmul
-    (operators/similarity.pairwise_topk_blocked). Measured 8x faster than
-    the HOF pair-join formulation at 2k vectors (8.9s vs 72.5s) with
-    bit-identical output; per-batch BLAS keeps the work vectorized end to
-    end. The LSH/IVF variants (q18) are the >memory scale path."""
+    most-similar vector pairs, via distributed block-pair BLAS matmul
+    (operators/similarity.pairwise_topk_blocked — hash-bucketed blocks,
+    one applyInPandas group per block pair, no driver collect/broadcast of
+    the corpus). Blocked BLAS measured 8x faster than the HOF pair-join
+    formulation at 2k vectors (8.9s vs 72.5s) with identical output. The
+    LSH/IVF variants (q13/q18) are the subquadratic scale path."""
     from serverless_etl_bi_on_aws_spark.operators.similarity import pairwise_topk_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
