@@ -72,9 +72,20 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     # Under nanosAsLong the ns columns arrive as bigint; rebuild them as
     # microsecond timestamps with exact integer arithmetic (``div 1000`` —
     # epoch-nanos exceed 2^53, float division would corrupt). Truncation
-    # matches DuckDB's ns -> us narrowing.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # matches DuckDB's ns -> us narrowing. The conf is consulted at read()
+    # time (schema conversion), so it is restored immediately: a later raw
+    # spark.read.parquet of nanos data in the same session fails loudly
+    # instead of silently yielding bigint columns.
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(nanos_key, None)
+    spark.conf.set(nanos_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(nanos_key)
+        else:
+            spark.conf.set(nanos_key, prior)
     for col in ns_cols:
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
@@ -108,10 +119,29 @@ def register_as_catalog_tables(
     """Persistent-catalog variant (``saveAsTable`` of external parquet):
     the closer analog to crawler -> Data Catalog when a Hive/Glue metastore
     is attached. Uses CREATE TABLE ... USING parquet LOCATION so no data is
-    copied."""
+    copied.
+
+    TIMESTAMP(NANOS) columns: the legacy nanosAsLong conf is scoped to the
+    CREATE statement (the catalog freezes the crawl-time schema, so later
+    reads don't need it); such columns surface as epoch-nanos bigint in this
+    raw-catalog path — the curated path (:func:`load_table`) rebuilds them
+    as timestamps."""
+    nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for name in tables:
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {database}.{name} USING parquet "
-            f"LOCATION '{sf_dir}/{name}.parquet'"
-        )
+        path = f"{sf_dir}/{name}.parquet"
+        needs_nanos = bool(_ns_timestamp_cols(path))
+        prior = spark.conf.get(nanos_key, None) if needs_nanos else None
+        if needs_nanos:
+            spark.conf.set(nanos_key, "true")
+        try:
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {database}.{name} USING parquet "
+                f"LOCATION '{path}'"
+            )
+        finally:
+            if needs_nanos:
+                if prior is None:
+                    spark.conf.unset(nanos_key)
+                else:
+                    spark.conf.set(nanos_key, prior)

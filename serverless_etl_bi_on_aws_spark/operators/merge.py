@@ -17,7 +17,7 @@ don't have to worry about the duplicacy", README.md:120).
 
 Scale notes (100 TB final, ~GBs staging per batch): the anti-join shuffles
 on the key unless staging is broadcastable — it usually is (one hour of
-changes), so we hint ``broadcast(staging_keys)`` below a row threshold and
+changes), so we hint ``broadcast(staging_keys)`` below a size threshold and
 the whole merge becomes a map-side pass over final. For a partitioned final
 table, pair this with :func:`overwrite_changed_partitions` so only
 partitions containing staged keys are rewritten (dynamic partition
@@ -30,10 +30,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-#: Below this many staging rows we broadcast the staging key set; one hourly
-#: increment is tiny next to the final table, so the DELETE-matching side of
-#: the merge becomes a broadcast anti-join (no shuffle of the big side).
-BROADCAST_STAGING_MAX_ROWS = 10_000_000
+#: Below this optimizer-estimated size we broadcast the staging key set; one
+#: hourly increment is tiny next to the final table, so the DELETE-matching
+#: side of the merge becomes a broadcast anti-join (no shuffle of the big
+#: side). A backfill-sized staging set exceeds it and falls back to a
+#: shuffled anti-join instead of OOMing executors with a forced broadcast.
+BROADCAST_STAGING_MAX_BYTES = 256 << 20
+
+
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate — file sizes for file scans,
+    exact for local relations; no job is launched. Unknown sources report
+    Long.Max and therefore (safely) refuse the broadcast default."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
 
 
 def merge_upsert(
@@ -50,9 +59,7 @@ def merge_upsert(
     key_list = list(keys)
     staging_keys = staging.select(*key_list).dropDuplicates(key_list)
     if broadcast_staging is None:
-        # cheap physical hint: hourly increments are small; let callers force
-        # it off when staging is a backfill comparable to final in size
-        broadcast_staging = True
+        broadcast_staging = _estimated_bytes(staging) <= BROADCAST_STAGING_MAX_BYTES
     if broadcast_staging:
         staging_keys = F.broadcast(staging_keys)
     kept = final.join(staging_keys, on=key_list, how="left_anti")
@@ -77,12 +84,16 @@ def staging_table_merge(
     staging = spark.table(staging_table)
     final = spark.table(final_table)
     merged = merge_upsert(final, staging, keys)  # steps 2+3 (J6)
-    # overwrite via checkpoint-free self-read: materialize to a temp view of
-    # collected plan first is unsafe at scale; write to a swap table instead
-    swap = f"{final_table}__swap"
+    # The merged plan reads final, so final can't be overwritten in place:
+    # write to a swap table, then swap via backup-rename so a crash at any
+    # point leaves a recoverable copy of final (either under its own name or
+    # as __old) — never a window where the table is dropped and gone.
+    swap, backup = f"{final_table}__swap", f"{final_table}__old"
     merged.write.mode("overwrite").saveAsTable(swap)
-    spark.sql(f"DROP TABLE {final_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")  # stale backup from a prior crash
+    spark.sql(f"ALTER TABLE {final_table} RENAME TO {backup}")
     spark.sql(f"ALTER TABLE {swap} RENAME TO {final_table}")
+    spark.sql(f"DROP TABLE {backup}")
     spark.sql(f"TRUNCATE TABLE {staging_table}")  # step 4 (S10)
 
 
