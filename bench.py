@@ -1,14 +1,28 @@
 """Benchmark harness: headline queries (BASELINE.md q1-q7 semantics) on a
 warm SparkSession at $SPARK_GRAFT_SF_DIR (default sf0.1), local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
+Prints ONE JSON line. Driver contract keys are unchanged from round 1:
+    {"metric": "...", "value": <headline total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": 0.1}
+plus diagnostic tiers (round-1 verdict asks #1/#4):
+    "floor_sec"  — fixed per-query cost (fresh trivial aggregate, best-of-3):
+                   plan + job launch + collect; the constant every local
+                   measurement carries and a cluster amortizes.
+    "llm"        — wall-times for the expensive LLM-pipeline operators
+                   (q12 inverted-index self-join, q13 MinHash-LSH, q24
+                   block-pair matmul, q38 chunking, q40/q41 shard packing)
+                   so regressions are driver-visible round over round.
+    "sf1"        — q1-q7 at the 10x fixture (benchdata/sf1, auto-built) with
+                   live DuckDB warm baselines and gross + floor-net ratios.
+    "scaling"    — q1/q3 Spark-vs-DuckDB marginal cost per input row from
+                   sf0.1 -> sf1 -> sf10 (benchdata/sf10, auto-built): the
+                   slope is the quantity that survives a 100x scale-up;
+                   the intercept is local job overhead.
 
 Timing protocol (mirrors BASELINE.md's warm-cache DuckDB measurement): each
 query executes once untimed (JIT, code cache, file listing), then the best
-of two timed runs counts. Spark's fixed per-job overhead is inside the
-measurement — only session startup is excluded.
+of N timed runs counts, each on a freshly built plan (a re-collected
+DataFrame object would silently reuse shuffle stages).
 """
 
 from __future__ import annotations
@@ -23,6 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
 from serverless_etl_bi_on_aws_spark.session import get_spark
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
 #: headline set: BASELINE.md row -> our query name
 HEADLINE = {
     "q1": "q1_pricing_summary",
@@ -34,34 +50,163 @@ HEADLINE = {
     "q7": "q7_text_stats",
 }
 
+#: LLM-pipeline tier (verdict ask #4): the operators whose cost is dominated
+#: by real work (self-joins, matmuls, windows), benched at the driver sf.
+LLM_TIER = {
+    "q12": "q12_neardup_jaccard",
+    "q13": "q13_neardup_minhash_lsh",
+    "q24": "q24_embedding_similar_pairs",
+    "q38": "q38_chunked_docs",
+    "q40": "q40_pack_token_shards",
+    "q41": "q41_pack_shards_by_lang",
+}
+
+SCALING_QUERIES = ("q1", "q3")
+
+#: Fixture scans at bench scale: sf1 lineitem is ~110 MB in 10 files, sf10
+#: ~1.1 GB in 100 files. 8 MB split size gives 16+-way scan parallelism on
+#: the sf1 fixture (measured: q1 0.39s @ 16MB -> 0.27s @ 8MB; 4 MB regressed
+#: q3 via task-launch swamp). On a real cluster the 128 MB session default
+#: is correct — this is deployment sizing for the fixture, set at runtime
+#: for the big tiers only.
+BIG_TIER_SPLIT_BYTES = 8 << 20
+
+
+def _time_best(spark, name: str, sf_dir: str, runs: int = 3) -> float:
+    fn = QUERIES[name]
+    fn(spark, sf_dir).collect()  # warm-up: plan, JIT, IO cache
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _floor(spark) -> float:
+    """Fixed per-query cost: a fresh 5-row scan+aggregate through the full
+    plan/launch/collect path. Everything a query does beyond this is real
+    work."""
+    from serverless_etl_bi_on_aws_spark.catalog import load_table
+
+    sf_smoke = "/root/testdata/sf0.001"
+    load_table(spark, sf_smoke, "region").groupBy().count().collect()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        load_table(spark, sf_smoke, "region").groupBy().count().collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _ensure_benchdata(name: str, copies: int) -> str | None:
+    path = os.path.join(REPO, "benchdata", name)
+    marker = os.path.join(path, "region.parquet")
+    if not os.path.exists(marker):
+        try:
+            from tools.make_benchdata import build
+
+            build("/root/testdata/sf0.1", path, copies=copies)
+        except Exception:  # noqa: BLE001 - bench tiers degrade, never fail
+            return None
+    return path
+
+
+def _duckdb_warm(sf_dir: str, shorts: tuple[str, ...]) -> dict[str, float]:
+    try:
+        from tools.duckdb_baseline import HEADLINE as DH, register
+        import duckdb
+
+        con = duckdb.connect()
+        register(con, sf_dir)
+        from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
+
+        out = {}
+        for short in shorts:
+            sql = ORACLE_SQL[DH[short]]
+            con.execute(sql).fetchall()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[short] = round(best, 4)
+        con.close()
+        return out
+    except Exception:  # noqa: BLE001
+        return {}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
 
-    timings: dict[str, float] = {}
-    for short, name in HEADLINE.items():
-        fn = QUERIES[name]
-        fn(spark, sf_dir).collect()  # warm-up: plan, JIT, IO cache
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[short] = round(best, 4)
+    result: dict = {"unit": "sec", "sf": sf}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_q1_q7_total_warm",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    # --- headline tier (driver contract; session-default conf) ---
+    timings = {short: _time_best(spark, name, sf_dir) for short, name in HEADLINE.items()}
+    result["metric"] = "headline_q1_q7_total_warm"
+    result["value"] = round(sum(timings.values()), 4)
+    result["queries"] = timings
+    result["floor_sec"] = _floor(spark)
+
+    # --- LLM-operator tier at the driver sf ---
+    result["llm"] = {short: _time_best(spark, name, sf_dir) for short, name in LLM_TIER.items()}
+
+    # --- sf1 tier: amortize the floor against 10x data ---
+    sf1_dir = _ensure_benchdata("sf1", copies=10)
+    if sf1_dir:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(BIG_TIER_SPLIT_BYTES))
+        sf1_spark = {s: _time_best(spark, n, sf1_dir) for s, n in HEADLINE.items()}
+        duck1 = _duckdb_warm(sf1_dir, tuple(HEADLINE))
+        floor = result["floor_sec"]
+        tier: dict = {
+            "queries": sf1_spark,
+            "duckdb_warm": duck1,
+            "total": round(sum(sf1_spark.values()), 4),
+            "duckdb_total": round(sum(duck1.values()), 4) if duck1 else None,
+        }
+        if duck1:
+            tier["ratio_gross"] = {
+                s: round(sf1_spark[s] / duck1[s], 2) for s in sf1_spark if duck1.get(s)
             }
-        )
-    )
+            tier["ratio_net_of_floor"] = {
+                s: round(max(sf1_spark[s] - floor, 0.0) / duck1[s], 2)
+                for s in sf1_spark
+                if duck1.get(s)
+            }
+        result["sf1"] = tier
+
+    # --- scaling tier: marginal cost per row, sf0.1 -> sf1 -> sf10 ---
+    sf10_dir = _ensure_benchdata("sf10", copies=100)
+    if sf1_dir and sf10_dir:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(BIG_TIER_SPLIT_BYTES))
+        points = {"0.1": sf_dir if sf == 0.1 else "/root/testdata/sf0.1", "1": sf1_dir, "10": sf10_dir}
+        scal: dict = {}
+        for short in SCALING_QUERIES:
+            name = HEADLINE[short]
+            sp = {lbl: _time_best(spark, name, d) for lbl, d in points.items()}
+            du = {
+                lbl: _duckdb_warm(d, (short,)).get(short)
+                for lbl, d in points.items()
+            }
+            # slope between the two big points: sec per 10x-of-sf0.1 step —
+            # the intercept-free number that survives a cluster scale-up
+            sp_slope = (sp["10"] - sp["1"]) / 9.0
+            du_slope = (
+                (du["10"] - du["1"]) / 9.0 if du.get("10") and du.get("1") else None
+            )
+            scal[short] = {
+                "spark_sec": sp,
+                "duckdb_sec": du,
+                "spark_slope_per_sf": round(sp_slope, 4),
+                "duckdb_slope_per_sf": round(du_slope, 4) if du_slope else None,
+                "slope_ratio": round(sp_slope / du_slope, 2) if du_slope else None,
+            }
+        result["scaling"] = scal
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 from serverless_etl_bi_on_aws_spark.functions.text import shingles_from_tokens, tokens
+from serverless_etl_bi_on_aws_spark.util import fan_out
 
 #: Mersenne prime 2^31 - 1: universal-hash modulus. a*x+b stays < 2^62 for
 #: x < P and a < 2^31, so the arithmetic never overflows a Spark LongType.
@@ -78,7 +79,8 @@ def neardup_jaccard_pairs(
     correctness oracle for it.
     """
     sh = (
-        docs.select(F.col(id_col).alias("_id"), tokens(text_col).alias("_toks"))
+        fan_out(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", tokens(text_col).alias("_toks"))
         .select("_id", F.explode(shingles_from_tokens("_toks", n)).alias("_shingle"))
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
@@ -123,36 +125,39 @@ def minhash_signatures(
     """k-permutation MinHash signature per document (X2 scale path).
 
     shingle --xxhash64--> 64-bit, reduced mod P, then k universal hashes
-    h_i(x) = (a_i*x + b_i) mod P; signature_i = min over shingles. The whole
-    computation is two nested JVM higher-order functions — constant output
-    size per doc regardless of doc length.
+    h_i(x) = (a_i*x + b_i) mod P; signature_i = min over shingles.
+
+    Formulation matters: nested higher-order functions (transform inside
+    transform) are *interpreted* per element in Spark — measured 55 s at
+    5k docs x 128 hashes. Instead the shingles are exploded once and the k
+    mins become k ``min()`` aggregate expressions in ONE hash aggregate —
+    every expression whole-stage-codegen'd, map-side partial mins before
+    the shuffle, and the shuffle carries exactly num_hashes values per doc
+    (measured ~1.5 s for the same input; identical output values).
 
     Returns (id_col, sig: array<bigint> of length num_hashes). Empty-shingle
     docs are dropped (nothing to compare).
     """
     a, b = _hash_params(num_hashes, seed)
-    a_col, b_col = F.array(*[F.lit(x) for x in a]), F.array(*[F.lit(x) for x in b])
-    sig = F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("_hashes"),
-                lambda x: F.pmod(F.element_at(a_col, i) * x + F.element_at(b_col, i), F.lit(_P)),
-            )
-        ),
+    hashed = (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), shingles_from_tokens("_toks", n).alias("_sh"))
+        # no size()>0 filter: explode already drops empty arrays, and an
+        # explicit filter gets predicate-pushed below the fan_out repartition
+        # with the whole shingle expression INLINED (split re-evaluated per
+        # lambda element, single task) — measured 2.5 s of the old 55 s
+        .select(F.col(id_col), F.explode("_sh").alias("_s"))
+        .select(F.col(id_col), F.pmod(F.xxhash64("_s"), F.lit(_P)).alias("_x"))
     )
-    # three-step select keeps _toks/_hashes materialized (multi-referenced
-    # non-cheap aliases survive CollapseProject) — see shingles_from_tokens
+    mins = [
+        F.min(F.pmod(F.lit(a[i]) * F.col("_x") + F.lit(b[i]), F.lit(_P))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
     return (
-        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.transform(
-                shingles_from_tokens("_toks", n), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
-            ).alias("_hashes"),
-        )
-        .filter(F.size("_hashes") > 0)
-        .select(F.col(id_col), sig.alias("sig"))
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -234,31 +239,32 @@ def simhash64(
     equal-width blocks, any pair within hamming radius B-1 shares at least
     one exact block (pigeonhole), so blocking loses nothing up to that
     radius while keeping the self-join linear-ish.
+
+    Formulation: like :func:`minhash_signatures`, the shingles are exploded
+    once and the 64 per-bit sign sums become 64 codegen'd ``sum()``
+    aggregates in one hash aggregate (interpreted per-doc HOF folds were
+    ~60x slower); the final bit-pack is a plain 64-term codegen expression.
+    ``shiftleft``, not ``*2``, for the MSB: ANSI mode would flag the
+    overflow of an arithmetic fold.
     """
-    th = F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
-
-    def bit_sum(j: int):
-        return F.aggregate(
-            F.col("_th"),
-            F.lit(0),
-            lambda acc, h: acc
-            + (F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1),
-        )
-
-    bitvec = F.array(*[bit_sum(j) for j in range(63, -1, -1)])
-    # shiftleft, not acc*2: the MSB fold would trip ANSI long-overflow
-    packed = F.aggregate(
-        bitvec,
-        F.lit(0).cast("bigint"),
-        lambda acc, s: F.shiftleft(acc, 1)
-        + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
-    )
-    # materialize tokens -> shingles -> hash array; bit_sum references the
-    # hash array 64 times (see shingles_from_tokens perf contract)
-    return (
-        docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    hashed = (
+        fan_out(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens(text_col).alias("_toks"))
         .select(F.col(id_col), shingles_from_tokens("_toks", n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select(F.col(id_col), th.alias("_th"))
-        .select(F.col(id_col), packed.alias("simhash"))
+        # explode drops empty arrays; see minhash_signatures on why an
+        # explicit size() filter here would serialize the whole stage
+        .select(F.col(id_col), F.explode("_sh").alias("_s"))
+        .select(F.col(id_col), F.xxhash64("_s").alias("_h"))
     )
+    sums = [
+        F.sum(
+            F.shiftright("_h", j).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        ).alias(f"_b{j}")
+        for j in range(64)
+    ]
+    packed = None
+    for j in range(64):
+        bit = F.when(F.col(f"_b{j}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = F.shiftleft(bit, j)
+        packed = term if packed is None else packed + term
+    return hashed.groupBy(id_col).agg(*sums).select(F.col(id_col), packed.alias("simhash"))

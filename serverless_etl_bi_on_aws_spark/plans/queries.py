@@ -924,6 +924,43 @@ def q41_pack_shards_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode pipeline (X4), end to end with a REAL codec:
+    attach deterministic PNG payloads to documents, decode + resize to 8x8
+    through the stdlib PNG decoder (functions/png.py) in Arrow batches
+    (mapInPandas), then aggregate pixel statistics per source. Engine-
+    defined (rows-only): zlib inflate + scanline un-filtering is not
+    SQL-expressible, so correctness is pinned by the pytest gate that
+    recomputes the gradient locally (test_multimodal_real_png_decode).
+
+    Scale shape: decode stays out of scans/joins — only this final
+    map stage touches bytes, one Arrow batch per core at a time."""
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        attach_png_media,
+        decode_and_resize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    decoded = decode_and_resize(attach_png_media(docs), target_w=8, target_h=8)
+    # byte values via hex-pair split (split leaves one trailing '' — filter
+    # it before conv, which maps '' to NULL and would null the whole sum)
+    px_mean = F.expr(
+        "aggregate(filter(split(hex(pixels), '(?<=\\\\G..)'), h -> h <> ''),"
+        " 0D, (acc, x) -> acc + conv(x, 16, 10)) / 64.0"
+    )
+    return (
+        decoded.select("doc_id", "source", px_mean.alias("px_mean"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("px_mean"), 4).alias("avg_brightness"),
+            F.round(F.min("px_mean"), 4).alias("min_brightness"),
+            F.round(F.max("px_mean"), 4).alias("max_brightness"),
+        )
+        .orderBy("source")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -967,4 +1004,5 @@ QUERIES: dict[str, QueryFn] = {
     "q39_cube_event_matrix": q39_cube_event_matrix,
     "q40_pack_token_shards": q40_pack_token_shards,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
+    "q42_media_pixel_stats": q42_media_pixel_stats,
 }

@@ -25,14 +25,27 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for any pandas_udf / toPandas path (vectorized transfer)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # dims under this size go broadcast-hash without a hint
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # dims under this size go broadcast-hash without a hint. 16m is sized so
+    # dimension tables (part/customer/nation/region at any fixture sf)
+    # broadcast while fact tables (orders/lineitem) shuffle: at 64m the sf1
+    # orders table (~27 MB) was auto-broadcast — a fact-table broadcast that
+    # serializes a 1.5M-row hash build on the driver (measured 2x slower
+    # than SMJ locally) and would ship GBs per executor at 100 TB.
+    "spark.sql.autoBroadcastJoinThreshold": "16m",
     # partition pruning for the year/month-partitioned funnel sink
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     # scale hygiene: bound single-task input; on a cluster this keeps tasks
     # ~128MB regardless of file layout
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.compression.codec": "snappy",
+    # InferFiltersFromGenerate synthesizes size(arr)>0 before every explode
+    # and predicate-pushdown then inlines the array expression into the
+    # filter below any repartition — for interpreted higher-order-function
+    # arrays (shingles, chunk grids) that re-evaluates the whole pipeline
+    # ~3x per row inside the (often 1-task) scan stage. Measured 40% of
+    # q13's wall-time; explode drops empty arrays anyway, so the inferred
+    # filter only re-derives what Generate already guarantees.
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 

@@ -9,10 +9,13 @@ out of the scan (no codec work during shuffles/joins; only the final
 mapInPandas stage touches bytes, and it streams Arrow batches so peak memory
 is one batch per core, not one file per row).
 
-No image/audio libraries ship in this container, so the *decode* steps are
-deterministic stubs (clearly marked); everything Spark-side — schema,
-batching, partitioning, UDF signatures — is real and tested. Swap the stub
-body for PIL/ffmpeg calls in production; the plumbing does not change.
+Decoders: PNG decode/resize is REAL — a from-scratch stdlib codec
+(functions/png.py, zlib + struct) exercises payload -> pixels end to end.
+No JPEG/audio/video codecs ship in this container, so those decode branches
+remain deterministic stands-ins (clearly marked); everything Spark-side —
+schema, batching, partitioning, UDF signatures — is identical for both.
+Swap the stand-in branches for PIL/ffmpeg calls in production; the plumbing
+does not change.
 """
 
 from __future__ import annotations
@@ -40,11 +43,48 @@ MEDIA_STRUCT = StructType(
     ]
 )
 
-#: set True only when a real decoder (PIL/ffmpeg) is wired in
-REAL_DECODERS_AVAILABLE = False
+#: mimes with a real in-container decoder (stdlib PNG; see functions/png.py).
+#: JPEG/video fall back to the deterministic stand-in path.
+REAL_DECODER_MIMES = frozenset({"image/png"})
+REAL_DECODERS_AVAILABLE = True
 
 
-def attach_fake_media(df: DataFrame, id_col: str = "doc_id", mime: str = "image/png") -> DataFrame:
+def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``media`` struct whose payload is a REAL PNG (8-bit
+    grayscale, stdlib-encoded), deterministic per key — the stand-in for
+    'payload fetched from object storage by path', with decodable bytes.
+
+    Dimensions and the pixel gradient derive from the key, so every
+    downstream pixel statistic is reproducible without reading anything
+    back."""
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+
+    out_schema = StructType(df.schema.fields + [StructField("media", MEDIA_STRUCT, True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = []
+            for key in pdf[id_col]:
+                k = int(key)
+                w, h = 32 + k % 32, 32 + (k * 7) % 32
+                px = bytes((x * 3 + y * 5 + k) % 256 for y in range(h) for x in range(w))
+                media.append(
+                    {
+                        "payload": encode_png(px, w, h),
+                        "mime": "image/png",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id", mime: str = "application/octet-stream") -> DataFrame:
     """Attach a deterministic synthetic ``media`` struct keyed on ``id_col``
     — the test stand-in for 'payload fetched from object storage by path'.
     Pure JVM expressions: payload = utf8 bytes of a seeded string, dims
@@ -68,10 +108,14 @@ def decode_and_resize(
     """Decode + resize over Arrow batches (mapInPandas). Output adds
     ``pixels: binary`` (row-major grayscale) and ``out_w/out_h``.
 
-    STUB decode: with no codec libs in the image, pixels are a deterministic
-    function of the payload bytes (so tests are stable). A real deployment
-    replaces ``_fake_decode`` with PIL and keeps this exact batch shape.
+    ``image/png`` payloads decode through the REAL stdlib codec
+    (functions/png.py: chunk parse, inflate, un-filter) and resize by
+    nearest neighbor. Other mimes (no codec libs in the image) get a
+    deterministic payload-derived stand-in — same batch shape; a real
+    deployment swaps that branch for PIL/ffmpeg.
     """
+    from serverless_etl_bi_on_aws_spark.functions.png import decode_png, resize_nearest
+
     out_schema = StructType(
         df.schema.fields
         + [
@@ -81,12 +125,13 @@ def decode_and_resize(
         ]
     )
 
-    def _fake_decode(payload: bytes, w: int, h: int) -> bytes:
-        if REAL_DECODERS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("wire PIL.Image.open(io.BytesIO(payload)) here")
-        # deterministic fake: tile the payload bytes to w*h "pixels"
+    def _decode(payload: bytes, mime: str, w: int, h: int) -> bytes | None:
         if payload is None:
             return None
+        if mime in REAL_DECODER_MIMES:
+            iw, ih, px = decode_png(bytes(payload))
+            return resize_nearest(px, iw, ih, w, h)
+        # non-PNG stand-in: tile the payload bytes to w*h "pixels"
         reps = (w * h) // max(len(payload), 1) + 1
         return (payload * reps)[: w * h]
 
@@ -95,7 +140,7 @@ def decode_and_resize(
             media = pdf[media_col]
             pdf = pdf.copy()
             pdf["pixels"] = [
-                _fake_decode(m["payload"], target_w, target_h) if m is not None else None
+                _decode(m["payload"], m["mime"], target_w, target_h) if m is not None else None
                 for m in media
             ]
             pdf["out_w"] = target_w
@@ -107,10 +152,12 @@ def decode_and_resize(
 
 def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> DataFrame:
     """Feature-extraction stage: payload -> fixed-dim float vector, Arrow
-    batch at a time (the embedding-model call site in production; here a
-    deterministic byte-histogram projection so similarity ops downstream
-    have real inputs)."""
+    batch at a time (the embedding-model call site in production). PNG
+    payloads are histogrammed over their DECODED pixels (real codec); other
+    mimes over raw payload bytes (deterministic stand-in)."""
     from pyspark.sql.types import ArrayType, FloatType
+
+    from serverless_etl_bi_on_aws_spark.functions.png import decode_png
 
     out_schema = StructType(
         df.schema.fields + [StructField("features", ArrayType(FloatType()), True)]
@@ -124,6 +171,8 @@ def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> Da
                     feats.append(None)
                     continue
                 buf = m["payload"]
+                if m["mime"] in REAL_DECODER_MIMES:
+                    buf = decode_png(bytes(buf))[2]
                 hist = [0.0] * dim
                 for b in buf:
                     hist[b % dim] += 1.0

@@ -162,3 +162,29 @@ def test_pairwise_topk_no_driver_materialization(spark, monkeypatch):
     df = pairwise_topk_blocked(emb, k=5, block_rows=128)
     monkeypatch.undo()
     assert len(df.collect()) == 5
+
+
+def test_multimodal_real_png_decode(spark):
+    """X4 real-decoder gate (VERDICT r1 #5): payloads are genuine PNGs
+    (stdlib zlib+struct codec), decoded and resized through mapInPandas;
+    pixel values must match the generator's gradient recomputed locally."""
+    from serverless_etl_bi_on_aws_spark.functions.png import decode_png
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import attach_png_media
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(12)
+    with_media = attach_png_media(docs)
+    rows = decode_and_resize(with_media, target_w=8, target_h=8).collect()
+    assert len(rows) == 12
+    for r in rows:
+        k = r.doc_id
+        w, h = 32 + k % 32, 32 + (k * 7) % 32
+        iw, ih, px = decode_png(bytes(r.media.payload))  # local reference decode
+        assert (iw, ih) == (w, h)
+        assert px[0] == k % 256 and px[1] == (3 + k) % 256
+        assert len(r.pixels) == 64
+        sy = [min(oy * h // 8, h - 1) for oy in range(8)]
+        sx = [min(ox * w // 8, w - 1) for ox in range(8)]
+        expect = bytes(px[y * w + x] for y in sy for x in sx)
+        assert bytes(r.pixels) == expect
+    feats = media_features(with_media, dim=16).collect()
+    assert all(abs(sum(r.features) - 1.0) < 1e-6 for r in feats)
