@@ -18,6 +18,9 @@ plus diagnostic tiers (round-1 verdict asks #1/#4):
                    sf0.1 -> sf1 -> sf10 (benchdata/sf10, auto-built): the
                    slope is the quantity that survives a 100x scale-up;
                    the intercept is local job overhead.
+    "skew"       — salted-vs-plain timed A/B on a 90%-hot-key join
+                   (verdict r1 #8): measured speedup of operators/skew.py
+                   when the dim can't broadcast and AQE can't split.
 
 Timing protocol (mirrors BASELINE.md's warm-cache DuckDB measurement): each
 query executes once untimed (JIT, code cache, file listing), then the best
@@ -33,6 +36,8 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
 
 from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
 from serverless_etl_bi_on_aws_spark.session import get_spark
@@ -206,7 +211,64 @@ def main() -> None:
             }
         result["scaling"] = scal
 
+    result["skew"] = _skew_ab(spark)
+
     print(json.dumps(result))
+
+
+def _skew_ab(spark) -> dict:
+    """Timed salted-vs-plain A/B on a 90%-hot-key join (verdict r1 #8).
+
+    4M-row left with 90% of rows on one key joined to a 100k-row dim.
+    Broadcast is disabled for both arms — this simulates the 100 TB case
+    where the right side is too big to broadcast (when it isn't, broadcast
+    is the answer and salting is moot). AQE stays on with session defaults:
+    the hot partition (~60 MB) is below the 256 MB skew-split threshold, so
+    the plain join genuinely pins one task — exactly the regime salting is
+    for. Deterministic (seeded rand), identical aggregates asserted.
+    """
+    from serverless_etl_bi_on_aws_spark.operators.skew import salted_join
+
+    def left():
+        return spark.range(0, 4_000_000).select(
+            F.when(F.rand(7) < 0.9, F.lit(0))
+            .otherwise(F.pmod(F.col("id"), F.lit(100_000)))
+            .alias("key"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+
+    def right():
+        return spark.range(0, 100_000).select(
+            F.col("id").alias("key"), F.concat(F.lit("attr_"), F.col("id")).alias("attr")
+        )
+
+    def agg(joined):
+        return joined.groupBy().agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("s"))
+
+    def timed(build):
+        build().collect()
+        best, last = float("inf"), None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            last = build().collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4), last
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t_plain, r_plain = timed(lambda: agg(left().join(right(), "key")))
+        t_salt, r_salt = timed(lambda: agg(salted_join(left(), right(), "key", n_salts=32)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    return {
+        "rows": 4_000_000,
+        "hot_frac": 0.9,
+        "plain_sec": t_plain,
+        "salted_sec": t_salt,
+        "speedup": round(t_plain / t_salt, 2),
+        "results_identical": [tuple(r) for r in r_plain] == [tuple(r) for r in r_salt],
+    }
 
 
 if __name__ == "__main__":
