@@ -73,6 +73,69 @@ def with_lsh_bucket(
     return out
 
 
+def _tag_block_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_rows: int,
+) -> DataFrame:
+    """Shared scaffolding for exact all-pairs operators: hash-bucket the
+    corpus into B blocks of ~``block_rows`` rows and tag every row with the
+    unordered block pairs (bi <= bj) it participates in, in a left role
+    (its block is bi) or a right role (off-diagonal bj). Each (bi, bj)
+    group then holds exactly the two operand blocks for one matmul tile.
+
+    The driver never holds the corpus — its only action is a ``count()``
+    to size B; replication factor is B per row, the honest quadratic cost
+    of exact all-pairs."""
+    import math
+
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    src = embeddings.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
+    pair_dim = spark.createDataFrame(pair_rows, "bi int, bj int")
+    left = src.join(F.broadcast(pair_dim), src["_blk"] == pair_dim["bi"]).withColumn(
+        "_role", F.lit(0)
+    )
+    off_diag = pair_dim.filter(F.col("bi") != F.col("bj"))
+    right = src.join(F.broadcast(off_diag), src["_blk"] == off_diag["bj"]).withColumn(
+        "_role", F.lit(1)
+    )
+    return left.unionByName(right).select("bi", "bj", "_role", "_id", "_vec")
+
+
+def _block_operands(pdf):
+    """Split one (bi, bj) group into normalized left/right operand matrices.
+    Returns (lids, rids, lm, rm, diag) or None when a side is empty."""
+    import numpy as np
+
+    lp = pdf[pdf["_role"] == 0]
+    diag = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
+    rp = lp if diag else pdf[pdf["_role"] == 1]
+    if len(lp) == 0 or len(rp) == 0:
+        return None
+    lm = np.array(lp["_vec"].tolist(), dtype="float64")
+    lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+    if diag:
+        rm = lm
+    else:
+        rm = np.array(rp["_vec"].tolist(), dtype="float64")
+        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+    return (
+        lp["_id"].to_numpy(dtype="int64"),
+        rp["_id"].to_numpy(dtype="int64"),
+        lm,
+        rm,
+        diag,
+    )
+
+
 def pairwise_topk_blocked(
     embeddings: DataFrame,
     k: int = 20,
@@ -101,39 +164,14 @@ def pairwise_topk_blocked(
 
     Returns (id_1, id_2, cosine) with id_1 < id_2, global top-k pairs.
     """
-    import math
-
-    spark = embeddings.sparkSession
     n = embeddings.count()
-    n_blocks = max(1, math.ceil(n / block_rows))
     per_row_k = max(1, min(k, n - 1))
-
-    src = embeddings.select(
-        F.col(id_col).cast("bigint").alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
-    )
-    pair_rows = [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)]
-    pair_dim = spark.createDataFrame(pair_rows, "bi int, bj int")
-    # left role: every pair where this row's block is the bi side (covers the
-    # diagonal); right role: only off-diagonal bj sides (diagonal groups use
-    # their left rows for both operands).
-    left = src.join(F.broadcast(pair_dim), src["_blk"] == pair_dim["bi"]).withColumn(
-        "_role", F.lit(0)
-    )
-    off_diag = pair_dim.filter(F.col("bi") != F.col("bj"))
-    right = src.join(F.broadcast(off_diag), src["_blk"] == off_diag["bj"]).withColumn(
-        "_role", F.lit(1)
-    )
-    tagged = left.unionByName(right).select("bi", "bj", "_role", "_id", "_vec")
+    tagged = _tag_block_pairs(embeddings, id_col, vec_col, block_rows)
 
     def group_topk(pdf):
         import numpy as np
         import pandas as pd
 
-        lp = pdf[pdf["_role"] == 0]
-        diag = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
-        rp = lp if diag else pdf[pdf["_role"] == 1]
         empty = pd.DataFrame(
             {
                 "id_1": pd.Series(dtype="int64"),
@@ -141,15 +179,10 @@ def pairwise_topk_blocked(
                 "_cos": pd.Series(dtype="float64"),
             }
         )
-        if len(lp) == 0 or len(rp) == 0:
+        ops = _block_operands(pdf)
+        if ops is None:
             return empty
-        lm = np.array(lp["_vec"].tolist(), dtype="float64")
-        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
-        rm = lm if diag else np.array(rp["_vec"].tolist(), dtype="float64")
-        if not diag:
-            rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
-        lids = lp["_id"].to_numpy(dtype="int64")
-        rids = rp["_id"].to_numpy(dtype="int64")
+        lids, rids, lm, rm, diag = ops
         sims = lm @ rm.T  # one BLAS call per block pair
         out_1, out_2, out_c = [], [], []
         for r in range(len(lids)):
@@ -177,6 +210,86 @@ def pairwise_topk_blocked(
         cand.orderBy(F.col("_cos").desc(), "id_1", "id_2")
         .limit(k)
         .select("id_1", "id_2", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def neardup_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the X2 family's semantic
+    tier): every unordered pair with cosine >= ``threshold``, via the same
+    distributed block-pair matmul as :func:`pairwise_topk_blocked` — one
+    BLAS tile per block pair, a vectorized ``argwhere`` over the tile
+    instead of per-row top-k.
+
+    Scale contract: exact all-pairs is quadratic by definition; at corpus
+    scale, generate candidates with the banded MinHash-LSH / hyperplane-LSH
+    operators and use this operator as the exact scorer over candidate
+    buckets (same group function, tagged by bucket instead of block).
+
+    Returns (id_1, id_2, cosine) with id_1 < id_2.
+    """
+    tagged = _tag_block_pairs(embeddings, id_col, vec_col, block_rows)
+    th = float(threshold)
+
+    def group_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_1": pd.Series(dtype="int64"),
+                "id_2": pd.Series(dtype="int64"),
+                "_cos": pd.Series(dtype="float64"),
+            }
+        )
+        ops = _block_operands(pdf)
+        if ops is None:
+            return empty
+        lids, rids, lm, rm, diag = ops
+        sims = lm @ rm.T
+        mask = sims >= th
+        if diag:
+            mask &= lids[:, None] < rids[None, :]  # self + double-count
+        ri, ci = np.nonzero(mask)
+        if len(ri) == 0:
+            return empty
+        a, b = lids[ri], rids[ci]
+        return pd.DataFrame(
+            {
+                "id_1": np.minimum(a, b),
+                "id_2": np.maximum(a, b),
+                "_cos": sims[ri, ci],
+            }
+        )
+
+    return (
+        tagged.groupBy("bi", "bj")
+        .applyInPandas(group_pairs, schema="id_1 bigint, id_2 bigint, _cos double")
+        .select("id_1", "id_2", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def dedup_by_cosine(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Survivor set for embedding-cosine dedup: greedy keep-lowest-id — a
+    row is dropped iff it is the higher id of ANY over-threshold pair.
+    Deterministic, one anti-join over the pair set; guarantees no two
+    surviving rows form an over-threshold pair (the lower id always
+    survives its pairs, the higher never does)."""
+    pairs = neardup_cosine_pairs(embeddings, threshold, id_col, vec_col, block_rows)
+    dropped = pairs.select(F.col("id_2").alias("_drop")).distinct()
+    return embeddings.join(
+        dropped, embeddings[id_col] == dropped["_drop"], "left_anti"
     )
 
 

@@ -548,4 +548,17 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         ORDER BY 1, 2
     """,
+    # q43: DOUBLE[] cast before the cosine, like q24 — the engine normalizes
+    # float32 inputs in float64, so the oracle must too or the 6th decimal
+    # of ROUND diverges.
+    "q43_neardup_embedding_cosine": """
+        WITH normed AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        ORDER BY 3 DESC, 1, 2
+    """,
 }

@@ -970,6 +970,21 @@ def q42_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (X2 semantic tier): all pairs with
+    cosine >= 0.4 over the embeddings corpus, via the distributed block-pair
+    matmul (operators/similarity.neardup_cosine_pairs — one BLAS tile per
+    block pair, no driver materialization). The exact-quadratic baseline;
+    the LSH operators (q13/q18) are the subquadratic candidate generators
+    it re-scores at corpus scale."""
+    from serverless_etl_bi_on_aws_spark.operators.similarity import neardup_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_cosine_pairs(emb, threshold=0.4, block_rows=256).orderBy(
+        F.col("cosine").desc(), "id_1", "id_2"
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1014,4 +1029,5 @@ QUERIES: dict[str, QueryFn] = {
     "q40_pack_token_shards": q40_pack_token_shards,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
     "q42_media_pixel_stats": q42_media_pixel_stats,
+    "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,
 }

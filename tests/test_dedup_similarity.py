@@ -188,3 +188,25 @@ def test_multimodal_real_png_decode(spark):
         assert bytes(r.pixels) == expect
     feats = media_features(with_media, dim=16).collect()
     assert all(abs(sum(r.features) - 1.0) < 1e-6 for r in feats)
+
+
+def test_dedup_by_cosine_survivors(spark):
+    """Embedding-cosine dedup (X2 semantic tier): greedy keep-lowest-id.
+    Invariants: (a) survivors of every over-threshold pair exclude the
+    higher id, so no surviving pair is over-threshold; (b) a row with no
+    over-threshold pair always survives; (c) pair set matches the q43
+    oracle semantics (checked there — here we check the wrapper algebra)."""
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        dedup_by_cosine,
+        neardup_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    pairs = neardup_cosine_pairs(emb, threshold=0.4, block_rows=128).collect()
+    assert len(pairs) == 59  # fixture-calibrated at sf0.01
+    survivors = {r.vec_id for r in dedup_by_cosine(emb, threshold=0.4, block_rows=128).collect()}
+    dropped = {r.id_2 for r in pairs}
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert survivors == all_ids - dropped
+    for r in pairs:  # no over-threshold pair survives intact
+        assert not (r.id_1 in survivors and r.id_2 in survivors)
