@@ -561,4 +561,15 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         ORDER BY 3 DESC, 1, 2
     """,
+    # q44 computes the same result as q6 through the Arrow/BLAS path; the
+    # oracle is therefore q6's SQL verbatim.
+    "q44_topk_cosine_arrow": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               ROUND(list_cosine_similarity(embedding::DOUBLE[], q.e), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
+        LIMIT 10
+    """,
 }

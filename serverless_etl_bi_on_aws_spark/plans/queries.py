@@ -985,6 +985,20 @@ def q43_neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q6's Arrow-vectorized twin (X3 throughput path): one BLAS matvec per
+    Arrow batch with per-batch top-k pruning (operators/similarity.
+    topk_cosine_arrow) instead of the interpreted per-element HOF fold —
+    ~100x less per-row CPU at corpus scale, k rows per batch reach the
+    merge. Same oracle as q6 (exact, ties by id)."""
+    from serverless_etl_bi_on_aws_spark.operators.similarity import topk_cosine_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    top = topk_cosine_arrow(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return top.select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1030,4 +1044,5 @@ QUERIES: dict[str, QueryFn] = {
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
     "q42_media_pixel_stats": q42_media_pixel_stats,
     "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,
+    "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
 }

@@ -210,3 +210,17 @@ def test_dedup_by_cosine_survivors(spark):
     assert survivors == all_ids - dropped
     for r in pairs:  # no over-threshold pair survives intact
         assert not (r.id_1 in survivors and r.id_2 in survivors)
+
+
+def test_topk_cosine_arrow_agrees_with_hof(spark):
+    """The Arrow/BLAS scorer must reproduce the HOF fold's top-k exactly
+    (ids and 6-decimal cosines) — float64 matmul vs sequential fold agree
+    to ~1e-15, far inside the rounding."""
+    from serverless_etl_bi_on_aws_spark.operators.similarity import topk_cosine_arrow
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    hof = [(r.vec_id, round(r.cosine, 6)) for r in topk_cosine_bruteforce(rest, qvec, k=10).collect()]
+    arrow = [(r.vec_id, round(r.cosine, 6)) for r in topk_cosine_arrow(rest, qvec, k=10).collect()]
+    assert hof == arrow
