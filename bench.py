@@ -211,9 +211,90 @@ def main() -> None:
             }
         result["scaling"] = scal
 
+    # --- bucketed tier: q3 with the orderkey exchange paid once at ingest ---
+    if sf1_dir and sf10_dir:
+        bq3 = _bucketed_q3(spark, {"1": sf1_dir, "10": sf10_dir})
+        du_slope = (result.get("scaling", {}).get("q3", {}) or {}).get("duckdb_slope_per_sf")
+        if du_slope and bq3.get("slope_per_sf") is not None:
+            bq3["slope_ratio"] = round(bq3["slope_per_sf"] / du_slope, 2)
+        result["bucketed_q3"] = bq3
+
     result["skew"] = _skew_ab(spark)
 
     print(json.dumps(result))
+
+
+def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
+    """q3 over co-bucketed fact tables — the 100 TB answer to the orderkey
+    exchange (operators/bucketed.py): pay the shuffle ONCE at ingest
+    (bucketBy 32 on the join key, repartitioned so each bucket is one
+    sorted file), then every orderkey join plans as SMJ with zero Exchange
+    on either fact side. Locally the saved exchange is a tmpfs copy, so the
+    win understates a real cluster, where it is the network shuffle of the
+    fact table. Build cost is reported (once; cached across runs by
+    re-registering the external location)."""
+    from serverless_etl_bi_on_aws_spark.catalog import load_table
+
+    out: dict = {"build_sec": {}, "q3_sec": {}}
+    for lbl, sf_dir in dirs.items():
+        base = os.path.join(REPO, "benchdata", f"bucketed_sf{lbl}")
+        li_t, od_t = f"bench_li_b_{lbl}", f"bench_ord_b_{lbl}"
+        t0 = time.perf_counter()
+        try:
+            if not spark.catalog.tableExists(li_t):
+                if os.path.exists(os.path.join(base, "li", "_SUCCESS")):
+                    for t, loc, schema, key in (
+                        (li_t, f"{base}/li",
+                         "l_orderkey BIGINT, l_partkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+                         "l_orderkey"),
+                        (od_t, f"{base}/ord", "o_orderkey BIGINT, o_orderdate TIMESTAMP", "o_orderkey"),
+                    ):
+                        spark.sql(
+                            f"CREATE TABLE IF NOT EXISTS {t} ({schema}) USING PARQUET "
+                            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 32 BUCKETS LOCATION '{loc}'"
+                        )
+                else:
+                    li = load_table(spark, sf_dir, "lineitem").select(
+                        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+                    )
+                    (li.repartition(32, F.col("l_orderkey")).write.format("parquet")
+                     .mode("overwrite").bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+                     .option("path", f"{base}/li").saveAsTable(li_t))
+                    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+                    (od.repartition(32, F.col("o_orderkey")).write.format("parquet")
+                     .mode("overwrite").bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+                     .option("path", f"{base}/ord").saveAsTable(od_t))
+            out["build_sec"][lbl] = round(time.perf_counter() - t0, 2)
+
+            def q3b():
+                li = spark.table(li_t)
+                od = spark.table(od_t).select(
+                    "o_orderkey", F.year("o_orderdate").alias("order_year")
+                )
+                part = load_table(spark, sf_dir, "part")
+                return (
+                    li.join(od, li.l_orderkey == od.o_orderkey)
+                    .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+                    .groupBy(F.col("p_type").alias("category"), "order_year")
+                    .agg(
+                        F.count("*").alias("n_sold"),
+                        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                    )
+                    .orderBy("category", "order_year")
+                )
+
+            q3b().collect()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                q3b().collect()
+                best = min(best, time.perf_counter() - t0)
+            out["q3_sec"][lbl] = round(best, 4)
+        except Exception:  # noqa: BLE001 - bench tiers degrade, never fail
+            return out
+    if {"1", "10"} <= out["q3_sec"].keys():
+        out["slope_per_sf"] = round((out["q3_sec"]["10"] - out["q3_sec"]["1"]) / 9.0, 4)
+    return out
 
 
 def _skew_ab(spark) -> dict:

@@ -999,6 +999,22 @@ def q44_topk_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
 
 
+def q45_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant of q6 (X3 scale path #2): k-means-partitioned corpus,
+    probe the n_probe nearest clusters, exact re-rank inside (operators/
+    similarity.topk_cosine_ivf). Engine-defined (rows-only): the cluster
+    assignment is a training artifact, so correctness is pytest-pinned as
+    recall + score agreement vs the exact q6 (test_asof_ivf). At 100 TB the
+    assignment column is the table's partition key and a probe is partition
+    pruning — the one-time clustering replaces a per-query full scan."""
+    from serverless_etl_bi_on_aws_spark.operators.similarity import topk_cosine_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    top = topk_cosine_ivf(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return top.select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1045,4 +1061,5 @@ QUERIES: dict[str, QueryFn] = {
     "q42_media_pixel_stats": q42_media_pixel_stats,
     "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
+    "q45_topk_cosine_ivf": q45_topk_cosine_ivf,
 }
