@@ -33,8 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query. q13/q14/q18/
-    q28/q42 (minhash-LSH / simhash / LSH-ANN / HLL+t-digest sketches / PNG
-    pixel decode) are engine-defined by design — the driver records the
-    weaker rows-only check and pytest cross-validates each against its
-    exact counterpart (q12/q6/exact aggregates/local reference decode)."""
+    q28/q42/q45 (minhash-LSH / simhash / LSH-ANN / HLL+t-digest sketches /
+    PNG pixel decode / IVF-ANN) are engine-defined by design — the driver
+    records the weaker rows-only check and pytest cross-validates each
+    against its exact counterpart (q12/q6/exact aggregates/local reference
+    decode)."""
     return dict(ORACLE_SQL)

@@ -106,12 +106,16 @@ def _floor(spark) -> float:
 
 def _ensure_benchdata(name: str, copies: int) -> str | None:
     path = os.path.join(REPO, "benchdata", name)
-    marker = os.path.join(path, "region.parquet")
+    # completion sentinel written only after build() returns — build() itself
+    # is resumable (skips existing files), so an interrupted build re-runs
+    marker = os.path.join(path, "_BENCH_DONE")
     if not os.path.exists(marker):
         try:
             from tools.make_benchdata import build
 
             build("/root/testdata/sf0.1", path, copies=copies)
+            with open(marker, "w") as f:
+                f.write("ok\n")
         except Exception:  # noqa: BLE001 - bench tiers degrade, never fail
             return None
     return path
@@ -154,74 +158,94 @@ def main() -> None:
     result["metric"] = "headline_q1_q7_total_warm"
     result["value"] = round(sum(timings.values()), 4)
     result["queries"] = timings
-    result["floor_sec"] = _floor(spark)
+
+    # Diagnostic tiers degrade independently — a tier failure records an
+    # error string instead of killing the driver-contract JSON line.
+    def tier(key, fn):
+        try:
+            out = fn()
+            if out is not None:
+                result[key] = out
+        except Exception as ex:  # noqa: BLE001
+            result[key] = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+
+    tier("floor_sec", lambda: _floor(spark))
 
     # --- LLM-operator tier at the driver sf ---
-    result["llm"] = {short: _time_best(spark, name, sf_dir) for short, name in LLM_TIER.items()}
+    tier("llm", lambda: {s: _time_best(spark, n, sf_dir) for s, n in LLM_TIER.items()})
 
-    # --- sf1 tier: amortize the floor against 10x data ---
     sf1_dir = _ensure_benchdata("sf1", copies=10)
-    if sf1_dir:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(BIG_TIER_SPLIT_BYTES))
-        sf1_spark = {s: _time_best(spark, n, sf1_dir) for s, n in HEADLINE.items()}
-        duck1 = _duckdb_warm(sf1_dir, tuple(HEADLINE))
-        floor = result["floor_sec"]
-        tier: dict = {
-            "queries": sf1_spark,
-            "duckdb_warm": duck1,
-            "total": round(sum(sf1_spark.values()), 4),
-            "duckdb_total": round(sum(duck1.values()), 4) if duck1 else None,
+    sf10_dir = _ensure_benchdata("sf10", copies=100)
+    default_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(BIG_TIER_SPLIT_BYTES))
+    try:
+        # --- sf1 tier: amortize the floor against 10x data ---
+        if sf1_dir:
+            tier("sf1", lambda: _sf1_tier(spark, sf1_dir, result.get("floor_sec")))
+        # --- scaling tier: marginal cost per row, sf0.1 -> sf1 -> sf10 ---
+        if sf1_dir and sf10_dir:
+            sf01 = sf_dir if sf == 0.1 else "/root/testdata/sf0.1"
+            tier("scaling", lambda: _scaling_tier(spark, sf01, sf1_dir, sf10_dir))
+        # --- bucketed tier: q3, orderkey exchange paid once at ingest ---
+        if sf1_dir and sf10_dir:
+            def bucketed():
+                bq3 = _bucketed_q3(spark, {"1": sf1_dir, "10": sf10_dir})
+                scaling = result.get("scaling") or {}
+                du_slope = (scaling.get("q3") or {}).get("duckdb_slope_per_sf")
+                if du_slope and bq3.get("slope_per_sf") is not None:
+                    bq3["slope_ratio"] = round(bq3["slope_per_sf"] / du_slope, 2)
+                return bq3
+
+            tier("bucketed_q3", bucketed)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", default_split)
+
+    tier("skew", lambda: _skew_ab(spark))
+
+    print(json.dumps(result))
+
+
+def _sf1_tier(spark, sf1_dir: str, floor) -> dict:
+    sf1_spark = {s: _time_best(spark, n, sf1_dir) for s, n in HEADLINE.items()}
+    duck1 = _duckdb_warm(sf1_dir, tuple(HEADLINE))
+    out: dict = {
+        "queries": sf1_spark,
+        "duckdb_warm": duck1,
+        "total": round(sum(sf1_spark.values()), 4),
+        "duckdb_total": round(sum(duck1.values()), 4) if duck1 else None,
+    }
+    if duck1:
+        out["ratio_gross"] = {
+            s: round(sf1_spark[s] / duck1[s], 2) for s in sf1_spark if duck1.get(s)
         }
-        if duck1:
-            tier["ratio_gross"] = {
-                s: round(sf1_spark[s] / duck1[s], 2) for s in sf1_spark if duck1.get(s)
-            }
-            tier["ratio_net_of_floor"] = {
+        if isinstance(floor, float):
+            out["ratio_net_of_floor"] = {
                 s: round(max(sf1_spark[s] - floor, 0.0) / duck1[s], 2)
                 for s in sf1_spark
                 if duck1.get(s)
             }
-        result["sf1"] = tier
+    return out
 
-    # --- scaling tier: marginal cost per row, sf0.1 -> sf1 -> sf10 ---
-    sf10_dir = _ensure_benchdata("sf10", copies=100)
-    if sf1_dir and sf10_dir:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(BIG_TIER_SPLIT_BYTES))
-        points = {"0.1": sf_dir if sf == 0.1 else "/root/testdata/sf0.1", "1": sf1_dir, "10": sf10_dir}
-        scal: dict = {}
-        for short in SCALING_QUERIES:
-            name = HEADLINE[short]
-            sp = {lbl: _time_best(spark, name, d) for lbl, d in points.items()}
-            du = {
-                lbl: _duckdb_warm(d, (short,)).get(short)
-                for lbl, d in points.items()
-            }
-            # slope between the two big points: sec per 10x-of-sf0.1 step —
-            # the intercept-free number that survives a cluster scale-up
-            sp_slope = (sp["10"] - sp["1"]) / 9.0
-            du_slope = (
-                (du["10"] - du["1"]) / 9.0 if du.get("10") and du.get("1") else None
-            )
-            scal[short] = {
-                "spark_sec": sp,
-                "duckdb_sec": du,
-                "spark_slope_per_sf": round(sp_slope, 4),
-                "duckdb_slope_per_sf": round(du_slope, 4) if du_slope else None,
-                "slope_ratio": round(sp_slope / du_slope, 2) if du_slope else None,
-            }
-        result["scaling"] = scal
 
-    # --- bucketed tier: q3 with the orderkey exchange paid once at ingest ---
-    if sf1_dir and sf10_dir:
-        bq3 = _bucketed_q3(spark, {"1": sf1_dir, "10": sf10_dir})
-        du_slope = (result.get("scaling", {}).get("q3", {}) or {}).get("duckdb_slope_per_sf")
-        if du_slope and bq3.get("slope_per_sf") is not None:
-            bq3["slope_ratio"] = round(bq3["slope_per_sf"] / du_slope, 2)
-        result["bucketed_q3"] = bq3
-
-    result["skew"] = _skew_ab(spark)
-
-    print(json.dumps(result))
+def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str) -> dict:
+    points = {"0.1": sf01, "1": sf1_dir, "10": sf10_dir}
+    scal: dict = {}
+    for short in SCALING_QUERIES:
+        name = HEADLINE[short]
+        sp = {lbl: _time_best(spark, name, d) for lbl, d in points.items()}
+        du = {lbl: _duckdb_warm(d, (short,)).get(short) for lbl, d in points.items()}
+        # slope between the two big points: sec per 10x-of-sf0.1 step —
+        # the intercept-free number that survives a cluster scale-up
+        sp_slope = (sp["10"] - sp["1"]) / 9.0
+        du_slope = (du["10"] - du["1"]) / 9.0 if du.get("10") and du.get("1") else None
+        scal[short] = {
+            "spark_sec": sp,
+            "duckdb_sec": du,
+            "spark_slope_per_sf": round(sp_slope, 4),
+            "duckdb_slope_per_sf": round(du_slope, 4) if du_slope else None,
+            "slope_ratio": round(sp_slope / du_slope, 2) if du_slope else None,
+        }
+    return scal
 
 
 def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:

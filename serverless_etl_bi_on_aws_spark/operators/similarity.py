@@ -66,7 +66,6 @@ def topk_cosine_arrow(
     )
     qn = np.asarray(list(query_vec), dtype="float64")
     qn = qn / np.linalg.norm(qn)
-    names = [f.name for f in embeddings.schema.fields]
 
     def batches(it):
         for pdf in it:
@@ -121,6 +120,7 @@ def _tag_block_pairs(
     id_col: str,
     vec_col: str,
     block_rows: int,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Shared scaffolding for exact all-pairs operators: hash-bucket the
     corpus into B blocks of ~``block_rows`` rows and tag every row with the
@@ -129,12 +129,12 @@ def _tag_block_pairs(
     group then holds exactly the two operand blocks for one matmul tile.
 
     The driver never holds the corpus — its only action is a ``count()``
-    to size B; replication factor is B per row, the honest quadratic cost
-    of exact all-pairs."""
+    to size B (skipped when the caller passes ``n_rows``); replication
+    factor is B per row, the honest quadratic cost of exact all-pairs."""
     import math
 
     spark = embeddings.sparkSession
-    n = embeddings.count()
+    n = embeddings.count() if n_rows is None else n_rows
     n_blocks = max(1, math.ceil(n / block_rows))
     src = embeddings.select(
         F.col(id_col).cast("bigint").alias("_id"),
@@ -209,7 +209,7 @@ def pairwise_topk_blocked(
     """
     n = embeddings.count()
     per_row_k = max(1, min(k, n - 1))
-    tagged = _tag_block_pairs(embeddings, id_col, vec_col, block_rows)
+    tagged = _tag_block_pairs(embeddings, id_col, vec_col, block_rows, n_rows=n)
 
     def group_topk(pdf):
         import numpy as np
@@ -236,7 +236,12 @@ def pairwise_topk_blocked(
             kk = min(per_row_k, int((row > -np.inf).sum()))
             if kk <= 0:
                 continue
-            idx = np.argpartition(row, -kk)[-kk:]
+            # lexsort, not bare argpartition: boundary cosine TIES must keep
+            # the smallest-id candidates or the global ORDER BY cosine DESC,
+            # id_1, id_2 LIMIT k can disagree with the oracle on which tied
+            # pair survives (e.g. >k exact-duplicate vectors).
+            order = np.lexsort((rids, -row))
+            idx = order[:kk]
             for j in idx:
                 a, b = int(lids[r]), int(rids[j])
                 out_1.append(min(a, b))

@@ -949,7 +949,11 @@ def q42_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_and_resize,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from serverless_etl_bi_on_aws_spark.util import fan_out
+
+    # fan_out before the Python codec stages: the single-file fixture scan
+    # is one task, which would serialize every encode/decode on one core
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
     decoded = decode_and_resize(attach_png_media(docs), target_w=8, target_h=8)
     # byte values via hex-pair split (split leaves one trailing '' — filter
     # it before conv, which maps '' to NULL and would null the whole sum)
