@@ -23,7 +23,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2)                                 AS sum_qty,
                ROUND(SUM(l_extendedprice), 2)                            AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+               -- exact scaled-long sum, cents rounded integer-side: the (A, O)
+               -- group's 4dp sum ends in .xx50, so ROUND(SUM(double)) flips
+               -- the cent with summation order (see queries.q1 note)
+               CAST((CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
                ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
                ROUND(AVG(l_quantity), 4)                                 AS avg_qty,
                ROUND(AVG(l_extendedprice), 4)                            AS avg_price,
@@ -45,7 +48,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT p_type                                   AS category,
                CAST(year(o_orderdate) AS INT)           AS order_year,
                COUNT(*)                                 AS n_sold,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST((CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100 AS DOUBLE) / 100 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN part   ON l_partkey  = p_partkey

@@ -58,17 +58,40 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # sum_disc_price must be order-independent: the 2dp x 2dp products are
+    # exact 4dp values, and at this fixture the (A, O) group's exact sum ends
+    # in .xx50 — a float64 sum lands on either side of the half depending on
+    # partition/summation ORDER, so the rounded cent would be a coin flip
+    # between engines (and between parallelism levels). Fix: sum the exact
+    # scaled-long products (a codegen'd long sum — a DECIMAL sum measured 10x
+    # slower at sf10), round to cents integer-side (half-up; values are
+    # positive), and divide back exactly. Long window: ~9.2e18 / 1e9-per-row
+    # = fine through ~1e9 rows per group; ANSI mode faults loudly beyond.
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            # floor(x+0.5), not round(): Spark's Round allocates a BigDecimal
+            # per row (measured 2x on the sf10 scan); floor is pure codegen
+            F.sum(F.floor(disc_price * 10000 + 0.5)).alias("_ds"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            (F.expr("(_ds + 50) DIV 100").cast("double") / 100).alias("sum_disc_price"),
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -110,10 +133,17 @@ def q3_sales_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
       (7.1s -> 4.2s); AQE's skew splitter still applies to the exchange;
     * part is a dim (broadcast) and category×year aggregates partially
       before the final tiny exchange."""
+    # revenue summed as exact scaled longs: the (STANDARD, 1998) group's
+    # exact 4dp sum ends in .xx50, so a float64 sum rounds the cent by
+    # summation ORDER — see q1's sum_disc_price note for the scheme (and why
+    # not DECIMAL). The long rides the shuffle at the same 8 bytes as the
+    # double it replaces.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_partkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        # floor(x+0.5) not round() — see q1's note on Round's per-row cost
+        F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000 + 0.5)
+        .alias("_rev"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").alias("order_year")
@@ -125,7 +155,13 @@ def q3_sales_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_type").alias("category"), "order_year")
         .agg(
             F.count("*").alias("n_sold"),
-            F.round(F.sum("_rev"), 2).alias("revenue"),
+            F.sum("_rev").alias("_rs"),
+        )
+        .select(
+            "category",
+            "order_year",
+            "n_sold",
+            (F.expr("(_rs + 50) DIV 100").cast("double") / 100).alias("revenue"),
         )
         .orderBy("category", "order_year")
     )
