@@ -564,6 +564,19 @@ ORACLE_SQL: dict[str, str] = {
         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         ORDER BY 3 DESC, 1, 2
     """,
+    # q46 computes q3 over co-bucketed tables — layout cannot change values,
+    # so the oracle is q3's SQL verbatim.
+    "q46_sales_by_category_bucketed": """
+        SELECT p_type                                   AS category,
+               CAST(year(o_orderdate) AS INT)           AS order_year,
+               COUNT(*)                                 AS n_sold,
+               CAST((CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100 AS DOUBLE) / 100 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part   ON l_partkey  = p_partkey
+        GROUP BY category, order_year
+        ORDER BY category, order_year
+    """,
     # q44 computes the same result as q6 through the Arrow/BLAS path; the
     # oracle is therefore q6's SQL verbatim.
     "q44_topk_cosine_arrow": """

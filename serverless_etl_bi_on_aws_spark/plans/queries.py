@@ -1055,6 +1055,53 @@ def q45_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
 
 
+def q46_sales_by_category_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3's semantics over CO-BUCKETED fact tables — the write-once/query-
+    many deployment shape (operators/bucketed.py; the reference's own answer
+    to join cost is materializing it away, README.md:29,113). Both facts are
+    bucket-written on orderkey (32 buckets, pre-repartitioned so each bucket
+    is one sorted file), after which the orderkey join plans as SMJ with
+    ZERO Exchange on either fact side — at 100 TB that is the entire network
+    shuffle of the fact table, paid once at ingest instead of per query.
+    Same oracle as q3 (layout cannot change values)."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="q46_bucketed_")
+    li_t, od_t = f"q46_li_{tag}", f"q46_ord_{tag}"
+    li_src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000 + 0.5)
+        .alias("_rev"),
+    )
+    (li_src.repartition(32, F.col("l_orderkey")).write.format("parquet")
+     .mode("overwrite").bucketBy(32, "l_orderkey").sortBy("l_orderkey")
+     .option("path", f"{base}/li").saveAsTable(li_t))
+    od_src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    (od_src.repartition(32, F.col("o_orderkey")).write.format("parquet")
+     .mode("overwrite").bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+     .option("path", f"{base}/ord").saveAsTable(od_t))
+
+    li = spark.table(li_t)
+    orders = spark.table(od_t).select("o_orderkey", F.year("o_orderdate").alias("order_year"))
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type").alias("category"), "order_year")
+        .agg(F.count("*").alias("n_sold"), F.sum("_rev").alias("_rs"))
+        .select(
+            "category",
+            "order_year",
+            "n_sold",
+            (F.expr("(_rs + 50) DIV 100").cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("category", "order_year")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1102,4 +1149,5 @@ QUERIES: dict[str, QueryFn] = {
     "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
     "q45_topk_cosine_ivf": q45_topk_cosine_ivf,
+    "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
 }

@@ -98,3 +98,15 @@ def test_approx_aggregates_bounded_error(spark):
         assert abs(r.approx_orders - exact[flag].n) / exact[flag].n < 0.1
         assert abs(r.p50_price - exact[flag].p50) / exact[flag].p50 < 0.05
         assert r.p50_price <= r.p99_price
+
+
+def test_bucketed_q3_zero_fact_exchange(spark):
+    """q46: over co-bucketed facts, neither fact side may shuffle — the only
+    hash Exchange in the whole plan is the final tiny aggregate. (At smoke
+    scale AQE may convert the orderkey SMJ to a broadcast join — also
+    exchange-free on the facts — so the assertion is on exchanges, not on
+    the join flavor.)"""
+    df = QUERIES["q46_sales_by_category_bucketed"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange hashpartitioning") == 1, "a fact side shuffled despite buckets"
