@@ -72,3 +72,45 @@ def test_deterministic_split_total_and_stable(spark, ids):
         for r in deterministic_split(df, "doc_id").collect()
     }
     assert out == again
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000_000),   # price cents
+            st.integers(min_value=0, max_value=99),           # discount %
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    perm_seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_scaled_long_cents_rounding_matches_exact_decimal(vals, perm_seed):
+    """Pure-Python pin of the q1/q3/q46 money-sum scheme: for any list of
+    2dp prices x 2dp discount factors, floor(p*(1-d)*10000 + 0.5) recovers
+    the EXACT 4dp product from the float64 computation, the long sum is
+    order-independent, and (s+50)//100/100 equals decimal round-half-up of
+    the exact sum at 2dp — the property that kills the knife-edge flips."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    scaled = []
+    exact = Decimal(0)
+    for cents, disc in vals:
+        p = cents / 100.0                      # 2dp price as float64
+        d = disc / 100.0                       # 2dp discount as float64
+        s = math.floor(p * (1 - d) * 10000 + 0.5)
+        e = (Decimal(cents) * (100 - disc))    # exact product * 10^4
+        assert s == int(e), f"float path lost the exact 4dp product: {s} != {e}"
+        scaled.append(s)
+        exact += e
+    rng = random.Random(perm_seed)
+    rng.shuffle(scaled)                        # summation order must not matter
+    total = sum(scaled)
+    assert total == int(exact)
+    got = (total + 50) // 100 / 100.0
+    want = float(
+        (exact / Decimal(10000)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    )
+    assert got == want
