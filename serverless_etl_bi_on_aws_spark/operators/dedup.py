@@ -78,22 +78,27 @@ def neardup_jaccard_pairs(
     At 100 TB scale prefer :func:`neardup_minhash_lsh`; this operator is the
     correctness oracle for it.
     """
+    # each exploded row carries its doc's shingle count (the array is already
+    # distinct), so |A| and |B| ride the self-join for free — no separate
+    # sizes aggregate, no post-join size lookups, and the tokenize pipeline
+    # is computed for the two join sides only (whose identical _shingle
+    # exchanges AQE deduplicates via ReusedExchange)
     sh = (
         fan_out(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
         .select("_id", tokens(text_col).alias("_toks"))
-        .select("_id", F.explode(shingles_from_tokens("_toks", n)).alias("_shingle"))
+        .select("_id", shingles_from_tokens("_toks", n).alias("_sh"))
+        .select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_shingle"))
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
-    inter = (
+    return (
         sh.alias("a")
         .join(sh.alias("b"), on="_shingle")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_1"), F.col("b._id").alias("id_2"))
-        .agg(F.count("*").alias("_inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("_id", "id_1").withColumnRenamed("_n", "_n1"), "id_1")
-        .join(sizes.withColumnRenamed("_id", "id_2").withColumnRenamed("_n", "_n2"), "id_2")
+        .agg(
+            F.count("*").alias("_inter"),
+            F.first("a._n").alias("_n1"),
+            F.first("b._n").alias("_n2"),
+        )
         .withColumn(
             "jaccard",
             F.col("_inter").cast("double")
