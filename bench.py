@@ -64,6 +64,8 @@ LLM_TIER = {
     "q38": "q38_chunked_docs",
     "q40": "q40_pack_token_shards",
     "q41": "q41_pack_shards_by_lang",
+    "q42": "q42_media_pixel_stats",
+    "q43": "q43_neardup_embedding_cosine",
 }
 
 SCALING_QUERIES = ("q1", "q3")
@@ -134,8 +136,11 @@ def _duckdb_warm(sf_dir: str, shorts: tuple[str, ...]) -> dict[str, float]:
         for short in shorts:
             sql = ORACLE_SQL[DH[short]]
             con.execute(sql).fetchall()
+            # best-of-4: this VM's ~10% pathological outliers hit DuckDB too,
+            # and an inflated small-sf baseline makes the slope denominator
+            # collapse (observed: q1 slope_ratio 27x from one bad du(sf1))
             best = float("inf")
-            for _ in range(2):
+            for _ in range(4):
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 best = min(best, time.perf_counter() - t0)
