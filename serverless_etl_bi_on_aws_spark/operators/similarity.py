@@ -65,12 +65,14 @@ def topk_cosine_arrow(
         embeddings.schema.fields + [StructField("cosine", DoubleType(), True)]
     )
     qn = np.asarray(list(query_vec), dtype="float64")
-    qn = qn / np.linalg.norm(qn)
+    qn = qn / max(np.linalg.norm(qn), 1e-12)
 
     def batches(it):
         for pdf in it:
             m = np.array(pdf[vec_col].tolist(), dtype="float64")
-            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            # clamp: a zero-norm row gets cosine 0 (not NaN, which Spark's
+            # orderBy sorts as largest and would hand a top-k slot)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             pdf = pdf.copy()
             pdf["cosine"] = m @ qn
             yield pdf.sort_values(
@@ -164,12 +166,14 @@ def _block_operands(pdf):
     if len(lp) == 0 or len(rp) == 0:
         return None
     lm = np.array(lp["_vec"].tolist(), dtype="float64")
-    lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+    # clamped norms: zero-norm rows score cosine 0 against everything
+    # instead of NaN (NaN would pass every >= threshold mask)
+    lm = lm / np.maximum(np.linalg.norm(lm, axis=1, keepdims=True), 1e-12)
     if diag:
         rm = lm
     else:
         rm = np.array(rp["_vec"].tolist(), dtype="float64")
-        rm = rm / np.linalg.norm(rm, axis=1, keepdims=True)
+        rm = rm / np.maximum(np.linalg.norm(rm, axis=1, keepdims=True), 1e-12)
     return (
         lp["_id"].to_numpy(dtype="int64"),
         rp["_id"].to_numpy(dtype="int64"),
@@ -329,11 +333,17 @@ def dedup_by_cosine(
     vec_col: str = "embedding",
     block_rows: int = 2048,
 ) -> DataFrame:
-    """Survivor set for embedding-cosine dedup: greedy keep-lowest-id — a
-    row is dropped iff it is the higher id of ANY over-threshold pair.
+    """Survivor set for embedding-cosine dedup: dominance rule — a row is
+    dropped iff it is the higher id of ANY over-threshold pair.
+
     Deterministic, one anti-join over the pair set; guarantees no two
-    surviving rows form an over-threshold pair (the lower id always
-    survives its pairs, the higher never does)."""
+    surviving rows form an over-threshold pair. NOTE this is stricter than
+    sequential greedy dedup: on a chain 1~2, 2~3 (1!~3) it drops BOTH 2
+    and 3, where sequential greedy would re-admit 3 after dropping its
+    only partner. The dominance rule is order-independent and needs no
+    iteration, which is why it is the 100 TB formulation; a
+    connected-component pass over the pair set is the drop-in upgrade if
+    maximal survivor sets are required."""
     pairs = neardup_cosine_pairs(embeddings, threshold, id_col, vec_col, block_rows)
     dropped = pairs.select(F.col("id_2").alias("_drop")).distinct()
     return embeddings.join(

@@ -27,7 +27,12 @@ ORACLE_SQL: dict[str, str] = {
                -- group's 4dp sum ends in .xx50, so ROUND(SUM(double)) flips
                -- the cent with summation order (see queries.q1 note)
                CAST((CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) + 50) // 100 AS DOUBLE) / 100 AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               -- same scheme for charge (exact 6dp), split into integer /
+               -- fraction long sums so neither overflows before ~1e11
+               -- rows/group; reassembled exactly (1e6 is divisible by 1e4)
+               CAST(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT) // 1000000) AS BIGINT) * 100
+                    + (CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5) AS BIGINT) % 1000000) AS BIGINT) + 5000) // 10000
+                    AS DOUBLE) / 100 AS sum_charge,
                ROUND(AVG(l_quantity), 4)                                 AS avg_qty,
                ROUND(AVG(l_extendedprice), 4)                            AS avg_price,
                ROUND(AVG(l_discount), 4)                                 AS avg_disc,

@@ -58,6 +58,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # charge = 2dp*2dp*2dp is an exact 6dp value; recover it as a scaled
+    # long (float error ~1e-4 << 0.5 at the 1e11 magnitude) and sum it
+    # split into integer/fraction parts so neither long sum overflows
+    # before ~1e11 rows PER GROUP (~100 TB at 6 groups). A single 1e6-scaled
+    # sum would cap out at ~8e7 rows/group.
+    charge_e6 = F.floor(disc_price * (1 + F.col("l_tax")) * 1000000 + 0.5)
+    charge_lo = charge_e6 % 1000000
+    charge_hi = ((charge_e6 - charge_lo) / 1000000).cast("long")
     # sum_disc_price must be order-independent: the 2dp x 2dp products are
     # exact 4dp values, and at this fixture the (A, O) group's exact sum ends
     # in .xx50 — a float64 sum lands on either side of the half depending on
@@ -75,7 +83,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor(x+0.5), not round(): Spark's Round allocates a BigDecimal
             # per row (measured 2x on the sf10 scan); floor is pure codegen
             F.sum(F.floor(disc_price * 10000 + 0.5)).alias("_ds"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(charge_hi).alias("_chh"),
+            F.sum(charge_lo).alias("_chl"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -87,7 +96,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
             "sum_base_price",
             (F.expr("(_ds + 50) DIV 100").cast("double") / 100).alias("sum_disc_price"),
-            "sum_charge",
+            # reassemble: total_e6 = _chh*1e6 + _chl, and _chh*1e6 is divisible
+            # by 1e4, so cents = _chh*100 + (_chl + 5000) DIV 10000 exactly
+            ((F.col("_chh") * 100 + F.expr("(_chl + 5000) DIV 10000")).cast("double") / 100).alias("sum_charge"),
             "avg_qty",
             "avg_price",
             "avg_disc",
