@@ -270,29 +270,32 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
         li_t, od_t = f"bench_li_b_{lbl}", f"bench_ord_b_{lbl}"
         t0 = time.perf_counter()
         try:
-            if not spark.catalog.tableExists(li_t):
-                if os.path.exists(os.path.join(base, "li", "_SUCCESS")):
-                    for t, loc, schema, key in (
-                        (li_t, f"{base}/li",
-                         "l_orderkey BIGINT, l_partkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
-                         "l_orderkey"),
-                        (od_t, f"{base}/ord", "o_orderkey BIGINT, o_orderdate TIMESTAMP", "o_orderkey"),
-                    ):
-                        spark.sql(
-                            f"CREATE TABLE IF NOT EXISTS {t} ({schema}) USING PARQUET "
-                            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 32 BUCKETS LOCATION '{loc}'"
-                        )
-                else:
-                    li = load_table(spark, sf_dir, "lineitem").select(
-                        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+            # each side gated independently (round-2 advice: a crash between
+            # the two builds must not strand a half-pair that later runs
+            # silently trust): only a completed write (_SUCCESS) is reused
+            for t, sub, schema, key, build in (
+                (li_t, "li",
+                 "l_orderkey BIGINT, l_partkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+                 "l_orderkey",
+                 lambda: load_table(spark, sf_dir, "lineitem").select(
+                     "l_orderkey", "l_partkey", "l_extendedprice", "l_discount")),
+                (od_t, "ord", "o_orderkey BIGINT, o_orderdate TIMESTAMP", "o_orderkey",
+                 lambda: load_table(spark, sf_dir, "orders").select(
+                     "o_orderkey", "o_orderdate")),
+            ):
+                loc = f"{base}/{sub}"
+                complete = os.path.exists(os.path.join(loc, "_SUCCESS"))
+                if complete and spark.catalog.tableExists(t):
+                    continue
+                if complete:
+                    spark.sql(
+                        f"CREATE TABLE IF NOT EXISTS {t} ({schema}) USING PARQUET "
+                        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 32 BUCKETS LOCATION '{loc}'"
                     )
-                    (li.repartition(32, F.col("l_orderkey")).write.format("parquet")
-                     .mode("overwrite").bucketBy(32, "l_orderkey").sortBy("l_orderkey")
-                     .option("path", f"{base}/li").saveAsTable(li_t))
-                    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-                    (od.repartition(32, F.col("o_orderkey")).write.format("parquet")
-                     .mode("overwrite").bucketBy(32, "o_orderkey").sortBy("o_orderkey")
-                     .option("path", f"{base}/ord").saveAsTable(od_t))
+                    continue
+                (build().repartition(32, F.col(key)).write.format("parquet")
+                 .mode("overwrite").bucketBy(32, key).sortBy(key)
+                 .option("path", loc).saveAsTable(t))
             out["build_sec"][lbl] = round(time.perf_counter() - t0, 2)
 
             def q3b():
@@ -319,7 +322,8 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
                 q3b().collect()
                 best = min(best, time.perf_counter() - t0)
             out["q3_sec"][lbl] = round(best, 4)
-        except Exception:  # noqa: BLE001 - bench tiers degrade, never fail
+        except Exception as ex:  # noqa: BLE001 - bench tiers degrade, never fail
+            out["error"] = f"sf{lbl}: {type(ex).__name__}: {ex}"[:200]
             return out
     if {"1", "10"} <= out["q3_sec"].keys():
         out["slope_per_sf"] = round((out["q3_sec"]["10"] - out["q3_sec"]["1"]) / 9.0, 4)

@@ -1066,6 +1066,59 @@ def q45_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
 
 
+def _q46_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotent build/re-register of q46's co-bucketed fact tables.
+
+    One fixed location + table-name pair per ``sf_dir`` (md5 digest), under
+    the system temp dir. Both sides are checked independently: only a
+    complete write (parquet _SUCCESS present) is reused, so a crash between
+    the two builds cannot strand a half-pair that poisons later runs."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q46_{digest}")
+    li_t, od_t = f"q46_li_{digest}", f"q46_ord_{digest}"
+
+    def li_src() -> DataFrame:
+        return load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_partkey",
+            F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000 + 0.5)
+            .alias("_rev"),
+        )
+
+    def od_src() -> DataFrame:
+        return load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    specs = (
+        (li_t, f"{base}/li", li_src, "l_orderkey",
+         "l_orderkey BIGINT, l_partkey BIGINT, _rev BIGINT"),
+        (od_t, f"{base}/ord", od_src, "o_orderkey",
+         "o_orderkey BIGINT, o_orderdate TIMESTAMP"),
+    )
+    for table, loc, src, key, schema in specs:
+        complete = os.path.exists(os.path.join(loc, "_SUCCESS"))
+        if complete and spark.catalog.tableExists(table):
+            continue
+        if complete:
+            # files survive from an earlier process; the in-memory catalog
+            # forgot them — re-register, don't rewrite
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {table} ({schema}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 32 BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+            continue
+        # repartition first so each bucket is ONE sorted file (otherwise
+        # every write task emits a file per bucket)
+        (src().repartition(32, F.col(key)).write.format("parquet")
+         .mode("overwrite").bucketBy(32, key).sortBy(key)
+         .option("path", loc).saveAsTable(table))
+    return li_t, od_t
+
+
 def q46_sales_by_category_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q3's semantics over CO-BUCKETED fact tables — the write-once/query-
     many deployment shape (operators/bucketed.py; the reference's own answer
@@ -1074,26 +1127,15 @@ def q46_sales_by_category_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     is one sorted file), after which the orderkey join plans as SMJ with
     ZERO Exchange on either fact side — at 100 TB that is the entire network
     shuffle of the fact table, paid once at ingest instead of per query.
-    Same oracle as q3 (layout cannot change values)."""
-    import tempfile
-    import uuid
+    Same oracle as q3 (layout cannot change values).
 
-    tag = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="q46_bucketed_")
-    li_t, od_t = f"q46_li_{tag}", f"q46_ord_{tag}"
-    li_src = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_partkey",
-        F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000 + 0.5)
-        .alias("_rev"),
-    )
-    (li_src.repartition(32, F.col("l_orderkey")).write.format("parquet")
-     .mode("overwrite").bucketBy(32, "l_orderkey").sortBy("l_orderkey")
-     .option("path", f"{base}/li").saveAsTable(li_t))
-    od_src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    (od_src.repartition(32, F.col("o_orderkey")).write.format("parquet")
-     .mode("overwrite").bucketBy(32, "o_orderkey").sortBy("o_orderkey")
-     .option("path", f"{base}/ord").saveAsTable(od_t))
+    The bucket build is a write-ONCE step: tables/dirs are keyed on a digest
+    of ``sf_dir`` with fixed names, so repeated driver sweeps reuse the first
+    build instead of accumulating metastore entries and temp dirs (round-2
+    advice). A fresh session re-registers the existing files via CREATE
+    TABLE ... CLUSTERED BY ... LOCATION; a half-finished build (missing
+    _SUCCESS on either side) is rebuilt with overwrite."""
+    li_t, od_t = _q46_bucketed_tables(spark, sf_dir)
 
     li = spark.table(li_t)
     orders = spark.table(od_t).select("o_orderkey", F.year("o_orderdate").alias("order_year"))
