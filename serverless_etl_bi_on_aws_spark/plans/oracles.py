@@ -582,6 +582,9 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY category, order_year
         ORDER BY category, order_year
     """,
+    # q47 serves q1 from the materialized pricing rollup — exact scaled-long
+    # partials make the layout value-preserving, so the oracle is q1's SQL
+    # (set verbatim below the literal to stay textually identical to q1's).
     # q44 computes the same result as q6 through the Arrow/BLAS path; the
     # oracle is therefore q6's SQL verbatim.
     "q44_topk_cosine_arrow": """
@@ -594,3 +597,5 @@ ORACLE_SQL: dict[str, str] = {
         LIMIT 10
     """,
 }
+
+ORACLE_SQL["q47_pricing_summary_rollup"] = ORACLE_SQL["q1_pricing_summary"]

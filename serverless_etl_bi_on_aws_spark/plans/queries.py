@@ -1155,6 +1155,25 @@ def q46_sales_by_category_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q47_pricing_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1's semantics over the incremental MATERIALIZED ROLLUP — the
+    write-once layout for scan-bound aggregation (operators/rollup.py; the
+    reference materializes aggregates away for the same reason it
+    denormalizes joins, README.md:113). The rollup holds one row per
+    (returnflag, linestatus, ship day) with EXACT scaled-long partials, so
+    serving q1 reads O(days x groups) rows — ~15k — instead of the fact
+    table, and the marginal cost per fact row of the recurring workload
+    moves to ingest where it is paid once. Associativity of the exact longs
+    means the layout cannot change values: same oracle as q1."""
+    from serverless_etl_bi_on_aws_spark.operators.rollup import (
+        ensure_pricing_rollup,
+        pricing_summary_from_rollup,
+    )
+
+    rollup = ensure_pricing_rollup(spark, sf_dir)
+    return pricing_summary_from_rollup(rollup, "2001-06-01")
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1203,4 +1222,5 @@ QUERIES: dict[str, QueryFn] = {
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
     "q45_topk_cosine_ivf": q45_topk_cosine_ivf,
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
+    "q47_pricing_summary_rollup": q47_pricing_summary_rollup,
 }
