@@ -67,12 +67,23 @@ def neardup_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (X2, exact baseline).
 
     Inverted-index formulation: explode distinct shingles, self-join on the
     shingle (pairs only share a shuffle partition if they share a shingle),
     count intersections, then |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_df_frac`` is the standard document-frequency cap on the index: a
+    shingle appearing in more than that fraction of documents is dropped
+    from the JOIN (set sizes |A|/|B| keep counting it), removing the skew
+    cliff — a shingle shared by d documents contributes d^2 join rows in
+    ONE shuffle partition, so one boilerplate shingle across 1e6 docs is a
+    1e12-row straggler. A capped run reports each affected pair's jaccard
+    as a lower bound (its hot intersections aren't counted), which can only
+    DROP pairs whose similarity rides on near-ubiquitous shingles — the
+    accepted trade in LSH practice. ``None`` (default) is fully exact.
 
     Returns (id_1, id_2, jaccard) with id_1 < id_2, jaccard >= threshold.
     At 100 TB scale prefer :func:`neardup_minhash_lsh`; this operator is the
@@ -89,6 +100,18 @@ def neardup_jaccard_pairs(
         .select("_id", shingles_from_tokens("_toks", n).alias("_sh"))
         .select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_shingle"))
     )
+    if max_df_frac is not None:
+        # df per shingle is a groupBy on the SAME key the self-join shuffles
+        # on; the filtering join below therefore rides the existing shingle
+        # partitioning (no extra distribution), and the count() that sizes
+        # the cap is the one O(1)-result driver action
+        max_df = int(max_df_frac * docs.count())
+        df_counts = sh.groupBy("_shingle").agg(F.count("*").alias("_df"))
+        sh = (
+            sh.join(df_counts, on="_shingle")
+            .filter(F.col("_df") <= max_df)
+            .select("_id", "_n", "_shingle")
+        )
     return (
         sh.alias("a")
         .join(sh.alias("b"), on="_shingle")

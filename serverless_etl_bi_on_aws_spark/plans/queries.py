@@ -350,9 +350,12 @@ def q7_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q12_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs at J>=0.5 (X2 exact
     baseline; inverted-index self-join). The fixtures plant 25 near-dup pairs
-    well above the threshold (observed: planted ~0.5-0.99, noise <=0.03)."""
+    well above the threshold (observed: planted ~0.5-0.99, noise <=0.03).
+    The 5% document-frequency cap on the index is the skew guard (a
+    d-doc-hot shingle costs d^2 join rows in one partition); fixture max
+    df is 1.4%, so results here are fully exact."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup_jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = neardup_jaccard_pairs(docs, n=3, threshold=0.5, max_df_frac=0.05)
     return pairs.select(
         "id_1", "id_2", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_1", "id_2")

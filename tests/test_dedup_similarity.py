@@ -224,3 +224,33 @@ def test_topk_cosine_arrow_agrees_with_hof(spark):
     hof = [(r.vec_id, round(r.cosine, 6)) for r in topk_cosine_bruteforce(rest, qvec, k=10).collect()]
     arrow = [(r.vec_id, round(r.cosine, 6)) for r in topk_cosine_arrow(rest, qvec, k=10).collect()]
     assert hof == arrow
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_blowup(spark):
+    """Skew guard (round-2 verdict #6): one shingle shared by every doc
+    turns the inverted-index self-join into an all-pairs blowup (d^2 rows
+    in ONE partition); the df cap must drop it from the index while an
+    above-max cap must change nothing."""
+    n_docs = 400
+    rows = [
+        # every doc opens with the same boilerplate (one ubiquitous
+        # 3-shingle); the tail tokens are unique per doc
+        (i, f"common header line doc{i}a doc{i}b doc{i}c doc{i}d")
+        for i in range(n_docs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # uncapped at threshold 0: every doc pair co-occurs via the hot shingle
+    uncapped = neardup_jaccard_pairs(docs, threshold=1e-9).count()
+    assert uncapped == n_docs * (n_docs - 1) // 2
+
+    # capped: the boilerplate shingles (df == n_docs) leave the index, the
+    # unique tails share nothing -> zero candidate pairs even at threshold 0
+    capped = neardup_jaccard_pairs(docs, threshold=1e-9, max_df_frac=0.05)
+    assert capped.count() == 0
+
+    # a cap ABOVE the max observed df is a no-op: exact results unchanged
+    # (this is the regime q12 runs in: fixture max df 1.4% vs 5% cap)
+    exact = neardup_jaccard_pairs(docs, threshold=0.01).collect()
+    lenient = neardup_jaccard_pairs(docs, threshold=0.01, max_df_frac=1.0).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, lenient))
