@@ -487,7 +487,15 @@ def q20_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     token profiles with add-one smoothing, docs classified by argmax score
     (rounded to 4dp before ranking; lang ascending breaks ties) — the
     n-gram-profile heuristic of the north star, trained and applied in one
-    distributed plan. All joins are on token/lang (tiny dims -> broadcast)."""
+    distributed plan.
+
+    Broadcast policy: langs/lang_totals/vocab/n_docs are O(n_langs) rows —
+    forced broadcast. The token PROFILE is vocab x langs rows and grows
+    with the corpus (tens of millions of tokens at 100 TB -> executor OOM
+    under a forced hint), so it carries NO hint: Catalyst/AQE broadcast it
+    only while its runtime size fits autoBroadcastJoinThreshold, else it
+    shuffle-joins on the well-distributed (lang, token) key
+    (test_plans.test_q20_profile_broadcast_is_size_gated)."""
     docs = load_table(spark, sf_dir, "documents")
     doc_tokens = docs.select(
         "doc_id", "lang", F.explode(tokens("text")).alias("token")
@@ -507,7 +515,7 @@ def q20_lang_id_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         dt.crossJoin(F.broadcast(langs.withColumnRenamed("lang", "cand_lang")))
         .join(
-            F.broadcast(profile.withColumnRenamed("lang", "cand_lang")),
+            profile.withColumnRenamed("lang", "cand_lang"),
             on=["cand_lang", "token"],
             how="left",
         )

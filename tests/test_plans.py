@@ -110,3 +110,27 @@ def test_bucketed_q3_zero_fact_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Bucketed: true") == 2
     assert plan.count("Exchange hashpartitioning") == 1, "a fact side shuffled despite buckets"
+
+
+def test_q20_profile_broadcast_is_size_gated(spark):
+    """q20's token profile is vocab x langs rows — it must broadcast only
+    under autoBroadcastJoinThreshold (round-2 verdict #3). With the
+    threshold disabled (the stand-in for an over-threshold 100 TB vocab)
+    the profile join has to fall back to a shuffle join on (lang, token),
+    NOT keep a forced broadcast; the O(n_langs) dims stay hinted. Values
+    must be identical either way."""
+    name = "q20_lang_id_naive_bayes"
+    baseline = [tuple(r) for r in QUERIES[name](spark, SF_SMOKE).collect()]
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES[name](spark, SF_SMOKE)
+        rows = [tuple(r) for r in df.collect()]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    # the un-hinted profile join degraded to a shuffle join...
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    # ...while the forced O(n_langs) dims are still broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert rows == baseline
