@@ -33,9 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query. q13/q14/q18/
-    q28/q42/q45 (minhash-LSH / simhash / LSH-ANN / HLL+t-digest sketches /
-    PNG pixel decode / IVF-ANN) are engine-defined by design — the driver
-    records the weaker rows-only check and pytest cross-validates each
-    against its exact counterpart (q12/q6/exact aggregates/local reference
-    decode)."""
+    q45 (minhash-LSH / simhash / LSH-ANN / IVF-ANN) are engine-defined by
+    design — the driver records the weaker rows-only check and pytest
+    cross-validates each against its exact counterpart (q12/q6). q28 and
+    q42 were promoted to full value checks in round 3 (sketch tolerances
+    exported as expected-TRUE booleans; pixel stats recomputed
+    independently in SQL)."""
     return dict(ORACLE_SQL)

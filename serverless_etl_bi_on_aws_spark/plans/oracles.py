@@ -330,6 +330,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM h
         ORDER BY doc_id
     """,
+    # q28: the exact columns are recomputed (DuckDB quantile_cont shares
+    # Spark percentile's 1+(n-1)p interpolation — verified bit-exact); the
+    # sketch columns are exported as within-tolerance BOOLEANS, expected
+    # TRUE, so an out-of-tolerance HLL / percentile sketch flips the hash
+    "q28_approx_aggregates": """
+        SELECT l_returnflag,
+               COUNT(*)                                       AS n_items,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)     AS exact_orders,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_price,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+               TRUE AS hll_within_15pct,
+               TRUE AS p50_approx_within_5pct,
+               TRUE AS p99_approx_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "q29_regex_token_stats": """
         WITH p AS (
             SELECT lang, n_chars,
@@ -581,6 +598,33 @@ ORACLE_SQL: dict[str, str] = {
         JOIN part   ON l_partkey  = p_partkey
         GROUP BY category, order_year
         ORDER BY category, order_year
+    """,
+    # q42: the PNG payloads are deterministic functions of doc_id (gradient
+    # (x*3 + y*5 + k) % 256 at w=32+k%32, h=32+7k%32, nearest-neighbor
+    # resized to 8x8 with sx = min(ox*w//8, w-1)), so the oracle recomputes
+    # the expected pixel statistics INDEPENDENTLY in SQL — a full value
+    # check of encode -> real stdlib PNG decode -> resize -> aggregate.
+    # px_mean values are exact multiples of 1/64, so sums are exact and
+    # cross-engine rounding is stable.
+    "q42_media_pixel_stats": """
+        WITH px AS (
+            SELECT d.doc_id, d.source,
+                   AVG(((LEAST(ox.g * (32 + d.doc_id % 32) // 8, 32 + d.doc_id % 32 - 1)) * 3
+                      + (LEAST(oy.g * (32 + (d.doc_id * 7) % 32) // 8, 32 + (d.doc_id * 7) % 32 - 1)) * 5
+                      + d.doc_id) % 256) AS px_mean
+            FROM documents d,
+                 generate_series(0, 7) AS ox(g),
+                 generate_series(0, 7) AS oy(g)
+            GROUP BY d.doc_id, d.source
+        )
+        SELECT source,
+               COUNT(*)                       AS n_docs,
+               ROUND(AVG(px_mean), 4)         AS avg_brightness,
+               ROUND(MIN(px_mean), 4)         AS min_brightness,
+               ROUND(MAX(px_mean), 4)         AS max_brightness
+        FROM px
+        GROUP BY source
+        ORDER BY source
     """,
     # q47 serves q1 from the materialized pricing rollup — exact scaled-long
     # partials make the layout value-preserving, so the oracle is q1's SQL

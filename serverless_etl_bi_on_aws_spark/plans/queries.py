@@ -683,17 +683,44 @@ def q27_funnel_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q28_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (SURVEY §2.4 free headroom, the 100 TB
-    workhorses): HLL distinct counts + t-digest percentiles per return flag.
-    No SQL oracle — sketch internals are engine-defined; pytest bounds the
-    estimates against exact values (rows-only driver check)."""
+    workhorses): HLL distinct counts + percentile sketches per return flag.
+
+    Driver-checkable since round 3: the output carries the EXACT columns
+    (count, exact distinct, exact interpolated percentiles — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the 1+(n-1)p linear
+    interpolation and agree bit-exactly) plus one boolean per sketch
+    asserting the estimate lies within its tolerance of the exact value.
+    The oracle recomputes the exact columns and expects TRUE booleans, so
+    a sketch drifting out of tolerance flips the value hash — a stronger
+    gate than the old rows-only check. At 100 TB you serve the sketch
+    columns and drop the exact twins; here the twins ARE the harness.
+    Tolerances: HLL default rsd is 5% (1 sigma) -> 15% bound; the
+    percentile sketch at accuracy 10000 is near-exact at fixture scale ->
+    5% bound."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.round(F.percentile_approx("l_extendedprice", 0.5), 2).alias("p50_price"),
-            F.round(F.percentile_approx("l_extendedprice", 0.99), 2).alias("p99_price"),
             F.count("*").alias("n_items"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey").alias("_hll"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("_p50a"),
+            F.percentile_approx("l_extendedprice", 0.99).alias("_p99a"),
+        )
+        .select(
+            "l_returnflag",
+            "n_items",
+            "exact_orders",
+            "p50_price",
+            "p99_price",
+            (F.abs(F.col("_hll") - F.col("exact_orders"))
+             <= 0.15 * F.col("exact_orders")).alias("hll_within_15pct"),
+            (F.abs(F.col("_p50a") - F.col("p50_price"))
+             <= 0.05 * F.col("p50_price")).alias("p50_approx_within_5pct"),
+            (F.abs(F.col("_p99a") - F.col("p99_price"))
+             <= 0.05 * F.col("p99_price")).alias("p99_approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -995,10 +1022,13 @@ def q42_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode pipeline (X4), end to end with a REAL codec:
     attach deterministic PNG payloads to documents, decode + resize to 8x8
     through the stdlib PNG decoder (functions/png.py) in Arrow batches
-    (mapInPandas), then aggregate pixel statistics per source. Engine-
-    defined (rows-only): zlib inflate + scanline un-filtering is not
-    SQL-expressible, so correctness is pinned by the pytest gate that
-    recomputes the gradient locally (test_multimodal_real_png_decode).
+    (mapInPandas), then aggregate pixel statistics per source.
+    Driver-checkable since round 3: the payload gradient and the resize
+    index math are deterministic functions of doc_id, so the oracle
+    recomputes the expected pixel statistics INDEPENDENTLY in SQL — the
+    whole encode -> inflate -> un-filter -> resize -> aggregate path is
+    value-hashed, plus the local-reference pytest
+    (test_multimodal_real_png_decode).
 
     Scale shape: decode stays out of scans/joins — only this final
     map stage touches bytes, one Arrow batch per core at a time."""
