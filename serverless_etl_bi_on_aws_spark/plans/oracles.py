@@ -643,3 +643,17 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 ORACLE_SQL["q47_pricing_summary_rollup"] = ORACLE_SQL["q1_pricing_summary"]
+
+# q48 runs the watermarked streaming funnel (AvailableNow, complete mode)
+# whose drained result must equal the batch rollup of the same 6-hour
+# windows — q32's buckets minus the distinct count (unsupported in
+# streaming aggs), so every value cell is one q32 already audits.
+ORACLE_SQL["q48_streaming_funnel_rollup"] = """
+    SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

@@ -1215,6 +1215,60 @@ def q47_pricing_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary_from_rollup(rollup, "2001-06-01")
 
 
+def q48_streaming_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-ST5 under the driver's eye: the watermarked streaming funnel
+    rollup (streaming/funnel.py) executed with Trigger.AvailableNow over
+    the events table must equal the BATCH rollup of the same windows —
+    q32's 6-hour buckets minus its distinct-count (unsupported in
+    streaming), so every cell is one q32 already audits for rounding.
+
+    Execution path is genuinely streaming: readStream file source ->
+    watermark -> windowed state -> memory sink, drained to completion by
+    AvailableNow. Complete output mode keeps end-of-stream semantics
+    identical to batch (append mode would hold back windows inside the
+    final watermark — that behavior is pytest-covered in
+    test_merge_streaming/test_skew_streamdedup instead). The result is
+    windows x types rows, so the driver-side memory sink is O(result), not
+    O(stream); a production deployment writes append-mode to a table.
+
+    The source dir is a digest-cached micros-timestamp copy of events
+    (built once per sf_dir): Spark's streaming parquet source, like its
+    batch scan, refuses TIMESTAMP(NANOS), and the batch path's
+    nanosAsLong rebuild (catalog.load_table) is the documented workaround
+    applied at copy time."""
+    import hashlib
+    import os
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.streaming.funnel import (
+        stream_funnel_window_counts,
+    )
+
+    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    src = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_ev_{digest}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    counts = stream_funnel_window_counts(
+        spark, src, schema, window_duration="6 hours", watermark="2 hours"
+    )
+    name = f"q48_mem_{digest}"
+    (counts.writeStream.format("memory").queryName(name)
+     .outputMode("complete").trigger(availableNow=True).start()
+     .awaitTermination())
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros("window_start").alias("bucket_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("bucket_us", "event_type")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1264,4 +1318,5 @@ QUERIES: dict[str, QueryFn] = {
     "q45_topk_cosine_ivf": q45_topk_cosine_ivf,
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
     "q47_pricing_summary_rollup": q47_pricing_summary_rollup,
+    "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
 }
