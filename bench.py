@@ -71,7 +71,12 @@ LLM_TIER = {
     "q43": "q43_neardup_embedding_cosine",
 }
 
-SCALING_QUERIES = ("q1", "q3")
+SCALING_QUERIES = ("q1", "q3", "q44")
+
+#: scaling-tier queries that are not headline rows: q44 is the Arrow/BLAS
+#: similarity scan — the other workload class (per-row vector math) whose
+#: marginal cost deserves a slope measurement (round-2 verdict #8).
+SCALING_EXTRA = {"q44": "q44_topk_cosine_arrow"}
 
 #: Fixture scans at bench scale: sf1 lineitem is ~110 MB in 10 files, sf10
 #: ~1.1 GB in 100 files. 8 MB split size gives 16+-way scan parallelism on
@@ -135,9 +140,10 @@ def _duckdb_warm(sf_dir: str, shorts: tuple[str, ...]) -> dict[str, float]:
         register(con, sf_dir)
         from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
 
+        names = {**DH, **SCALING_EXTRA}
         out = {}
         for short in shorts:
-            sql = ORACLE_SQL[DH[short]]
+            sql = ORACLE_SQL[names[short]]
             con.execute(sql).fetchall()
             # best-of-4: this VM's ~10% pathological outliers hit DuckDB too,
             # and an inflated small-sf baseline makes the slope denominator
@@ -251,7 +257,7 @@ def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str) -> dict:
     points = {"0.1": sf01, "1": sf1_dir, "10": sf10_dir}
     scal: dict = {}
     for short in SCALING_QUERIES:
-        name = HEADLINE[short]
+        name = HEADLINE.get(short) or SCALING_EXTRA[short]
         sp = {lbl: _time_best(spark, name, d) for lbl, d in points.items()}
         du = {lbl: _duckdb_warm(d, (short,)).get(short) for lbl, d in points.items()}
         # slope between the two big points: sec per 10x-of-sf0.1 step —
