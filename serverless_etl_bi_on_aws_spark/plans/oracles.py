@@ -648,6 +648,31 @@ ORACLE_SQL["q47_pricing_summary_rollup"] = ORACLE_SQL["q1_pricing_summary"]
 # whose drained result must equal the batch rollup of the same 6-hour
 # windows — q32's buckets minus the distinct count (unsupported in
 # streaming aggs), so every value cell is one q32 already audits.
+# q49: JPEG is lossy, so the decoded pixels are codec-defined — but the
+# gradient's ANALYTIC mean is engine-independent (recomputed here via
+# generate_series over the full w x h grid) and the decoded mean must sit
+# within 1.5 gray levels of it (expected-TRUE boolean; DC-quantization
+# bounds the true error at ~1 level, measured <= 0.21).
+ORACLE_SQL["q49_media_pixel_stats_jpeg"] = """
+    WITH ana AS (
+        SELECT d.doc_id, d.source,
+               AVG((x.g * 3 + y.g * 5 + d.doc_id) % 256) AS ana_mean
+        FROM documents d,
+             generate_series(0, 62) AS x(g),
+             generate_series(0, 62) AS y(g)
+        WHERE x.g < 32 + d.doc_id % 32
+          AND y.g < 32 + (d.doc_id * 7) % 32
+        GROUP BY d.doc_id, d.source
+    )
+    SELECT source,
+           COUNT(*)                  AS n_docs,
+           ROUND(AVG(ana_mean), 4)   AS avg_brightness,
+           TRUE                      AS decoded_within_tol
+    FROM ana
+    GROUP BY source
+    ORDER BY source
+"""
+
 ORACLE_SQL["q48_streaming_funnel_rollup"] = """
     SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
            event_type,

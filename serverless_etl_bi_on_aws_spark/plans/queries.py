@@ -1269,6 +1269,64 @@ def q48_streaming_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_media_pixel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 with the SECOND real codec: attach real baseline-JPEG payloads
+    (functions/jpeg.py) to documents, decode them in the Arrow map stage,
+    and bound the lossy roundtrip against the analytically-known source.
+
+    JPEG is lossy, so unlike q42 the decoded pixels are codec-defined —
+    but the IMAGE MEAN survives the roundtrip within DC-quantization error
+    (<= quant[0]/2 DCT units ~ 1 gray level/block; measured <= 0.21 on the
+    gradient corpus). The query therefore emits, per source: the doc
+    count, the average ANALYTIC gradient mean (recomputed independently by
+    the oracle via generate_series — hash-checked), and an expected-TRUE
+    boolean asserting every decoded mean lies within 1.5 gray levels of
+    its analytic value. A broken huffman/DCT path shifts decoded means by
+    tens of levels and flips the hash.
+
+    Scale shape: identical to q42 — decode isolated to one Arrow stage
+    after all relational work, batch-at-a-time memory."""
+    import numpy as np
+    import pandas as pd
+
+    from serverless_etl_bi_on_aws_spark.functions.jpeg import decode_jpeg_gray
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import attach_jpeg_media
+    from serverless_etl_bi_on_aws_spark.util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
+    with_media = attach_jpeg_media(docs)
+
+    def means(it):
+        for pdf in it:
+            dec, ana = [], []
+            for key, m in zip(pdf["doc_id"], pdf["media"]):
+                k = int(key)
+                px, w, h = decode_jpeg_gray(bytes(m["payload"]))
+                dec.append(float(np.frombuffer(px, dtype=np.uint8).mean()))
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                ana.append(float(((x * 3 + y * 5 + k) % 256).mean()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "source": pdf["source"],
+                 "dec_mean": dec, "ana_mean": ana}
+            )
+
+    per_doc = with_media.mapInPandas(
+        means, schema="doc_id bigint, source string, dec_mean double, ana_mean double"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ana_mean"), 4).alias("avg_brightness"),
+            F.expr("bool_and(abs(dec_mean - ana_mean) <= 1.5d)").alias(
+                "decoded_within_tol"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1319,4 +1377,5 @@ QUERIES: dict[str, QueryFn] = {
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
     "q47_pricing_summary_rollup": q47_pricing_summary_rollup,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
+    "q49_media_pixel_stats_jpeg": q49_media_pixel_stats_jpeg,
 }

@@ -10,12 +10,13 @@ mapInPandas stage touches bytes, and it streams Arrow batches so peak memory
 is one batch per core, not one file per row).
 
 Decoders: PNG decode/resize is REAL — a from-scratch stdlib codec
-(functions/png.py, zlib + struct) exercises payload -> pixels end to end.
-No JPEG/audio/video codecs ship in this container, so those decode branches
-remain deterministic stands-ins (clearly marked); everything Spark-side —
-schema, batching, partitioning, UDF signatures — is identical for both.
-Swap the stand-in branches for PIL/ffmpeg calls in production; the plumbing
-does not change.
+(functions/png.py, zlib + struct) — and since round 3 JPEG is too: a
+from-scratch baseline T.81 codec (functions/jpeg.py, huffman + dequant +
+batched-matmul IDCT in numpy). Audio/video decode branches remain
+deterministic stand-ins (no ffmpeg in this container; clearly marked);
+everything Spark-side — schema, batching, partitioning, UDF signatures —
+is identical for real and stand-in mimes. Swap the stand-in branches for
+ffmpeg calls in production; the plumbing does not change.
 """
 
 from __future__ import annotations
@@ -43,10 +44,26 @@ MEDIA_STRUCT = StructType(
     ]
 )
 
-#: mimes with a real in-container decoder (stdlib PNG; see functions/png.py).
-#: JPEG/video fall back to the deterministic stand-in path.
-REAL_DECODER_MIMES = frozenset({"image/png"})
+#: mimes with a real in-container decoder (stdlib PNG, functions/png.py;
+#: baseline JPEG, functions/jpeg.py). Audio/video fall back to the
+#: deterministic stand-in path.
+REAL_DECODER_MIMES = frozenset({"image/png", "image/jpeg"})
 REAL_DECODERS_AVAILABLE = True
+
+
+def _decode_image(payload: bytes, mime: str) -> tuple[int, int, bytes]:
+    """Dispatch a real-codec mime to its decoder -> (width, height, pixels
+    row-major grayscale)."""
+    if mime == "image/png":
+        from serverless_etl_bi_on_aws_spark.functions.png import decode_png
+
+        return decode_png(payload)
+    if mime == "image/jpeg":
+        from serverless_etl_bi_on_aws_spark.functions.jpeg import decode_jpeg_gray
+
+        px, w, h = decode_jpeg_gray(payload)
+        return w, h, px
+    raise ValueError(f"no real decoder for mime {mime!r}")
 
 
 def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -84,6 +101,39 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``media`` struct whose payload is a REAL baseline JPEG
+    (grayscale, functions/jpeg.py), deterministic per key — same gradient
+    and dimensions as :func:`attach_png_media` so the two codecs' pixel
+    statistics are directly comparable (JPEG's differ only by bounded
+    quantization error; see q49)."""
+    from serverless_etl_bi_on_aws_spark.functions.jpeg import encode_jpeg_gray
+
+    out_schema = StructType(df.schema.fields + [StructField("media", MEDIA_STRUCT, True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = []
+            for key in pdf[id_col]:
+                k = int(key)
+                w, h = 32 + k % 32, 32 + (k * 7) % 32
+                px = bytes((x * 3 + y * 5 + k) % 256 for y in range(h) for x in range(w))
+                media.append(
+                    {
+                        "payload": encode_jpeg_gray(px, w, h),
+                        "mime": "image/jpeg",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": None,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id", mime: str = "application/octet-stream") -> DataFrame:
     """Attach a deterministic synthetic ``media`` struct keyed on ``id_col``
     — the test stand-in for 'payload fetched from object storage by path'.
@@ -108,13 +158,14 @@ def decode_and_resize(
     """Decode + resize over Arrow batches (mapInPandas). Output adds
     ``pixels: binary`` (row-major grayscale) and ``out_w/out_h``.
 
-    ``image/png`` payloads decode through the REAL stdlib codec
-    (functions/png.py: chunk parse, inflate, un-filter) and resize by
-    nearest neighbor. Other mimes (no codec libs in the image) get a
-    deterministic payload-derived stand-in — same batch shape; a real
-    deployment swaps that branch for PIL/ffmpeg.
+    ``image/png`` and ``image/jpeg`` payloads decode through the REAL
+    codecs (functions/png.py: chunk parse, inflate, un-filter;
+    functions/jpeg.py: huffman + dequant + IDCT) and resize by nearest
+    neighbor. Other mimes (no codec libs in the image) get a deterministic
+    payload-derived stand-in — same batch shape; a real deployment swaps
+    that branch for ffmpeg.
     """
-    from serverless_etl_bi_on_aws_spark.functions.png import decode_png, resize_nearest
+    from serverless_etl_bi_on_aws_spark.functions.png import resize_nearest
 
     out_schema = StructType(
         df.schema.fields
@@ -129,7 +180,7 @@ def decode_and_resize(
         if payload is None:
             return None
         if mime in REAL_DECODER_MIMES:
-            iw, ih, px = decode_png(bytes(payload))
+            iw, ih, px = _decode_image(bytes(payload), mime)
             return resize_nearest(px, iw, ih, w, h)
         # non-PNG stand-in: tile the payload bytes to w*h "pixels"
         reps = (w * h) // max(len(payload), 1) + 1
@@ -153,11 +204,9 @@ def decode_and_resize(
 def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> DataFrame:
     """Feature-extraction stage: payload -> fixed-dim float vector, Arrow
     batch at a time (the embedding-model call site in production). PNG
-    payloads are histogrammed over their DECODED pixels (real codec); other
-    mimes over raw payload bytes (deterministic stand-in)."""
+    and JPEG payloads are histogrammed over their DECODED pixels (real
+    codecs); other mimes over raw payload bytes (deterministic stand-in)."""
     from pyspark.sql.types import ArrayType, FloatType
-
-    from serverless_etl_bi_on_aws_spark.functions.png import decode_png
 
     out_schema = StructType(
         df.schema.fields + [StructField("features", ArrayType(FloatType()), True)]
@@ -172,7 +221,7 @@ def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> Da
                     continue
                 buf = m["payload"]
                 if m["mime"] in REAL_DECODER_MIMES:
-                    buf = decode_png(bytes(buf))[2]
+                    buf = _decode_image(bytes(buf), m["mime"])[2]
                 hist = [0.0] * dim
                 for b in buf:
                     hist[b % dim] += 1.0
