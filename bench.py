@@ -69,6 +69,7 @@ LLM_TIER = {
     "q41": "q41_pack_shards_by_lang",
     "q42": "q42_media_pixel_stats",
     "q43": "q43_neardup_embedding_cosine",
+    "q49": "q49_media_pixel_stats_jpeg",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")
