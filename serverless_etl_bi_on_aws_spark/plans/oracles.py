@@ -648,6 +648,38 @@ ORACLE_SQL["q47_pricing_summary_rollup"] = ORACLE_SQL["q1_pricing_summary"]
 # whose drained result must equal the batch rollup of the same 6-hour
 # windows — q32's buckets minus the distinct count (unsupported in
 # streaming aggs), so every value cell is one q32 already audits.
+# q50: the survivor set under connected-component dedup is fully
+# SQL-expressible — the recursive CTE computes each node's reachable set
+# over the symmetrized q43 pair graph and takes the minimum as the
+# component label; survivors = component minima + rows in no pair. This
+# independently validates the Spark-side iterative min-label propagation.
+ORACLE_SQL["q50_dedup_survivors_cc"] = """
+    WITH RECURSIVE normed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ),
+    edges AS (
+        SELECT id_1 AS s, id_2 AS d FROM pairs
+        UNION ALL
+        SELECT id_2, id_1 FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.r FROM edges e JOIN reach r ON e.s = r.id
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE comp <> id)
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id
+    WHERE d.id IS NULL
+    ORDER BY e.vec_id
+"""
+
 # q49: JPEG is lossy, so the decoded pixels are codec-defined — but the
 # gradient's ANALYTIC mean is engine-independent (recomputed here via
 # generate_series over the full w x h grid) and the decoded mean must sit

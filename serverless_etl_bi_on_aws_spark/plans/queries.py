@@ -1327,6 +1327,25 @@ def q49_media_pixel_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_dedup_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup survivors (X2 final stage): connected components
+    over the q43 cosine pair graph (operators/components.py min-label
+    propagation), keeping exactly ONE representative — the minimum id —
+    per transitive near-dup cluster. This is the cluster semantic corpus
+    pipelines ship (vs q43's companion dominance rule, which over-drops on
+    chains); the oracle recomputes the components independently with a
+    recursive CTE, so the iterative Spark propagation is value-checked end
+    to end."""
+    from serverless_etl_bi_on_aws_spark.operators.components import cluster_survivors
+    from serverless_etl_bi_on_aws_spark.operators.similarity import neardup_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_cosine_pairs(emb, threshold=0.4, block_rows=256)
+    return cluster_survivors(emb, pairs, "vec_id").select("vec_id", "label").orderBy(
+        "vec_id"
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1378,4 +1397,5 @@ QUERIES: dict[str, QueryFn] = {
     "q47_pricing_summary_rollup": q47_pricing_summary_rollup,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q49_media_pixel_stats_jpeg": q49_media_pixel_stats_jpeg,
+    "q50_dedup_survivors_cc": q50_dedup_survivors_cc,
 }

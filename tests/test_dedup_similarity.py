@@ -314,3 +314,47 @@ def test_multimodal_real_jpeg_decode(spark):
         ana = float(((x * 3 + y * 5 + k) % 256).mean())
         dec = float(np.frombuffer(px, dtype=np.uint8).mean())
         assert abs(dec - ana) < 1.5
+
+
+def test_connected_components_vs_local_union_find(spark):
+    """CC dedup must agree with a driver-side union-find over the same
+    collected pair set (exact, structure-independent check)."""
+    from serverless_etl_bi_on_aws_spark.operators.components import (
+        connected_components,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        neardup_cosine_pairs,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    pairs = neardup_cosine_pairs(emb, threshold=0.4, block_rows=256)
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.id_1), find(r.id_2)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_cluster_survivors_chain_semantics(spark):
+    """The shape where cluster dedup and the dominance rule differ:
+    component {2,3,4} with edges 2-4 and 3-4 only. Dominance keeps {2,3}
+    (3 is a local min among its neighbors); the cluster semantic keeps
+    exactly the component min {2}. Node 1 is isolated and must survive
+    either way."""
+    from serverless_etl_bi_on_aws_spark.operators.components import cluster_survivors
+
+    df = spark.createDataFrame([(i, f"r{i}") for i in (1, 2, 3, 4)], "id bigint, label string")
+    pairs = spark.createDataFrame([(2, 4), (3, 4)], "id_1 bigint, id_2 bigint")
+    surv = sorted(r.id for r in cluster_survivors(df, pairs, "id").collect())
+    assert surv == [1, 2]
