@@ -233,7 +233,20 @@ def main() -> None:
 
 
 def _sf1_tier(spark, sf1_dir: str, floor) -> dict:
-    sf1_spark = {s: _time_best(spark, n, sf1_dir) for s, n in HEADLINE.items()}
+    # reps are INTERLEAVED across queries: this VM throws multi-second
+    # stall windows (~10% of runs), and back-to-back reps let one window
+    # poison every rep of one query (observed: q7 0.11s -> 1.46s); spread
+    # over the tier's full wall time, a window costs one rep of several
+    # queries and best-of-N absorbs it
+    for name in HEADLINE.values():
+        QUERIES[name](spark, sf1_dir).collect()  # warm-up pass
+    best: dict[str, float] = {s: float("inf") for s in HEADLINE}
+    for _ in range(3):
+        for s, name in HEADLINE.items():
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf1_dir).collect()
+            best[s] = min(best[s], time.perf_counter() - t0)
+    sf1_spark = {s: round(v, 4) for s, v in best.items()}
     duck1 = _duckdb_warm(sf1_dir, tuple(HEADLINE))
     out: dict = {
         "queries": sf1_spark,
@@ -322,9 +335,11 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
 
             def q3b():
                 li = spark.table(li_t)
+                # shuffle_hash on co-bucketed sides: hash build instead of
+                # the SMJ's per-task bucket re-sorts (see queries.q46)
                 od = spark.table(od_t).select(
                     "o_orderkey", F.year("o_orderdate").alias("order_year")
-                )
+                ).hint("shuffle_hash")
                 part = load_table(spark, sf_dir, "part")
                 return (
                     li.join(od, li.l_orderkey == od.o_orderkey)
@@ -337,9 +352,13 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
                     .orderBy("category", "order_year")
                 )
 
+            # the tier runs after the 60M-row scaling scans have filled the
+            # old gen; a full GC first + 5 reps keeps one degraded-JVM
+            # phase from poisoning every rep (observed 1.9x -> 6x swings)
+            spark._jvm.System.gc()
             q3b().collect()
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 q3b().collect()
                 best = min(best, time.perf_counter() - t0)
@@ -369,8 +388,9 @@ def _rollup_q1(spark, dirs: dict[str, str]) -> dict:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()  # first call builds (digest-cached)
             out["build_sec"][lbl] = round(time.perf_counter() - t0, 2)
+            spark._jvm.System.gc()
             best = float("inf")
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)

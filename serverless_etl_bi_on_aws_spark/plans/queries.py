@@ -1179,7 +1179,16 @@ def q46_sales_by_category_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     li_t, od_t = _q46_bucketed_tables(spark, sf_dir)
 
     li = spark.table(li_t)
-    orders = spark.table(od_t).select("o_orderkey", F.year("o_orderdate").alias("order_year"))
+    # SHUFFLE_HASH on the co-bucketed join: both sides already satisfy the
+    # hash distribution, so the hint swaps the SMJ's per-task bucket
+    # re-sorts (Spark 4 dropped bucketedTableScanOutputOrdering) for one
+    # hash build of the smaller side — measured ~15-25% off at sf10,
+    # still ZERO Exchange on either fact side (plan test).
+    orders = (
+        spark.table(od_t)
+        .select("o_orderkey", F.year("o_orderdate").alias("order_year"))
+        .hint("shuffle_hash")
+    )
     part = load_table(spark, sf_dir, "part")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
