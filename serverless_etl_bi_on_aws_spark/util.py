@@ -2,7 +2,40 @@
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame
+
+
+def fixture_digest(sf_dir: str, tables: tuple[str, ...] = (), version: str = "") -> str:
+    """Digest identifying BOTH the fixture path and its current DATA.
+
+    Write-once artifacts (bucketed tables, the pricing rollup, the q48
+    micros stream copy) are cached at fixed locations keyed by this digest.
+    Keying on the path alone (rounds 2-3) meant regenerating fixture data
+    in place silently served stale artifacts; folding each source table's
+    file listing (name, size, mtime) in makes a data refresh a cache miss.
+    ``version`` bumps invalidate on artifact SCHEMA changes (e.g. the
+    bucketed orders side gaining a precomputed order_year column)."""
+    h = hashlib.md5(sf_dir.rstrip("/").encode())
+    if version:
+        h.update(version.encode())
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            entries = (
+                sorted(
+                    (n, os.path.getsize(os.path.join(p, n)), int(os.path.getmtime(os.path.join(p, n))))
+                    for n in os.listdir(p)
+                )
+                if os.path.isdir(p)
+                else [(t, os.path.getsize(p), int(os.path.getmtime(p)))]
+            )
+        except OSError:
+            entries = [(t, -1, -1)]
+        h.update(repr(entries).encode())
+    return h.hexdigest()[:10]
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
