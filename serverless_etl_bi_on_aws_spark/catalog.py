@@ -65,10 +65,17 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     # shifts year()/month() across month boundaries (observed under
     # TZ=America/New_York). Runtime conf — safe to set on a live session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The engine owns its event-time type: fixture writers have emitted both
+    # timestamp[ns] and timestamp[us]-without-tz over the driver's lifetime,
+    # and Spark 4.x reads the latter as TIMESTAMP_NTZ by default (which
+    # unix_micros/window/withWatermark reject). Pin inference off here too
+    # (get_spark sets it at build, but catalog may be handed a foreign
+    # session), and cast any NTZ column that still slips through below.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _normalize_event_time(spark.read.parquet(path))
     # Under nanosAsLong the ns columns arrive as bigint; rebuild them as
     # microsecond timestamps with exact integer arithmetic (``div 1000`` —
     # epoch-nanos exceed 2^53, float division would corrupt). Truncation
@@ -88,6 +95,20 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
             spark.conf.set(nanos_key, prior)
     for col in ns_cols:
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return _normalize_event_time(df)
+
+
+def _normalize_event_time(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz is pinned UTC,
+    so the wall-clock values are unchanged). Event-time operators —
+    unix_micros, F.window, withWatermark — all require TIMESTAMP; declaring
+    the type at the catalog boundary means no operator inherits whatever the
+    fixture writer happened to emit."""
+    from pyspark.sql import types as T
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for col in ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

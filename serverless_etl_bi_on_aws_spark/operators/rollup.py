@@ -32,7 +32,6 @@ merged into the touched year partitions only.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
@@ -144,6 +143,15 @@ def upsert_pricing_rollup(
         .groupBy(*_KEYS)
         .agg(*[F.sum(c).alias(c) for c in _PARTIALS])
     )
+    # Materialize BEFORE the overwrite: the plan above lazily reads the same
+    # path it is about to dynamic-partition-overwrite, and which side the
+    # committer touches first is committer-defined — a mid-commit failure
+    # would corrupt the touched year partitions while the scan is still
+    # live. localCheckpoint cuts the lineage so the write's input is a
+    # driver/executor-held snapshot, not the on-disk files being replaced.
+    # (On a cluster with a transactional table format this is the MERGE
+    # INTO snapshot-isolation guarantee; plain parquet needs it by hand.)
+    merged = merged.localCheckpoint(eager=True)
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -155,12 +163,14 @@ def upsert_pricing_rollup(
 
 def ensure_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Idempotent build of the pricing rollup for a fixture dir: one fixed
-    location per ``sf_dir`` (md5 digest) under the system temp dir, built
-    once (parquet _SUCCESS gate) and reread ever after — the same
-    write-once discipline as q46's bucket build."""
+    location per ``sf_dir`` + current lineitem DATA (util.fixture_digest —
+    a fixture refresh is a cache miss, not a stale hit) under the system
+    temp dir, built once (parquet _SUCCESS gate) and reread ever after —
+    the same write-once discipline as q46's bucket build."""
     from serverless_etl_bi_on_aws_spark.catalog import load_table
+    from serverless_etl_bi_on_aws_spark.util import fixture_digest
 
-    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    digest = fixture_digest(sf_dir, ("lineitem",))[:8]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_rollup_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem")

@@ -1110,15 +1110,19 @@ def q45_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q46_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Idempotent build/re-register of q46's co-bucketed fact tables.
 
-    One fixed location + table-name pair per ``sf_dir`` (md5 digest), under
-    the system temp dir. Both sides are checked independently: only a
-    complete write (parquet _SUCCESS present) is reused, so a crash between
-    the two builds cannot strand a half-pair that poisons later runs."""
-    import hashlib
+    One fixed location + table-name pair per ``sf_dir`` AND its current
+    source data (util.fixture_digest folds the lineitem/orders file listing
+    into the key), under the system temp dir: regenerating fixture data in
+    place is a cache miss, not a stale hit. Both sides are checked
+    independently: only a complete write (parquet _SUCCESS present) is
+    reused, so a crash between the two builds cannot strand a half-pair
+    that poisons later runs."""
     import os
     import tempfile
 
-    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+
+    digest = fixture_digest(sf_dir, ("lineitem", "orders"))[:8]
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_q46_{digest}")
     li_t, od_t = f"q46_li_{digest}", f"q46_ord_{digest}"
 
@@ -1244,16 +1248,18 @@ def q48_streaming_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (built once per sf_dir): Spark's streaming parquet source, like its
     batch scan, refuses TIMESTAMP(NANOS), and the batch path's
     nanosAsLong rebuild (catalog.load_table) is the documented workaround
-    applied at copy time."""
-    import hashlib
+    applied at copy time. The copy location is keyed on fixture DATA
+    (util.fixture_digest), so a driver fixture refresh rebuilds the copy
+    instead of streaming stale rows/types."""
     import os
     import tempfile
 
     from serverless_etl_bi_on_aws_spark.streaming.funnel import (
         stream_funnel_window_counts,
     )
+    from serverless_etl_bi_on_aws_spark.util import fixture_digest
 
-    digest = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    digest = fixture_digest(sf_dir, ("events",))[:8]
     src = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_ev_{digest}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)

@@ -23,6 +23,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # deterministic oracle comparison: DuckDB timestamps are UTC-naive
     "spark.sql.session.timeZone": "UTC",
+    # Fixture parquet stores timestamp[us] WITHOUT a timezone; Spark 4.x
+    # defaults inferTimestampNTZ=true and reads that as TIMESTAMP_NTZ, which
+    # unix_micros()/F.window()/withWatermark() all reject. With the session
+    # tz pinned to UTC above, reading it as TIMESTAMP is semantically
+    # identical (and matches the DuckDB-naive oracle), so declare it.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for any pandas_udf / toPandas path (vectorized transfer)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # dims under this size go broadcast-hash without a hint. 16m is sized so
