@@ -361,6 +361,15 @@ def decode_jpeg_gray(data: bytes) -> tuple[bytes, int, int]:
                 raise ValueError("jpeg: only single-component baseline supported")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: non-baseline SOF not supported")
+        elif marker == 0xDD:  # DRI: restart interval
+            # A non-zero interval means RSTn markers punctuate the entropy
+            # stream and DC prediction resets at each — this decoder's
+            # un-stuff + single-run DC chain would silently decode such a
+            # file to garbage (round-5 verdict #5). Refuse loudly.
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                raise ValueError(
+                    "jpeg: restart markers (DRI interval != 0) not supported"
+                )
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(seg):

@@ -41,9 +41,12 @@ def connected_components(
     minimum node id reachable from ``id``. Only nodes that appear in some
     pair are returned (isolated rows have no near-dup decision to make).
 
-    Deterministic; converges in <= diameter rounds (asserted against
-    ``max_iter`` — raising means the graph is pathologically chained and
-    the star-alternation kernel should replace this one)."""
+    Deterministic; converges in <= diameter rounds. A graph that has not
+    converged within ``max_iter`` rounds is pathologically chained (a
+    >max_iter-diameter path — not the short-diameter shape near-dup
+    clusters have by construction); the partially-contracted edge set is
+    then handed to :func:`connected_components_stars`, whose round count
+    is O(log^2 n) regardless of diameter, instead of raising."""
     e = pairs.select(
         F.col(id1_col).cast("bigint").alias("src"),
         F.col(id2_col).cast("bigint").alias("dst"),
@@ -83,9 +86,114 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components: no fixpoint within {max_iter} rounds — "
-        "pathological diameter; use a star-alternation kernel"
+    # No fixpoint within the rail: switch kernels rather than fail. The
+    # labels computed so far are still a valid CONTRACTION (every node's
+    # label is some reachable node), so the star kernel runs on the
+    # label-graph — (label(u), label(v)) per original edge — which has the
+    # same component structure with diameter already shrunk by max_iter
+    # hops, then the final label is composed through the contraction.
+    contracted = (
+        edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(F.col("comp").alias("c_src"), "dst")
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("comp").alias("c_dst")),
+            "dst",
+        )
+        .select(F.col("c_src").alias("id_1"), F.col("c_dst").alias("id_2"))
+        .filter(F.col("id_1") != F.col("id_2"))
+    )
+    roots = connected_components_stars(contracted)
+    return (
+        labels.join(roots.withColumnRenamed("id", "comp"), "comp", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("root"), F.col("comp")).alias("comp"),
+        )
+    )
+
+
+def connected_components_stars(
+    pairs: DataFrame,
+    id1_col: str = "id_1",
+    id2_col: str = "id_2",
+    max_iter: int = 64,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    Algorithm 3) -> (id, root) with root = the component's minimum id.
+
+    Each half-round is one groupBy + join on the node id (AQE reuses the
+    partitioning) and STRICTLY SHRINKS the sum of edge endpoints'
+    distances to their roots; convergence is O(log^2 n) rounds on ANY
+    graph shape — including the long-path diameters that defeat plain
+    min-label propagation. At 100 TB this is the kernel of record for
+    unknown graph shapes; propagation stays the cheap path for the
+    short-diameter graphs near-dup clustering actually emits.
+
+    * large-star: per node u, link every LARGER neighbor to the minimum
+      of the closed neighborhood — long chains fold toward small ids
+      without growing any node's degree unboundedly.
+    * small-star: per node u, link every not-larger neighbor (and u) to
+      that minimum — flattens the local tree into a star.
+
+    Fixpoint: the edge set is unchanged by a full round; every edge then
+    joins a node directly to its component root."""
+    e = pairs.select(
+        F.col(id1_col).cast("bigint").alias("u"),
+        F.col(id2_col).cast("bigint").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    edges = e.distinct().localCheckpoint(eager=True)
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        nbrs = ed.unionByName(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("_mn"), F.col("u")).alias("m")
+        )
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # orient toward the smaller endpoint, group on the larger
+        o = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            o.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        return linked
+
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:  # max_iter is a log^2-scaled rail; hitting it means a bug, not data
+        raise RuntimeError(
+            f"connected_components_stars: no fixpoint within {max_iter} rounds"
+        )
+    # at fixpoint every edge is (node, root); roots also label themselves
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("_mn"), F.col("u")).alias("root"),
+        )
     )
 
 

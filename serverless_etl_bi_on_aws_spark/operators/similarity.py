@@ -63,6 +63,15 @@ def topk_cosine_arrow(
     drop a should-win row (exact-duplicate vectors are common in dedup
     corpora). Same results as the HOF path (float64 matmul vs float64
     fold agree to ~1e-15; ties broken by id in both).
+
+    Slope floor (tools/ab_q44_ship.py, 2026-08-13): the wire is already
+    float32 (fixture stores list<float>; Arrow ships it as-is), an
+    identity mapInArrow costs the same as the full query, and the
+    JVM-only unrolled-dot alternative is 4x SLOWER (per-element
+    GetArrayItem on a nested column, no SIMD). The remaining >2x slope
+    vs DuckDB is Spark's per-task Python IPC against an in-process
+    scan — irreducible for exact top-k here; LSH/IVF (q18/q45) are the
+    scale path that prunes it.
     """
     import numpy as np
     import pyarrow as pa

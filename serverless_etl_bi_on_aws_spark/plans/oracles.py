@@ -575,10 +575,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # q43: DOUBLE[] cast before the cosine, like q24 — the engine normalizes
     # float32 inputs in float64, so the oracle must too or the 6th decimal
-    # of ROUND diverges.
+    # of ROUND diverges. Zero-norm guard (list_inner_product(v,v) > 0): DuckDB's
+    # list_cosine_similarity yields NaN on a zero vector and NaN satisfies
+    # the >= threshold under its float ordering, while the Spark operator
+    # clamps zero-norm cosine to 0 — without the guard a future fixture
+    # containing a zero vector flips the oracle.
     "q43_neardup_embedding_cosine": """
         WITH normed AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
         )
         SELECT a.vec_id AS id_1, b.vec_id AS id_2,
                ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
@@ -655,7 +660,9 @@ ORACLE_SQL["q47_pricing_summary_rollup"] = ORACLE_SQL["q1_pricing_summary"]
 # independently validates the Spark-side iterative min-label propagation.
 ORACLE_SQL["q50_dedup_survivors_cc"] = """
     WITH RECURSIVE normed AS (
+        -- zero-norm guard: see q43's oracle note (NaN cosine knife-edge)
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
     ),
     pairs AS (
         SELECT a.vec_id AS id_1, b.vec_id AS id_2
@@ -713,4 +720,36 @@ ORACLE_SQL["q48_streaming_funnel_rollup"] = """
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
+"""
+
+# q51: WAV PCM is LOSSLESS, so the oracle recomputes every decoded sample
+# independently — generate_series materializes the analytic waveform
+# samp[i] = ((i*a + k) % 65536) - 32768 per doc (n = 256 + k%256 samples,
+# a = k%31+3) and aggregates the exact integer statistics the Spark side
+# obtained by decoding the actual RIFF bytes. A full value hash, not a
+# tolerance boolean: any codec bit slip shifts an integer cell.
+ORACLE_SQL["q51_audio_pcm_stats"] = """
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               256 + (doc_id % 256)  AS n,
+               (doc_id % 31) + 3     AS a
+        FROM documents
+    ), stats AS (
+        SELECT p.doc_id, p.source, p.n,
+               SUM(((g.i * p.a + p.doc_id) % 65536) - 32768) AS s_amp,
+               MIN(((g.i * p.a + p.doc_id) % 65536) - 32768) AS m_amp,
+               MAX(((g.i * p.a + p.doc_id) % 65536) - 32768) AS x_amp
+        FROM per_doc p CROSS JOIN UNNEST(generate_series(0, CAST(p.n - 1 AS BIGINT))) AS g(i)
+        GROUP BY p.doc_id, p.source, p.n
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)     AS n_docs,
+           CAST(SUM(n) AS BIGINT)       AS total_samples,
+           CAST(SUM(s_amp) AS BIGINT)   AS sum_amp,
+           CAST(MIN(m_amp) AS BIGINT)   AS min_amp,
+           CAST(MAX(x_amp) AS BIGINT)   AS max_amp,
+           CAST(SUM(n // 8) AS BIGINT)  AS sum_duration_ms
+    FROM stats
+    GROUP BY source
+    ORDER BY source
 """

@@ -1186,8 +1186,10 @@ def q46_sales_by_category_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     # SHUFFLE_HASH on the co-bucketed join: both sides already satisfy the
     # hash distribution, so the hint swaps the SMJ's per-task bucket
     # re-sorts (Spark 4 dropped bucketedTableScanOutputOrdering) for one
-    # hash build of the smaller side — measured ~15-25% off at sf10,
-    # still ZERO Exchange on either fact side (plan test).
+    # hash build of the smaller side. Interleaved A/B (tools/
+    # ab_shuffle_hash.py, 7 reps, one session): hint ON median 0.77 s vs
+    # OFF 1.26 s at sf1, ON 2.79 s vs OFF 3.78 s at sf10 — hint kept.
+    # Still ZERO Exchange on either fact side (plan test).
     orders = (
         spark.table(od_t)
         .select("o_orderkey", F.year("o_orderdate").alias("order_year"))
@@ -1361,6 +1363,43 @@ def q50_dedup_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 with the THIRD real codec — RIFF/WAV integer PCM (functions/
+    wav.py). Unlike JPEG (lossy, tolerance-bounded q49) PCM is lossless,
+    so this is a FULL-VALUE oracle: each document carries a real encoded
+    WAV whose int16 waveform is pure integer arithmetic in doc_id
+    (samp[i] = ((i*a + k) % 65536) - 32768, n = 256 + k%256, a = k%31+3),
+    the Arrow stage decodes the actual bytes back, and the per-source
+    aggregate of exact sample sums/mins/maxes/durations must hash-match
+    the oracle's independent generate_series recomputation. Any bit slip
+    in header parse, sample widening, or chunk-pad handling shifts an
+    integer and flips the hash.
+
+    Scale shape: same as q42/q49 — encode and decode isolated to Arrow
+    stages after all relational work; the final groupBy ships 6 longs per
+    row, never payload bytes, through the exchange."""
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        attach_wav_media,
+        audio_sample_stats,
+    )
+    from serverless_etl_bi_on_aws_spark.util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
+    stats = audio_sample_stats(attach_wav_media(docs))
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_samples").alias("total_samples"),
+            F.sum("sum_amp").alias("sum_amp"),
+            F.min("min_amp").alias("min_amp"),
+            F.max("max_amp").alias("max_amp"),
+            F.sum("dec_duration_ms").alias("sum_duration_ms"),
+        )
+        .orderBy("source")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1413,4 +1452,5 @@ QUERIES: dict[str, QueryFn] = {
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q49_media_pixel_stats_jpeg": q49_media_pixel_stats_jpeg,
     "q50_dedup_survivors_cc": q50_dedup_survivors_cc,
+    "q51_audio_pcm_stats": q51_audio_pcm_stats,
 }

@@ -12,11 +12,13 @@ is one batch per core, not one file per row).
 Decoders: PNG decode/resize is REAL — a from-scratch stdlib codec
 (functions/png.py, zlib + struct) — and since round 3 JPEG is too: a
 from-scratch baseline T.81 codec (functions/jpeg.py, huffman + dequant +
-batched-matmul IDCT in numpy). Audio/video decode branches remain
-deterministic stand-ins (no ffmpeg in this container; clearly marked);
-everything Spark-side — schema, batching, partitioning, UDF signatures —
-is identical for real and stand-in mimes. Swap the stand-in branches for
-ffmpeg calls in production; the plumbing does not change.
+batched-matmul IDCT in numpy). Since round 6 AUDIO is real as well: a
+from-scratch RIFF/WAV integer-PCM codec (functions/wav.py) — lossless,
+so q51's oracle hash-checks exact sample statistics. Only VIDEO decode
+remains a deterministic stand-in (no ffmpeg in this container; clearly
+marked); everything Spark-side — schema, batching, partitioning, UDF
+signatures — is identical for real and stand-in mimes. Swap the stand-in
+branch for ffmpeg calls in production; the plumbing does not change.
 """
 
 from __future__ import annotations
@@ -129,6 +131,93 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             pdf = pdf.copy()
             pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a ``media`` struct whose payload is a REAL RIFF/WAV file
+    (16-bit mono PCM at 8 kHz, functions/wav.py), deterministic per key.
+
+    Waveform is pure integer arithmetic so the oracle can recompute every
+    sample in SQL (generate_series): for key k,
+        n       = 256 + (k % 256)          samples
+        a       = (k % 31) + 3             (per-key slope)
+        samp[i] = ((i*a + k) % 65536) - 32768
+    which sweeps the full int16 range. duration_ms = n * 1000 // 8000."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import encode_wav_pcm16
+
+    out_schema = StructType(df.schema.fields + [StructField("media", MEDIA_STRUCT, True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = []
+            for key in pdf[id_col]:
+                k = int(key)
+                n, a = 256 + k % 256, (k % 31) + 3
+                samp = ((np.arange(n, dtype=np.int64) * a + k) % 65536) - 32768
+                media.append(
+                    {
+                        "payload": encode_wav_pcm16(samp, sample_rate=8000),
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n * 1000 // 8000,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def audio_sample_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Decode ``audio/wav`` payloads (real codec) and emit exact per-row
+    sample statistics: n_samples, sum/min/max amplitude (int64 — 16-bit
+    samples can't overflow a long below ~2^47 rows), sample_rate, and the
+    codec-derived duration_ms. Same scale shape as the image stages: all
+    relational work stays JVM-side; only this one Arrow stage touches
+    payload bytes, a batch at a time."""
+    from pyspark.sql.types import LongType
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import decode_wav_pcm
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("n_samples", LongType(), True),
+            StructField("sum_amp", LongType(), True),
+            StructField("min_amp", LongType(), True),
+            StructField("max_amp", LongType(), True),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("dec_duration_ms", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {k: [] for k in
+                ("n_samples", "sum_amp", "min_amp", "max_amp", "sample_rate", "dec_duration_ms")}
+            for m in pdf[media_col]:
+                if m is None or m["payload"] is None or m["mime"] != "audio/wav":
+                    for v in cols.values():
+                        v.append(None)
+                    continue
+                samples, rate, channels = decode_wav_pcm(bytes(m["payload"]))
+                n = len(samples)
+                cols["n_samples"].append(n)
+                cols["sum_amp"].append(int(samples.sum()) if n else 0)
+                cols["min_amp"].append(int(samples.min()) if n else None)
+                cols["max_amp"].append(int(samples.max()) if n else None)
+                cols["sample_rate"].append(rate)
+                cols["dec_duration_ms"].append(n // max(channels, 1) * 1000 // rate)
+            pdf = pdf.copy()
+            for k, v in cols.items():
+                pdf[k] = v
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
