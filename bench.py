@@ -304,6 +304,7 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
         base = os.path.join(REPO, "benchdata", f"bucketed_sf{lbl}")
         li_t, od_t = f"bench_li_b_{lbl}", f"bench_ord_b_{lbl}"
         t0 = time.perf_counter()
+        wrote = False
         try:
             # each side gated independently (round-2 advice: a crash between
             # the two builds must not strand a half-pair that later runs
@@ -331,7 +332,12 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
                 (build().repartition(32, F.col(key)).write.format("parquet")
                  .mode("overwrite").bucketBy(32, key).sortBy(key)
                  .option("path", loc).saveAsTable(t))
-            out["build_sec"][lbl] = round(time.perf_counter() - t0, 2)
+                wrote = True
+            # honest reporting (round-5 verdict #2): a short-circuited gate
+            # is a cache read, not a build — r4's "0.14 s build" was this
+            out["build_sec"][lbl] = (
+                round(time.perf_counter() - t0, 2) if wrote else "cached"
+            )
 
             def q3b():
                 li = spark.table(li_t)
@@ -385,9 +391,22 @@ def _rollup_q1(spark, dirs: dict[str, str]) -> dict:
     fn = QUERIES["q47_pricing_summary_rollup"]
     for lbl, sf_dir in dirs.items():
         try:
+            import tempfile
+
+            from serverless_etl_bi_on_aws_spark.util import fixture_digest
+
+            rollup_path = os.path.join(
+                tempfile.gettempdir(),
+                f"spark_graft_rollup_{fixture_digest(sf_dir, ('lineitem',))[:8]}",
+            )
+            pre_built = os.path.exists(os.path.join(rollup_path, "_SUCCESS"))
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()  # first call builds (digest-cached)
-            out["build_sec"][lbl] = round(time.perf_counter() - t0, 2)
+            # honest reporting (round-5 verdict #2): distinguish a real
+            # build from a digest-cache hit left by an earlier run
+            out["build_sec"][lbl] = (
+                "cached" if pre_built else round(time.perf_counter() - t0, 2)
+            )
             spark._jvm.System.gc()
             best = float("inf")
             for _ in range(5):
