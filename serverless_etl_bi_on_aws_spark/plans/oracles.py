@@ -753,3 +753,37 @@ ORACLE_SQL["q51_audio_pcm_stats"] = """
     GROUP BY source
     ORDER BY source
 """
+
+# q52: AVI container + PNG frames are BOTH lossless, so — like q51 — the
+# oracle regenerates every frame pixel analytically (triple
+# generate_series over frame x row x column) and the Spark side must
+# reproduce the exact integer statistics by re-parsing the real container
+# bytes and PNG-decoding each frame. Full value hash.
+ORACLE_SQL["q52_video_frame_stats"] = """
+    WITH per_doc AS (
+        SELECT doc_id AS k, source,
+               2 + (doc_id % 3)       AS n_frames,
+               8 + (doc_id % 8)       AS w,
+               8 + ((doc_id * 3) % 8) AS h
+        FROM documents
+    ), stats AS (
+        SELECT p.k, p.source,
+               SUM((x.i * 3 + y.i * 5 + p.k + 11 * f.i) % 256) AS s,
+               MIN((x.i * 3 + y.i * 5 + p.k + 11 * f.i) % 256) AS mn,
+               MAX((x.i * 3 + y.i * 5 + p.k + 11 * f.i) % 256) AS mx
+        FROM per_doc p
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.n_frames - 1 AS BIGINT))) AS f(i)
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.h - 1 AS BIGINT))) AS y(i)
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.w - 1 AS BIGINT))) AS x(i)
+        GROUP BY p.k, p.source
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(p.n_frames) AS BIGINT) AS total_frames,
+           CAST(SUM(s.s) AS BIGINT)        AS sum_px,
+           CAST(MIN(s.mn) AS BIGINT)       AS min_px,
+           CAST(MAX(s.mx) AS BIGINT)       AS max_px
+    FROM stats s JOIN per_doc p ON s.k = p.k
+    GROUP BY s.source
+    ORDER BY s.source
+"""

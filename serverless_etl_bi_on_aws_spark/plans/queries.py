@@ -1400,6 +1400,42 @@ def q51_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 with the FOURTH real media path — AVI container + PNG frames
+    (functions/avi.py + functions/png.py, MPNG fourcc). Container and
+    codec are both lossless, so like q51 (and unlike lossy q49) this is
+    a FULL-VALUE oracle: each document carries a real AVI whose frames
+    are PNG-encoded integer gradients ((x*3 + y*5 + k + 11*f) % 256 at
+    w = 8+k%8, h = 8+3k%8, n_frames = 2+k%3), the Arrow stage re-parses
+    the actual container bytes and PNG-decodes every frame, and the
+    per-source aggregate of exact pixel sums/mins/maxes must hash-match
+    the oracle's generate_series recomputation. A mis-skipped RIFF pad
+    byte, wrong movi offset, or PNG filter slip shifts an integer.
+
+    Scale shape: identical to q42/q49/q51 — encode/decode isolated to
+    Arrow stages after relational work; the exchange ships 5 longs per
+    row, never frames."""
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        attach_avi_media,
+        video_frame_stats,
+    )
+    from serverless_etl_bi_on_aws_spark.util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
+    stats = video_frame_stats(attach_avi_media(docs))
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("sum_px").alias("sum_px"),
+            F.min("min_px").alias("min_px"),
+            F.max("max_px").alias("max_px"),
+        )
+        .orderBy("source")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1453,4 +1489,5 @@ QUERIES: dict[str, QueryFn] = {
     "q49_media_pixel_stats_jpeg": q49_media_pixel_stats_jpeg,
     "q50_dedup_survivors_cc": q50_dedup_survivors_cc,
     "q51_audio_pcm_stats": q51_audio_pcm_stats,
+    "q52_video_frame_stats": q52_video_frame_stats,
 }

@@ -223,6 +223,109 @@ def audio_sample_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def attach_avi_media(df: DataFrame, id_col: str = "doc_id", fps: int = 4) -> DataFrame:
+    """Attach a ``media`` struct whose payload is a REAL AVI container
+    (functions/avi.py) holding PNG-encoded frames (``MPNG`` fourcc —
+    container AND codec both lossless, so q52 is a full value oracle).
+
+    Per key k: n_frames = 2 + k%3, w = 8 + k%8, h = 8 + (k*3)%8, frame f
+    pixel (x,y) = (x*3 + y*5 + k + 11*f) % 256 — same gradient family as
+    the PNG/JPEG stages with a per-frame shift, all pure integer
+    arithmetic a SQL oracle can regenerate."""
+    from serverless_etl_bi_on_aws_spark.functions.avi import encode_avi_frames
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+
+    out_schema = StructType(df.schema.fields + [StructField("media", MEDIA_STRUCT, True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = []
+            for key in pdf[id_col]:
+                k = int(key)
+                n_frames, w, h = 2 + k % 3, 8 + k % 8, 8 + (k * 3) % 8
+                frames = [
+                    encode_png(
+                        bytes(
+                            (x * 3 + y * 5 + k + 11 * f) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ),
+                        w,
+                        h,
+                    )
+                    for f in range(n_frames)
+                ]
+                media.append(
+                    {
+                        "payload": encode_avi_frames(frames, w, h, fps=fps),
+                        "mime": "video/x-msvideo",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": n_frames * 1000 // fps,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def video_frame_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Parse ``video/x-msvideo`` payloads (real AVI container), decode
+    every MPNG frame through the real PNG codec, and emit exact integer
+    statistics: frame count, per-video pixel-sum over all frames, min/max
+    pixel, and the container-declared fps. One row in -> one row out;
+    only this Arrow stage touches payload bytes."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType
+
+    from serverless_etl_bi_on_aws_spark.functions.avi import decode_avi_frames
+    from serverless_etl_bi_on_aws_spark.functions.png import decode_png
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("n_frames", LongType(), True),
+            StructField("sum_px", LongType(), True),
+            StructField("min_px", LongType(), True),
+            StructField("max_px", LongType(), True),
+            StructField("fps", IntegerType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {k: [] for k in ("n_frames", "sum_px", "min_px", "max_px", "fps")}
+            for m in pdf[media_col]:
+                if m is None or m["payload"] is None or m["mime"] != "video/x-msvideo":
+                    for v in cols.values():
+                        v.append(None)
+                    continue
+                frames, w, h, fps, fourcc = decode_avi_frames(bytes(m["payload"]))
+                if fourcc != b"MPNG":
+                    raise ValueError(f"video_frame_stats: unsupported fourcc {fourcc!r}")
+                s = mn = mx = None
+                for fr in frames:
+                    fw, fh, px = decode_png(fr)
+                    a = np.frombuffer(px, dtype=np.uint8)
+                    s = (s or 0) + int(a.sum())
+                    mn = int(a.min()) if mn is None else min(mn, int(a.min()))
+                    mx = int(a.max()) if mx is None else max(mx, int(a.max()))
+                cols["n_frames"].append(len(frames))
+                cols["sum_px"].append(s)
+                cols["min_px"].append(mn)
+                cols["max_px"].append(mx)
+                cols["fps"].append(fps)
+            pdf = pdf.copy()
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id", mime: str = "application/octet-stream") -> DataFrame:
     """Attach a deterministic synthetic ``media`` struct keyed on ``id_col``
     — the test stand-in for 'payload fetched from object storage by path'.
@@ -325,8 +428,13 @@ def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> Da
 
 def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") -> DataFrame:
     """Video frame sampling (one row in -> n rows out) via mapInPandas —
-    the UDTF-shaped stage. STUB: frames are slices of the payload; a real
-    deployment calls ffmpeg per batch and yields the same shape."""
+    the UDTF-shaped stage.
+
+    ``video/x-msvideo`` payloads go through the REAL container parser
+    (functions/avi.py): up to ``n_frames`` evenly-spaced actual frame
+    payloads (PNG bytes under MPNG) come back, each decodable by the real
+    PNG codec. Other mimes keep the deterministic payload-slice stand-in
+    (same batch shape; a deployment swaps that branch for ffmpeg)."""
     base = [f for f in df.schema.fields]
     out_schema = StructType(
         base
@@ -337,10 +445,23 @@ def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") ->
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from serverless_etl_bi_on_aws_spark.functions.avi import decode_avi_frames
+
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
-                payload = row[media_col]["payload"] if row[media_col] is not None else None
+                m = row[media_col]
+                payload = m["payload"] if m is not None else None
+                if payload is not None and m["mime"] == "video/x-msvideo":
+                    frames = decode_avi_frames(bytes(payload))[0]
+                    step = max(len(frames) // n_frames, 1)
+                    picks = frames[::step][:n_frames]
+                    for i, fr in enumerate(picks):
+                        r = row.to_dict()
+                        r["frame_idx"] = i
+                        r["frame"] = fr
+                        rows.append(r)
+                    continue
                 for i in range(n_frames):
                     r = row.to_dict()
                     r["frame_idx"] = i

@@ -547,3 +547,66 @@ def test_wav_codec_roundtrip_and_refusals():
         decode_wav_pcm(data[: len(data) // 2])
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav_pcm(b"\x89PNG....")
+
+
+def test_avi_codec_roundtrip_and_refusals():
+    """AVI container is lossless: MPNG frame payloads must round-trip
+    bit-exactly, survive unknown chunks, and refuse non-AVI RIFF."""
+    import struct
+
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.functions.avi import (
+        decode_avi_frames,
+        encode_avi_frames,
+    )
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+
+    k = 13
+    w, h = 9, 11
+    frames = [
+        encode_png(bytes((x * 3 + y * 5 + k + 11 * f) % 256 for y in range(h) for x in range(w)), w, h)
+        for f in range(4)
+    ]
+    data = encode_avi_frames(frames, w, h, fps=8)
+    out, ww, hh, fps, fourcc = decode_avi_frames(data)
+    assert (ww, hh, fps, fourcc) == (w, h, 8, b"MPNG")
+    assert out == frames
+
+    # an unknown odd-sized chunk between hdrl and movi must be skipped
+    movi_at = data.find(b"LIST", 12 + 4)  # hdrl LIST is first; find later LISTs
+    movi_at = data.find(b"movi") - 8
+    junk = b"JUNK" + struct.pack("<I", 5) + b"abcde" + b"\x00"
+    spliced = data[:movi_at] + junk + data[movi_at:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out2 = decode_avi_frames(spliced)[0]
+    assert out2 == frames
+
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_frames(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with _pytest.raises(ValueError):
+        decode_avi_frames(data[: len(data) // 3])
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames over a real AVI must emit ACTUAL decodable PNG frame
+    payloads (not payload slices), evenly spaced, capped at n_frames."""
+    from serverless_etl_bi_on_aws_spark.functions.png import decode_png
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        attach_avi_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    rows = sample_frames(attach_avi_media(df), n_frames=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for k, rs in by_doc.items():
+        n_frames, w, h = 2 + k % 3, 8 + k % 8, 8 + (k * 3) % 8
+        assert len(rs) == min(2, n_frames)
+        for r in rs:
+            fw, fh, px = decode_png(bytes(r.frame))
+            assert (fw, fh) == (w, h)
+            # frame 0 pixel (0,0) is k%256; sampled frames shift by 11*f
+            assert px[0] % 256 in {(k + 11 * f) % 256 for f in range(n_frames)}
