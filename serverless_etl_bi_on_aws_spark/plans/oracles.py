@@ -787,3 +787,55 @@ ORACLE_SQL["q52_video_frame_stats"] = """
     GROUP BY s.source
     ORDER BY s.source
 """
+
+# q53: smoothed tf-idf — the output carries only exact integers (tf, df,
+# rank, term); the float score orders the per-doc window but never
+# surfaces, so a last-ulp ln() difference between engines cannot flip a
+# ROUND. Exact score ties (same tf, df) break on the term string.
+ORACLE_SQL["q53_tfidf_top_terms"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents
+    ), ranked AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               CAST(ROW_NUMBER() OVER (
+                    PARTITION BY t.doc_id
+                    ORDER BY t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) DESC,
+                             t.term) AS INT) AS rank
+        FROM tf t JOIN df d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tf, df
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+"""
+
+# q54: train-test contamination — candidate docs' distinct 3-grams probed
+# against the DISTINCT benchmark gram set (src0 slice), so each candidate
+# gram matches at most once and the join cannot blow up. Rate is an exact
+# small-integer ratio; ROUND is stable across engines.
+ORACLE_SQL["q54_contamination_check"] = """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                     FOR i IN range(1, len(t) - 1)])) AS gram
+        FROM toks WHERE len(t) >= 3
+    ), bench AS (
+        SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           ROUND(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS contamination_rate
+    FROM grams c LEFT JOIN bench b USING (gram)
+    WHERE c.source <> 'src0'
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+"""

@@ -26,6 +26,7 @@ from serverless_etl_bi_on_aws_spark.functions.text import (
     avg_token_len,
     distinct_tokens,
     quality_score,
+    shingles_from_tokens,
     token_count,
     tokens,
 )
@@ -1436,6 +1437,90 @@ def q52_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (X5 extension) — the classic
+    corpus-relevance scorer a training-data pipeline runs before keyword
+    filtering or topic bucketing. Smoothed idf = ln((N+1)/(df+1)) + 1.
+
+    Output columns are EXACT INTEGERS only (term, tf, df, rank) — the
+    float score orders the window but never leaves the plan, so a last-ulp
+    ln() divergence between engines cannot flip a ROUND; exact ties (equal
+    tf and df) break on the term string in both engines.
+
+    Scale shape: explode -> one keyed shuffle to (doc,term), df as a
+    groupBy on term; the tf-df join is left un-hinted so AQE broadcasts
+    the vocabulary when it is small and falls back to a shuffle join when
+    a 100 TB corpus's vocabulary is not; the per-doc top-3 window
+    partitions on doc_id (the already-grouped key). The 1-row corpus
+    count joins as a broadcast cross join, not a driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_s",
+            F.col("tf") * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q54_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination detection (X2/X5 extension): for every
+    candidate document, the fraction of its distinct word 3-grams that
+    also appear anywhere in a benchmark corpus (here: the 'src0' source
+    slice stands in for the held-out eval set). The canonical decontam
+    pass an LLM data pipeline runs before training.
+
+    Scale shape: same inverted-index discipline as q12 — explode distinct
+    shingles once, ONE equi join on the gram against the deduped
+    benchmark gram set (no pair blow-up: the benchmark side is distinct,
+    so each candidate gram matches at most once), then a per-doc count
+    aggregate. At 100 TB the benchmark set is the small side and AQE
+    broadcasts it; the candidate side never self-joins."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("_toks"))
+        .select(
+            "doc_id", "source", F.explode(shingles_from_tokens("_toks", 3)).alias("gram")
+        )
+    )
+    bench = (
+        base.filter(F.col("source") == "src0").select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    cand = base.filter(F.col("source") != "src0")
+    return (
+        cand.join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1490,4 +1575,6 @@ QUERIES: dict[str, QueryFn] = {
     "q50_dedup_survivors_cc": q50_dedup_survivors_cc,
     "q51_audio_pcm_stats": q51_audio_pcm_stats,
     "q52_video_frame_stats": q52_video_frame_stats,
+    "q53_tfidf_top_terms": q53_tfidf_top_terms,
+    "q54_contamination_check": q54_contamination_check,
 }

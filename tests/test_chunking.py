@@ -56,3 +56,62 @@ def test_chunking_is_map_only(spark):
         .toString()
     )
     assert "Exchange" not in plan, "chunking must not shuffle"
+
+
+def test_tfidf_top_terms_crafted(spark, tmp_path):
+    """q53 semantics on a corpus with known tf/df structure: a term that
+    appears everywhere (df=N) scores below a rarer term with equal tf;
+    exact ties (same tf, df) break alphabetically."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+    rows = [
+        (0, "rare rare common filler", "en", "s0", 0),
+        (1, "common filler other other", "en", "s0", 0),
+        (2, "common filler zebra apple", "en", "s0", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df)
+           for r in QUERIES["q53_tfidf_top_terms"](spark, sf).collect()}
+    # doc 0: 'rare' tf=2 df=1 beats 'common'/'filler' tf=1 df=3
+    assert got[(0, 1)] == ("rare", 2, 1)
+    # doc 2: 'apple' and 'zebra' both tf=1 df=1 — exact tie, alphabetical
+    assert got[(2, 1)] == ("apple", 1, 1)
+    assert got[(2, 2)] == ("zebra", 1, 1)
+    # ubiquitous terms (df=N) still rank, but after all rarer ones
+    assert got[(2, 3)][0] in ("common", "filler")
+
+
+def test_contamination_check_planted(spark, tmp_path):
+    """q54 semantics with planted overlap: a candidate doc sharing a
+    3-gram with the benchmark slice is flagged with the exact gram
+    counts; a clean doc reports rate 0; sub-3-token docs are absent."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "src0", 0),   # benchmark
+        (1, "alpha beta gamma other words here", "en", "web", 0),  # contaminated
+        (2, "totally clean text with no overlap", "en", "web", 0),  # clean
+        (3, "too short", "en", "web", 0),                  # < 3 tokens
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: (r.n_grams, r.n_contaminated, r.contamination_rate)
+           for r in QUERIES["q54_contamination_check"](spark, sf).collect()}
+    # doc 1 has 4 distinct 3-grams; 'alpha beta gamma' + 'beta gamma ...'?
+    # benchmark grams: {'alpha beta gamma', 'beta gamma delta'}; doc 1's
+    # grams: 'alpha beta gamma', 'beta gamma other', 'gamma other words',
+    # 'other words here' -> exactly one hit
+    assert got[1] == (4, 1, 0.25)
+    assert got[2][1] == 0 and got[2][2] == 0.0
+    assert 3 not in got and 0 not in got
