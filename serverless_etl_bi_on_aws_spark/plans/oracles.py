@@ -839,3 +839,49 @@ ORACLE_SQL["q54_contamination_check"] = """
     GROUP BY c.doc_id
     ORDER BY c.doc_id
 """
+
+# q55: all output cells are exact integers or ratios of two exact
+# integers (same IEEE quotient in any engine -> ROUND stable). Docs with
+# fewer than 2 tokens have no 2-gram row and drop via the inner join.
+ORACLE_SQL["q55_repetition_stats"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY doc_id, term
+    ), dominance AS (
+        SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS max_c
+        FROM tf GROUP BY doc_id
+    ), grams AS (
+        SELECT doc_id,
+               len(t) - 1 AS n2,
+               len(list_distinct([t[i] || ' ' || t[i+1]
+                                  FOR i IN range(1, len(t))])) AS d2
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT d.doc_id,
+           CAST(d.n_tokens AS BIGINT)          AS n_tokens,
+           CAST(d.max_c AS BIGINT)             AS max_token_count,
+           ROUND(d.max_c * 1.0 / d.n_tokens, 6) AS top_token_frac,
+           CAST(g.n2 AS BIGINT)                AS n_2grams,
+           CAST(g.d2 AS BIGINT)                AS n_distinct_2grams,
+           ROUND(1 - g.d2 * 1.0 / g.n2, 6)     AS dup_2gram_frac
+    FROM dominance d JOIN grams g USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+# q56: the SAME multiplicative-hash arithmetic as q37's split — exact
+# integers end to end, so the selected id set is engine-identical.
+ORACLE_SQL["q56_domain_mix_rebalance"] = """
+    WITH c AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ), m AS (SELECT MIN(cnt) AS mn FROM c
+    ), t AS (
+        SELECT source, (m.mn * 10000) // c.cnt AS thresh FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN t USING (source)
+    WHERE (d.doc_id * 2654435761) % 10000 < t.thresh
+    ORDER BY d.doc_id
+"""

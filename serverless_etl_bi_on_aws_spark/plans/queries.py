@@ -1521,6 +1521,87 @@ def q54_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (X5 extension) — the Gopher/C4-style
+    quality gates a pipeline applies before training: top-token dominance
+    (max term frequency / length) and duplicate-2-gram fraction
+    (1 - distinct/total). Output is exact integers plus ratios of those
+    integers (int/int division is the same IEEE double in any engine, so
+    ROUND cannot knife-edge).
+
+    Scale shape: one explode -> (doc, term) groupBy -> per-doc max/sum for
+    the dominance side; the 2-gram side never explodes at all —
+    ``shingles_from_tokens`` is a per-row JVM expression, so distinct-gram
+    counts ride the scan (map-only). One keyed join brings the halves
+    together; docs under 2 tokens have no 2-gram row and drop out (inner
+    join), mirrored by the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("_c"))
+    )
+    dominance = tf.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_tokens"), F.max("_c").alias("max_token_count")
+    )
+    grams = docs.filter(F.size("_toks") >= 2).select(
+        "doc_id",
+        (F.size("_toks") - 1).cast("bigint").alias("n_2grams"),
+        F.size(shingles_from_tokens("_toks", 2)).cast("bigint").alias(
+            "n_distinct_2grams"
+        ),
+    )
+    return (
+        dominance.join(grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "max_token_count",
+            F.round(F.col("max_token_count") / F.col("n_tokens"), 6).alias(
+                "top_token_frac"
+            ),
+            "n_2grams",
+            "n_distinct_2grams",
+            F.round(1 - F.col("n_distinct_2grams") / F.col("n_2grams"), 6).alias(
+                "dup_2gram_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q56_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing (sampling extension): downsample every
+    source to the smallest source's row count — the uniform-mix special
+    case of target-weighted corpus mixing — with the engine's stable
+    multiplicative-hash sampler (operators/sampling.split_bucket, the same
+    arithmetic q37's split uses), so the selection is deterministic across
+    runs, partitionings, AND engines: keep a row iff
+    hash_bucket(doc_id, 10000) < (min_count * 10000) // source_count.
+
+    Scale shape: one tiny groupBy for the per-source counts, its min via a
+    1-row broadcast cross join, one broadcast join of the per-source
+    thresholds back onto the scan, then a map-only filter — the sampled
+    output never shuffles. Exact-integer thresholding, no floats
+    anywhere."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("_cnt"))
+    mn = counts.agg(F.min("_cnt").alias("_mn"))
+    thresholds = counts.crossJoin(F.broadcast(mn)).select(
+        "source", F.expr("(_mn * 10000) DIV _cnt").alias("_thresh")
+    )
+    return (
+        docs.join(F.broadcast(thresholds), "source")
+        .filter(split_bucket("doc_id", 10000) < F.col("_thresh"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1577,4 +1658,6 @@ QUERIES: dict[str, QueryFn] = {
     "q52_video_frame_stats": q52_video_frame_stats,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,
     "q54_contamination_check": q54_contamination_check,
+    "q55_repetition_stats": q55_repetition_stats,
+    "q56_domain_mix_rebalance": q56_domain_mix_rebalance,
 }

@@ -115,3 +115,59 @@ def test_contamination_check_planted(spark, tmp_path):
     assert got[1] == (4, 1, 0.25)
     assert got[2][1] == 0 and got[2][2] == 0.0
     assert 3 not in got and 0 not in got
+
+
+def test_repetition_stats_crafted(spark, tmp_path):
+    """q55: a pathologically repetitive doc scores high dominance and
+    high duplicate-2-gram fraction; a fully diverse doc scores the
+    floor; a 1-token doc is absent."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam", "en", "s", 0),
+        (1, "eight distinct little words walk into bars", "en", "s", 0),
+        (2, "solo", "en", "s", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {r.doc_id: r for r in QUERIES["q55_repetition_stats"](spark, sf).collect()}
+    assert got[0].n_tokens == 8 and got[0].max_token_count == 8
+    assert got[0].top_token_frac == 1.0
+    # 7 total 2-grams, all 'spam spam' -> 1 distinct -> dup frac 6/7
+    assert got[0].n_2grams == 7 and got[0].n_distinct_2grams == 1
+    assert got[0].dup_2gram_frac == round(1 - 1 / 7, 6)
+    assert got[1].max_token_count == 1 and got[1].dup_2gram_frac == 0.0
+    assert 2 not in got
+
+
+def test_domain_mix_rebalance_skewed(spark, tmp_path):
+    """q56 on skewed sources: the big source is downsampled toward the
+    small one's count via the deterministic hash (run-stable: two
+    invocations agree row-for-row), the small source survives whole."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+    rows = [(i, f"text {i}", "en", "big" if i < 400 else "small", 0)
+            for i in range(440)]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+    a = [(r.doc_id, r.source) for r in QUERIES["q56_domain_mix_rebalance"](spark, sf).collect()]
+    b = [(r.doc_id, r.source) for r in QUERIES["q56_domain_mix_rebalance"](spark, sf).collect()]
+    assert a == b  # deterministic
+    by_src: dict = {}
+    for _, s in a:
+        by_src[s] = by_src.get(s, 0) + 1
+    assert by_src["small"] == 40                     # thresh = 10000 -> all kept
+    # big: thresh = 40*10000//400 = 1000 -> ~10% kept, hash-exact subset
+    assert 0 < by_src["big"] < 80
+    expected_big = {i for i in range(400) if (i * 2654435761) % 10000 < 1000}
+    assert {d for d, s in a if s == "big"} == expected_big
