@@ -125,3 +125,26 @@ def test_q20_profile_broadcast_is_size_gated(spark):
     # ...while the forced O(n_langs) dims are still broadcast
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert rows == baseline
+
+
+def test_q54_contamination_probe_is_single_equi_join(spark):
+    """q54's scale contract: candidate grams probe the DEDUPED benchmark
+    set through ONE equi join (broadcast or shuffled — AQE's call), never
+    a pair-explosion self-join or cartesian."""
+    plan = _plan(spark, "q54_contamination_check")
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_q56_sampled_output_is_map_only_after_thresholds(spark):
+    """q56's scale contract: after the tiny per-source threshold build,
+    selection is a broadcast join + filter on the scan — the SAMPLED rows
+    themselves must not be exchanged (no hashpartitioning on doc_id in
+    the plan; the only exchanges serve the source-count aggregate and the
+    final presentation sort)."""
+    plan = _plan(spark, "q56_domain_mix_rebalance")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
