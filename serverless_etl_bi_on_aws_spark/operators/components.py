@@ -65,6 +65,10 @@ def connected_components(
             .groupBy(edges.src.alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # the convergence flag rides the label update itself (one column on
+        # the already-materialized checkpoint) instead of a third join of
+        # new-vs-old labels per round — the changed probe below is then a
+        # filter+limit over checkpointed rows, no shuffle
         new_labels = (
             labels.alias("l")
             .join(nbr_min.alias("n"), "id", "left")
@@ -73,17 +77,14 @@ def connected_components(
                 F.least(
                     F.col("l.comp"), F.coalesce(F.col("n.nbr_comp"), F.col("l.comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce(F.col("n.nbr_comp"), F.col("l.comp")) < F.col("l.comp")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "id")
-            .filter(F.col("a.comp") != F.col("b.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             return labels
     # No fixpoint within the rail: switch kernels rather than fail. The
