@@ -114,3 +114,62 @@ def test_scaled_long_cents_rounding_matches_exact_decimal(vals, perm_seed):
         (exact / Decimal(10000)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
     )
     assert got == want
+
+
+@given(
+    samples=st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=300),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_wav_roundtrip_property(samples, rate, channels):
+    """Any int16 sample array (padded to a channel multiple) must survive
+    encode->decode bit-exactly, at any rate/channel count."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import (
+        decode_wav_pcm,
+        encode_wav_pcm16,
+    )
+
+    arr = samples + [0] * ((-len(samples)) % channels)
+    data = encode_wav_pcm16(arr, sample_rate=rate, channels=channels)
+    dec, r, ch = decode_wav_pcm(data)
+    assert (r, ch) == (rate, channels)
+    assert dec.tolist() == arr
+
+
+def test_riff_parsers_never_accept_truncation():
+    """Every strict prefix of a valid WAV/AVI either raises ValueError or
+    (for WAV cut inside the sample payload) returns only whole frames —
+    never garbage, never a hang. Codec robustness for foreign bytes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.functions.avi import (
+        decode_avi_frames,
+        encode_avi_frames,
+    )
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+    from serverless_etl_bi_on_aws_spark.functions.wav import (
+        decode_wav_pcm,
+        encode_wav_pcm16,
+    )
+
+    wav = encode_wav_pcm16(np.arange(-50, 50, dtype=np.int16), 8000)
+    for cut in range(len(wav)):
+        try:
+            dec, _, _ = decode_wav_pcm(wav[:cut])
+            assert len(dec) <= 100  # whole frames only, no over-read
+        except ValueError:
+            pass
+
+    frames = [encode_png(bytes(range(64)), 8, 8)]
+    avi = encode_avi_frames(frames, 8, 8)
+    for cut in range(len(avi)):
+        try:
+            out, *_ = decode_avi_frames(avi[:cut])
+            for fr in out:
+                assert fr == frames[0]  # any returned frame is intact
+        except ValueError:
+            pass
