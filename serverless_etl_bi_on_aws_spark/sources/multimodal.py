@@ -374,7 +374,19 @@ def decode_and_resize(
         if mime in REAL_DECODER_MIMES:
             iw, ih, px = _decode_image(bytes(payload), mime)
             return resize_nearest(px, iw, ih, w, h)
-        # non-PNG stand-in: tile the payload bytes to w*h "pixels"
+        if mime == "video/x-msvideo":
+            # real container parse: the representative frame (first) through
+            # the real PNG decoder, then the same resize as stills
+            from serverless_etl_bi_on_aws_spark.functions.avi import decode_avi_frames
+            from serverless_etl_bi_on_aws_spark.functions.png import decode_png
+
+            frames = decode_avi_frames(bytes(payload))[0]
+            if not frames:
+                return None
+            iw, ih, px = decode_png(frames[0])
+            return resize_nearest(px, iw, ih, w, h)
+        # remaining mimes (no pixel semantics / no codec): deterministic
+        # stand-in — tile the payload bytes to w*h "pixels"
         reps = (w * h) // max(len(payload), 1) + 1
         return (payload * reps)[: w * h]
 
@@ -404,6 +416,26 @@ def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> Da
         df.schema.fields + [StructField("features", ArrayType(FloatType()), True)]
     )
 
+    def _content_bytes(payload: bytes, mime: str) -> bytes:
+        """DECODED content for every real codec (pixels for stills and
+        video frames, 8-bit-folded samples for PCM audio); raw payload
+        only for mimes with no in-container decoder."""
+        if mime in REAL_DECODER_MIMES:
+            return _decode_image(payload, mime)[2]
+        if mime == "audio/wav":
+            from serverless_etl_bi_on_aws_spark.functions.wav import decode_wav_pcm
+
+            samples = decode_wav_pcm(payload)[0]
+            return ((samples + 32768) >> 8).astype("uint8").tobytes()
+        if mime == "video/x-msvideo":
+            from serverless_etl_bi_on_aws_spark.functions.avi import decode_avi_frames
+            from serverless_etl_bi_on_aws_spark.functions.png import decode_png
+
+            return b"".join(
+                decode_png(fr)[2] for fr in decode_avi_frames(payload)[0]
+            )
+        return payload
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
@@ -411,9 +443,7 @@ def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> Da
                 if m is None or m["payload"] is None:
                     feats.append(None)
                     continue
-                buf = m["payload"]
-                if m["mime"] in REAL_DECODER_MIMES:
-                    buf = _decode_image(bytes(buf), m["mime"])[2]
+                buf = _content_bytes(bytes(m["payload"]), m["mime"])
                 hist = [0.0] * dim
                 for b in buf:
                     hist[b % dim] += 1.0

@@ -610,3 +610,42 @@ def test_sample_frames_real_avi(spark):
             assert (fw, fh) == (w, h)
             # frame 0 pixel (0,0) is k%256; sampled frames shift by 11*f
             assert px[0] % 256 in {(k + 11 * f) % 256 for f in range(n_frames)}
+
+
+def test_media_features_and_resize_use_real_codecs(spark):
+    """media_features must histogram DECODED content for every real codec
+    (samples for WAV, frame pixels for AVI) and decode_and_resize must
+    return the AVI's real first frame resized — not payload-byte
+    stand-ins."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.png import resize_nearest
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        attach_avi_media,
+        attach_wav_media,
+        decode_and_resize,
+        media_features,
+    )
+
+    df = spark.createDataFrame([(3,), (4,)], "doc_id bigint")
+    for attach in (attach_wav_media, attach_avi_media):
+        rows = media_features(attach(df), dim=8).collect()
+        for r in rows:
+            assert r.features is not None
+            assert abs(sum(r.features) - 1.0) < 1e-6
+            # decoded-content histogram must differ from the raw container
+            # bytes' histogram (headers/chunk tags would dominate otherwise)
+            raw = bytes(r.media.payload)
+            hist = [0.0] * 8
+            for b in raw:
+                hist[b % 8] += 1.0
+            raw_hist = [v / (sum(hist) or 1.0) for v in hist]
+            assert [round(x, 6) for x in r.features] != [round(x, 6) for x in raw_hist]
+
+    # AVI resize path: frame 0 gradient, nearest-neighbor, exact pixels
+    rows = decode_and_resize(attach_avi_media(df), target_w=4, target_h=4).collect()
+    for r in rows:
+        k = r.doc_id
+        w, h = 8 + k % 8, 8 + (k * 3) % 8
+        px = bytes((x * 3 + y * 5 + k) % 256 for y in range(h) for x in range(w))
+        assert bytes(r.pixels) == resize_nearest(px, w, h, 4, 4)
