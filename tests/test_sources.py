@@ -150,3 +150,55 @@ def test_q4_over_funnel_sink_prunes_partitions(spark, tmp_path):
     rows = rollup.collect()
     assert sum(r.n_events for r in rows) == events.count()  # month-2 copy untouched
     assert {r.month for r in rows} == {1}
+
+
+def test_json_lines_contract(spark, tmp_path):
+    """JSON-lines source: explicit schema + PERMISSIVE quarantine — good
+    rows parse, the malformed line drops (or routes to _corrupt_record
+    with keep_corrupt), pushdown-ready types come out."""
+    from serverless_etl_bi_on_aws_spark.sources.formats import (
+        CORRUPT_COL,
+        read_json_lines,
+    )
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "event_type": "view", "value": 1.5}\n'
+        '{"event_id": 2, "event_type": "purchase", "value": 9.0}\n'
+        'this is not json at all\n'
+        '{"event_id": 3, "event_type": "view", "value": 2.5}\n'
+    )
+    schema = "event_id BIGINT, event_type STRING, value DOUBLE"
+    df = read_json_lines(spark, str(p), schema)
+    rows = sorted((r.event_id, r.event_type, r.value) for r in df.collect())
+    assert rows == [(1, "view", 1.5), (2, "purchase", 9.0), (3, "view", 2.5)]
+    assert CORRUPT_COL not in df.columns
+    quarantined = read_json_lines(spark, str(p), schema, keep_corrupt=True)
+    bad = quarantined.filter(quarantined[CORRUPT_COL].isNotNull()).collect()
+    assert len(bad) == 1 and "not json" in bad[0][CORRUPT_COL]
+
+
+def test_orc_partitioned_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC sink/scan: hive partition layout, values survive, and a
+    partition filter prunes at the scan (PartitionFilters in the plan)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.sources.formats import (
+        read_orc,
+        write_partitioned_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 2024 + i % 2, 1 + i % 3, float(i)) for i in range(60)],
+        "id bigint, year int, month int, v double",
+    )
+    out = str(tmp_path / "orc")
+    write_partitioned_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.count() == 60
+    assert sorted(r.id for r in back.filter("year = 2024").collect()) == list(range(0, 60, 2))
+    plan = (
+        back.filter(F.col("year") == 2024)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "year" in plan
