@@ -885,3 +885,30 @@ ORACLE_SQL["q56_domain_mix_rebalance"] = """
     WHERE (d.doc_id * 2654435761) % 10000 < t.thresh
     ORDER BY d.doc_id
 """
+
+# q57: gap-filled rollup — the spine is generate_series over the (min,max)
+# bucket bounds cross the distinct types; empty buckets coalesce to
+# 0 / 0.0. Value cells are q32's own (already-audited) aggregates.
+ORACLE_SQL["q57_gapfilled_rollup"] = """
+    WITH b AS (
+        SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+               event_type, value
+        FROM events
+    ), bounds AS (
+        SELECT MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM b
+    ), spine AS (
+        SELECT g.i AS bucket_us, t.event_type
+        FROM bounds
+        CROSS JOIN UNNEST(generate_series(lo, hi, 21600000000)) AS g(i)
+        CROSS JOIN (SELECT DISTINCT event_type FROM b) t
+    ), agg AS (
+        SELECT bucket_us, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS s
+        FROM b GROUP BY bucket_us, event_type
+    )
+    SELECT s.bucket_us, s.event_type,
+           COALESCE(a.n, 0)   AS n_events,
+           COALESCE(a.s, 0.0) AS sum_value
+    FROM spine s LEFT JOIN agg a USING (bucket_us, event_type)
+    ORDER BY s.bucket_us, s.event_type
+"""

@@ -1625,6 +1625,45 @@ def q56_domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_gapfilled_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled continuous aggregate (hypertable family, q32's missing
+    half): 6-hour buckets x event type with EMPTY BUCKETS ZERO-FILLED —
+    the TimescaleDB ``time_bucket_gapfill`` semantic a dashboard needs so
+    a quiet interval plots as 0, not as a missing point.
+
+    Spine construction is declarative: the (min, max) bucket bounds are a
+    1-row aggregate, ``sequence()`` explodes the complete bucket range
+    JVM-side, a tiny distinct-types frame cross-joins (buckets x types
+    rows — thousands, never data-sized), and the actual counts LEFT-join
+    onto the spine. At 100 TB the spine stays tiny (it scales with time
+    span, not data volume) and broadcasts; the one data-sized shuffle is
+    q32's own groupBy."""
+    step = 21_600_000_000  # 6 h in microseconds
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.floor(F.unix_micros("ts") / step) * step).cast("bigint").alias("bucket_us"),
+        "event_type",
+        "value",
+    )
+    agg = ev.groupBy("bucket_us", "event_type").agg(
+        F.count("*").alias("_n"), F.round(F.sum("value"), 2).alias("_s")
+    )
+    bounds = ev.agg(F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi"))
+    types = ev.select("event_type").distinct()
+    spine = bounds.select(
+        F.explode(F.sequence("_lo", "_hi", F.lit(step))).alias("bucket_us")
+    ).crossJoin(types)
+    return (
+        spine.join(agg, ["bucket_us", "event_type"], "left")
+        .select(
+            "bucket_us",
+            "event_type",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("_s"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("bucket_us", "event_type")
+    )
+
+
 #: The driver contract: every implemented SURVEY §2 operator, by name.
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
@@ -1683,4 +1722,5 @@ QUERIES: dict[str, QueryFn] = {
     "q54_contamination_check": q54_contamination_check,
     "q55_repetition_stats": q55_repetition_stats,
     "q56_domain_mix_rebalance": q56_domain_mix_rebalance,
+    "q57_gapfilled_rollup": q57_gapfilled_rollup,
 }

@@ -171,3 +171,37 @@ def test_domain_mix_rebalance_skewed(spark, tmp_path):
     assert 0 < by_src["big"] < 80
     expected_big = {i for i in range(400) if (i * 2654435761) % 10000 < 1000}
     assert {d for d, s in a if s == "big"} == expected_big
+
+
+def test_gapfilled_rollup_zero_fills(spark, tmp_path):
+    """q57: buckets with no events appear with (0, 0.0) for every type;
+    the spine spans exactly [min_bucket, max_bucket]."""
+    import datetime
+    import os
+
+    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+    h6 = datetime.timedelta(hours=6)
+    t0 = datetime.datetime(2001, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "view", 1.0, "{}"),
+        (2, t0 + 3 * h6, 11, "view", 2.0, "{}"),   # buckets 1,2 are gaps
+        (3, t0, 12, "purchase", 5.0, "{}"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {(r.bucket_us, r.event_type): (r.n_events, r.sum_value)
+           for r in QUERIES["q57_gapfilled_rollup"](spark, sf).collect()}
+    step = 21_600_000_000
+    base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert len(got) == 4 * 2  # 4 buckets x 2 types
+    assert got[(base, "view")] == (1, 1.0)
+    assert got[(base + step, "view")] == (0, 0.0)       # gap zero-filled
+    assert got[(base + 2 * step, "purchase")] == (0, 0.0)
+    assert got[(base + 3 * step, "view")] == (1, 2.0)
+    assert got[(base + 3 * step, "purchase")] == (0, 0.0)
