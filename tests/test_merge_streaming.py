@@ -157,3 +157,40 @@ def test_stream_funnel_window_counts(spark, tmp_path):
         out.n_events == batch.n_events
     )
     assert joined.count() == emitted  # every emitted window matches batch truth
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join (J4 streaming-side): the drained stream⋈customer
+    windowed rollup must equal the same computation in batch — inner-join
+    drop of unknown users included."""
+    from serverless_etl_bi_on_aws_spark.streaming.enrich import (
+        stream_enriched_segment_counts,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    customers = load_table(spark, SF_SMOKE, "customer")
+    src = str(tmp_path / "ev_enrich")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    agg = stream_enriched_segment_counts(
+        spark, src, events.schema, customers, window_duration="1 day", watermark="1 day"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = [
+        (r.window_start, r.c_mktsegment, r.n_events, r.sum_value)
+        for r in spark.sql("select * from enrich_out").collect()
+    ]
+    batch = (
+        events.join(customers, events.user_id == customers.c_custkey)
+        .groupBy(F.window("ts", "1 day").alias("win"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win.start").alias("ws"), "c_mktsegment", "n_events", "sum_value")
+    )
+    want = [(r.ws, r.c_mktsegment, r.n_events, r.sum_value) for r in batch.collect()]
+    assert sorted(out) == sorted(want) and len(out) > 0
