@@ -70,6 +70,12 @@ LLM_TIER = {
     "q42": "q42_media_pixel_stats",
     "q43": "q43_neardup_embedding_cosine",
     "q49": "q49_media_pixel_stats_jpeg",
+    # round-6 additions: lossless codec paths + corpus hygiene
+    "q51": "q51_audio_pcm_stats",
+    "q52": "q52_video_frame_stats",
+    "q53": "q53_tfidf_top_terms",
+    "q54": "q54_contamination_check",
+    "q55": "q55_repetition_stats",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")
