@@ -42,8 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES, QUERIES
 from serverless_etl_bi_on_aws_spark.session import get_spark
+
+#: bench times the union: the BASELINE.md headline contract (q2/q6) and the
+#: LLM tier's minhash entry (q13) live in the off-driver EXTRA tier since
+#: the round-7 surface consolidation, but their cost is still tracked.
+QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -145,8 +150,12 @@ def _duckdb_warm(sf_dir: str, shorts: tuple[str, ...]) -> dict[str, float]:
 
         con = duckdb.connect()
         register(con, sf_dir)
-        from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
+        from serverless_etl_bi_on_aws_spark.plans.oracles import (
+            EXTRA_ORACLE_SQL,
+            ORACLE_SQL,
+        )
 
+        ORACLE_SQL = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
         names = {**DH, **SCALING_EXTRA}
         out = {}
         for short in shorts:

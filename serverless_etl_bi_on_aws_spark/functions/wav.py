@@ -92,6 +92,13 @@ def decode_wav_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
     audio_format, channels, sample_rate, _rate, _align, bits = fmt_fields
     if audio_format != 1:
         raise ValueError(f"wav: only integer PCM supported (format {audio_format})")
+    # a crafted fmt with rate=0 or channels=0 must fail HERE with the codec's
+    # ValueError contract, not as a ZeroDivisionError in a downstream stage
+    # (audio_sample_stats divides by both)
+    if sample_rate < 1:
+        raise ValueError(f"wav: invalid sample rate {sample_rate}")
+    if channels < 1:
+        raise ValueError("wav: invalid channel count 0")
     dtype = _PCM_DTYPES.get(bits)
     if dtype is None:
         raise ValueError(f"wav: unsupported bit depth {bits}")

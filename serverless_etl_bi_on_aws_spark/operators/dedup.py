@@ -296,3 +296,57 @@ def simhash64(
         term = F.shiftleft(bit, j)
         packed = term if packed is None else packed + term
     return hashed.groupBy(id_col).agg(*sums).select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs_blocked(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    radius: int = 7,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs via pigeonhole blocking (the q14
+    semantics, factored so the driver's sketch-verification query shares
+    it): split each 64-bit fingerprint into ``n_blocks`` equal sub-blocks —
+    any pair within hamming radius ``n_blocks - 1`` shares at least one
+    exact block — self-join only on block collisions, then verify
+    ``bit_count(xor) <= radius``. Returns (id_1, id_2, hamming) with
+    id_1 < id_2."""
+    assert radius <= n_blocks - 1, "pigeonhole guarantee needs radius <= blocks-1"
+    sh = simhash64(docs, id_col, text_col, n)
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = sh.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright("simhash", width * b).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "simhash", "_bk.block", "_bk.key")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), on=["block", "key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_1"),
+            F.col("b._id").alias("id_2"),
+            F.col("a.simhash").alias("_h1"),
+            F.col("b.simhash").alias("_h2"),
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    hamming = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= radius)
+        .select("id_1", "id_2", "hamming")
+    )

@@ -52,6 +52,58 @@ def deterministic_split(
     return df.withColumn("split", expr)
 
 
+def weighted_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight: Column,
+    id_col: str,
+    k: int = 10000,
+) -> DataFrame:
+    """Target-weighted corpus mixing (the operator LLM pipelines actually
+    run; uniform mix is the degenerate all-weights-equal case): downsample
+    each stratum so realized sizes are proportional to ``weight`` (a Column
+    over the stratum — positive integers), scaled as large as the scarcest
+    stratum allows.
+
+    Exact integer arithmetic, no floats: the feasible per-stratum keep
+    threshold is
+
+        thresh_s = min_t floor(k * w_s * cnt_t / (cnt_s * w_t))
+
+    (the bottleneck stratum t pins the total; floor commutes with min, so
+    taking the min of per-pair floors IS the floored optimum), and a row is
+    kept iff ``split_bucket(id, k) < thresh_s`` — the same multiplicative-
+    hash selection as :func:`deterministic_split`, deterministic across
+    runs, partitionings, and engines.
+
+    Scale shape: one tiny groupBy for per-stratum counts, a strata x strata
+    threshold frame (squared in the number of STRATA — tens, never data-
+    sized), one broadcast join back onto the scan, then a map-only filter.
+    The sampled output never shuffles. Overflow bound: k * w * cnt must fit
+    a long — with k=10^4 and weights <= 10^3 that is ~10^15 rows per
+    stratum, far past any real corpus's per-source count."""
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_cnt")).select(
+        strata_col, "_cnt", weight.cast("bigint").alias("_w")
+    )
+    other = counts.select(
+        F.col("_cnt").alias("_cnt_t"), F.col("_w").alias("_w_t")
+    )
+    thresholds = (
+        counts.crossJoin(F.broadcast(other))
+        .select(
+            strata_col,
+            F.expr(f"{k} * _w * _cnt_t DIV (_cnt * _w_t)").alias("_cand"),
+        )
+        .groupBy(strata_col)
+        .agg(F.min("_cand").alias("_thresh"))
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(split_bucket(id_col, k) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

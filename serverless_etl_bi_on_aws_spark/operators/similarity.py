@@ -426,6 +426,88 @@ def topk_cosine_ivf(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """One-time IVF index build: the persisted half of the build/probe
+    split (round-6 verdict #7 — :func:`topk_cosine_ivf` re-fit KMeans per
+    call, which a repeated-query workload cannot afford).
+
+    Writes two artifacts under ``index_path``:
+      * ``corpus/`` — the embedding table + its cluster assignment,
+        PARTITIONED BY the cluster id, so a probe is literal partition
+        pruning (only n_probe/n_clusters of the files are listed/read);
+      * ``centroids/`` — n_clusters rows (cluster, centroid array<double>),
+        the only thing a query needs driver-side to choose its probes.
+
+    This is the 100 TB deployment shape stated in q45's docstring made
+    real: clustering cost is paid once at ingest; the per-query cost is a
+    pruned scan. Rebuild policy is the caller's (key the path on a fixture
+    digest like q46's buckets — see queries.q18_ann_verify)."""
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feat)
+    assigned = model.transform(feat).withColumnRenamed("prediction", "_cluster")
+    (
+        assigned.drop("_features")
+        .write.mode("overwrite")
+        .partitionBy("_cluster")
+        .parquet(os.path.join(index_path, "corpus"))
+    )
+    spark = embeddings.sparkSession
+    rows = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(rows, "cluster int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe half of the persisted IVF index: choose the ``n_probe``
+    centroids nearest the query (centroids are n_clusters rows — the one
+    acceptable driver-side read), then scan ONLY those partitions of the
+    corpus (``_cluster IN probes`` prunes at file listing, visible as
+    PartitionFilters in the plan) and exact-rerank by cosine. Zero KMeans
+    fits per query — pytest-pinned (test_asof_ivf)."""
+    import os
+
+    centers = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+
+    def dist2(c) -> float:
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec))
+
+    probe = [
+        int(r["cluster"])
+        for r in sorted(centers, key=lambda r: dist2(r["centroid"]))[:n_probe]
+    ]
+    corpus = spark.read.parquet(os.path.join(index_path, "corpus"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        corpus.filter(F.col("_cluster").isin(probe))
+        .withColumn("cosine", cosine(vec_col, q))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_cluster")
+    )
+
+
 def topk_cosine_lsh(
     embeddings: DataFrame,
     query_vec: Sequence[float],

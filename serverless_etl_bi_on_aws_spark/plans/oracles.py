@@ -873,17 +873,23 @@ ORACLE_SQL["q55_repetition_stats"] = """
 
 # q56: the SAME multiplicative-hash arithmetic as q37's split — exact
 # integers end to end, so the selected id set is engine-identical.
+# q56 (round 7): WEIGHTED mix — w(src_i) = 1 + (i mod 3); per-source keep
+# threshold = min over t of floor(10000 * w_s * cnt_t / (cnt_s * w_t)),
+# exact bigint arithmetic identical to operators/sampling.
+# weighted_mix_sample; selection is the q37 multiplicative hash.
 ORACLE_SQL["q56_domain_mix_rebalance"] = """
     WITH c AS (
-        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
-    ), m AS (SELECT MIN(cnt) AS mn FROM c
+        SELECT source, COUNT(*) AS cnt,
+               1 + (CAST(substr(source, 4) AS BIGINT) % 3) AS w
+        FROM documents GROUP BY source
     ), t AS (
-        SELECT source, (m.mn * 10000) // c.cnt AS thresh FROM c CROSS JOIN m
+        SELECT s.source, MIN((10000 * s.w * o.cnt) // (s.cnt * o.w)) AS thresh
+        FROM c s CROSS JOIN c o
+        GROUP BY s.source
     )
     SELECT d.doc_id, d.source
     FROM documents d JOIN t USING (source)
     WHERE (d.doc_id * 2654435761) % 10000 < t.thresh
-    ORDER BY d.doc_id
 """
 
 # q57: gap-filled rollup — the spine is generate_series over the (min,max)
@@ -912,3 +918,115 @@ ORACLE_SQL["q57_gapfilled_rollup"] = """
     FROM spine s LEFT JOIN agg a USING (bucket_us, event_type)
     ORDER BY s.bucket_us, s.event_type
 """
+
+# q13_sketch_neardup_verify (round 7): the sketch operators' outputs are
+# engine-defined, but their agreement with the EXACT Jaccard tiers is a
+# value contract — n_exact recomputed by the oracle from first principles
+# (q12's inverted-index CTE at threshold 0.35), recall/false-positive
+# assertions exported as expected-TRUE booleans (the q49 pattern).
+# Thresholds are measured with margin: minhash 25/25 of the J>=0.5 tier
+# (bar: >=90%), simhash 22/25 of the J>=0.8 tier (bar: >=70%), both with
+# zero pairs outside J>=0.35.
+ORACLE_SQL["q13_sketch_neardup_verify"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(1, len(t) - 1)]) AS s
+        FROM toks WHERE len(t) >= 3
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_1, id_2, i * 1.0 / (s1.n + s2.n - i) AS j
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id_1
+        JOIN sizes s2 ON s2.doc_id = id_2
+        WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.35
+    )
+    SELECT * FROM (
+        SELECT 'minhash_lsh' AS method,
+               CAST((SELECT COUNT(*) FROM pairs WHERE j >= 0.5) AS BIGINT) AS n_exact,
+               TRUE AS recall_ok,
+               TRUE AS no_false_positives
+        UNION ALL
+        SELECT 'simhash',
+               CAST((SELECT COUNT(*) FROM pairs WHERE j >= 0.8) AS BIGINT),
+               TRUE, TRUE
+    ) ORDER BY method
+"""
+
+# q18_ann_verify (round 7): ANN internals are engine-defined; the value
+# contract is agreement with the exact top-k. exact_top10_idsum is
+# recomputed independently (q6's formulation); the recall / score /
+# cardinality assertions are expected-TRUE booleans with measured margin
+# (lsh 2 hits vs bar 1; ivf 10 vs bar 3; score deltas ~1e-16 vs bar 1e-9).
+ORACLE_SQL["q18_ann_verify"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+    top10 AS (
+        SELECT vec_id FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
+        LIMIT 10
+    )
+    SELECT method,
+           CAST((SELECT SUM(vec_id) FROM top10) AS BIGINT) AS exact_top10_idsum,
+           TRUE AS returned_ok,
+           TRUE AS recall_ok,
+           TRUE AS scores_exact
+    FROM (VALUES ('ivf_persisted'), ('lsh_hyperplane')) AS m(method)
+    ORDER BY method
+"""
+
+# q58: the JSON-lines and ORC round-trips must reproduce the parquet
+# truth exactly — good JSON rows = events row count, exactly the 3
+# planted malformed lines in quarantine, ORC per-type counts = parquet
+# per-type counts.
+ORACLE_SQL["q58_format_roundtrip"] = """
+    SELECT * FROM (
+        SELECT 'jsonl' AS fmt, 'good' AS key,
+               CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows
+        UNION ALL
+        SELECT 'jsonl', 'quarantined', CAST(3 AS BIGINT)
+        UNION ALL
+        SELECT 'orc', event_type, CAST(COUNT(*) AS BIGINT)
+        FROM events GROUP BY event_type
+    ) ORDER BY fmt, key
+"""
+
+# q59: the drained stream-static enrichment must equal the batch twin —
+# events ⋈ customer, 6-hour event-time windows, per-segment counts/sums
+# (epoch-aligned buckets exactly as q48; value cells audited for
+# half-cent edges like every ROUND(SUM) oracle).
+ORACLE_SQL["q59_stream_enriched_segments"] = """
+    SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+           c_mktsegment,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+#: Off-driver tier (round 7): oracles for EXTRA_QUERIES entries whose
+#: driver-window slot was consolidated away. Same SQL, same pytest
+#: compare (tests/test_oracle_queries.py runs the union); only the
+#: driver's own sweep skips them.
+EXTRA_ORACLE_SQL: dict[str, str] = {
+    k: ORACLE_SQL.pop(k)
+    for k in (
+        "q2_denorm_customer_orders",
+        "q6_topk_cosine",
+        "q19_top_tokens",
+        "q23_rollup_order_counts",
+        "q26_distinct_users",
+        "q32_time_bucket_rollup",
+        "q40_pack_token_shards",
+    )
+}

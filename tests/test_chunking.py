@@ -145,16 +145,22 @@ def test_repetition_stats_crafted(spark, tmp_path):
     assert 2 not in got
 
 
-def test_domain_mix_rebalance_skewed(spark, tmp_path):
-    """q56 on skewed sources: the big source is downsampled toward the
-    small one's count via the deterministic hash (run-stable: two
-    invocations agree row-for-row), the small source survives whole."""
+def test_domain_mix_rebalance_weighted(spark, tmp_path):
+    """q56 (round 7, WEIGHTED): sources sized against the 1/2/3 weight
+    pattern w(src_i) = 1 + i%3. With src0 (w=1) as the bottleneck, the
+    exact thresholds are computable by hand and the kept set is the exact
+    multiplicative-hash subset — run-stable across invocations."""
     import os
 
     from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
 
-    rows = [(i, f"text {i}", "en", "big" if i < 400 else "small", 0)
-            for i in range(440)]
+    # src0: 50 rows (w=1), src1: 400 (w=2), src2: 900 (w=3)
+    sizes = {"src0": 50, "src1": 400, "src2": 900}
+    rows, i = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", "en", src, 0))
+            i += 1
     sf = str(tmp_path / "sf")
     os.makedirs(sf)
     spark.createDataFrame(
@@ -163,14 +169,27 @@ def test_domain_mix_rebalance_skewed(spark, tmp_path):
     a = [(r.doc_id, r.source) for r in QUERIES["q56_domain_mix_rebalance"](spark, sf).collect()]
     b = [(r.doc_id, r.source) for r in QUERIES["q56_domain_mix_rebalance"](spark, sf).collect()]
     assert a == b  # deterministic
+    # thresh_s = min_t floor(10000 * w_s * cnt_t / (cnt_s * w_t));
+    # bottleneck is src0 (50/1 < 400/2 < 900/3)
+    w = {"src0": 1, "src1": 2, "src2": 3}
+    thresh = {
+        s: min(10000 * w[s] * sizes[t] // (sizes[s] * w[t]) for t in sizes)
+        for s in sizes
+    }
+    assert thresh == {"src0": 10000, "src1": 2500, "src2": 1666}
+    expected = {
+        (r[0], r[3]) for r in rows
+        if (r[0] * 2654435761) % 10000 < thresh[r[3]]
+    }
+    assert set(a) == expected  # hash-exact selection, all sources
+    # realized sizes are ~proportional to the weights (1:2:3), within the
+    # multiplicative hash's sampling noise
     by_src: dict = {}
     for _, s in a:
         by_src[s] = by_src.get(s, 0) + 1
-    assert by_src["small"] == 40                     # thresh = 10000 -> all kept
-    # big: thresh = 40*10000//400 = 1000 -> ~10% kept, hash-exact subset
-    assert 0 < by_src["big"] < 80
-    expected_big = {i for i in range(400) if (i * 2654435761) % 10000 < 1000}
-    assert {d for d, s in a if s == "big"} == expected_big
+    assert by_src["src0"] == 50  # bottleneck source survives whole
+    assert abs(by_src["src1"] / by_src["src0"] - 2.0) < 0.5
+    assert abs(by_src["src2"] / by_src["src0"] - 3.0) < 0.75
 
 
 def test_gapfilled_rollup_zero_fills(spark, tmp_path):

@@ -8,10 +8,16 @@ import math
 
 import pytest
 
-from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
-from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+from serverless_etl_bi_on_aws_spark.plans.oracles import EXTRA_ORACLE_SQL, ORACLE_SQL
+from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES, QUERIES
 
 from tests.conftest import SF_CORRECT, SF_SMOKE
+
+# the pytest gate covers the DRIVER surface and the consolidated
+# off-driver tier identically (round 7: the driver checks 50 entries;
+# EXTRA holds the twins whose window slot was consolidated away)
+ORACLE_SQL = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
+QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 
 def _canon(value):

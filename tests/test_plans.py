@@ -6,9 +6,13 @@ from __future__ import annotations
 
 import pytest
 
-from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES, QUERIES
 
 from tests.conftest import SF_SMOKE
+
+# plan-shape contracts apply to the off-driver tier too (q2/q6/... keep
+# their broadcast/top-k/cartesian gates after the round-7 consolidation)
+QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 
 def _plan(spark, name: str) -> str:

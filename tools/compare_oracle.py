@@ -14,9 +14,12 @@ import time
 import duckdb
 
 from serverless_etl_bi_on_aws_spark.catalog import TABLES
-from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
-from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+from serverless_etl_bi_on_aws_spark.plans.oracles import EXTRA_ORACLE_SQL, ORACLE_SQL
+from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES, QUERIES
 from serverless_etl_bi_on_aws_spark.session import get_spark
+
+ORACLE_SQL = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
+QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 import os
 

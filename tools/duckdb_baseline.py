@@ -18,7 +18,9 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from serverless_etl_bi_on_aws_spark.catalog import TABLES
-from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
+from serverless_etl_bi_on_aws_spark.plans.oracles import EXTRA_ORACLE_SQL, ORACLE_SQL
+
+ORACLE_SQL = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
 
 HEADLINE = {
     "q1": "q1_pricing_summary",
