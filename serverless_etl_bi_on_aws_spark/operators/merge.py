@@ -50,11 +50,29 @@ def merge_upsert(
     staging: DataFrame,
     keys: Sequence[str],
     broadcast_staging: bool | None = None,
+    schema_evolution: str = "error",
 ) -> DataFrame:
     """Delete-matching upsert (README.md:67-70): rows of ``final`` whose key
     appears in ``staging`` are replaced by the staging rows.
 
-    Returns a DataFrame with ``final``'s column set (``unionByName``).
+    ``schema_evolution`` is the policy for a staging batch whose column set
+    drifted from the target — the Spark analog of the reference re-running
+    its crawler after a layout change (README.md:83, 127):
+
+      * ``"error"`` (default) — require staging to cover final's columns;
+        a drifted batch fails loudly (the pre-round-7 behavior).
+      * ``"evolve"`` — output schema is the UNION of both column sets:
+        new staging columns appear on the target (null for pre-existing
+        rows), columns the source dropped survive (null on the new rows).
+        This is the crawler-re-run semantic.
+      * ``"target"`` — staging is aligned TO final's schema: missing
+        columns null-filled (cast to the target type), extra columns
+        dropped. The target never changes shape — the strict-warehouse
+        policy.
+
+    Returns ``final``'s column set under ``"error"``/``"target"``, the
+    union set under ``"evolve"``. Evolution is pure column algebra — no
+    extra shuffle or scan beyond the merge itself.
     """
     key_list = list(keys)
     staging_keys = staging.select(*key_list).dropDuplicates(key_list)
@@ -63,7 +81,21 @@ def merge_upsert(
     if broadcast_staging:
         staging_keys = F.broadcast(staging_keys)
     kept = final.join(staging_keys, on=key_list, how="left_anti")
-    return kept.unionByName(staging.select(*final.columns))
+    if schema_evolution == "error":
+        return kept.unionByName(staging.select(*final.columns))
+    if schema_evolution == "evolve":
+        return kept.unionByName(staging, allowMissingColumns=True)
+    if schema_evolution == "target":
+        staging_cols = set(staging.columns)
+        aligned = staging.select(
+            *[
+                F.col(f.name) if f.name in staging_cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in final.schema.fields
+            ]
+        )
+        return kept.unionByName(aligned)
+    raise ValueError(f"unknown schema_evolution policy: {schema_evolution!r}")
 
 
 def staging_table_merge(

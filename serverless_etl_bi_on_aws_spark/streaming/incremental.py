@@ -42,19 +42,27 @@ def backfill(source_df: DataFrame, target_path: str) -> None:
 
 
 def merge_into_parquet_target(
-    spark: SparkSession, staging: DataFrame, target_path: str, keys: Sequence[str]
+    spark: SparkSession,
+    staging: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    schema_evolution: str = "error",
 ) -> None:
     """ST4 (README.md:67-70): the 4-step Redshift staging merge against a
     parquet target directory, with write-new-then-swap atomicity.
 
     Idempotent: re-applying the same staging batch yields a byte-identical
     table (anti-join removes exactly the staged keys each time).
+    ``schema_evolution`` is merge_upsert's drift policy ("error" |
+    "evolve" | "target") — with "evolve", a source batch that gained a
+    column widens the target on this merge (the crawler-re-run semantic,
+    README.md:83/127), and one that lost a column null-fills it.
     """
     if not os.path.exists(target_path):
         staging.write.mode("overwrite").parquet(target_path)
         return
     final = spark.read.parquet(target_path)
-    merged = merge_upsert(final, staging, keys)
+    merged = merge_upsert(final, staging, keys, schema_evolution=schema_evolution)
     tmp = f"{target_path}.__new__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     old = f"{target_path}.__old__{uuid.uuid4().hex[:8]}"
@@ -73,6 +81,7 @@ def start_incremental_merge(
     available_now: bool = True,
     processing_time: str = "1 hour",
     fmt: str = "parquet",
+    schema_evolution: str = "error",
 ) -> StreamingQuery:
     """ST2+ST3+ST4 in one query: watch ``source_dir`` for new files (the
     Lambda-trigger analog — checkpointed, each file processed exactly once,
@@ -82,6 +91,12 @@ def start_incremental_merge(
     ``available_now=True`` = drain-everything-then-stop (the hourly batch
     cadence, ST2, run from any scheduler); ``False`` = stay up with a
     processing-time trigger.
+
+    Schema drift: a file-source stream's schema is FIXED per query, so an
+    evolved landing zone is handled the way the reference handles it —
+    re-run the crawler (README.md:83/127) = restart this query with the
+    widened ``schema`` and ``schema_evolution="evolve"``; the first merged
+    batch then widens the target (pytest-pinned in test_merge_streaming).
     """
     # pathGlobFilter: a landing zone accumulates manifests/notes/_SUCCESS
     # markers; only files of the declared format participate (a stray
@@ -92,7 +107,9 @@ def start_incremental_merge(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_into_parquet_target(spark, batch_df, target_path, keys)
+        merge_into_parquet_target(
+            spark, batch_df, target_path, keys, schema_evolution=schema_evolution
+        )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -548,6 +548,17 @@ def test_wav_codec_roundtrip_and_refusals():
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav_pcm(b"\x89PNG....")
 
+    # crafted fmt with rate=0 / channels=0 must fail with the codec's
+    # ValueError contract, not leak a ZeroDivisionError into
+    # audio_sample_stats' Arrow stage (round-7 advice)
+    for rate, chans, msg in ((0, 1, "sample rate"), (8000, 0, "channel")):
+        fmtz = struct.pack("<HHIIHH", 1, chans, rate, rate * 2, 2, 16)
+        bodyz = (b"fmt " + struct.pack("<I", 16) + fmtz
+                 + b"data" + struct.pack("<I", 4) + b"\x00\x01\x00\x02")
+        wavz = b"RIFF" + struct.pack("<I", 4 + len(bodyz)) + b"WAVE" + bodyz
+        with _pytest.raises(ValueError, match=msg):
+            decode_wav_pcm(wavz)
+
 
 def test_avi_codec_roundtrip_and_refusals():
     """AVI container is lossless: MPNG frame payloads must round-trip

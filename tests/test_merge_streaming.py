@@ -194,3 +194,87 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     )
     want = [(r.ws, r.c_mktsegment, r.n_events, r.sum_value) for r in batch.collect()]
     assert sorted(out) == sorted(want) and len(out) > 0
+
+
+def test_merge_schema_evolution_policies(spark):
+    """merge_upsert schema drift (round-7 verdict #5): "evolve" widens the
+    output to the union schema (new column null-backfilled on old rows,
+    dropped column null-filled on new rows); "target" pins the target's
+    shape; default "error" still fails loudly."""
+    import pytest
+
+    _, hist, stage = _split_orders(spark)
+    wider = stage.withColumn("o_channel", F.lit("web"))
+
+    # evolve: union schema, old rows null in the new column
+    ev = merge_upsert(hist, wider, ["o_orderkey"], schema_evolution="evolve")
+    assert "o_channel" in ev.columns
+    staged_keys = wider.select("o_orderkey")
+    assert ev.join(staged_keys, "o_orderkey", "left_anti").filter(
+        F.col("o_channel").isNotNull()
+    ).count() == 0
+    assert ev.join(staged_keys, "o_orderkey", "left_semi").filter(
+        F.col("o_channel") != "web"
+    ).count() == 0
+
+    # evolve with a MISSING source column: survives, null on staged rows
+    narrower = stage.drop("o_orderpriority")
+    ev2 = merge_upsert(hist, narrower, ["o_orderkey"], schema_evolution="evolve")
+    assert "o_orderpriority" in ev2.columns
+    assert ev2.filter(F.col("o_orderpriority").isNull()).count() == narrower.count()
+
+    # target: extra column dropped, missing column null-filled, shape fixed
+    tg = merge_upsert(hist, wider, ["o_orderkey"], schema_evolution="target")
+    assert tg.columns == hist.columns
+    tg2 = merge_upsert(hist, narrower, ["o_orderkey"], schema_evolution="target")
+    assert tg2.columns == hist.columns
+    assert tg2.schema["o_orderpriority"].dataType == hist.schema["o_orderpriority"].dataType
+
+    # default stays loud
+    with pytest.raises(Exception):
+        merge_upsert(hist, narrower, ["o_orderkey"]).collect()
+    with pytest.raises(ValueError):
+        merge_upsert(hist, stage, ["o_orderkey"], schema_evolution="bogus")
+
+
+def test_streaming_merge_schema_evolution_restart(spark, tmp_path):
+    """The crawler-re-run semantic end-to-end (round-7 verdict #5): drain a
+    stream at schema v1, then land files with a NEW column and restart the
+    query with the widened schema + schema_evolution="evolve" — the target
+    evolves on the next merge, with v1 rows null in the new column and no
+    manual migration of the existing parquet."""
+    src = tmp_path / "landing"
+    src.mkdir()
+    target = str(tmp_path / "dwh")
+    ckpt = str(tmp_path / "ckpt")
+    orders, hist, stage = _split_orders(spark)
+
+    hist.coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+    q = start_incremental_merge(
+        spark, str(src / "*"), target, ["o_orderkey"], orders.schema, ckpt
+    )
+    q.awaitTermination(120)
+    assert "o_channel" not in spark.read.parquet(target).columns
+
+    wider = stage.withColumn("o_channel", F.lit("web"))
+    wider.coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+    # restart = the SAME query/checkpoint with the re-crawled (wider)
+    # reader schema (README.md:83/127 — the reference re-runs the crawler
+    # and the job picks up the new layout); the checkpoint still
+    # guarantees batch1 is not re-processed
+    q2 = start_incremental_merge(
+        spark, str(src / "*"), target, ["o_orderkey"], wider.schema, ckpt,
+        schema_evolution="evolve",
+    )
+    q2.awaitTermination(120)
+
+    after = spark.read.parquet(target)
+    assert "o_channel" in after.columns
+    assert after.count() == orders.count()
+    staged_keys = stage.select("o_orderkey")
+    assert after.join(staged_keys, "o_orderkey", "left_semi").filter(
+        F.col("o_channel").isNull()
+    ).count() == 0
+    assert after.join(staged_keys, "o_orderkey", "left_anti").filter(
+        F.col("o_channel").isNotNull()
+    ).count() == 0
