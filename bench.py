@@ -227,6 +227,18 @@ def main() -> None:
                 return bq3
 
             tier("bucketed_q3", bucketed)
+        # --- denorm tier: q3 served from the pre-join denormalized fact,
+        # the reference's own warehouse layout (README.md:113) ---
+        if sf1_dir and sf10_dir:
+            def denorm():
+                dq3 = _denorm_q3(spark, {"1": sf1_dir, "10": sf10_dir})
+                scaling = result.get("scaling") or {}
+                du_slope = (scaling.get("q3") or {}).get("duckdb_slope_per_sf")
+                if du_slope and dq3.get("slope_per_sf") is not None:
+                    dq3["slope_ratio"] = round(dq3["slope_per_sf"] / du_slope, 2)
+                return dq3
+
+            tier("denorm_q3", denorm)
         # --- rollup tier: q1 served from the materialized pricing rollup,
         # the write-once layout for scan-bound aggregation ---
         if sf1_dir and sf10_dir:
@@ -311,27 +323,69 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
     on either fact side. Locally the saved exchange is a tmpfs copy, so the
     win understates a real cluster, where it is the network shuffle of the
     fact table. Build cost is reported (once; cached across runs by
-    re-registering the external location)."""
+    re-registering the external location).
+
+    Timing protocol (round-6 verdict #2: the driver-recorded slope was
+    2.44 while in-session interleaved A/Bs measured ~1.15 — this tier runs
+    after the 60M-row scaling scans, in a degraded-JVM phase, and
+    back-to-back per-label reps let one VM stall window poison a whole
+    label): both labels are built FIRST, then timed reps are INTERLEAVED
+    across sf1/sf10 (gc before each) and the slope uses per-label MEDIANS
+    — the same discipline as tools/ab_shuffle_hash.py, which is what the
+    in-session numbers were measured with."""
     from serverless_etl_bi_on_aws_spark.catalog import load_table
 
-    out: dict = {"build_sec": {}, "q3_sec": {}}
-    for lbl, sf_dir in dirs.items():
-        base = os.path.join(REPO, "benchdata", f"bucketed_sf{lbl}")
-        li_t, od_t = f"bench_li_b_{lbl}", f"bench_ord_b_{lbl}"
-        t0 = time.perf_counter()
-        wrote = False
-        try:
+    out: dict = {"build_sec": {}, "q3_sec": {}, "q3_sec_median": {}}
+
+    def q3b(lbl: str, sf_dir: str):
+        li = spark.table(f"bench_li_b2_{lbl}")
+        # shuffle_hash on co-bucketed sides: hash build instead of
+        # the SMJ's per-task bucket re-sorts (see queries.q46). The part
+        # attribute is materialized into the bucketed fact at build time
+        # (v2 ingest layout, README.md:113-115) — the per-query plan is
+        # the co-located join + aggregate only.
+        od = spark.table(f"bench_ord_b2_{lbl}").select(
+            "o_orderkey", F.year("o_orderdate").alias("order_year")
+        ).hint("shuffle_hash")
+        return (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("category", "order_year")
+            .agg(F.count("*").alias("n_sold"), F.sum("_rev").alias("_rs"))
+            .select(
+                "category", "order_year", "n_sold",
+                (F.expr("(_rs + 50) DIV 100").cast("double") / 100).alias("revenue"),
+            )
+            .orderBy("category", "order_year")
+        )
+
+    try:
+        for lbl, sf_dir in dirs.items():
+            base = os.path.join(REPO, "benchdata", f"bucketed2_sf{lbl}")
+            li_t, od_t = f"bench_li_b2_{lbl}", f"bench_ord_b2_{lbl}"
+            t0 = time.perf_counter()
+            wrote = False
             # each side gated independently (round-2 advice: a crash between
             # the two builds must not strand a half-pair that later runs
             # silently trust): only a completed write (_SUCCESS) is reused
+            def li_src(d=sf_dir):
+                li = load_table(spark, d, "lineitem").select(
+                    "l_orderkey",
+                    "l_partkey",
+                    F.floor(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000 + 0.5
+                    ).alias("_rev"),
+                )
+                part = load_table(spark, d, "part")
+                return li.join(
+                    F.broadcast(part), li.l_partkey == part.p_partkey
+                ).select("l_orderkey", F.col("p_type").alias("category"), "_rev")
+
             for t, sub, schema, key, build in (
                 (li_t, "li",
-                 "l_orderkey BIGINT, l_partkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
-                 "l_orderkey",
-                 lambda: load_table(spark, sf_dir, "lineitem").select(
-                     "l_orderkey", "l_partkey", "l_extendedprice", "l_discount")),
+                 "l_orderkey BIGINT, category STRING, _rev BIGINT",
+                 "l_orderkey", li_src),
                 (od_t, "ord", "o_orderkey BIGINT, o_orderdate TIMESTAMP", "o_orderkey",
-                 lambda: load_table(spark, sf_dir, "orders").select(
+                 lambda d=sf_dir: load_table(spark, d, "orders").select(
                      "o_orderkey", "o_orderdate")),
             ):
                 loc = f"{base}/{sub}"
@@ -353,42 +407,80 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
             out["build_sec"][lbl] = (
                 round(time.perf_counter() - t0, 2) if wrote else "cached"
             )
+            q3b(lbl, sf_dir).collect()  # warm plan + IO cache per label
 
-            def q3b():
-                li = spark.table(li_t)
-                # shuffle_hash on co-bucketed sides: hash build instead of
-                # the SMJ's per-task bucket re-sorts (see queries.q46)
-                od = spark.table(od_t).select(
-                    "o_orderkey", F.year("o_orderdate").alias("order_year")
-                ).hint("shuffle_hash")
-                part = load_table(spark, sf_dir, "part")
-                return (
-                    li.join(od, li.l_orderkey == od.o_orderkey)
-                    .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-                    .groupBy(F.col("p_type").alias("category"), "order_year")
-                    .agg(
-                        F.count("*").alias("n_sold"),
-                        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-                    )
-                    .orderBy("category", "order_year")
-                )
-
-            # the tier runs after the 60M-row scaling scans have filled the
-            # old gen; a full GC first + 5 reps keeps one degraded-JVM
-            # phase from poisoning every rep (observed 1.9x -> 6x swings)
-            spark._jvm.System.gc()
-            q3b().collect()
-            best = float("inf")
-            for _ in range(5):
+        times: dict[str, list[float]] = {lbl: [] for lbl in dirs}
+        for _ in range(7):
+            for lbl, sf_dir in dirs.items():
+                spark._jvm.System.gc()
                 t0 = time.perf_counter()
-                q3b().collect()
-                best = min(best, time.perf_counter() - t0)
-            out["q3_sec"][lbl] = round(best, 4)
-        except Exception as ex:  # noqa: BLE001 - bench tiers degrade, never fail
-            out["error"] = f"sf{lbl}: {type(ex).__name__}: {ex}"[:200]
-            return out
-    if {"1", "10"} <= out["q3_sec"].keys():
-        out["slope_per_sf"] = round((out["q3_sec"]["10"] - out["q3_sec"]["1"]) / 9.0, 4)
+                q3b(lbl, sf_dir).collect()
+                times[lbl].append(time.perf_counter() - t0)
+        import statistics
+
+        for lbl in dirs:
+            out["q3_sec"][lbl] = round(min(times[lbl]), 4)
+            out["q3_sec_median"][lbl] = round(statistics.median(times[lbl]), 4)
+    except Exception as ex:  # noqa: BLE001 - bench tiers degrade, never fail
+        out["error"] = f"{type(ex).__name__}: {ex}"[:200]
+        return out
+    if {"1", "10"} <= out["q3_sec_median"].keys():
+        out["slope_per_sf"] = round(
+            (out["q3_sec_median"]["10"] - out["q3_sec_median"]["1"]) / 9.0, 4
+        )
+    return out
+
+
+def _denorm_q3(spark, dirs: dict[str, str]) -> dict:
+    """q3 over the PRE-JOIN DENORMALIZED fact (operators/denorm.py) — the
+    reference's own answer to join cost (README.md:29/113: materialize the
+    join away), the middle rung of the q3 layout ladder between q46's
+    buckets (exchange paid at ingest, probe still per-query) and q47's
+    rollup (everything at ingest). tools/ab_q3_floor.py measured the
+    2M-entry broadcast probe + string agg as the LARGEST slope component
+    (+0.29 s/sf of raw q3's 0.556) — this layout pays it once. Build cost
+    reported (digest-cached); query-time slope scored like the other
+    layout tiers, interleaved across labels with per-label medians."""
+    import statistics
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.operators.denorm import ensure_sales_denorm
+    from serverless_etl_bi_on_aws_spark.operators.denorm import (
+        sales_by_category_from_denorm,
+    )
+    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+
+    out: dict = {"build_sec": {}, "q3_sec": {}, "q3_sec_median": {}}
+    paths: dict[str, str] = {}
+    try:
+        for lbl, sf_dir in dirs.items():
+            digest = fixture_digest(sf_dir, ("lineitem", "orders", "part"))[:8]
+            pre_built = os.path.exists(
+                os.path.join(tempfile.gettempdir(), f"spark_graft_denorm_{digest}", "_SUCCESS")
+            )
+            t0 = time.perf_counter()
+            paths[lbl] = ensure_sales_denorm(spark, sf_dir)
+            out["build_sec"][lbl] = (
+                "cached" if pre_built else round(time.perf_counter() - t0, 2)
+            )
+            sales_by_category_from_denorm(spark, paths[lbl]).collect()  # warm
+        times: dict[str, list[float]] = {lbl: [] for lbl in dirs}
+        for _ in range(7):
+            for lbl in dirs:
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                sales_by_category_from_denorm(spark, paths[lbl]).collect()
+                times[lbl].append(time.perf_counter() - t0)
+        for lbl in dirs:
+            out["q3_sec"][lbl] = round(min(times[lbl]), 4)
+            out["q3_sec_median"][lbl] = round(statistics.median(times[lbl]), 4)
+    except Exception as ex:  # noqa: BLE001 - bench tiers degrade, never fail
+        out["error"] = f"{type(ex).__name__}: {ex}"[:200]
+        return out
+    if {"1", "10"} <= out["q3_sec_median"].keys():
+        out["slope_per_sf"] = round(
+            (out["q3_sec_median"]["10"] - out["q3_sec_median"]["1"]) / 9.0, 4
+        )
     return out
 
 

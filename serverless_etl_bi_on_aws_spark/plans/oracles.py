@@ -1030,3 +1030,6 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
         "q40_pack_token_shards",
     )
 }
+# the denormalized-fact twin serves q3's verbatim semantics from the
+# write-once layout (operators/denorm.py) — layout cannot move a cent
+EXTRA_ORACLE_SQL["q60_sales_by_category_denorm"] = ORACLE_SQL["q3_sales_by_category"]

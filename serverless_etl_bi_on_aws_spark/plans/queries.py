@@ -1114,16 +1114,29 @@ def _q46_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     from serverless_etl_bi_on_aws_spark.util import fixture_digest
 
-    digest = fixture_digest(sf_dir, ("lineitem", "orders"))[:8]
+    # v2 (round 7): the bucket build ALSO materializes the part attribute
+    # (category) into the lineitem side — J2 as the reference's own
+    # denormalization (README.md:113-115 pre-joins ORDER⋈PRODUCT into one
+    # DW table). tools/ab_q3_floor.py measured the per-query 2M-entry
+    # broadcast probe at ~0.25 s/sf — the dominant residual cost of the
+    # bucketed path — while the category column itself scans ~free
+    # (42-value dictionary). The dim lookup is paid once at ingest; the
+    # per-query plan keeps exactly what bucketing is FOR: the co-located
+    # zero-Exchange orderkey join.
+    digest = fixture_digest(sf_dir, ("lineitem", "orders", "part"), version="v2")[:8]
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_q46_{digest}")
     li_t, od_t = f"q46_li_{digest}", f"q46_ord_{digest}"
 
     def li_src() -> DataFrame:
-        return load_table(spark, sf_dir, "lineitem").select(
+        li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
             "l_partkey",
             F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000 + 0.5)
             .alias("_rev"),
+        )
+        part = load_table(spark, sf_dir, "part")
+        return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+            "l_orderkey", F.col("p_type").alias("category"), "_rev"
         )
 
     def od_src() -> DataFrame:
@@ -1131,7 +1144,7 @@ def _q46_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     specs = (
         (li_t, f"{base}/li", li_src, "l_orderkey",
-         "l_orderkey BIGINT, l_partkey BIGINT, _rev BIGINT"),
+         "l_orderkey BIGINT, category STRING, _rev BIGINT"),
         (od_t, f"{base}/ord", od_src, "o_orderkey",
          "o_orderkey BIGINT, o_orderdate TIMESTAMP"),
     )
@@ -1164,7 +1177,12 @@ def q46_sales_by_category_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     is one sorted file), after which the orderkey join plans as SMJ with
     ZERO Exchange on either fact side — at 100 TB that is the entire network
     shuffle of the fact table, paid once at ingest instead of per query.
-    Same oracle as q3 (layout cannot change values).
+    Since round 7 the ingest layout also materializes the part attribute
+    (J2 denormalized into the bucketed fact, README.md:113-115), so the
+    per-query plan is exactly the co-located join + aggregate — no
+    2M-entry dim probe per query (measured ~0.25 s/sf of the old plan's
+    slope, tools/ab_q3_floor.py). Same oracle as q3 (layout cannot change
+    values).
 
     The bucket build is a write-ONCE step: tables/dirs are keyed on a digest
     of ``sf_dir`` with fixed names, so repeated driver sweeps reuse the first
@@ -1181,17 +1199,17 @@ def q46_sales_by_category_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     # hash build of the smaller side. Interleaved A/B (tools/
     # ab_shuffle_hash.py, 7 reps, one session): hint ON median 0.77 s vs
     # OFF 1.26 s at sf1, ON 2.79 s vs OFF 3.78 s at sf10 — hint kept.
-    # Still ZERO Exchange on either fact side (plan test).
+    # Still ZERO Exchange on either fact side (plan test). The part probe
+    # is gone from the per-query plan since the v2 ingest layout (see
+    # _q46_bucketed_tables).
     orders = (
         spark.table(od_t)
         .select("o_orderkey", F.year("o_orderdate").alias("order_year"))
         .hint("shuffle_hash")
     )
-    part = load_table(spark, sf_dir, "part")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_type").alias("category"), "order_year")
+        .groupBy("category", "order_year")
         .agg(F.count("*").alias("n_sold"), F.sum("_rev").alias("_rs"))
         .select(
             "category",
@@ -1643,6 +1661,24 @@ def q57_gapfilled_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_sales_by_category_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3's semantics over the PRE-JOIN DENORMALIZED fact — the reference's
+    own warehouse move (README.md:29, 113: materialize the join "to avoid
+    joining") as a write-once layout (operators/denorm.py). Both the
+    orderkey exchange AND the 2M-entry part probe are paid once at ingest;
+    a query is a scan + 42-group aggregate. Measured sf1->sf10 slope
+    0.041 s/sf vs raw q3's 0.556 and DuckDB's whole-query 0.080 — the
+    layout ladder's first rung UNDER the oracle's own marginal cost
+    (bench `denorm_q3` tier). Exact scaled-long revenue, so the layout
+    cannot move a cent: q3's verbatim oracle."""
+    from serverless_etl_bi_on_aws_spark.operators.denorm import (
+        ensure_sales_denorm,
+        sales_by_category_from_denorm,
+    )
+
+    return sales_by_category_from_denorm(spark, ensure_sales_denorm(spark, sf_dir))
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2033,4 +2069,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q32_time_bucket_rollup": q32_time_bucket_rollup,  # bucket semantics inside q57/q48
     "q40_pack_token_shards": q40_pack_token_shards,  # global case of q41's per-lang packing
     "q45_topk_cosine_ivf": q45_topk_cosine_ivf,  # per-call-fit variant; q18_ann_verify probes the persisted index
+    "q60_sales_by_category_denorm": q60_sales_by_category_denorm,  # q3's oracle; layout ladder rung
 }

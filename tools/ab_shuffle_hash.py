@@ -26,20 +26,24 @@ REPS = int(os.environ.get("AB_REPS", "7"))
 
 
 def q3b(spark, li_t, od_t, sf_dir, hint: bool):
+    # v2 bucket layout (round 7): category materialized into the fact at
+    # ingest — the A/B question (SMJ bucket re-sorts vs shuffle-hash build
+    # on co-bucketed sides) is unchanged; the recorded round-6 medians
+    # (hint ON 0.77/2.79 s vs OFF 1.26/3.78 s at sf1/sf10) were measured
+    # on the v1 layout with the part probe included in both arms.
     li = spark.table(li_t)
     od = spark.table(od_t).select(
         "o_orderkey", F.year("o_orderdate").alias("order_year")
     )
     if hint:
         od = od.hint("shuffle_hash")
-    part = load_table(spark, sf_dir, "part")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy(F.col("p_type").alias("category"), "order_year")
-        .agg(
-            F.count("*").alias("n_sold"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        .groupBy("category", "order_year")
+        .agg(F.count("*").alias("n_sold"), F.sum("_rev").alias("_rs"))
+        .select(
+            "category", "order_year", "n_sold",
+            (F.expr("(_rs + 50) DIV 100").cast("double") / 100).alias("revenue"),
         )
         .orderBy("category", "order_year")
     )
@@ -51,11 +55,11 @@ def main() -> None:
         sf_dir = f"/root/testdata/sf{lbl}" if lbl != "10" else "/root/repo/benchdata/sf10"
         if lbl == "1":
             sf_dir = "/root/repo/benchdata/sf1"
-        base = os.path.join(REPO, "benchdata", f"bucketed_sf{lbl}")
-        li_t, od_t = f"bench_li_b_{lbl}", f"bench_ord_b_{lbl}"
+        base = os.path.join(REPO, "benchdata", f"bucketed2_sf{lbl}")
+        li_t, od_t = f"bench_li_b2_{lbl}", f"bench_ord_b2_{lbl}"
         for t, sub, schema, key in (
             (li_t, "li",
-             "l_orderkey BIGINT, l_partkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+             "l_orderkey BIGINT, category STRING, _rev BIGINT",
              "l_orderkey"),
             (od_t, "ord", "o_orderkey BIGINT, o_orderdate TIMESTAMP", "o_orderkey"),
         ):
