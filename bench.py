@@ -21,6 +21,13 @@ plus diagnostic tiers (round-1 verdict asks #1/#4):
     "skew"       — salted-vs-plain timed A/B on a 90%-hot-key join
                    (verdict r1 #8): measured speedup of operators/skew.py
                    when the dim can't broadcast and AQE can't split.
+    "bucketed_q3"— q3 over co-bucketed facts (v2 ingest layout: part
+                   attribute denormalized into the fact): the orderkey
+                   exchange AND dim probe paid once at ingest; interleaved
+                   median-of-7 across sf1/sf10.
+    "denorm_q3"  — q3 over the pre-join denormalized fact
+                   (operators/denorm.py, the reference's README.md:113
+                   warehouse layout): scan + 42-group agg per query.
     "rollup_q1"  — q1 served from the materialized pricing rollup
                    (operators/rollup.py, round-2 verdict #1): build cost
                    once, then query-time slope vs DuckDB's raw-scan slope.

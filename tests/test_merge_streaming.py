@@ -278,3 +278,39 @@ def test_streaming_merge_schema_evolution_restart(spark, tmp_path):
     assert after.join(staged_keys, "o_orderkey", "left_anti").filter(
         F.col("o_channel").isNotNull()
     ).count() == 0
+
+
+def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join (views ⋈ purchases per user, 24 h
+    attribution interval, both sides watermarked): the drained stream
+    must produce exactly the batch twin's pairs — state eviction bounded
+    by watermark+interval must not drop a legitimate match in an
+    AvailableNow drain."""
+    from serverless_etl_bi_on_aws_spark.streaming.join import (
+        batch_conversion_join,
+        stream_conversion_join,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "ev_ss")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    joined = stream_conversion_join(
+        spark, src, events.schema, attribution_window="24 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.view_id, r.buy_id, r.buy_value, r.lag_us)
+        for r in spark.sql("select * from ss_join_out").collect()
+    )
+    want = sorted(
+        (r.user_id, r.view_id, r.buy_id, r.buy_value, r.lag_us)
+        for r in batch_conversion_join(events, "24 hours").collect()
+    )
+    assert got == want and len(got) > 0
