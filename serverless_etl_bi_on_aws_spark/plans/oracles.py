@@ -1033,3 +1033,39 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
 # the denormalized-fact twin serves q3's verbatim semantics from the
 # write-once layout (operators/denorm.py) — layout cannot move a cent
 EXTRA_ORACLE_SQL["q60_sales_by_category_denorm"] = ORACLE_SQL["q3_sales_by_category"]
+
+# q61: animated GIF89a is LOSSLESS (LZW) — like q51/q52 the oracle
+# regenerates every frame pixel analytically (frame x row x column
+# generate_series over the gradient (x*3 + y*5 + k + 13*f) % 256 with
+# n_frames = 2+k%4, w = 7+k%9, h = 7+(k*5)%9, 25 cs per frame) and the
+# Spark side must reproduce the exact integers by LZW-decoding the real
+# GIF bytes. Full value hash.
+EXTRA_ORACLE_SQL["q61_gif_frame_stats"] = """
+    WITH per_doc AS (
+        SELECT doc_id AS k, source,
+               2 + (doc_id % 4)       AS n_frames,
+               7 + (doc_id % 9)       AS w,
+               7 + ((doc_id * 5) % 9) AS h
+        FROM documents
+    ), stats AS (
+        SELECT p.k, p.source,
+               SUM((x.i * 3 + y.i * 5 + p.k + 13 * f.i) % 256) AS s,
+               MIN((x.i * 3 + y.i * 5 + p.k + 13 * f.i) % 256) AS mn,
+               MAX((x.i * 3 + y.i * 5 + p.k + 13 * f.i) % 256) AS mx
+        FROM per_doc p
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.n_frames - 1 AS BIGINT))) AS f(i)
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.h - 1 AS BIGINT))) AS y(i)
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.w - 1 AS BIGINT))) AS x(i)
+        GROUP BY p.k, p.source
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT)             AS n_docs,
+           CAST(SUM(p.n_frames) AS BIGINT)      AS total_frames,
+           CAST(SUM(s.s) AS BIGINT)             AS sum_px,
+           CAST(MIN(s.mn) AS BIGINT)            AS min_px,
+           CAST(MAX(s.mx) AS BIGINT)            AS max_px,
+           CAST(SUM(p.n_frames) * 25 AS BIGINT) AS total_delay_cs
+    FROM stats s JOIN per_doc p ON s.k = p.k
+    GROUP BY s.source
+    ORDER BY s.source
+"""

@@ -1679,6 +1679,41 @@ def q60_sales_by_category_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sales_by_category_from_denorm(spark, ensure_sales_denorm(spark, sf_dir))
 
 
+def q61_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 with the FIFTH real codec: animated GIF89a (functions/gif.py —
+    from-scratch LZW both directions). GIF is lossless, so like q51/q52
+    this is a FULL value oracle: per source, exact frame counts, pixel
+    sums over every frame of every animation, min/max pixel, and the
+    container-declared total delay — all recomputed independently by the
+    oracle via generate_series over the analytic gradient. A single
+    slipped LZW code-width transition shifts thousands of pixels and
+    flips the hash.
+
+    Scale shape: identical to q42/q49/q52 — decode isolated to one Arrow
+    stage after all relational work; exchanges ship 5 integers per doc,
+    never payloads."""
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        attach_gif_media,
+        gif_frame_stats,
+    )
+    from serverless_etl_bi_on_aws_spark.util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
+    stats = gif_frame_stats(attach_gif_media(docs))
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("sum_px").alias("sum_px"),
+            F.min("min_px").alias("min_px"),
+            F.max("max_px").alias("max_px"),
+            F.sum("total_delay_cs").alias("total_delay_cs"),
+        )
+        .orderBy("source")
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2070,4 +2105,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q40_pack_token_shards": q40_pack_token_shards,  # global case of q41's per-lang packing
     "q45_topk_cosine_ivf": q45_topk_cosine_ivf,  # per-call-fit variant; q18_ann_verify probes the persisted index
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,  # q3's oracle; layout ladder rung
+    "q61_gif_frame_stats": q61_gif_frame_stats,  # fifth real codec; full value oracle
 }

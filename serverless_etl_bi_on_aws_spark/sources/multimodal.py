@@ -326,6 +326,101 @@ def video_frame_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def attach_gif_media(df: DataFrame, id_col: str = "doc_id", delay_cs: int = 25) -> DataFrame:
+    """Attach a ``media`` struct whose payload is a REAL animated GIF89a
+    (functions/gif.py — the fifth from-scratch codec; LZW is lossless so
+    the q61 statistics are a full value oracle like q51/q52).
+
+    Per key k: n_frames = 2 + k%4, w = 7 + k%9, h = 7 + (k*5)%9, frame f
+    pixel (x,y) = (x*3 + y*5 + k + 13*f) % 256 — the PNG/JPEG/AVI gradient
+    family with a GIF-specific per-frame shift, pure integer arithmetic a
+    SQL oracle regenerates."""
+    from serverless_etl_bi_on_aws_spark.functions.gif import encode_gif_frames
+
+    out_schema = StructType(df.schema.fields + [StructField("media", MEDIA_STRUCT, True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = []
+            for key in pdf[id_col]:
+                k = int(key)
+                n_frames, w, h = 2 + k % 4, 7 + k % 9, 7 + (k * 5) % 9
+                frames = [
+                    bytes(
+                        (x * 3 + y * 5 + k + 13 * f) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    for f in range(n_frames)
+                ]
+                media.append(
+                    {
+                        "payload": encode_gif_frames(frames, w, h, delay_cs=delay_cs),
+                        "mime": "image/gif",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": n_frames * delay_cs * 10,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def gif_frame_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Parse ``image/gif`` payloads through the real GIF decoder and emit
+    exact integer statistics: frame count, pixel sum over all frames,
+    min/max pixel, total declared duration in centiseconds. One row in ->
+    one row out; only this Arrow stage touches payload bytes."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType
+
+    from serverless_etl_bi_on_aws_spark.functions.gif import decode_gif_frames
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("n_frames", LongType(), True),
+            StructField("sum_px", LongType(), True),
+            StructField("min_px", LongType(), True),
+            StructField("max_px", LongType(), True),
+            StructField("total_delay_cs", LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: [] for k in ("n_frames", "sum_px", "min_px", "max_px", "total_delay_cs")
+            }
+            for m in pdf[media_col]:
+                if m is None or m["payload"] is None or m["mime"] != "image/gif":
+                    for v in cols.values():
+                        v.append(None)
+                    continue
+                frames, _w, _h, delays = decode_gif_frames(bytes(m["payload"]))
+                s = mn = mx = None
+                for fr in frames:
+                    a = np.frombuffer(fr, dtype=np.uint8)
+                    s = (s or 0) + int(a.sum())
+                    mn = int(a.min()) if mn is None else min(mn, int(a.min()))
+                    mx = int(a.max()) if mx is None else max(mx, int(a.max()))
+                cols["n_frames"].append(len(frames))
+                cols["sum_px"].append(s)
+                cols["min_px"].append(mn)
+                cols["max_px"].append(mx)
+                cols["total_delay_cs"].append(sum(delays))
+            pdf = pdf.copy()
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def attach_fake_media(df: DataFrame, id_col: str = "doc_id", mime: str = "application/octet-stream") -> DataFrame:
     """Attach a deterministic synthetic ``media`` struct keyed on ``id_col``
     — the test stand-in for 'payload fetched from object storage by path'.

@@ -660,3 +660,153 @@ def test_media_features_and_resize_use_real_codecs(spark):
         w, h = 8 + k % 8, 8 + (k * 3) % 8
         px = bytes((x * 3 + y * 5 + k) % 256 for y in range(h) for x in range(w))
         assert bytes(r.pixels) == resize_nearest(px, w, h, 4, 4)
+
+
+def test_gif_codec_roundtrip_and_refusals():
+    """GIF89a LZW is lossless: encode->decode must return the exact frame
+    bytes across the hard spots — table resets on random data (9->12-bit
+    width walk), the KwKwK code-before-defined case, partial-frame
+    compositing, and loud refusal of non-GIF / truncated / interlaced
+    input. The LZW stream is ALSO decoded by an independent
+    prefix/suffix-array decoder written here (different structure from the
+    module's byte-string-table one), so an encoder/decoder pair that
+    agreed via a shared width-transition bug would still fail this test
+    unless both transitions match the spec'd pairing."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.functions.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    def lzw_decode_independent(data, min_code):
+        # giflib-style: parallel prefix/suffix arrays, iterative expansion
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        prefix = [-1] * 4096
+        suffix = [0] * 4096
+        for i in range(clear):
+            suffix[i] = i
+        next_code, code_size = eoi + 1, min_code + 1
+        acc = nbits = pos = 0
+        out = bytearray()
+        prev = -1
+        while True:
+            while nbits < code_size:
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                next_code, code_size, prev = eoi + 1, min_code + 1, -1
+                continue
+            if code == eoi:
+                return bytes(out)
+
+            def expand(c):
+                stack = []
+                while c >= 0 and c > eoi or (0 <= c < clear):
+                    stack.append(suffix[c])
+                    c = prefix[c] if c >= clear else -1
+                return bytes(reversed(stack))
+
+            if code < next_code:
+                chunk = expand(code)
+            else:
+                assert code == next_code and prev >= 0, "bad code"
+                first = expand(prev)[:1]
+                chunk = expand(prev) + first
+            if prev >= 0 and next_code < 4096:
+                prefix[next_code] = prev
+                suffix[next_code] = chunk[0]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            out += chunk
+            prev = code
+
+    rng = np.random.default_rng(5)
+    for data in (
+        rng.integers(0, 256, 40000, dtype=np.uint8).tobytes(),  # resets + 12-bit walk
+        b"ababab" * 200,  # KwKwK
+        bytes(range(256)) * 30,
+    ):
+        enc = _lzw_encode(data, 8)
+        assert _lzw_decode(enc, 8) == data
+        assert lzw_decode_independent(enc, 8) == data
+
+    # container roundtrip: animated, odd dims, per-frame delays
+    w, h = 61, 37
+    frames = [
+        bytes((x * 3 + y * 5 + 13 * f) % 256 for y in range(h) for x in range(w))
+        for f in range(3)
+    ]
+    gif = encode_gif_frames(frames, w, h, delay_cs=7)
+    out, gw, gh, delays = decode_gif_frames(gif)
+    assert (gw, gh) == (w, h) and delays == [7, 7, 7]
+    assert all(a == b for a, b in zip(out, frames))
+
+    # partial-frame compositing: hand-build a 2nd image block at (2,1) 3x2
+    base = frames[0]
+    patch = bytes([250, 251, 252, 253, 254, 255])
+    partial = (
+        b"\x2c" + struct.pack("<HHHHB", 2, 1, 3, 2, 0) + bytes([8])
+    )
+    comp = _lzw_encode(patch, 8)
+    partial += bytes([len(comp)]) + comp + b"\x00"
+    one = encode_gif_frames([base], w, h)
+    spliced = one[:-1] + partial + b"\x3b"  # insert before trailer
+    out2, _, _, _ = decode_gif_frames(spliced)
+    assert len(out2) == 2
+    canvas = bytearray(base)
+    for r in range(2):
+        canvas[(1 + r) * w + 2 : (1 + r) * w + 5] = patch[r * 3 : r * 3 + 3]
+    assert out2[1] == bytes(canvas)
+
+    # refusals
+    with _pytest.raises(ValueError, match="GIF87a/89a"):
+        decode_gif_frames(b"\x89PNG" + gif[4:])
+    with _pytest.raises(ValueError):
+        decode_gif_frames(gif[:40])
+    with _pytest.raises(ValueError):
+        decode_gif_frames(gif[:-1])  # missing trailer
+    interlaced = bytearray(one)
+    # flip the interlace bit in the image descriptor: header(13) + GCT(768)
+    # + GCE(8) puts 0x2c next; its flags byte is +9 into the descriptor
+    desc = 13 + 768 + 8
+    assert interlaced[desc] == 0x2C
+    interlaced[desc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif_frames(bytes(interlaced))
+
+
+def test_multimodal_real_gif_decode(spark):
+    """attach_gif_media -> gif_frame_stats through the Arrow stage: exact
+    integer stats for a known key set, matching the analytic gradient."""
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        attach_gif_media,
+        gif_frame_stats,
+    )
+
+    df = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r
+        for r in gif_frame_stats(attach_gif_media(df)).collect()
+    }
+    for k in range(8):
+        n_frames, w, h = 2 + k % 4, 7 + k % 9, 7 + (k * 5) % 9
+        want = sum(
+            (x * 3 + y * 5 + k + 13 * f) % 256
+            for f in range(n_frames)
+            for y in range(h)
+            for x in range(w)
+        )
+        r = got[k]
+        assert r.n_frames == n_frames and r.sum_px == want
+        assert r.total_delay_cs == n_frames * 25
