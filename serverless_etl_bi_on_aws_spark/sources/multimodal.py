@@ -47,9 +47,10 @@ MEDIA_STRUCT = StructType(
 )
 
 #: mimes with a real in-container decoder (stdlib PNG, functions/png.py;
-#: baseline JPEG, functions/jpeg.py). Audio/video fall back to the
+#: baseline JPEG, functions/jpeg.py; animated GIF89a, functions/gif.py —
+#: decode_and_resize uses its first frame). Audio/video fall back to the
 #: deterministic stand-in path.
-REAL_DECODER_MIMES = frozenset({"image/png", "image/jpeg"})
+REAL_DECODER_MIMES = frozenset({"image/png", "image/jpeg", "image/gif"})
 REAL_DECODERS_AVAILABLE = True
 
 
@@ -65,6 +66,11 @@ def _decode_image(payload: bytes, mime: str) -> tuple[int, int, bytes]:
 
         px, w, h = decode_jpeg_gray(payload)
         return w, h, px
+    if mime == "image/gif":
+        from serverless_etl_bi_on_aws_spark.functions.gif import decode_gif_frames
+
+        frames, w, h, _delays = decode_gif_frames(payload)
+        return w, h, frames[0]
     raise ValueError(f"no real decoder for mime {mime!r}")
 
 
@@ -558,8 +564,10 @@ def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") ->
     ``video/x-msvideo`` payloads go through the REAL container parser
     (functions/avi.py): up to ``n_frames`` evenly-spaced actual frame
     payloads (PNG bytes under MPNG) come back, each decodable by the real
-    PNG codec. Other mimes keep the deterministic payload-slice stand-in
-    (same batch shape; a deployment swaps that branch for ffmpeg)."""
+    PNG codec. ``image/gif`` animations go through the REAL GIF decoder
+    (functions/gif.py): the sampled frames are raw grayscale canvases.
+    Other mimes keep the deterministic payload-slice stand-in (same batch
+    shape; a deployment swaps that branch for ffmpeg)."""
     base = [f for f in df.schema.fields]
     out_schema = StructType(
         base
@@ -571,14 +579,19 @@ def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") ->
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from serverless_etl_bi_on_aws_spark.functions.avi import decode_avi_frames
+        from serverless_etl_bi_on_aws_spark.functions.gif import decode_gif_frames
 
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
                 m = row[media_col]
                 payload = m["payload"] if m is not None else None
+                frames = None
                 if payload is not None and m["mime"] == "video/x-msvideo":
                     frames = decode_avi_frames(bytes(payload))[0]
+                elif payload is not None and m["mime"] == "image/gif":
+                    frames = decode_gif_frames(bytes(payload))[0]
+                if frames is not None:
                     step = max(len(frames) // n_frames, 1)
                     picks = frames[::step][:n_frames]
                     for i, fr in enumerate(picks):

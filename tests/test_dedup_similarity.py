@@ -810,3 +810,31 @@ def test_multimodal_real_gif_decode(spark):
         r = got[k]
         assert r.n_frames == n_frames and r.sum_px == want
         assert r.total_delay_cs == n_frames * 25
+
+
+def test_gif_routes_through_generic_media_paths(spark):
+    """image/gif rides the REAL codec in both generic stages: decode_and_
+    resize uses frame 0 through the gif decoder, sample_frames returns
+    actual decoded canvases (not payload-slice stand-ins)."""
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        attach_gif_media,
+        sample_frames,
+    )
+
+    df = attach_gif_media(spark.range(0, 5).select(F.col("id").alias("doc_id")))
+    rows = decode_and_resize(df, target_w=4, target_h=4).collect()
+    assert len(rows) == 5 and all(len(r.pixels) == 16 for r in rows)
+    # frame 0 gradient, nearest-neighbor sample at (0,0) is pixel (0,0) = k%256
+    for r in rows:
+        assert r.pixels[0] == r.doc_id % 256
+
+    fr = sample_frames(df, n_frames=2).collect()
+    by_doc: dict = {}
+    for r in fr:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for k, rs in by_doc.items():
+        n_frames, w, h = 2 + k % 4, 7 + k % 9, 7 + (k * 5) % 9
+        assert len(rs) == 2
+        first = sorted(rs, key=lambda r: r.frame_idx)[0].frame
+        assert len(first) == w * h  # a raw decoded canvas, not a byte slice
+        assert first[0] == k % 256  # pixel (0,0) of frame 0
