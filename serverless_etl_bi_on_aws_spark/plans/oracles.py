@@ -1034,6 +1034,23 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
 # write-once layout (operators/denorm.py) — layout cannot move a cent
 EXTRA_ORACLE_SQL["q60_sales_by_category_denorm"] = ORACLE_SQL["q3_sales_by_category"]
 
+# q62: the HLL sketch bytes are engine-defined, but the exported surface
+# is not — exact n_events/n_users recomputed in SQL, plus the
+# expected-TRUE booleans (estimate within 5% of exact; union-of-hourly
+# estimate == direct-6h estimate, which HLL register-max unions make an
+# identity).
+EXTRA_ORACLE_SQL["q62_sketch_rollup_users"] = """
+    SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+           event_type,
+           COUNT(*)                                    AS n_events,
+           COUNT(DISTINCT user_id)                     AS n_users,
+           TRUE                                        AS estimate_within_5pct,
+           TRUE                                        AS merge_is_exact
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
 # q61: animated GIF89a is LOSSLESS (LZW) — like q51/q52 the oracle
 # regenerates every frame pixel analytically (frame x row x column
 # generate_series over the gradient (x*3 + y*5 + k + 13*f) % 256 with

@@ -1714,6 +1714,70 @@ def q61_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q62_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup (operators/sketches.py): HOURLY
+    (bucket, event_type) cells each carry an HLL sketch of user_id; the
+    query unions cell sketches up to 6-HOUR buckets — the layout that
+    makes a continuous aggregate's n_users maintainable (exact distincts
+    don't merge; this is why q48's streaming rollup had to drop q32's
+    n_users). Output exports exact integers the oracle recomputes
+    (n_events, exact n_users via countDistinct) plus the q49-style
+    expected-TRUE booleans: the merged estimate within 5% of exact, and
+    merge-exactness — estimate(union of hourly sketches) equals
+    estimate(one direct 6-hour sketch) cell for cell (HLL unions take
+    per-register maxima, so layout cannot move the estimate).
+
+    Scale shape: the hourly rollup is one keyed shuffle of cells (buckets
+    x types rows, one ~4 KB sketch each at lgK=12); the 6-hour merge
+    shuffles only cells. The exact-distinct column exists for the oracle
+    harness — a deployment serves the sketch column."""
+    from serverless_etl_bi_on_aws_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_rollup,
+    )
+
+    hour, six = 3_600_000_000, 21_600_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.expr(f"unix_micros(ts) DIV {hour}") * F.lit(hour)).alias("hour_us"),
+        "event_type",
+        "user_id",
+    )
+    hourly = hll_rollup(ev, ["hour_us", "event_type"], "user_id")
+    merged = hll_merge_estimate(
+        hourly.withColumn(
+            "bucket_us", F.expr(f"hour_us DIV {six}") * F.lit(six)
+        ),
+        ["bucket_us", "event_type"],
+    ).withColumnRenamed("n_rows", "n_events")
+    direct = (
+        ev.withColumn("bucket_us", F.expr(f"hour_us DIV {six}") * F.lit(six))
+        .groupBy("bucket_us", "event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+                "_direct_est"
+            ),
+        )
+    )
+    return (
+        merged.join(direct, ["bucket_us", "event_type"])
+        .select(
+            "bucket_us",
+            "event_type",
+            "n_events",
+            "n_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_users"))
+                <= F.greatest(F.round(F.col("n_users") * 0.05), F.lit(1))
+            ).alias("estimate_within_5pct"),
+            (F.col("approx_distinct") == F.col("_direct_est")).alias(
+                "merge_is_exact"
+            ),
+        )
+        .orderBy("bucket_us", "event_type")
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2106,4 +2170,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q45_topk_cosine_ivf": q45_topk_cosine_ivf,  # per-call-fit variant; q18_ann_verify probes the persisted index
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,  # q3's oracle; layout ladder rung
     "q61_gif_frame_stats": q61_gif_frame_stats,  # fifth real codec; full value oracle
+    "q62_sketch_rollup_users": q62_sketch_rollup_users,  # mergeable HLL distinct rollup
 }

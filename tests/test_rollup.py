@@ -94,3 +94,32 @@ def test_upsert_empty_delta_is_noop(spark):
         before = _rows(spark.read.parquet(path))
         upsert_pricing_rollup(spark, path, li.limit(0))
         assert _rows(spark.read.parquet(path)) == before
+
+
+def test_hll_sketch_rollup_merge_exact_and_bounded(spark):
+    """operators/sketches.py: (a) estimate(union of per-bucket sketches)
+    == estimate(one sketch over the whole data) EXACTLY (register-max
+    union identity — the rollup layout cannot move the estimate), and
+    (b) at genuinely-approximate cardinality (100k distinct, far past
+    sparse mode) the lgK=12 estimate lands within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_rollup,
+    )
+
+    n_distinct = 100_000
+    df = spark.range(0, 400_000).select(
+        (F.col("id") % n_distinct).alias("u"),
+        (F.col("id") % 16).alias("bucket"),
+        F.lit("g").alias("grp"),
+    )
+    cells = hll_rollup(df, ["grp", "bucket"], "u")
+    merged = hll_merge_estimate(cells, ["grp"]).collect()[0]
+    direct = df.groupBy("grp").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u", F.lit(12))).alias("est")
+    ).collect()[0]
+    assert merged["approx_distinct"] == direct["est"]  # union identity
+    assert merged["n_rows"] == 400_000
+    assert abs(merged["approx_distinct"] - n_distinct) <= n_distinct * 0.05
