@@ -302,18 +302,44 @@ def _sf1_tier(spark, sf1_dir: str, floor) -> dict:
 
 
 def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str) -> dict:
+    """Marginal cost per row, sf0.1 -> sf1 -> sf10.
+
+    Timing protocol (round 7): all (query, sf) cells warm first, then
+    timed reps INTERLEAVE across every cell and the slope uses per-cell
+    MEDIANS — the bucketed-tier discipline. Sequential best-of-3 per cell
+    was observed reporting a 3.6x-inflated q1 sf10 when all three reps
+    landed inside one of this VM's multi-second degraded phases;
+    interleaving spreads each cell's reps across the tier's full wall
+    time so a phase costs one rep of many cells instead of every rep of
+    one."""
+    import statistics
+
     points = {"0.1": sf01, "1": sf1_dir, "10": sf10_dir}
+    names = {s: (HEADLINE.get(s) or SCALING_EXTRA[s]) for s in SCALING_QUERIES}
+    for short, name in names.items():
+        for d in points.values():
+            QUERIES[name](spark, d).collect()  # warm plan + IO cache
+    times: dict[tuple[str, str], list[float]] = {}
+    for _ in range(7):
+        for short, name in names.items():
+            for lbl, d in points.items():
+                t0 = time.perf_counter()
+                QUERIES[name](spark, d).collect()
+                times.setdefault((short, lbl), []).append(time.perf_counter() - t0)
     scal: dict = {}
     for short in SCALING_QUERIES:
-        name = HEADLINE.get(short) or SCALING_EXTRA[short]
-        sp = {lbl: _time_best(spark, name, d) for lbl, d in points.items()}
+        sp = {lbl: round(min(times[(short, lbl)]), 4) for lbl in points}
+        sp_med = {
+            lbl: round(statistics.median(times[(short, lbl)]), 4) for lbl in points
+        }
         du = {lbl: _duckdb_warm(d, (short,)).get(short) for lbl, d in points.items()}
         # slope between the two big points: sec per 10x-of-sf0.1 step —
         # the intercept-free number that survives a cluster scale-up
-        sp_slope = (sp["10"] - sp["1"]) / 9.0
+        sp_slope = (sp_med["10"] - sp_med["1"]) / 9.0
         du_slope = (du["10"] - du["1"]) / 9.0 if du.get("10") and du.get("1") else None
         scal[short] = {
             "spark_sec": sp,
+            "spark_sec_median": sp_med,
             "duckdb_sec": du,
             "spark_slope_per_sf": round(sp_slope, 4),
             "duckdb_slope_per_sf": round(du_slope, 4) if du_slope else None,
