@@ -209,7 +209,7 @@ def main() -> None:
     tier("floor_sec", lambda: _floor(spark))
 
     # --- LLM-operator tier at the driver sf ---
-    tier("llm", lambda: {s: _time_best(spark, n, sf_dir) for s, n in LLM_TIER.items()})
+    tier("llm", lambda: _llm_tier(spark, sf_dir))
 
     sf1_dir = _ensure_benchdata("sf1", copies=10)
     sf10_dir = _ensure_benchdata("sf10", copies=100)
@@ -264,6 +264,23 @@ def main() -> None:
     tier("skew", lambda: _skew_ab(spark))
 
     print(json.dumps(result))
+
+
+def _llm_tier(spark, sf_dir: str) -> dict:
+    """LLM-operator wall-times, graded round-over-round — reps are
+    INTERLEAVED across the tier's queries (warm pass first, best-of-3),
+    the same stall-window discipline as the sf1/scaling/bucketed tiers:
+    a sequential per-query loop let one degraded-VM phase inflate one
+    query's recorded time by multiples."""
+    for name in LLM_TIER.values():
+        QUERIES[name](spark, sf_dir).collect()  # warm pass
+    best: dict[str, float] = {s: float("inf") for s in LLM_TIER}
+    for _ in range(3):
+        for s, name in LLM_TIER.items():
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            best[s] = min(best[s], time.perf_counter() - t0)
+    return {s: round(v, 4) for s, v in best.items()}
 
 
 def _sf1_tier(spark, sf1_dir: str, floor) -> dict:

@@ -84,3 +84,36 @@ def quality_score(text: str | Column) -> Column:
         + F.lit(0.3) * (F.size(distinct_tokens(c)).cast("double") / n)
         + F.lit(0.3) * F.least(avg_token_len(c) / F.lit(8.0), F.lit(1.0))
     )
+
+
+#: PII patterns for corpus scrubbing, written to the COMMON subset of the
+#: Java (Spark) and RE2 (DuckDB oracle) regex dialects — explicit character
+#: classes, no lookaround, no lazy quantifiers — so masking is engine-exact.
+#: Masking order matters and is fixed: URLs first (they may embed dots and
+#: digit runs), then emails, then bare IPv4s.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[A-Za-z0-9./_%-]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def mask_pii(text: str | Column) -> Column:
+    """Scrub PII spans (URLs, emails, IPv4s) to typed placeholder tokens —
+    the redaction pass an LLM data pipeline runs before training. One
+    chained regexp_replace per pattern, all JVM-side; the oracle applies
+    the identical chain with RE2."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Per-kind PII match counts over the ORIGINAL text (so counts are
+    independent of masking order)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat, _ in PII_PATTERNS
+    }

@@ -1034,6 +1034,29 @@ EXTRA_ORACLE_SQL: dict[str, str] = {
 # write-once layout (operators/denorm.py) — layout cannot move a cent
 EXTRA_ORACLE_SQL["q60_sales_by_category_denorm"] = ORACLE_SQL["q3_sales_by_category"]
 
+# q63: the oracle replants the same deterministic contact block and
+# applies the same masking chain (URL -> email -> IPv4) in RE2; the
+# masked-text md5 checks the dialects agree span for span.
+EXTRA_ORACLE_SQL["q63_pii_scrub"] = r"""
+    WITH t AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com ip 10.'
+                    || (doc_id % 256) || '.0.1 see https://ex.com/d/' || doc_id AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)          AS n_ips,
+           CAST(len(regexp_extract_all(s, 'https?://[A-Za-z0-9./_%-]+')) AS BIGINT)                       AS n_urls,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(s, 'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS masked_md5
+    FROM t
+    ORDER BY doc_id
+"""
+
 # q62: the HLL sketch bytes are engine-defined, but the exported surface
 # is not — exact n_events/n_users recomputed in SQL, plus the
 # expected-TRUE booleans (estimate within 5% of exact; union-of-hourly

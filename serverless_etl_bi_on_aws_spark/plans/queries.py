@@ -1778,6 +1778,44 @@ def q62_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (X5 corpus hygiene): mask URLs / emails / IPv4s to
+    typed placeholders before training (functions/text.mask_pii). The
+    fixture text carries no PII, so the query plants a deterministic
+    contact block per document (address/IP/URL derived from doc_id) and
+    the oracle replants the IDENTICAL block and applies the IDENTICAL
+    regex chain in RE2 — the value hash therefore checks cross-dialect
+    regex agreement span for span: per doc, the match counts and the md5
+    of the masked text.
+
+    Scale shape: map-only — three regexp_replace + three
+    regexp_extract_all per row, all inside one codegen'd projection; no
+    shuffle at all (the output orderBy is the oracle harness's, over
+    500 rows at the gate's sf)."""
+    from serverless_etl_bi_on_aws_spark.functions.text import mask_pii, pii_counts
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com ip 10."),
+            F.pmod(F.col("doc_id"), F.lit(256)),
+            F.lit(".0.1 see https://ex.com/d/"),
+            F.col("doc_id"),
+        ).alias("_t"),
+    )
+    counts = pii_counts("_t")
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("bigint").alias("n_emails"),
+        counts["ipv4"].cast("bigint").alias("n_ips"),
+        counts["url"].cast("bigint").alias("n_urls"),
+        F.md5(mask_pii("_t")).alias("masked_md5"),
+    ).orderBy("doc_id")
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2171,4 +2209,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,  # q3's oracle; layout ladder rung
     "q61_gif_frame_stats": q61_gif_frame_stats,  # fifth real codec; full value oracle
     "q62_sketch_rollup_users": q62_sketch_rollup_users,  # mergeable HLL distinct rollup
+    "q63_pii_scrub": q63_pii_scrub,  # regex redaction; cross-dialect value oracle
 }

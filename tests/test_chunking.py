@@ -224,3 +224,40 @@ def test_gapfilled_rollup_zero_fills(spark, tmp_path):
     assert got[(base + 2 * step, "purchase")] == (0, 0.0)
     assert got[(base + 3 * step, "view")] == (1, 2.0)
     assert got[(base + 3 * step, "purchase")] == (0, 0.0)
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    """functions/text.mask_pii on crafted text: every planted span masked
+    to its typed token, counts per kind exact, masking idempotent, and
+    clean text untouched."""
+    from serverless_etl_bi_on_aws_spark.functions.text import mask_pii, pii_counts
+
+    rows = [
+        (1, "write a.b_c+1@mail.example.org or x@y.io now"),
+        (2, "server 192.168.0.1 and 10.0.0.255 up"),
+        (3, "see https://ex.com/a_b/c-1%20d and http://t.co/x"),
+        (4, "mixed https://h.io/p me@h.io 1.2.3.4"),
+        (5, "clean text with no personal data at all"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    c = pii_counts("t")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            c["email"].alias("e"), c["ipv4"].alias("i"), c["url"].alias("u"),
+            mask_pii("t").alias("m"),
+        ).collect()
+    }
+    assert (got[1].e, got[1].i, got[1].u) == (2, 0, 0)
+    assert got[1].m == "write <EMAIL> or <EMAIL> now"
+    assert (got[2].e, got[2].i, got[2].u) == (0, 2, 0)
+    assert got[2].m == "server <IP> and <IP> up"
+    assert (got[3].e, got[3].i, got[3].u) == (0, 0, 2)
+    assert got[3].m == "see <URL> and <URL>"
+    assert (got[4].e, got[4].i, got[4].u) == (1, 1, 1)
+    assert got[4].m == "mixed <URL> <EMAIL> <IP>"
+    assert got[5].m == rows[4][1]  # untouched
+    # idempotent: masking already-masked text changes nothing
+    again = df.select(mask_pii(mask_pii("t")).alias("m2"), mask_pii("t").alias("m1"))
+    assert again.filter(F.col("m1") != F.col("m2")).count() == 0
