@@ -350,3 +350,82 @@ def simhash_pairs_blocked(
         .filter(F.col("hamming") <= radius)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def dedup_exact_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level exact span dedup (X2 extension) — the ExactSubstr pass
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" (ACL 2022), at fixed-span granularity: every document is cut
+    into consecutive ``span_tokens``-word segments, and a segment instance
+    survives only if it is the globally FIRST occurrence of its exact text
+    in corpus order (``id_col`` asc, segment index asc). Later copies —
+    boilerplate, mirrored paragraphs, within-doc repetition — are removed
+    and each document is reassembled from its surviving segments.
+
+    The suffix-array formulation of the paper is a single-machine
+    construction; the fixed-span formulation is the shuffle-native analog
+    (the granularity knob trades recall on unaligned overlaps for a plan
+    of exactly two exchanges).
+
+    Output: ``id_col, n_spans, n_kept, clean_md5`` — md5 of the
+    reassembled text so an oracle can hash-check full reassembly without
+    shipping document bodies through the compare harness.
+
+    Scale shape: segmentation is the q38 map-only explode (split once,
+    ``sequence`` of starts, ``slice``); first-occurrence is ONE exchange —
+    a ``row_number`` window partitioned on ``(xxhash64(span), span)``
+    (the 64-bit hash is the shuffle distribution key, the text keeps the
+    semantics exact under collision); reassembly is ONE exchange back on
+    the document key (``array_sort`` of (seg_idx, text) structs — no
+    Python, no driver). A hot boilerplate span lands one partition-sized
+    sort group, which AQE's skew handling cannot split for a window — at
+    real scale cap it by pre-aggregating ``min_by`` per span first; here
+    the window keeps the plan one stage shorter.
+    """
+    if span_tokens <= 0:
+        raise ValueError("span_tokens must be positive")
+    tok = df.select(
+        id_col, F.split(F.col(text_col), " ").alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    spans = tok.select(
+        id_col,
+        "__t",
+        F.explode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(span_tokens))).alias(
+            "__start"
+        ),
+    ).select(
+        id_col,
+        (F.col("__start") / span_tokens).cast("long").alias("seg_idx"),
+        F.array_join(
+            F.slice("__t", F.col("__start") + 1, span_tokens), " "
+        ).alias("span_text"),
+    )
+    w = Window.partitionBy(F.xxhash64("span_text"), "span_text").orderBy(
+        id_col, "seg_idx"
+    )
+    ranked = spans.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct("seg_idx", "span_text")
+    )  # collect_list drops the NULLs for removed spans
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("__rn") == 1).cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s.getField("span_text"),
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .select(id_col, "n_spans", "n_kept", "clean_md5")
+    )

@@ -791,7 +791,10 @@ ORACLE_SQL["q52_video_frame_stats"] = """
 # q53: smoothed tf-idf — the output carries only exact integers (tf, df,
 # rank, term); the float score orders the per-doc window but never
 # surfaces, so a last-ulp ln() difference between engines cannot flip a
-# ROUND. Exact score ties (same tf, df) break on the term string.
+# ROUND. The tiebreak ladder (tf DESC, df ASC, term) is an exact-integer
+# surrogate that also pins near-equal scores: within a score class the
+# score is monotone in tf and anti-monotone in df, so a last-ulp ln()
+# disagreement between JVM Math.log and libm cannot flip the rank.
 ORACLE_SQL["q53_tfidf_top_terms"] = """
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -805,7 +808,7 @@ ORACLE_SQL["q53_tfidf_top_terms"] = """
                CAST(ROW_NUMBER() OVER (
                     PARTITION BY t.doc_id
                     ORDER BY t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0) DESC,
-                             t.term) AS INT) AS rank
+                             t.tf DESC, d.df ASC, t.term) AS INT) AS rank
         FROM tf t JOIN df d USING (term) CROSS JOIN n
     )
     SELECT doc_id, rank, term, tf, df
@@ -1108,4 +1111,53 @@ EXTRA_ORACLE_SQL["q61_gif_frame_stats"] = """
     FROM stats s JOIN per_doc p ON s.k = p.k
     GROUP BY s.source
     ORDER BY s.source
+"""
+
+# q64: corpus-level exact span dedup — 10-word segments, globally-first
+# occurrence survives (order: doc_id, seg_idx), documents reassembled from
+# survivors. clean_md5 hash-checks FULL reassembly. COALESCE('') matches
+# Spark's array_join over an empty survivor list for fully-duplicated docs.
+EXTRA_ORACLE_SQL["q64_span_dedup"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+        SELECT doc_id, s.i AS seg_idx,
+               array_to_string(t[s.i * 10 + 1 : s.i * 10 + 10], ' ') AS span_text
+        FROM toks
+        CROSS JOIN UNNEST(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS s(i)
+    ), ranked AS (
+        SELECT doc_id, seg_idx, span_text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY span_text ORDER BY doc_id, seg_idx) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                               AS n_spans,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END,
+                                   ' ' ORDER BY seg_idx), ''))     AS clean_md5
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+# q65: PQ-ADC internals are engine-defined (seeded subspace k-means); the
+# value contract is agreement with the exact top-k — exact_top10_idsum
+# recomputed independently (q6's formulation) + expected-TRUE booleans
+# with measured margin (raw-ADC recall 6/10 vs bar 3; rerank shortlist
+# 100 vs worst true-top-10 ADC rank 19, so the two-stage result IS the
+# exact top-10 id set).
+EXTRA_ORACLE_SQL["q65_pq_verify"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+    top10 AS (
+        SELECT vec_id FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.e) DESC, vec_id
+        LIMIT 10
+    )
+    SELECT 'pq_adc' AS method,
+           CAST((SELECT SUM(vec_id) FROM top10) AS BIGINT) AS exact_top10_idsum,
+           TRUE AS returned_ok,
+           TRUE AS recall_ok,
+           TRUE AS rerank_matches_exact
 """

@@ -1483,7 +1483,16 @@ def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf") * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("_s"), F.asc("term"))
+    # Tiebreak ladder: after the float score, the EXACT integer surrogate
+    # (tf desc, df asc) — within an equal-score class the score is strictly
+    # monotone in tf and anti-monotone in df, so near-equal-but-distinct
+    # (tf, df) pairs whose ln() differs in the last ulp across engines
+    # still rank identically; term breaks exact (tf, df) ties. Residual
+    # knife-edge: two pairs with tf1>tf2 AND df1>df2 whose real scores
+    # differ by <1 ulp — not present in any fixture, checked by the oracle.
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_s"), F.desc("tf"), F.asc("df"), F.asc("term")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
@@ -1814,6 +1823,103 @@ def q63_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["url"].cast("bigint").alias("n_urls"),
         F.md5(mask_pii("_t")).alias("masked_md5"),
     ).orderBy("doc_id")
+
+
+def q64_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact span dedup (X2 extension; ExactSubstr of Lee et
+    al. ACL 2022 at 10-token span granularity): cut every document into
+    consecutive 10-word segments, keep only the globally-first occurrence
+    of each exact segment (corpus order: doc_id, position), reassemble.
+    Per doc: span counts plus the md5 of the reassembled text, so the
+    oracle hash-checks FULL reassembly, not just counts.
+
+    Scale shape (operators/dedup.dedup_exact_spans): map-only q38-style
+    segmentation, ONE exchange for the first-occurrence window (keyed on
+    xxhash64(span) + span), ONE exchange back on doc_id to reassemble —
+    no Python, no driver collection, no pair joins."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import dedup_exact_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact_spans(docs, span_tokens=10).orderBy("doc_id")
+
+
+def q65_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the value gate (the q18 pattern):
+    PQ codes are engine-defined (seeded per-subspace k-means), so the
+    checkable surface is agreement with the EXACT top-k — the exact
+    top-10 id sum (recomputed independently by the oracle à la q6) plus
+    expected-TRUE booleans with measured margin:
+
+      * returned_ok — the ADC probe returns exactly 10 rows;
+      * recall_ok — raw ADC top-10 finds >= 3 of the exact top-10 (16x16
+        PQ on the 64-dim fixture measures 6; the fixture's top-100
+        cosines are tightly bunched — 0.37 at rank 1 vs 0.28 at rank 10 —
+        so quantization error of ~0.08 scrambles fine ranks by design);
+      * rerank_matches_exact — the deployed two-stage shape (ADC
+        shortlist 100 -> exact re-rank, operators/pq.pq_probe_reranked)
+        returns EXACTLY the brute-force top-10 id set (the worst
+        true-top-10 ADC rank measures 19, a 5x shortlist margin).
+
+    Probes the PERSISTED index (operators/pq.build_pq_index — codes +
+    codebooks written once, digest-keyed): repeated sweeps fit ZERO
+    KMeans and the ADC stage never reads a raw float vector; the re-rank
+    reads only the 100 shortlisted rows."""
+    import os
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.operators.pq import (
+        build_pq_index,
+        pq_probe_reranked,
+        pq_probe_topk,
+    )
+    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    pool = emb.filter(F.col("vec_id") != 0)
+    digest = fixture_digest(sf_dir, ("embeddings",), version="pq1")[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{digest}")
+    if not (
+        os.path.exists(os.path.join(idx, "codes", "_SUCCESS"))
+        and os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS"))
+    ):
+        build_pq_index(pool, idx, m=16, k=16, seed=42)
+    adc = pq_probe_topk(spark, idx, qvec, k=10).localCheckpoint(eager=True)
+    reranked = pq_probe_reranked(
+        spark, idx, qvec, pool, k=10, shortlist=100
+    ).localCheckpoint(eager=True)
+    exact10 = (
+        topk_cosine_arrow(pool, qvec, k=10)
+        .select("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    idsum = exact10.agg(F.sum("vec_id").alias("exact_top10_idsum"))
+    n_ret = adc.agg(F.count("*").alias("_ret"))
+    n_hit = adc.join(exact10, "vec_id", "left_semi").agg(
+        F.count("*").alias("_hit")
+    )
+    rr = reranked.join(exact10, "vec_id", "left_semi").agg(
+        F.count("*").alias("_rhit")
+    )
+    rr_n = reranked.agg(F.count("*").alias("_rret"))
+    return (
+        idsum.crossJoin(F.broadcast(n_ret))
+        .crossJoin(F.broadcast(n_hit))
+        .crossJoin(F.broadcast(rr))
+        .crossJoin(F.broadcast(rr_n))
+        .select(
+            F.lit("pq_adc").alias("method"),
+            "exact_top10_idsum",
+            (F.col("_ret") == 10).alias("returned_ok"),
+            (F.col("_hit") >= 3).alias("recall_ok"),
+            ((F.col("_rhit") == 10) & (F.col("_rret") == 10)).alias(
+                "rerank_matches_exact"
+            ),
+        )
+    )
 
 
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2210,4 +2316,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q61_gif_frame_stats": q61_gif_frame_stats,  # fifth real codec; full value oracle
     "q62_sketch_rollup_users": q62_sketch_rollup_users,  # mergeable HLL distinct rollup
     "q63_pii_scrub": q63_pii_scrub,  # regex redaction; cross-dialect value oracle
+    "q64_span_dedup": q64_span_dedup,  # ExactSubstr-style corpus span dedup
+    "q65_pq_verify": q65_pq_verify,  # product-quantization ADC vs exact top-k
 }

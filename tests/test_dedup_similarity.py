@@ -838,3 +838,53 @@ def test_gif_routes_through_generic_media_paths(spark):
         first = sorted(rs, key=lambda r: r.frame_idx)[0].frame
         assert len(first) == w * h  # a raw decoded canvas, not a byte slice
         assert first[0] == k % 256  # pixel (0,0) of frame 0
+
+
+def test_span_dedup_first_occurrence_semantics(spark):
+    """Crafted corpus: span granularity 3; doc 20 repeats doc 10's first
+    span (cross-doc dup), doc 30 repeats its own span (within-doc dup),
+    doc 40 is entirely novel. First occurrence in (doc_id, position)
+    order survives; docs reassemble from survivors only."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import dedup_exact_spans
+
+    rows = [
+        (10, "a b c d e f"),          # spans: "a b c", "d e f" (both first)
+        (20, "a b c x y z"),          # "a b c" dup of doc 10 -> removed
+        (30, "p q r p q r p q"),      # spans: "p q r", "p q r"(dup), "p q"
+        (40, "only novel words here"),  # "only novel words", "here"
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in dedup_exact_spans(df, span_tokens=3).collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (got[10]["n_spans"], got[10]["n_kept"]) == (2, 2)
+    assert got[10]["clean_md5"] == md5("a b c d e f")
+    assert (got[20]["n_spans"], got[20]["n_kept"]) == (2, 1)
+    assert got[20]["clean_md5"] == md5("x y z")
+    assert (got[30]["n_spans"], got[30]["n_kept"]) == (3, 2)
+    assert got[30]["clean_md5"] == md5("p q r p q")
+    assert (got[40]["n_spans"], got[40]["n_kept"]) == (2, 2)
+    assert got[40]["clean_md5"] == md5("only novel words here")
+
+
+def test_span_dedup_fully_duplicated_doc_hashes_empty(spark):
+    """A document whose every span already occurred hashes as the empty
+    string (matches the oracle's COALESCE('') contract), and the plan
+    stays Python-free (no BatchEvalPython / PythonUDF nodes)."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import dedup_exact_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = dedup_exact_spans(df, span_tokens=3)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    import hashlib
+
+    assert rows[2]["n_kept"] == 0
+    assert rows[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
