@@ -88,6 +88,8 @@ LLM_TIER = {
     "q53": "q53_tfidf_top_terms",
     "q54": "q54_contamination_check",
     "q55": "q55_repetition_stats",
+    # round-7 addition: corpus-wide span dedup (two-exchange plan)
+    "q64": "q64_span_dedup",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")
