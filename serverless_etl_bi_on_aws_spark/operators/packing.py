@@ -44,3 +44,49 @@ def pack_sequential(
         .withColumn("shard_id", F.expr(f"__cum_before div {budget}"))
         .drop("__cum_before")
     )
+
+
+def write_packed_shards(
+    df: DataFrame,
+    out_dir: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Materialize packed shards — the writer half the trainer consumes
+    (WebDataset/TFRecord/MDS-style shard layout, expressed as a
+    hive-partitioned parquet table plus a manifest).
+
+    Writes under ``out_dir``:
+      * ``shards/`` — the input rows PARTITIONED BY shard_id (and by
+        ``partition_by`` first when packing per-stratum), so the trainer
+        streams one directory per shard and a resume-from-shard-k is
+        partition pruning;
+      * ``manifest/`` — one row per shard: row count, token sum, min/max
+        of ``order_col`` (the replay cursor). A data loader plans epochs
+        from the manifest (KB-scale) without listing the corpus.
+
+    Returns the manifest DataFrame (read back from disk, so callers see
+    exactly what a consumer would). The write is the packing plan plus
+    ONE dynamic-partition write — no extra exchange beyond
+    pack_sequential's window; the manifest is a shard-count-sized
+    aggregate of the same pass."""
+    import os
+
+    packed = pack_sequential(df, order_col, size_col, budget, partition_by)
+    part_cols = ([partition_by] if partition_by else []) + ["shard_id"]
+    packed.write.mode("overwrite").partitionBy(*part_cols).parquet(
+        os.path.join(out_dir, "shards")
+    )
+    manifest = (
+        packed.groupBy(*part_cols)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(size_col).alias("n_tokens"),
+            F.min(order_col).alias("first_key"),
+            F.max(order_col).alias("last_key"),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
+    return df.sparkSession.read.parquet(os.path.join(out_dir, "manifest"))

@@ -1,0 +1,85 @@
+"""Shard-writer tests: layout, manifest agreement with a recomputation,
+budget bounds, and partition-pruned shard reads."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.catalog import load_table
+from serverless_etl_bi_on_aws_spark.operators.packing import (
+    pack_sequential,
+    write_packed_shards,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _docs(spark):
+    return load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+
+def test_shard_writer_layout_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "packed")
+    docs = _docs(spark)
+    manifest = write_packed_shards(
+        docs, out, order_col="doc_id", size_col="n_tokens", budget=2000
+    )
+    rows = {r["shard_id"]: r for r in manifest.collect()}
+    # manifest must agree with an independent recomputation of the packing
+    want = (
+        pack_sequential(docs, "doc_id", "n_tokens", 2000)
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n_rows"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    for w in want.collect():
+        got = rows[w["shard_id"]]
+        assert (got["n_rows"], got["n_tokens"]) == (w["n_rows"], w["n_tokens"])
+    # every shard except the last holds budget +- one document's overhang
+    # (shard k spans the rows whose running start falls in [k*b, (k+1)*b),
+    # so a crossing doc shifts both edges by < max_doc)
+    max_doc = docs.agg(F.max("n_tokens")).head()[0]
+    last = max(rows)
+    for sid, r in rows.items():
+        if sid != last:
+            assert 2000 - max_doc < r["n_tokens"] < 2000 + max_doc
+    # hive layout on disk: one directory per shard
+    shard_dirs = [
+        d for d in os.listdir(os.path.join(out, "shards")) if d.startswith("shard_id=")
+    ]
+    assert len(shard_dirs) == len(rows)
+    # reading one shard prunes the scan to that partition
+    one = spark.read.parquet(os.path.join(out, "shards")).filter(
+        F.col("shard_id") == last
+    )
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard_id" in plan
+    assert one.count() == rows[last]["n_rows"]
+
+
+def test_shard_writer_per_stratum(spark, tmp_path):
+    """partition_by packs per stratum: shard ids restart per lang and the
+    manifest carries the (lang, shard) grain."""
+    out = str(tmp_path / "packed_lang")
+    docs = _docs(spark)
+    manifest = write_packed_shards(
+        docs,
+        out,
+        order_col="doc_id",
+        size_col="n_tokens",
+        budget=1500,
+        partition_by="lang",
+    )
+    rows = manifest.collect()
+    langs = {r["lang"] for r in rows}
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    for lang in langs:
+        ids = sorted(r["shard_id"] for r in rows if r["lang"] == lang)
+        assert ids[0] == 0  # restarts per stratum
+        assert ids == list(range(len(ids)))
+    total = sum(r["n_rows"] for r in rows)
+    assert total == docs.count()
