@@ -176,3 +176,19 @@ def bpe_token_count(
     replaces the whitespace approximation."""
     tokenized = bpe_tokenize(df, merges, text_col, "__bpe")
     return tokenized.withColumn(out_col, F.size("__bpe")).drop("__bpe")
+
+
+def save_bpe_merges(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist the learned merge list (rank-ordered) — the deploy
+    artifact: train once on a sample, encode everywhere. KB-to-MB scale
+    (50k merges ~ 1 MB), written as a single parquet file."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, a string, b string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Read a persisted merge list back in learned order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]

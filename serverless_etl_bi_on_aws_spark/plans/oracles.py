@@ -1161,3 +1161,42 @@ EXTRA_ORACLE_SQL["q65_pq_verify"] = """
            TRUE AS recall_ok,
            TRUE AS rerank_matches_exact
 """
+
+# q66: data-quality expectations — exact integer violation counts over
+# orders (+ one FK check vs customer), recomputed independently. The
+# in_range bound fires for real (6033 rows over 300000 at sf0.01).
+EXTRA_ORACLE_SQL["q66_data_quality_report"] = """
+    SELECT "check", col, n_violations, n_violations = 0 AS passed FROM (
+        SELECT 'not_null' AS "check", 'o_custkey' AS col,
+               (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                FROM orders) AS n_violations
+        UNION ALL
+        SELECT 'unique', 'o_orderkey',
+               (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+        UNION ALL
+        SELECT 'in_range', 'o_totalprice',
+               (SELECT CAST(SUM(CASE WHEN o_totalprice IS NULL
+                                       OR o_totalprice < 0
+                                       OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+                FROM orders)
+        UNION ALL
+        SELECT 'accepted_values', 'o_orderstatus',
+               (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                                       OR o_orderstatus NOT IN ('O','F','P')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM orders)
+        UNION ALL
+        SELECT 'matches_regex', 'o_orderpriority',
+               (SELECT CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                                       OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM orders)
+        UNION ALL
+        SELECT 'foreign_key', 'o_custkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                  ON o.o_custkey = c.c_custkey
+                WHERE c.c_custkey IS NULL)
+    )
+    ORDER BY "check", col
+"""

@@ -1922,6 +1922,46 @@ def q65_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (Deequ/Great-Expectations style —
+    the validation stage the reference's five-system pipeline never had,
+    README.md:134-170): a declarative check suite over the orders table
+    compiled into ONE aggregate scan, plus one referential check against
+    customer. Exact integer violation counts, so the report is a full
+    value oracle (the in_range bound is chosen to actually fire: 6033
+    violations at the gate's sf).
+
+    Scale shape (operators/expectations.run_checks): all row-predicate
+    checks fold into a single agg (map-side partials, 1-row reduce —
+    the suite costs one scan however many checks); the uniqueness check
+    rides the same pass as count - count_distinct; the FK check is one
+    LEFT ANTI join, broadcast under AQE (customer is the small side)."""
+    from serverless_etl_bi_on_aws_spark.operators.expectations import (
+        accepted_values,
+        foreign_key,
+        in_range,
+        matches_regex,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    report = run_checks(
+        orders,
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            in_range("o_totalprice", 0, 300000),
+            accepted_values("o_orderstatus", ["O", "F", "P"]),
+            matches_regex("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+    fk = foreign_key(orders, "o_custkey", customer, "c_custkey")
+    return report.unionByName(fk).orderBy("check", "col")
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2318,4 +2358,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q63_pii_scrub": q63_pii_scrub,  # regex redaction; cross-dialect value oracle
     "q64_span_dedup": q64_span_dedup,  # ExactSubstr-style corpus span dedup
     "q65_pq_verify": q65_pq_verify,  # product-quantization ADC vs exact top-k
+    "q66_data_quality_report": q66_data_quality_report,  # Deequ-style expectations
 }

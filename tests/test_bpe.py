@@ -129,3 +129,16 @@ def test_bpe_token_count_on_fixture_compresses(spark):
         F.sum("bpe_token_count").alias("t"), F.sum("n_chars").alias("c")
     ).head()
     assert tot["t"] < tot["c"] * 0.8
+
+
+def test_bpe_merges_roundtrip_persistence(spark, tmp_path):
+    from serverless_etl_bi_on_aws_spark.functions.bpe import (
+        load_bpe_merges,
+        save_bpe_merges,
+    )
+
+    df = spark.createDataFrame([(SENNRICH,)], ["text"])
+    merges = train_bpe(df, n_merges=10)
+    path = str(tmp_path / "merges")
+    save_bpe_merges(spark, merges, path)
+    assert load_bpe_merges(spark, path) == merges

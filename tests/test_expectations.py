@@ -1,0 +1,80 @@
+"""Expectations tests: crafted violations of every check kind, the
+one-pass plan contract, and FK orphan counting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.operators.expectations import (
+    accepted_values,
+    foreign_key,
+    in_range,
+    matches_regex,
+    not_null,
+    run_checks,
+    unique,
+)
+
+
+def _crafted(spark):
+    rows = [
+        (1, "A", 10.0, "a-1"),
+        (2, "B", -5.0, "b-2"),      # in_range violation (< 0)
+        (2, "Z", 50.0, "c-3"),      # dup id + bad status
+        (None, "A", 200.0, "zzz"),  # null id + over range + bad regex
+    ]
+    return spark.createDataFrame(rows, ["id", "status", "amount", "code"])
+
+
+def test_run_checks_counts_each_violation_kind(spark):
+    df = _crafted(spark)
+    report = {
+        (r["check"], r["col"]): r
+        for r in run_checks(
+            df,
+            [
+                not_null("id"),
+                unique("id"),
+                in_range("amount", 0, 100),
+                accepted_values("status", ["A", "B"]),
+                matches_regex("code", "^[a-c]-[0-9]$"),
+            ],
+        ).collect()
+    }
+    assert report[("not_null", "id")]["n_violations"] == 1
+    # 4 rows, 3 distinct ids (1, 2, NULL->not counted by count_distinct):
+    # count(*)=4 - count_distinct(id)=2 -> 2 (the dup AND the null surface)
+    assert report[("unique", "id")]["n_violations"] == 2
+    assert report[("in_range", "amount")]["n_violations"] == 2  # -5 and 200
+    assert report[("accepted_values", "status")]["n_violations"] == 1  # Z
+    assert report[("matches_regex", "code")]["n_violations"] == 1  # zzz
+    assert not any(r["passed"] for r in report.values())
+
+
+def test_run_checks_single_pass_plan(spark):
+    """However many checks, the suite is ONE aggregate over the table —
+    the source appears exactly once in the physical plan."""
+    df = _crafted(spark)
+    report = run_checks(
+        df, [not_null("id"), in_range("amount", 0, 100), unique("id")]
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+
+
+def test_foreign_key_counts_orphans(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (9,), (None,)], ["custkey"]
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["c_custkey"])
+    row = foreign_key(child, "custkey", parent, "c_custkey").head()
+    assert row["n_violations"] == 2  # the 9 and the NULL
+    assert row["passed"] is False
+
+
+def test_all_green_on_clean_table(spark):
+    df = spark.createDataFrame([(1, "A"), (2, "B")], ["id", "status"])
+    report = run_checks(
+        df, [not_null("id"), unique("id"), accepted_values("status", ["A", "B"])]
+    )
+    assert all(r["passed"] and r["n_violations"] == 0 for r in report.collect())
