@@ -1200,3 +1200,36 @@ EXTRA_ORACLE_SQL["q66_data_quality_report"] = """
     )
     ORDER BY "check", col
 """
+
+# q67: mergeable histogram percentile layout — exact integer bin counts
+# and targets (ceil(q*total) in integer arithmetic), one double floor
+# both engines agree on, edge = bin * 5.0 exact. The oracle builds the
+# same day cells, merges, and reads the same first-crossing bin.
+EXTRA_ORACLE_SQL["q67_histogram_rollup"] = """
+    WITH day_cells AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(floor(value / 5.0) AS BIGINT) AS bin_id,
+               COUNT(*) AS n
+        FROM events GROUP BY day, event_type, bin_id
+    ), type_cells AS (
+        SELECT event_type, bin_id, CAST(SUM(n) AS BIGINT) AS n
+        FROM day_cells GROUP BY event_type, bin_id
+    ), cum AS (
+        SELECT event_type, bin_id, n,
+               SUM(n) OVER (PARTITION BY event_type ORDER BY bin_id) AS cum_n,
+               SUM(n) OVER (PARTITION BY event_type) AS n_total
+        FROM type_cells
+    ), qs AS (
+        SELECT * FROM (VALUES (1, 2), (9, 10)) AS q(q_num, q_den)
+    )
+    SELECT event_type,
+           CAST(q_num AS INT)                AS q_num,
+           CAST(q_den AS INT)                AS q_den,
+           CAST(n_total AS BIGINT)           AS n_total,
+           CAST(MIN(bin_id) AS BIGINT)       AS qbin,
+           MIN(bin_id) * 5.0                 AS q_edge
+    FROM cum CROSS JOIN qs
+    WHERE cum_n >= (q_num * n_total + q_den - 1) // q_den
+    GROUP BY event_type, q_num, q_den, n_total
+    ORDER BY event_type, q_num, q_den
+"""

@@ -1962,6 +1962,45 @@ def q66_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.unionByName(fk).orderBy("check", "col")
 
 
+def q67_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram rollup (operators/histogram.py — the layout
+    answer to recurring percentile queries, complementing q28's one-shot
+    percentiles, q47's exact-sum rollup and q62's HLL cells): events.value
+    bins at width 5 into day-grain cells, cells MERGE to event_type grain
+    (groupBy-sum — proving the re-aggregation path the layout exists
+    for), and p50/p90 read as first-bin-past-the-exact-integer-target.
+    Everything on the read path is engine-exact (integer targets, one
+    double floor both engines agree on), so the estimates value-oracle.
+
+    Scale shape: ONE raw-data pass builds day cells; the merge and the
+    quantile window are cell-sized (types x occupied bins)."""
+    from serverless_etl_bi_on_aws_spark.operators.histogram import (
+        build_histogram_cells,
+        histogram_quantiles,
+        merge_histogram_cells,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    day_cells = build_histogram_cells(
+        events, "value", ["day", "event_type"], bin_width=5.0
+    )
+    type_cells = merge_histogram_cells(day_cells, ["event_type"])
+    return (
+        histogram_quantiles(type_cells, ["event_type"], bin_width=5.0)
+        .select(
+            "event_type",
+            F.col("q_num").cast("int").alias("q_num"),
+            F.col("q_den").cast("int").alias("q_den"),
+            "n_total",
+            "qbin",
+            "q_edge",
+        )
+        .orderBy("event_type", "q_num", "q_den")
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2359,4 +2398,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q64_span_dedup": q64_span_dedup,  # ExactSubstr-style corpus span dedup
     "q65_pq_verify": q65_pq_verify,  # product-quantization ADC vs exact top-k
     "q66_data_quality_report": q66_data_quality_report,  # Deequ-style expectations
+    "q67_histogram_rollup": q67_histogram_rollup,  # mergeable histogram percentile layout
 }

@@ -608,3 +608,64 @@ def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") ->
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+#: extension -> mime for directory ingest; extend as codecs land.
+_EXT_MIME = {
+    ".png": "image/png",
+    ".jpg": "image/jpeg",
+    ".jpeg": "image/jpeg",
+    ".gif": "image/gif",
+    ".wav": "audio/wav",
+    ".avi": "video/avi",
+}
+
+
+def ingest_media_dir(
+    spark,
+    path: str,
+    glob: str = "*",
+    recursive: bool = True,
+) -> DataFrame:
+    """Ingest a directory of media FILES into the engine's media schema —
+    how multimodal data actually lands at scale (S3 prefix of images →
+    ``binaryFile`` source; the Spark-native analog of the reference's
+    crawler-over-S3-folder contract, README.md:28,63).
+
+    Uses ``spark.read.format("binaryFile")``: a distributed listing +
+    read, each file one row (path, modificationTime, length, content) —
+    no driver-side directory walk, no Python I/O. Output: ``media_id``
+    (the file path), ``media`` (MEDIA_STRUCT: payload + extension-derived
+    mime; width/height/duration stay NULL until a decode stage fills
+    them — decode is intentionally NOT done at ingest, so the scan stays
+    payload-shaped and decodes run where their stats are needed).
+
+    Scale notes: binaryFile caps file size at
+    ``spark.sql.sources.binaryFile.maxLength`` (2 GB default); for a
+    100 TB corpus of small files, combine into archive shards upstream
+    (the shard-writer layout) or raise
+    ``spark.sql.files.maxPartitionBytes`` so listing batches amortize.
+    """
+    reader = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true" if recursive else "false")
+    )
+    raw = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))
+    mime_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MIME.items() for x in kv]
+    )
+    return raw.select(
+        F.col("path").alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.struct(
+            F.col("content").alias("payload"),
+            F.coalesce(mime_map[ext], F.lit("application/octet-stream")).alias(
+                "mime"
+            ),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("media"),
+    )

@@ -202,3 +202,52 @@ def test_orc_partitioned_roundtrip_with_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "year" in plan
+
+
+def test_ingest_media_dir_binaryfile(spark, tmp_path):
+    """Directory-of-files multimodal ingest via the binaryFile source:
+    planted PNG/WAV/GIF files come back payload-intact with the right
+    mimes, decode stages run on the ingested rows, and unknown
+    extensions fall back to octet-stream."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.gif import encode_gif_frames
+    from serverless_etl_bi_on_aws_spark.functions.png import decode_png, encode_png
+    from serverless_etl_bi_on_aws_spark.functions.wav import (
+        decode_wav_pcm,
+        encode_wav_pcm16,
+    )
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        decode_and_resize,
+        ingest_media_dir,
+    )
+
+    d = tmp_path / "media"
+    (d / "sub").mkdir(parents=True)
+    png_px = bytes((x * 7 + y * 3) % 256 for y in range(9) for x in range(11))
+    (d / "a.png").write_bytes(encode_png(png_px, 11, 9))
+    samples = [int(1000 * np.sin(i / 5.0)) for i in range(160)]
+    (d / "sub" / "b.wav").write_bytes(encode_wav_pcm16(samples, 8000, 1))
+    frames = [bytes((i + k) % 256 for i in range(5 * 4)) for k in range(2)]
+    (d / "c.gif").write_bytes(encode_gif_frames(frames, 5, 4))
+    (d / "notes.txt").write_bytes(b"not media")
+
+    got = {
+        r["media_id"].rsplit("/", 1)[-1]: r
+        for r in ingest_media_dir(spark, str(d)).collect()
+    }
+    assert set(got) == {"a.png", "b.wav", "c.gif", "notes.txt"}
+    assert got["a.png"]["media"]["mime"] == "image/png"
+    assert got["b.wav"]["media"]["mime"] == "audio/wav"
+    assert got["c.gif"]["media"]["mime"] == "image/gif"
+    assert got["notes.txt"]["media"]["mime"] == "application/octet-stream"
+    # payloads survive byte-exact: decode what came back
+    w, h, px = decode_png(bytes(got["a.png"]["media"]["payload"]))
+    assert (w, h, px) == (11, 9, png_px)
+    s2, rate, ch = decode_wav_pcm(bytes(got["b.wav"]["media"]["payload"]))
+    assert (rate, ch) == (8000, 1) and list(s2) == samples
+    assert got["b.wav"]["n_bytes"] == len(encode_wav_pcm16(samples, 8000, 1))
+    # the generic decode stage consumes ingested rows directly
+    media_rows = ingest_media_dir(spark, str(d), glob="*.png")
+    decoded = decode_and_resize(media_rows, target_w=4, target_h=4).collect()
+    assert len(decoded) == 1 and decoded[0]["out_w"] == 4
