@@ -1233,3 +1233,70 @@ EXTRA_ORACLE_SQL["q67_histogram_rollup"] = """
     GROUP BY event_type, q_num, q_den, n_total
     ORDER BY event_type, q_num, q_den
 """
+
+# q68: merge audit — the oracle independently rebuilds the q9 merged
+# table and diffs it against orders with a FULL OUTER JOIN; change
+# detection is IS DISTINCT FROM per column (NULL-safe, the SQL twin of
+# Spark's eqNullSafe). Exact integer counts in both sections.
+EXTRA_ORACLE_SQL["q68_merge_audit_diff"] = """
+    WITH staging AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 100000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-03-01'
+    ), final AS (
+        SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2001-06-01'
+    ), merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        FROM (
+            SELECT * FROM final
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staging)
+            UNION ALL
+            SELECT * FROM staging
+        )
+    ), l AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        FROM orders
+    ), j AS (
+        SELECT l.o_orderkey AS lk, m.o_orderkey AS rk,
+               CASE WHEN l.o_orderkey IS NULL THEN 'added'
+                    WHEN m.o_orderkey IS NULL THEN 'removed'
+                    WHEN (l.o_custkey      IS DISTINCT FROM m.o_custkey)
+                      OR (l.o_orderstatus  IS DISTINCT FROM m.o_orderstatus)
+                      OR (l.o_totalprice   IS DISTINCT FROM m.o_totalprice)
+                      OR (l.o_orderdate    IS DISTINCT FROM m.o_orderdate)
+                      OR (l.o_orderpriority IS DISTINCT FROM m.o_orderpriority)
+                    THEN 'changed' ELSE 'unchanged' END AS status,
+               CASE WHEN l.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+                    AND l.o_custkey IS DISTINCT FROM m.o_custkey THEN 1 ELSE 0 END AS d_cust,
+               CASE WHEN l.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+                    AND l.o_orderstatus IS DISTINCT FROM m.o_orderstatus THEN 1 ELSE 0 END AS d_status,
+               CASE WHEN l.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+                    AND l.o_totalprice IS DISTINCT FROM m.o_totalprice THEN 1 ELSE 0 END AS d_price,
+               CASE WHEN l.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+                    AND l.o_orderdate IS DISTINCT FROM m.o_orderdate THEN 1 ELSE 0 END AS d_date,
+               CASE WHEN l.o_orderkey IS NOT NULL AND m.o_orderkey IS NOT NULL
+                    AND l.o_orderpriority IS DISTINCT FROM m.o_orderpriority THEN 1 ELSE 0 END AS d_prio
+        FROM l FULL OUTER JOIN merged m ON l.o_orderkey = m.o_orderkey
+    )
+    SELECT section, item, n FROM (
+        SELECT 'rows' AS section, s.status AS item,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged')) AS s(status)
+        LEFT JOIN (SELECT status, COUNT(*) AS n FROM j GROUP BY status) c
+          ON s.status = c.status
+        UNION ALL
+        SELECT 'columns', 'o_custkey',      CAST(SUM(d_cust) AS BIGINT)   FROM j
+        UNION ALL
+        SELECT 'columns', 'o_orderstatus',  CAST(SUM(d_status) AS BIGINT) FROM j
+        UNION ALL
+        SELECT 'columns', 'o_totalprice',   CAST(SUM(d_price) AS BIGINT)  FROM j
+        UNION ALL
+        SELECT 'columns', 'o_orderdate',    CAST(SUM(d_date) AS BIGINT)   FROM j
+        UNION ALL
+        SELECT 'columns', 'o_orderpriority', CAST(SUM(d_prio) AS BIGINT)  FROM j
+    )
+    ORDER BY section, item
+"""

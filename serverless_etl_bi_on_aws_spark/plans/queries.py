@@ -2001,6 +2001,46 @@ def q67_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_merge_audit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge audit via table diff (operators/diff.py): reconcile the
+    orders table against its q9-merged state — the "what did the merge
+    actually change" report a migration ships with. By q9's construction
+    the expected shape is exact: rows dated before the staging window are
+    unchanged, every staged row is changed (totalprice bumped), rows
+    outside the merged window are removed, nothing is added — and the
+    per-column drill-down must attribute every change to o_totalprice
+    alone. Exact integer counts → full value oracle.
+
+    Scale shape: ONE full-outer keyed join + a 4-row summary aggregate +
+    a |columns|-row conditional-sum pass; no per-column jobs."""
+    from serverless_etl_bi_on_aws_spark.operators.diff import (
+        changed_column_counts,
+        table_diff_summary,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    merged = QUERIES["q9_merge_upsert"](spark, sf_dir)
+    left = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    summary = table_diff_summary(left, merged, ["o_orderkey"]).select(
+        F.lit("rows").alias("section"),
+        F.col("status").alias("item"),
+        F.col("n_rows").alias("n"),
+    )
+    cols = changed_column_counts(left, merged, ["o_orderkey"]).select(
+        F.lit("columns").alias("section"),
+        F.col("col").alias("item"),
+        F.col("n_changed").alias("n"),
+    )
+    return summary.unionByName(cols).orderBy("section", "item")
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2399,4 +2439,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q65_pq_verify": q65_pq_verify,  # product-quantization ADC vs exact top-k
     "q66_data_quality_report": q66_data_quality_report,  # Deequ-style expectations
     "q67_histogram_rollup": q67_histogram_rollup,  # mergeable histogram percentile layout
+    "q68_merge_audit_diff": q68_merge_audit_diff,  # data-diff reconciliation of the q9 merge
 }

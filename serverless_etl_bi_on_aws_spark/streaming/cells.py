@@ -1,0 +1,100 @@
+"""Streaming maintenance of mergeable cell layouts — continuous-aggregate
+upkeep for the histogram rollup (operators/histogram.py), the streaming
+sibling of the batch-incremental pricing rollup (operators/rollup.py).
+
+The layout family's defining property — cells merge by summing exact
+integer counts — is exactly what makes streaming maintenance trivial and
+exactly-once: each micro-batch reduces to its own cells (batch-local
+groupBy, micro-batch-sized), then folds into the persisted cell table by
+key-sum. The file source's checkpoint guarantees each landed file counts
+once; the fold is associative, so batch boundaries can never change the
+result (pytest-pinned: drained cells == one-shot batch build).
+
+Target atomicity uses the same write-new-then-swap protocol as
+streaming/incremental.py (no transaction-log format in this image). At
+100 TB partition the cell table by the time grain and rewrite only the
+partitions a batch touches (dynamic partition overwrite — the
+rollup.upsert_pricing_rollup pattern); cells are counts, so even the
+swap variant only ever rewrites |grain| x occupied-bins rows, not data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from serverless_etl_bi_on_aws_spark.operators.histogram import build_histogram_cells
+
+
+def merge_cells_into_parquet(
+    spark: SparkSession,
+    batch_cells: DataFrame,
+    cells_path: str,
+    grain: Sequence[str],
+) -> None:
+    """Fold batch-local cells into the persisted cell table: union +
+    key-sum + atomic swap. Cell-sized work end to end."""
+    if os.path.exists(cells_path):
+        existing = spark.read.parquet(cells_path)
+        merged = (
+            existing.unionByName(batch_cells)
+            .groupBy(*grain, "bin_id")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        merged = batch_cells
+    tmp = f"{cells_path}.__new__{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(cells_path):
+        old = f"{cells_path}.__old__{uuid.uuid4().hex[:8]}"
+        os.rename(cells_path, old)
+        os.rename(tmp, cells_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, cells_path)
+
+
+def start_histogram_cell_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    cells_path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    value_col: str,
+    grain: Sequence[str],
+    bin_width: float,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+) -> StreamingQuery:
+    """Watch ``source_dir`` for new event files and keep the histogram
+    cell table current: every micro-batch reduces to its own cells and
+    key-sums into ``cells_path``. Drain with ``available_now`` for the
+    scheduled-batch cadence, or leave running with a processing-time
+    trigger. Quantile reads (histogram_quantiles) hit only the cell
+    table — never the raw stream history."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(source_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_cells = build_histogram_cells(batch_df, value_col, grain, bin_width)
+        merge_cells_into_parquet(spark, batch_cells, cells_path, grain)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

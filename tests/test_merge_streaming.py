@@ -314,3 +314,76 @@ def test_stream_stream_conversion_join_matches_batch(spark, tmp_path):
         for r in batch_conversion_join(events, "24 hours").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_histogram_cells_match_batch_build(spark, tmp_path):
+    """Continuous-aggregate maintenance: two file drops drained through
+    the cell-maintenance stream produce EXACTLY the cells (and hence the
+    quantiles) of a one-shot batch build over all the data; a replay with
+    the same checkpoint adds nothing (exactly-once per file)."""
+    from serverless_etl_bi_on_aws_spark.operators.histogram import (
+        build_histogram_cells,
+        histogram_quantiles,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.cells import (
+        start_histogram_cell_maintenance,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "landing"
+    src.mkdir()
+    cells_path = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_histogram_cell_maintenance(
+            spark,
+            str(src / "*"),
+            cells_path,
+            events.schema,
+            ckpt,
+            value_col="value",
+            grain=["day", "event_type"],
+            bin_width=5.0,
+        )
+        q.awaitTermination(120)
+
+    half1.coalesce(1).write.mode("overwrite").parquet(str(src / "drop1"))
+    drain()
+    half2.coalesce(1).write.mode("overwrite").parquet(str(src / "drop2"))
+    drain()
+    got = {
+        (str(r["day"]), r["event_type"], r["bin_id"]): r["n"]
+        for r in spark.read.parquet(cells_path).collect()
+    }
+    want = {
+        (str(r["day"]), r["event_type"], r["bin_id"]): r["n"]
+        for r in build_histogram_cells(
+            events, "value", ["day", "event_type"], 5.0
+        ).collect()
+    }
+    assert got == want
+    # replay: nothing new to process, cells unchanged
+    drain()
+    again = {
+        (str(r["day"]), r["event_type"], r["bin_id"]): r["n"]
+        for r in spark.read.parquet(cells_path).collect()
+    }
+    assert again == want
+    # quantiles served from the maintained cells == batch quantiles
+    maintained = histogram_quantiles(
+        spark.read.parquet(cells_path), ["event_type"], 5.0
+    )
+    direct = histogram_quantiles(
+        build_histogram_cells(events, "value", ["event_type"], 5.0),
+        ["event_type"],
+        5.0,
+    )
+    key = lambda r: (r["event_type"], r["q_num"], r["q_den"])  # noqa: E731
+    a = {key(r): (r["n_total"], r["qbin"]) for r in maintained.collect()}
+    b = {key(r): (r["n_total"], r["qbin"]) for r in direct.collect()}
+    assert a == b
