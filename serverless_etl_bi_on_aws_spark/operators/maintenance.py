@@ -1,0 +1,103 @@
+"""Table maintenance — compaction and stats-clustered rewrite (the
+OPTIMIZE pass of a parquet warehouse, expressed with plain Spark).
+
+Two layout pathologies accumulate under incremental ingest (every
+micro-batch of streaming/incremental.py is a new file):
+
+  * **small files** — listing cost and per-file open overhead dominate a
+    scan once files shrink below a row group. :func:`compact_parquet`
+    rewrites a directory to ``ceil(bytes / target_file_bytes)`` files —
+    the round-robin repartition that evens out file sizes costs the one
+    full shuffle a compaction inherently pays.
+  * **unclustered values** — parquet scans skip row groups/files by
+    min/max statistics, but stats only prune when values are clustered.
+    Passing ``cluster_by`` makes the rewrite a range-partitioned sort
+    (``repartitionByRange`` + ``sortWithinPartitions``) so each output
+    file owns a narrow, near-disjoint value range — a point or range
+    predicate then touches ~1 file instead of all of them (the single-
+    column core of what Delta's OPTIMIZE ZORDER does; true Z-order
+    interleaves bits of several columns onto one range key — same
+    rewrite shape, different ordering key; pytest checks the actual
+    parquet footer stats, not just the plan).
+
+Both rewrites are write-new-then-swap (same atomicity protocol as
+streaming/incremental.py). At 100 TB run them per partition (compact
+only partitions whose file count drifted — the manifest/file listing
+tells you which), never the whole table.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    cluster_by: str | None = None,
+) -> int:
+    """Rewrite the parquet directory at ``path`` into
+    ``ceil(current_bytes / target_file_bytes)`` files; returns the new
+    file count. With ``cluster_by``, files are range-clustered on that
+    column (near-disjoint per-file min/max -> stats-based skipping)."""
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
+    n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
+    df = spark.read.parquet(path)
+    if cluster_by is not None:
+        out = df.repartitionByRange(n_files, F.col(cluster_by)).sortWithinPartitions(
+            cluster_by
+        )
+    else:
+        out = df.repartition(n_files)
+    tmp = f"{path}.__new__{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def file_column_stats(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file (name, min, max) of ``column`` read straight from the
+    parquet footers — the statistics the scanner's skipping decisions
+    use, exposed for audits and the clustering pytest. Driver-side by
+    design: footers are KB-sized and file counts are maintenance-scale."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        meta = pq.read_metadata(os.path.join(path, f))
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            row_group = meta.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        out.append((f, lo, hi))
+    return out
