@@ -115,3 +115,30 @@ def stratified_sample(
     *statistically* reproducible — for exact reproducibility across engines
     use deterministic_split-style bucketing on an id instead."""
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    k: int = 10000,
+) -> DataFrame:
+    """Temperature-based corpus mixing — the multilingual sampling rule of
+    mT5/XLM-R: realized stratum proportions follow ``p_s^alpha`` (counts
+    raised to temperature), boosting scarce strata as ``alpha`` drops.
+    ``alpha=1`` keeps natural proportions, ``alpha=0`` is the uniform mix,
+    0.2-0.7 is the published range for multilingual pretraining.
+
+    Implemented as :func:`weighted_mix_sample` with the weight column
+    ``floor(pow(cnt, alpha) * 2^20)`` evaluated on the per-stratum count
+    frame — the fixed-point scale keeps the exact-integer threshold
+    arithmetic (and its overflow bound: k * w * cnt ~ 1e16 worst case
+    here, inside a long). ``pow`` is one double op computed once per
+    STRATUM, not per row; selection stays the deterministic
+    multiplicative hash, so the sample is stable across runs,
+    partitionings, and cluster sizes."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    weight = F.expr(f"CAST(floor(pow(_cnt, {alpha!r}) * 1048576) AS BIGINT)")
+    return weighted_mix_sample(df, strata_col, weight, id_col=id_col, k=k)

@@ -261,3 +261,40 @@ def test_pii_scrub_masks_and_counts(spark):
     # idempotent: masking already-masked text changes nothing
     again = df.select(mask_pii(mask_pii("t")).alias("m2"), mask_pii("t").alias("m1"))
     assert again.filter(F.col("m1") != F.col("m2")).count() == 0
+
+
+def test_temperature_mix_alpha_extremes_and_midpoint(spark):
+    """alpha=1 keeps natural proportions (threshold math: every stratum
+    keeps ~k*p_s); alpha=0 is the uniform mix (all strata downsample to
+    the scarcest); alpha=0.5 lands between, proportional to sqrt(cnt) —
+    and the selection is deterministic across calls."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    rows = [(i, "big" if i < 6400 else ("mid" if i < 8000 else "small"))
+            for i in range(8400)]  # 6400 / 1600 / 400
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    def realized(alpha):
+        out = temperature_mix_sample(df, "source", "doc_id", alpha=alpha, k=4000)
+        c = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        return c
+
+    nat = realized(1.0)
+    # natural: proportions ~ 16:4:1 (hash selection is exact-threshold,
+    # tolerance for hash bucketing granularity)
+    assert nat["big"] / nat["small"] > 8
+    uni = realized(0.0)
+    # uniform: every stratum close to the scarcest stratum's count
+    assert max(uni.values()) - min(uni.values()) <= 400 * 0.25
+    mid = realized(0.5)
+    # sqrt law: big/small target ratio sqrt(6400/400)=4
+    assert 2.5 <= mid["big"] / mid["small"] <= 6
+    # deterministic selection
+    a = sorted(r["doc_id"] for r in
+               temperature_mix_sample(df, "source", "doc_id", 0.5, 4000).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_mix_sample(df, "source", "doc_id", 0.5, 4000).collect())
+    assert a == b
