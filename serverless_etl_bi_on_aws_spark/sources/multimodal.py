@@ -29,7 +29,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -669,3 +671,76 @@ def ingest_media_dir(
             F.lit(None).cast("int").alias("duration_ms"),
         ).alias("media"),
     )
+
+
+def audio_spectrogram_features(
+    df: DataFrame,
+    media_col: str = "media",
+    n_fft: int = 64,
+    hop: int = 32,
+    n_bands: int = 8,
+) -> DataFrame:
+    """REAL audio featurization over the WAV codec path: frame the PCM
+    stream (``n_fft`` samples, ``hop`` step, Hann window), magnitude
+    rfft per frame, average into ``n_bands`` equal frequency bands —
+    the log-mel-lite fingerprint an audio training pipeline computes
+    before embedding/dedup. Output per row: ``n_frames`` and
+    ``spec_features`` (array<double>, length ``n_bands``); non-WAV or
+    NULL media rows pass through NULL, like audio_sample_stats.
+
+    Everything numeric is numpy inside ONE Arrow stage (vectorized
+    stride-tricks framing + one batched rfft per payload — no Python
+    loop over samples); the exchange, if any query adds one, ships 8
+    doubles per row, never audio. Determinism: fixed window, fixed
+    bands, IEEE rfft — pytest pins a planted sine's energy to its band
+    against an independent numpy reference."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import decode_wav_pcm
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("n_frames", IntegerType(), True),
+            StructField("spec_features", ArrayType(DoubleType()), True),
+        ]
+    )
+    window = None  # built lazily so numpy loads in the worker
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal window
+        if window is None:
+            window = np.hanning(n_fft)
+        for pdf in it:
+            n_frames_col: list = []
+            feats_col: list = []
+            for m in pdf[media_col]:
+                if m is None or m["payload"] is None or m["mime"] != "audio/wav":
+                    n_frames_col.append(None)
+                    feats_col.append(None)
+                    continue
+                samples, _rate, channels = decode_wav_pcm(bytes(m["payload"]))
+                mono = samples.astype(np.float64)
+                if channels > 1:  # average interleaved channels
+                    mono = mono[: len(mono) - len(mono) % channels]
+                    mono = mono.reshape(-1, channels).mean(axis=1)
+                if len(mono) < n_fft:
+                    mono = np.pad(mono, (0, n_fft - len(mono)))
+                n_frames = 1 + (len(mono) - n_fft) // hop
+                frames = np.lib.stride_tricks.as_strided(
+                    mono,
+                    shape=(n_frames, n_fft),
+                    strides=(mono.strides[0] * hop, mono.strides[0]),
+                )
+                mags = np.abs(np.fft.rfft(frames * window, axis=1))
+                # drop DC, average the remaining bins into equal bands
+                usable = mags[:, 1 : 1 + (mags.shape[1] - 1) // n_bands * n_bands]
+                bands = usable.reshape(n_frames, n_bands, -1).mean(axis=(0, 2))
+                n_frames_col.append(int(n_frames))
+                feats_col.append([float(x) for x in bands])
+            pdf = pdf.copy()
+            pdf["n_frames"] = n_frames_col
+            pdf["spec_features"] = feats_col
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)

@@ -888,3 +888,57 @@ def test_span_dedup_fully_duplicated_doc_hashes_empty(spark):
     assert rows[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_audio_spectrogram_planted_sine_lands_in_its_band(spark):
+    """A pure sine at bin b of an n_fft=64 frame concentrates its energy
+    in band b//bins_per_band; features agree with an independent numpy
+    STFT reference to 1e-9 and non-WAV rows pass through NULL."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import encode_wav_pcm16
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        audio_spectrogram_features,
+    )
+
+    n_fft, hop, n_bands = 64, 32, 8
+    rate = 8000
+    # sine exactly at FFT bin 20 of a 64-sample frame; rfft gives 33 bins,
+    # the 32 non-DC bins split into 8 bands of 4 -> bin 20 lands in band
+    # (20-1)//4 = 4
+    freq_bin = 20
+    t = np.arange(rate)  # 1 second
+    sine = (10000 * np.sin(2 * np.pi * freq_bin * t / n_fft)).astype(np.int64)
+    wav = encode_wav_pcm16(list(sine), rate, 1)
+    rows = [
+        (1, {"payload": bytearray(wav), "mime": "audio/wav",
+             "width": None, "height": None, "duration_ms": 1000}),
+        (2, {"payload": bytearray(b"xx"), "mime": "text/plain",
+             "width": None, "height": None, "duration_ms": None}),
+    ]
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import MEDIA_STRUCT
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("doc_id", LongType()), StructField("media", MEDIA_STRUCT)])
+    df = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r for r in
+           audio_spectrogram_features(df, n_fft=n_fft, hop=hop, n_bands=n_bands).collect()}
+    assert got[2]["spec_features"] is None and got[2]["n_frames"] is None
+    feats = got[1]["spec_features"]
+    assert len(feats) == n_bands
+    # band 4 dominates (bins 17..20 -> band 4)
+    assert feats.index(max(feats)) == 4
+    # bin 20 is band 4's last bin; Hann leakage into bin 21 makes band 5
+    # the runner-up — require clear dominance, not isolation
+    assert max(feats) > 2 * sorted(feats)[-2]
+    assert max(feats) > 100 * sorted(feats)[-3]
+    # independent reference STFT
+    mono = sine.astype(np.float64)
+    n_frames = 1 + (len(mono) - n_fft) // hop
+    w = np.hanning(n_fft)
+    frames = np.stack([mono[i*hop:i*hop+n_fft] for i in range(n_frames)])
+    mags = np.abs(np.fft.rfft(frames * w, axis=1))
+    usable = mags[:, 1:1 + (mags.shape[1]-1)//n_bands*n_bands]
+    want = usable.reshape(n_frames, n_bands, -1).mean(axis=(0, 2))
+    assert got[1]["n_frames"] == n_frames
+    np.testing.assert_allclose(feats, want, rtol=0, atol=1e-9)
