@@ -1144,9 +1144,10 @@ EXTRA_ORACLE_SQL["q64_span_dedup"] = """
 # q65: PQ-ADC internals are engine-defined (seeded subspace k-means); the
 # value contract is agreement with the exact top-k — exact_top10_idsum
 # recomputed independently (q6's formulation) + expected-TRUE booleans
-# with measured margin (raw-ADC recall 6/10 vs bar 3; rerank shortlist
-# 100 vs worst true-top-10 ADC rank 19, so the two-stage result IS the
-# exact top-10 id set).
+# with measured margin (raw-ADC recall 7/10 at sf0.01, 6/10 at sf0.1 vs
+# bar 3; corpus-scaled rerank shortlist max(100, n/8) vs worst
+# true-top-10 ADC rank 15 / 102, so the two-stage result IS the exact
+# top-10 id set at both sweep scales).
 EXTRA_ORACLE_SQL["q65_pq_verify"] = """
     WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
     top10 AS (
@@ -1227,7 +1228,7 @@ EXTRA_ORACLE_SQL["q67_histogram_rollup"] = """
            CAST(q_den AS INT)                AS q_den,
            CAST(n_total AS BIGINT)           AS n_total,
            CAST(MIN(bin_id) AS BIGINT)       AS qbin,
-           MIN(bin_id) * 5.0                 AS q_edge
+           CAST(MIN(bin_id) * 5.0 AS DOUBLE)  AS q_edge
     FROM cum CROSS JOIN qs
     WHERE cum_n >= (q_num * n_total + q_den - 1) // q_den
     GROUP BY event_type, q_num, q_den, n_total

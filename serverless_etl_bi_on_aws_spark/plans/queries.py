@@ -1851,14 +1851,17 @@ def q65_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected-TRUE booleans with measured margin:
 
       * returned_ok — the ADC probe returns exactly 10 rows;
-      * recall_ok — raw ADC top-10 finds >= 3 of the exact top-10 (16x16
-        PQ on the 64-dim fixture measures 6; the fixture's top-100
-        cosines are tightly bunched — 0.37 at rank 1 vs 0.28 at rank 10 —
-        so quantization error of ~0.08 scrambles fine ranks by design);
+      * recall_ok — raw ADC top-10 finds >= 3 of the exact top-10
+        (32x16 PQ measures 7 at the sf0.01 gate and 6 at the sf0.1
+        sweep; the fixture's top cosines are tightly bunched, so finer
+        subspaces were needed to hold rank at 10x corpus — 16x16
+        measured 6 and then 1);
       * rerank_matches_exact — the deployed two-stage shape (ADC
-        shortlist 100 -> exact re-rank, operators/pq.pq_probe_reranked)
-        returns EXACTLY the brute-force top-10 id set (the worst
-        true-top-10 ADC rank measures 19, a 5x shortlist margin).
+        shortlist -> exact re-rank, operators/pq.pq_probe_reranked)
+        returns EXACTLY the brute-force top-10 id set. The shortlist
+        scales with the corpus, max(100, ceil(n/8)): worst true-top-10
+        ADC rank measures 15 vs 100 at sf0.01 and 102 vs 250 at sf0.1
+        (>= 2.4x margin at both).
 
     Probes the PERSISTED index (operators/pq.build_pq_index — codes +
     codebooks written once, digest-keyed): repeated sweeps fit ZERO
@@ -1880,16 +1883,17 @@ def q65_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     ]
     pool = emb.filter(F.col("vec_id") != 0)
-    digest = fixture_digest(sf_dir, ("embeddings",), version="pq1")[:8]
+    digest = fixture_digest(sf_dir, ("embeddings",), version="pq2")[:8]
     idx = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{digest}")
     if not (
         os.path.exists(os.path.join(idx, "codes", "_SUCCESS"))
         and os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS"))
     ):
-        build_pq_index(pool, idx, m=16, k=16, seed=42)
+        build_pq_index(pool, idx, m=32, k=16, seed=42)
+    n_pool = pool.count()
     adc = pq_probe_topk(spark, idx, qvec, k=10).localCheckpoint(eager=True)
     reranked = pq_probe_reranked(
-        spark, idx, qvec, pool, k=10, shortlist=100
+        spark, idx, qvec, pool, k=10, shortlist=max(100, -(-n_pool // 8))
     ).localCheckpoint(eager=True)
     exact10 = (
         topk_cosine_arrow(pool, qvec, k=10)

@@ -619,7 +619,7 @@ _EXT_MIME = {
     ".jpeg": "image/jpeg",
     ".gif": "image/gif",
     ".wav": "audio/wav",
-    ".avi": "video/avi",
+    ".avi": "video/x-msvideo",  # the mime every codec stage keys on
 }
 
 
@@ -741,6 +741,79 @@ def audio_spectrogram_features(
             pdf = pdf.copy()
             pdf["n_frames"] = n_frames_col
             pdf["spec_features"] = feats_col
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def video_scene_cuts(
+    df: DataFrame,
+    media_col: str = "media",
+    cut_ratio: float = 3.0,
+) -> DataFrame:
+    """Scene-cut detection over the REAL AVI+PNG path — the sampling
+    primitive a video training pipeline runs before frame extraction
+    (keyframe-per-scene beats uniform sampling): decode the frame
+    sequence, score each adjacent pair by mean absolute pixel delta,
+    and mark a cut wherever the delta exceeds ``cut_ratio`` x the
+    median delta (ratio-to-median, so slow pans don't trigger and any
+    hard cut does, independent of content brightness).
+
+    Output per row: ``n_frames, n_cuts, cut_indices`` (frame i starts a
+    new scene). Non-AVI / NULL media pass through NULL. One Arrow stage;
+    the per-payload work is numpy over decoded frames and the output is
+    a handful of ints per row."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.avi import decode_avi_frames
+    from serverless_etl_bi_on_aws_spark.functions.png import decode_png
+
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("n_frames", IntegerType(), True),
+            StructField("n_cuts", IntegerType(), True),
+            StructField("cut_indices", ArrayType(IntegerType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nf_col: list = []
+            nc_col: list = []
+            idx_col: list = []
+            for m in pdf[media_col]:
+                if m is None or m["payload"] is None or m["mime"] != "video/x-msvideo":
+                    nf_col.append(None)
+                    nc_col.append(None)
+                    idx_col.append(None)
+                    continue
+                payloads, w, h, _fps, _fourcc = decode_avi_frames(bytes(m["payload"]))
+                frames = [
+                    np.frombuffer(decode_png(p)[2], dtype=np.uint8).astype(np.int32)
+                    for p in payloads
+                ]
+                if len(frames) < 2:
+                    nf_col.append(len(frames))
+                    nc_col.append(0)
+                    idx_col.append([])
+                    continue
+                deltas = np.array(
+                    [
+                        float(np.abs(frames[i] - frames[i - 1]).mean())
+                        for i in range(1, len(frames))
+                    ]
+                )
+                med = float(np.median(deltas))
+                bar = cut_ratio * med if med > 0 else 0.0
+                cuts = [int(i + 1) for i, d in enumerate(deltas) if d > bar]
+                nf_col.append(len(frames))
+                nc_col.append(len(cuts))
+                idx_col.append(cuts)
+            pdf = pdf.copy()
+            pdf["n_frames"] = nf_col
+            pdf["n_cuts"] = nc_col
+            pdf["cut_indices"] = idx_col
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)

@@ -942,3 +942,64 @@ def test_audio_spectrogram_planted_sine_lands_in_its_band(spark):
     want = usable.reshape(n_frames, n_bands, -1).mean(axis=(0, 2))
     assert got[1]["n_frames"] == n_frames
     np.testing.assert_allclose(feats, want, rtol=0, atol=1e-9)
+
+
+def test_video_scene_cuts_planted_scenes(spark):
+    """Two planted scenes: frames 0-2 share a gradient (tiny deltas),
+    frames 3-5 a shifted pattern — exactly one cut, at frame 3; a
+    slow-pan-only clip yields zero cuts; ingest-mime alignment means an
+    .avi file routed through ingest_media_dir hits the real parser."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.avi import encode_avi_frames
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        MEDIA_STRUCT,
+        video_scene_cuts,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    w, h = 8, 6
+
+    def frame(base, drift):
+        return encode_png(
+            bytes((x + y + base + drift) % 256 for y in range(h) for x in range(w)),
+            w, h,
+        )
+
+    scene_cut = [frame(0, d) for d in range(3)] + [frame(128, d) for d in range(3)]
+    slow_pan = [frame(0, d) for d in range(6)]
+    rows = [
+        (1, {"payload": bytearray(encode_avi_frames(scene_cut, w, h, fps=4)),
+             "mime": "video/x-msvideo", "width": w, "height": h, "duration_ms": 1500}),
+        (2, {"payload": bytearray(encode_avi_frames(slow_pan, w, h, fps=4)),
+             "mime": "video/x-msvideo", "width": w, "height": h, "duration_ms": 1500}),
+        (3, None),
+    ]
+    schema = StructType([StructField("doc_id", LongType()), StructField("media", MEDIA_STRUCT)])
+    got = {r["doc_id"]: r for r in
+           video_scene_cuts(spark.createDataFrame(rows, schema)).collect()}
+    assert (got[1]["n_frames"], got[1]["n_cuts"], list(got[1]["cut_indices"])) == (6, 1, [3])
+    assert (got[2]["n_frames"], got[2]["n_cuts"]) == (6, 0)
+    assert got[3]["n_frames"] is None
+
+
+def test_ingest_avi_mime_matches_codec_path(spark, tmp_path):
+    from serverless_etl_bi_on_aws_spark.functions.avi import encode_avi_frames
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        ingest_media_dir,
+        video_scene_cuts,
+    )
+
+    w, h = 5, 4
+    frames = [
+        encode_png(bytes((x + y + b) % 256 for y in range(h) for x in range(w)), w, h)
+        for b in (0, 1, 120, 121)
+    ]
+    d = tmp_path / "vids"
+    d.mkdir()
+    (d / "clip.avi").write_bytes(encode_avi_frames(frames, w, h, fps=2))
+    out = video_scene_cuts(ingest_media_dir(spark, str(d))).collect()
+    assert len(out) == 1
+    assert (out[0]["n_frames"], out[0]["n_cuts"], list(out[0]["cut_indices"])) == (4, 1, [2])
