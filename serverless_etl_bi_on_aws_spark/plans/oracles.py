@@ -1301,3 +1301,38 @@ EXTRA_ORACLE_SQL["q68_merge_audit_diff"] = """
     )
     ORDER BY section, item
 """
+
+# q69: SCD Type 2 over a deterministic two-snapshot sequence — the oracle
+# reconstructs the full history table in SQL: unchanged orders keep one
+# open T0 version; every order dated >= 2001-03-01 carries a closed
+# [T0, T1) version at the old price and an open T1 version at +100000.
+# Validity bounds are fixed epoch-micros instants (TZ-independent).
+EXTRA_ORACLE_SQL["q69_scd2_order_history"] = """
+    WITH changed AS (
+        SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-03-01'
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           valid_from_us, valid_to_us, is_current
+    FROM (
+        -- unchanged keys: one open version from T0
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+               946684800000000 AS valid_from_us,
+               CAST(NULL AS BIGINT) AS valid_to_us,
+               TRUE AS is_current
+        FROM orders o
+        WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM changed)
+        UNION ALL
+        -- changed keys: closed old version [T0, T1)
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+               946684800000000, 993945600000000, FALSE
+        FROM orders o
+        WHERE o.o_orderkey IN (SELECT o_orderkey FROM changed)
+        UNION ALL
+        -- changed keys: new open version from T1
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice + 100000.0,
+               993945600000000, CAST(NULL AS BIGINT), TRUE
+        FROM orders o
+        WHERE o.o_orderkey IN (SELECT o_orderkey FROM changed)
+    )
+    ORDER BY o_orderkey, valid_from_us
+"""

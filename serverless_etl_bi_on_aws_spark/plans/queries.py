@@ -2045,6 +2045,51 @@ def q68_merge_audit_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.unionByName(cols).orderBy("section", "item")
 
 
+def q69_scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history (operators/scd.py) over a deterministic
+    two-snapshot sequence: bootstrap the order dimension at T0 from the
+    orders table, then apply the q9-style update batch (totalprice
+    bumped for every order dated >= 2001-03-01) at T1. Type 2 closes the
+    changed versions and inserts new open ones, so the result carries
+    full history — exactly reconstructable in SQL, hence a full value
+    oracle over all version rows (keys, attrs, epoch-micros validity,
+    is_current).
+
+    Scale shape: only the OPEN slice joins the batch (one full-outer
+    keyed join); closed history unions back untouched."""
+    from serverless_etl_bi_on_aws_spark.operators.scd import scd2_apply, scd2_init
+
+    # session-TZ-independent instants (see operators/scd._ts): epoch us
+    # of 2000-01-01T00:00:00Z and 2001-07-01T00:00:00Z
+    t0 = F.timestamp_micros(F.lit(946684800000000))
+    t1 = F.timestamp_micros(F.lit(993945600000000))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    dim = scd2_init(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice"), t0
+    )
+    updates = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderdate") >= F.lit("2001-03-01").cast("timestamp"),
+            F.col("o_totalprice") + 100000.0,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    out = scd2_apply(dim, updates, ["o_orderkey"], t1)
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("o_orderkey", "valid_from_us")
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2444,4 +2489,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q66_data_quality_report": q66_data_quality_report,  # Deequ-style expectations
     "q67_histogram_rollup": q67_histogram_rollup,  # mergeable histogram percentile layout
     "q68_merge_audit_diff": q68_merge_audit_diff,  # data-diff reconciliation of the q9 merge
+    "q69_scd2_order_history": q69_scd2_order_history,  # SCD Type 2 history; full value oracle
 }

@@ -1,0 +1,82 @@
+"""SCD Type 2 tests: crafted version lifecycle, idempotent re-apply,
+as-of reconstruction, and the open-slice-only join shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.operators.scd import (
+    scd2_apply,
+    scd2_as_of,
+    scd2_init,
+)
+
+T0, T1, T2 = "2020-01-01 00:00:00", "2020-02-01 00:00:00", "2020-03-01 00:00:00"
+
+
+def _dim(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "name", "amount"],
+    )
+    return scd2_init(snap, T0)
+
+
+def test_scd2_version_lifecycle(spark):
+    dim = _dim(spark)
+    batch1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)],  # 2 changes, 4 new
+        ["id", "name", "amount"],
+    )
+    out = scd2_apply(dim, batch1, ["id"], T1)
+    rows = sorted(
+        ((r["id"], r["name"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"]))
+        for r in out.collect()
+    )
+    assert rows == sorted(
+        [
+            (1, "a", T0, "None", True),       # untouched
+            (2, "b", T0, T1, False),           # closed old version
+            (2, "B", T1, "None", True),        # new open version
+            (3, "c", T0, "None", True),        # absent from batch: untouched
+            (4, "d", T1, "None", True),        # new key
+        ]
+    )
+
+
+def test_scd2_reapply_same_batch_is_noop(spark):
+    dim = _dim(spark)
+    batch = spark.createDataFrame(
+        [(2, "B", 20.0)], ["id", "name", "amount"]
+    )
+    once = scd2_apply(dim, batch, ["id"], T1).localCheckpoint(eager=True)
+    twice = scd2_apply(once, batch, ["id"], T2)
+    a = sorted(map(repr, once.collect()))
+    b = sorted(map(repr, twice.collect()))
+    assert a == b  # second apply changes nothing (attrs already current)
+
+
+def test_scd2_as_of_reconstruction(spark):
+    dim = _dim(spark)
+    batch = spark.createDataFrame([(2, "B", 25.0)], ["id", "name", "amount"])
+    hist = scd2_apply(dim, batch, ["id"], T1)
+    before = {r["id"]: r["name"] for r in scd2_as_of(hist, "2020-01-15").collect()}
+    after = {r["id"]: r["name"] for r in scd2_as_of(hist, "2020-02-15").collect()}
+    assert before == {1: "a", 2: "b", 3: "c"}
+    assert after == {1: "a", 2: "B", 3: "c"}
+
+
+def test_scd2_closed_history_never_joins(spark):
+    """Only the open slice reaches the full-outer join: with a dimension
+    holding closed rows, the join input filters on is_current (visible in
+    the plan as a single FullOuter over the filtered slice)."""
+    dim = _dim(spark)
+    b1 = spark.createDataFrame([(2, "B", 20.0)], ["id", "name", "amount"])
+    hist = scd2_apply(dim, b1, ["id"], T1).localCheckpoint(eager=True)
+    b2 = spark.createDataFrame([(3, "C", 30.0)], ["id", "name", "amount"])
+    out = scd2_apply(hist, b2, ["id"], T2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FullOuter") == 1
+    rows = out.filter(F.col("id") == 2).orderBy("valid_from").collect()
+    # id 2's history from batch 1 survives batch 2 untouched
+    assert [r["is_current"] for r in rows] == [False, True]
