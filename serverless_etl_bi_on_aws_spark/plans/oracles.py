@@ -1336,3 +1336,60 @@ EXTRA_ORACLE_SQL["q69_scd2_order_history"] = """
     )
     ORDER BY o_orderkey, valid_from_us
 """
+
+# q70: analytic-window breadth — lag/lead/ntile/percent_rank/cume_dist,
+# everything tie-broken on a key so rank outputs are engine-exact; the
+# ROUND(.,6) on the two distribution functions guards double formatting,
+# not order (their values are exact small-denominator rationals).
+EXTRA_ORACLE_SQL["q70_window_suite"] = """
+    WITH per_order AS (
+        SELECT o_custkey, o_orderkey,
+               LAG(o_totalprice)  OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev_price,
+               LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS next_price
+        FROM orders
+    ), agg_lag AS (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(COALESCE(prev_price, 0.0)), 2) AS sum_prev,
+               ROUND(SUM(COALESCE(next_price, 0.0)), 2) AS sum_next
+        FROM per_order GROUP BY o_custkey
+    ), spend AS (
+        SELECT c_custkey, c_mktsegment,
+               ROUND(SUM(o_totalprice), 2) AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+    ), ranked AS (
+        SELECT c_custkey, c_mktsegment, spend,
+               CAST(NTILE(4) OVER w AS INT)          AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6)       AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6)          AS cume
+        FROM spend
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend, c_custkey)
+    )
+    SELECT r.c_custkey, r.c_mktsegment, r.spend, r.quartile, r.pct_rank,
+           r.cume, a.n_orders, a.sum_prev, a.sum_next
+    FROM ranked r JOIN agg_lag a ON r.c_custkey = a.o_custkey
+    ORDER BY r.c_custkey
+"""
+
+# q71: pivot->unpivot round-trip — the long form is the complete
+# priority x status grid with exact counts, absent combos as zeros;
+# the oracle rebuilds it relationally (cross grid LEFT JOIN counts).
+EXTRA_ORACLE_SQL["q71_pivot_unpivot_roundtrip"] = """
+    WITH grid AS (
+        SELECT p.o_orderpriority, s.o_orderstatus
+        FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        CROSS JOIN (VALUES ('O'), ('F'), ('P')) AS s(o_orderstatus)
+    ), counts AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    )
+    SELECT g.o_orderpriority, g.o_orderstatus,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_orders
+    FROM grid g LEFT JOIN counts c
+      ON g.o_orderpriority = c.o_orderpriority
+     AND g.o_orderstatus = c.o_orderstatus
+    ORDER BY g.o_orderpriority, g.o_orderstatus
+"""

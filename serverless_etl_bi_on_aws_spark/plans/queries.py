@@ -2090,6 +2090,100 @@ def q69_scd2_order_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey", "valid_from_us")
 
 
+def q70_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window breadth (§2.5 extension): the window functions the
+    earlier queries don't already exercise — lag/lead (prior/next order
+    amount per customer), ntile(4) (per-customer spend quartile within
+    segment), percent_rank and cume_dist (spend position within segment)
+    — in ONE pass over two windows that share the same partitioning key
+    family. Ties are broken on the key everywhere, so every rank-like
+    output is engine-exact.
+
+    Scale shape: one customer-grain aggregate (map-side partials), one
+    exchange on the segment key for the three rank functions, one on the
+    customer key for lag/lead — Catalyst folds same-key windows into one
+    WindowExec each."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    per_order = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w_cust).alias("prev_price"),
+        F.lead("o_totalprice").over(w_cust).alias("next_price"),
+    )
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_mktsegment", "spend")
+    )
+    w_seg = Window.partitionBy("c_mktsegment").orderBy("spend", "c_custkey")
+    ranked = spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend",
+        F.ntile(4).over(w_seg).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w_seg), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_seg), 6).alias("cume"),
+    )
+    agg_lag = per_order.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.coalesce("prev_price", F.lit(0.0))), 2).alias("sum_prev"),
+        F.round(F.sum(F.coalesce("next_price", F.lit(0.0))), 2).alias("sum_next"),
+    )
+    return (
+        ranked.join(agg_lag, ranked.c_custkey == agg_lag.o_custkey)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "spend",
+            "quartile",
+            "pct_rank",
+            "cume",
+            "n_orders",
+            "sum_prev",
+            "sum_next",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q71_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot→unpivot round-trip (§2.4/§2.7 extension): the order-status
+    matrix pivots to wide form (one column per status, q22's shape) and
+    unpivots straight back to long form with Spark's native ``unpivot``
+    — the melt operator BI tools round-trip through constantly. Absent
+    (priority, status) combos surface as explicit zero rows (the pivot
+    NULL → 0 coalesce), so the long form is the complete cross grid and
+    the oracle can rebuild it relationally.
+
+    Scale shape: one groupBy exchange for the matrix (statuses are a
+    bounded in-list, so the wide frame is |priorities| rows), then
+    unpivot is a map-only expression — no second exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["O", "F", "P"]
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=statuses,
+        variableColumnName="o_orderstatus",
+        valueColumnName="_n",
+    )
+    return (
+        long.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.coalesce("_n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2490,4 +2584,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q67_histogram_rollup": q67_histogram_rollup,  # mergeable histogram percentile layout
     "q68_merge_audit_diff": q68_merge_audit_diff,  # data-diff reconciliation of the q9 merge
     "q69_scd2_order_history": q69_scd2_order_history,  # SCD Type 2 history; full value oracle
+    "q70_window_suite": q70_window_suite,  # lag/lead/ntile/percent_rank/cume_dist breadth
+    "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # pivot -> native unpivot/melt
 }
