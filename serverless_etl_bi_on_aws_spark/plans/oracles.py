@@ -10,10 +10,13 @@ Alignment rules (mirrored in queries.py):
   * year()/month()/row_number() cast to INT (Spark emits 32-bit there);
   * timestamps exported as DATE or epoch-micros BIGINT.
 
-q13/q14/q18 (minhash-LSH, simhash, LSH-ANN) are deliberately absent: their
-bucket/signature internals are engine-defined, so the driver applies its
-weaker rows-only check and pytest cross-validates them against the exact
-operators (q12/q6).
+Since the round-7 surface consolidation there is NO rows-only entry:
+every driver query has a value oracle here, and the engine-defined
+sketch/ANN operators are value-gated through their verification queries
+(q13_sketch_neardup_verify / q18_ann_verify). EXTRA_ORACLE_SQL carries
+the oracles for the off-driver EXTRA tier (pytest + compare_oracle
+gated); EXTRA entries without an oracle are pytest-pinned to exact
+twins.
 """
 
 from __future__ import annotations
