@@ -1396,3 +1396,30 @@ EXTRA_ORACLE_SQL["q71_pivot_unpivot_roundtrip"] = """
      AND g.o_orderstatus = c.o_orderstatus
     ORDER BY g.o_orderpriority, g.o_orderstatus
 """
+
+# q72: temporal dimension join — the oracle rebuilds the two-version
+# segment history relationally and applies the same validity-window
+# predicates; instants are the same naive timestamps the fixture's
+# event instants compare against.
+EXTRA_ORACLE_SQL["q72_temporal_dim_join"] = """
+    WITH versions AS (
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN TIMESTAMP '2024-01-15 00:00:00' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'MOVED',
+               TIMESTAMP '2024-01-15 00:00:00', CAST(NULL AS TIMESTAMP)
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT v.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    LEFT JOIN versions v
+      ON e.user_id = v.c_custkey
+     AND v.valid_from <= e.ts
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    GROUP BY v.c_mktsegment, e.event_type
+    ORDER BY v.c_mktsegment, e.event_type
+"""

@@ -2184,6 +2184,53 @@ def q71_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — the read-side payoff of SCD Type 2
+    (q69/operators/scd.py): every event joins the dimension VERSION that
+    was valid at the event's own timestamp, so late-arriving analytics
+    see history as it was, not as it is. Dimension: a deterministic
+    two-version customer-segment history (every c_custkey divisible by 3
+    moves to segment 'MOVED' at T1 = 2024-01-15T00:00:00Z, mid-way
+    through the events fixture's range). Output: event counts per
+    (segment-at-event-time, event_type) — events before T1 count under
+    the original segment, after under the new one.
+
+    Scale shape: ONE equi join on the customer key with the validity
+    window as residual join predicates (each key carries <= 2 versions,
+    so the join cannot amplify); instants are epoch-micros literals
+    (session-TZ-independent). The general sparse-version case is
+    operators/asof.asof_join; the binned variant is
+    operators/range_join."""
+    from serverless_etl_bi_on_aws_spark.operators.scd import scd2_apply, scd2_init
+
+    t0 = F.timestamp_micros(F.lit(1704067200000000))  # 2024-01-01T00:00:00Z
+    t1 = F.timestamp_micros(F.lit(1705276800000000))  # 2024-01-15T00:00:00Z
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    dim = scd2_init(customer, t0)
+    moved = customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    versions = scd2_apply(dim, moved, ["c_custkey"], t1)
+    events = load_table(spark, sf_dir, "events")
+    joined = events.join(
+        versions,
+        (events.user_id == versions.c_custkey)
+        & (versions.valid_from <= events.ts)
+        & (versions.valid_to.isNull() | (events.ts < versions.valid_to)),
+        "left",
+    )
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2586,4 +2633,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q69_scd2_order_history": q69_scd2_order_history,  # SCD Type 2 history; full value oracle
     "q70_window_suite": q70_window_suite,  # lag/lead/ntile/percent_rank/cume_dist breadth
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # pivot -> native unpivot/melt
+    "q72_temporal_dim_join": q72_temporal_dim_join,  # SCD2 read side: version-valid-at-event-time
 }

@@ -80,3 +80,67 @@ def test_scd2_closed_history_never_joins(spark):
     rows = out.filter(F.col("id") == 2).orderBy("valid_from").collect()
     # id 2's history from batch 1 survives batch 2 untouched
     assert [r["is_current"] for r in rows] == [False, True]
+
+
+def test_streaming_scd2_matches_sequential_batch_twin(spark, tmp_path):
+    """Two file drops (bootstrap wave, then two change waves landing in
+    ONE micro-batch) drained through the maintenance stream produce
+    exactly the history of sequential scd2_init/apply; a checkpoint
+    replay adds nothing."""
+    import datetime as dt
+
+    from serverless_etl_bi_on_aws_spark.streaming.scd_stream import (
+        start_scd2_maintenance,
+    )
+
+    TS0 = dt.datetime(2024, 1, 1)
+    TS1 = dt.datetime(2024, 2, 1)
+    TS2 = dt.datetime(2024, 3, 1)
+    cols = ["id", "name", "amount", "effective_ts"]
+    drop1 = spark.createDataFrame(
+        [(1, "a", 10.0, TS0), (2, "b", 20.0, TS0)], cols
+    )
+    # one micro-batch carrying TWO waves: change at TS1, then again at TS2
+    drop2 = spark.createDataFrame(
+        [(2, "B", 20.0, TS1), (2, "B2", 20.0, TS2), (3, "c", 30.0, TS2)], cols
+    )
+    src = tmp_path / "updates"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_scd2_maintenance(
+            spark, str(src / "*"), dim_path, ["id"], drop1.schema, ckpt
+        )
+        q.awaitTermination(120)
+
+    drop1.coalesce(1).write.mode("overwrite").parquet(str(src / "d1"))
+    drain()
+    drop2.coalesce(1).write.mode("overwrite").parquet(str(src / "d2"))
+    drain()
+
+    got = sorted(map(repr, spark.read.parquet(dim_path).collect()))
+    # sequential twin
+    from serverless_etl_bi_on_aws_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = scd2_init(drop1.drop("effective_ts"), F.lit(TS0))
+    dim = scd2_apply(
+        dim, drop2.filter(F.col("effective_ts") == TS1).drop("effective_ts"),
+        ["id"], F.lit(TS1),
+    )
+    dim = scd2_apply(
+        dim, drop2.filter(F.col("effective_ts") == TS2).drop("effective_ts"),
+        ["id"], F.lit(TS2),
+    )
+    want = sorted(map(repr, dim.collect()))
+    assert got == want
+    # id 2 carries three versions: [TS0,TS1), [TS1,TS2), open at TS2
+    vers = spark.read.parquet(dim_path).filter(F.col("id") == 2)
+    assert sorted((str(r["valid_from"]), str(r["valid_to"])) for r in vers.collect()) == [
+        ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        ("2024-02-01 00:00:00", "2024-03-01 00:00:00"),
+        ("2024-03-01 00:00:00", "None"),
+    ]
+    drain()  # replay: no new files, dimension unchanged
+    assert sorted(map(repr, spark.read.parquet(dim_path).collect())) == want
