@@ -117,3 +117,48 @@ def pii_counts(text: str | Column) -> dict[str, Column]:
         kind: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
         for kind, pat, _ in PII_PATTERNS
     }
+
+
+def normalize_text_batch(df, text_col: str = "text", out_col: str = "clean_text"):
+    """Unicode text normalization (X5 corpus hygiene) — the cleaning pass
+    web-crawl pipelines run before any tokenization: NFC canonical
+    composition (combining sequences -> precomposed forms, so visually
+    identical strings hash identically for dedup), C0/C1 control-char
+    strip (tab/newline normalize to space first), whitespace-run
+    collapse, and trim.
+
+    NFC has no JVM builtin in Spark SQL, so the composition step is an
+    Arrow-batched Pandas stage over ``unicodedata`` (the same Unicode
+    standard utf8proc implements — the q73 oracle cross-checks the two
+    implementations span for span via md5). Map-only; everything after
+    the normalize is vectorized pandas ``str`` ops.
+    """
+    import pandas as pd
+
+    def batches(it):
+        import re
+        import unicodedata
+
+        ctrl = re.compile(r"[\x00-\x08\x0B-\x1F\x7F-\x9F]")
+        ws = re.compile(r" {2,}")
+
+        def clean(s):
+            if s is None:
+                return None
+            s = unicodedata.normalize("NFC", str(s))
+            s = s.replace("\t", " ").replace("\n", " ").replace("\r", " ")
+            s = ctrl.sub("", s)
+            s = ws.sub(" ", s)
+            return s.strip()
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(
+                [clean(v) for v in pdf[text_col]], index=pdf.index, dtype=object
+            )
+            yield pdf
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(batches, f"{fields}, {out_col} string")

@@ -1423,3 +1423,31 @@ EXTRA_ORACLE_SQL["q72_temporal_dim_join"] = """
     GROUP BY v.c_mktsegment, e.event_type
     ORDER BY v.c_mktsegment, e.event_type
 """
+
+# q73: unicode normalization — the oracle plants the identical dirty
+# suffix (chr() codepoints so the decomposed form is explicit) and
+# applies the identical chain with utf8proc NFC; md5 cross-checks two
+# independent Unicode implementations.
+EXTRA_ORACLE_SQL["q73_unicode_normalize"] = """
+    WITH dirty AS (
+        SELECT doc_id,
+               text || ' caf' || 'e' || chr(769) || chr(7) ||
+               chr(9) || 'x' || chr(10) || 'y' || '  z  ' AS dirty
+        FROM documents
+    ), cleaned AS (
+        SELECT doc_id, dirty,
+               trim(regexp_replace(
+                   regexp_replace(
+                       replace(replace(replace(nfc_normalize(dirty),
+                           chr(9), ' '), chr(10), ' '), chr(13), ' '),
+                       '[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]', '', 'g'),
+                   ' {2,}', ' ', 'g')) AS clean_text
+        FROM dirty
+    )
+    SELECT doc_id,
+           CAST(length(dirty) AS INT)      AS n_raw,
+           CAST(length(clean_text) AS INT) AS n_clean,
+           md5(clean_text)                 AS clean_md5
+    FROM cleaned
+    ORDER BY doc_id
+"""

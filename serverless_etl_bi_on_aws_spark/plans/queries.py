@@ -2231,6 +2231,41 @@ def q72_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization pass (X5 corpus hygiene;
+    functions/text.normalize_text_batch): NFC composition + control strip
+    + whitespace collapse + trim. The fixture text is ASCII-clean, so the
+    query plants a deterministic dirty suffix per document — a combining
+    acute (e + U+0301), a BEL control, tab/newline runs, double spaces —
+    and the oracle plants the IDENTICAL suffix and applies the IDENTICAL
+    chain with DuckDB's utf8proc NFC. The md5 therefore cross-checks two
+    independent Unicode implementations (Python unicodedata vs utf8proc)
+    codepoint for codepoint, plus codepoint lengths before/after.
+
+    Scale shape: map-only Arrow stage (the NFC step has no JVM builtin);
+    no shuffle."""
+    from serverless_etl_bi_on_aws_spark.functions.text import normalize_text_batch
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" caf"),
+            F.lit("é"),
+            F.lit("\x07"),
+            F.lit("\tx\ny"),
+            F.lit("  z  "),
+        ).alias("dirty"),
+    )
+    cleaned = normalize_text_batch(docs, text_col="dirty", out_col="clean_text")
+    return cleaned.select(
+        "doc_id",
+        F.length("dirty").alias("n_raw"),
+        F.length("clean_text").alias("n_clean"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2634,4 +2669,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q70_window_suite": q70_window_suite,  # lag/lead/ntile/percent_rank/cume_dist breadth
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # pivot -> native unpivot/melt
     "q72_temporal_dim_join": q72_temporal_dim_join,  # SCD2 read side: version-valid-at-event-time
+    "q73_unicode_normalize": q73_unicode_normalize,  # NFC cross-implementation value oracle
 }

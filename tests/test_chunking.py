@@ -298,3 +298,24 @@ def test_temperature_mix_alpha_extremes_and_midpoint(spark):
     b = sorted(r["doc_id"] for r in
                temperature_mix_sample(df, "source", "doc_id", 0.5, 4000).collect())
     assert a == b
+
+
+def test_normalize_text_batch_unicode_cases(spark):
+    """NFC composes decomposed sequences, control chars vanish, tabs and
+    newlines become single spaces, runs collapse, NULL passes through."""
+    from serverless_etl_bi_on_aws_spark.functions.text import normalize_text_batch
+
+    rows = [
+        (1, "café time"),          # decomposed -> café
+        (2, "a\x07b\x00c"),              # controls stripped
+        (3, "x\t\ty \n\n z"),            # tabs/newlines -> collapsed spaces
+        (4, "  already clean  "),         # trim only
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r["clean_text"] for r in normalize_text_batch(df).collect()}
+    assert got[1] == "café time" and len(got[1]) == 9
+    assert got[2] == "abc"
+    assert got[3] == "x y z"
+    assert got[4] == "already clean"
+    assert got[5] is None
