@@ -1451,3 +1451,21 @@ EXTRA_ORACLE_SQL["q73_unicode_normalize"] = """
     FROM cleaned
     ORDER BY doc_id
 """
+
+# q74: arbitrary GROUPING SETS — DuckDB evaluates the identical grains;
+# GROUPING() composes the same bitmask Spark's grouping_id() emits
+# (priority bit 1, status bit 0).
+EXTRA_ORACLE_SQL["q74_grouping_sets"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT)
+               AS grain_id,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS (
+        (o_orderpriority, o_orderstatus),
+        (o_orderpriority),
+        (o_orderstatus)
+    )
+    ORDER BY grain_id, o_orderpriority, o_orderstatus
+"""

@@ -2266,6 +2266,36 @@ def q73_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q74_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (§2.4 closer next to q23's ROLLUP and
+    q39's CUBE): order counts at three hand-picked grains —
+    (priority, status), (priority), (status) — in ONE aggregate pass,
+    with grouping_id disambiguating which grain a row belongs to (the
+    NULL-vs-grouped ambiguity every BI consumer must resolve).
+
+    Scale shape: Spark plans grouping sets as a single Expand + hash
+    aggregate — one exchange however many grains; the alternative
+    (three groupBys + union) would scan and shuffle three times."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_q74")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT)
+                   AS grain_id,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM __orders_q74
+        GROUP BY GROUPING SETS (
+            (o_orderpriority, o_orderstatus),
+            (o_orderpriority),
+            (o_orderstatus)
+        )
+        ORDER BY grain_id, o_orderpriority, o_orderstatus
+        """
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2670,4 +2700,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # pivot -> native unpivot/melt
     "q72_temporal_dim_join": q72_temporal_dim_join,  # SCD2 read side: version-valid-at-event-time
     "q73_unicode_normalize": q73_unicode_normalize,  # NFC cross-implementation value oracle
+    "q74_grouping_sets": q74_grouping_sets,  # arbitrary grains + grouping_id, one Expand pass
 }

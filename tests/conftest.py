@@ -12,7 +12,18 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="engine-tests")
+    # Cap the test session's driver heap well below the engine default
+    # (48g): the suite runs at sf0.001-0.1 and needs nowhere near it, but
+    # G1 happily GROWS toward -Xmx instead of collecting, and a ~300-test
+    # session was observed twice reaching full heap commitment and then
+    # receiving an external TERM mid-suite (SparkShutdownHook stack in the
+    # cascade) — consistent with an environment RSS watchdog. A 12g cap
+    # keeps the JVM modest and GC honest; the driver's own sweeps use the
+    # engine default via SPARK_GRAFT_DRIVER_MEM.
+    s = get_spark(
+        app_name="engine-tests",
+        extra_conf={"spark.driver.memory": "12g"},
+    )
     yield s
 
 

@@ -108,8 +108,23 @@ def test_persisted_ivf_probe_no_refit(spark, tmp_path, monkeypatch):
     probed = ivf_probe_topk(spark, idx, qvec, k=10, n_probe=3)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "_cluster" in plan  # partition filter present in the scan
-    cand = ivf_probe_topk(spark, idx, qvec, k=10**9, n_probe=3).count()
-    assert 0 < cand < spark.read.parquet(f"{idx}/corpus").count()
+    # scan reduction: the probed partitions hold strictly fewer rows than
+    # the corpus. Counted via the partition filter directly — a probe with
+    # a corpus-sized k would allocate a k-sized top-k buffer (the exact
+    # anti-pattern the operator exists to avoid; a k=10**9 variant of this
+    # check OOM'd a 12g driver heap).
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    centers = spark.read.parquet(f"{idx}/centroids").collect()
+
+    def d2(c):
+        return sum((float(a) - float(b)) ** 2 for a, b in zip(c, qvec))
+
+    probes = [
+        int(r["cluster"])
+        for r in sorted(centers, key=lambda r: d2(r["centroid"]))[:3]
+    ]
+    cand = corpus.filter(F.col("_cluster").isin(probes)).count()
+    assert 0 < cand < corpus.count()
 
 
 def test_pq_encode_codes_shape_and_determinism(spark):
