@@ -1469,3 +1469,42 @@ EXTRA_ORACLE_SQL["q74_grouping_sets"] = """
     )
     ORDER BY grain_id, o_orderpriority, o_orderstatus
 """
+
+# q75: bigram-LM quality scoring — the oracle trains the identical
+# add-one-smoothed LM on src0 and scores the identical slice; counts are
+# exact, the mean log-prob rounds at 2dp (double noise ~1e-12).
+EXTRA_ORACLE_SQL["q75_lm_quality_score"] = """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+        FROM toks WHERE len(t) >= 2
+    ), b AS (
+        SELECT bigram, COUNT(*) AS c2 FROM grams WHERE source = 'src0' GROUP BY bigram
+    ), u AS (
+        SELECT w, COUNT(*) AS c1 FROM (
+            SELECT unnest(t) AS w FROM toks WHERE source = 'src0'
+        ) WHERE w <> '' GROUP BY w
+    ), v AS (SELECT COUNT(*) AS vs FROM u
+    ), scored AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_bigrams,
+               SUM(CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+               AVG(ln((COALESCE(b.c2, 0) + 1.0) /
+                      (COALESCE(u.c1, 0) + (SELECT vs FROM v)))) AS avg_logprob
+        FROM grams g
+        LEFT JOIN b USING (bigram)
+        LEFT JOIN u ON string_split(g.bigram, ' ')[1] = u.w
+        WHERE g.source <> 'src0'
+        GROUP BY g.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT)            AS n_docs,
+           CAST(SUM(s.n_bigrams) AS BIGINT)    AS total_bigrams,
+           CAST(SUM(s.n_unseen) AS BIGINT)     AS total_unseen,
+           ROUND(AVG(s.avg_logprob), 2)        AS mean_logprob
+    FROM scored s JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+"""

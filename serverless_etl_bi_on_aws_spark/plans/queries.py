@@ -2296,6 +2296,42 @@ def q74_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm_score.py): train an
+    add-one-smoothed bigram LM on the 'src0' slice (the curated-reference
+    stand-in, same split q54 uses for decontamination) and score every
+    OTHER document by average token log-probability — the perplexity
+    filter that separated CCNet's quality tiers. Output per source:
+    exact bigram/unseen counts plus the mean score rounded to 2dp (the
+    float is a sum of per-bigram ln() of exact rationals; double noise
+    is ~1e-12 against 5e-3 of rounding slack).
+
+    Scale shape: ONE reference pass builds the LM (vocab-bounded), ONE
+    equi join scores the corpus (LM broadcasts under AQE), per-doc and
+    per-source aggregates after."""
+    from serverless_etl_bi_on_aws_spark.operators.lm_score import (
+        score_documents,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("source") == "src0")
+    b, u, v = train_bigram_lm(ref)
+    scored = score_documents(docs.filter(F.col("source") != "src0"), b, u, v)
+    src = docs.select("doc_id", "source")
+    return (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").alias("total_bigrams"),
+            F.sum("n_unseen").alias("total_unseen"),
+            F.round(F.avg("avg_logprob"), 2).alias("mean_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2701,4 +2737,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q72_temporal_dim_join": q72_temporal_dim_join,  # SCD2 read side: version-valid-at-event-time
     "q73_unicode_normalize": q73_unicode_normalize,  # NFC cross-implementation value oracle
     "q74_grouping_sets": q74_grouping_sets,  # arbitrary grains + grouping_id, one Expand pass
+    "q75_lm_quality_score": q75_lm_quality_score,  # CCNet-style bigram-LM perplexity filter
 }
