@@ -36,12 +36,11 @@ driver sweeps reuse the first build; a fixture refresh is a cache miss.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from serverless_etl_bi_on_aws_spark.catalog import load_table
-from serverless_etl_bi_on_aws_spark.util import fixture_digest
+from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
 
 def build_sales_denorm(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -71,7 +70,7 @@ def build_sales_denorm(spark: SparkSession, sf_dir: str, path: str) -> None:
 def ensure_sales_denorm(spark: SparkSession, sf_dir: str) -> str:
     """Digest-keyed write-once gate around :func:`build_sales_denorm`."""
     digest = fixture_digest(sf_dir, ("lineitem", "orders", "part"))[:8]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_denorm_{digest}")
+    path = artifact_dir(f"spark_graft_denorm_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_sales_denorm(spark, sf_dir, path)
     return path

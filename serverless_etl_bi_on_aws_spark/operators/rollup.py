@@ -33,7 +33,6 @@ merged into the touched year partitions only.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -168,10 +167,10 @@ def ensure_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     temp dir, built once (parquet _SUCCESS gate) and reread ever after —
     the same write-once discipline as q46's bucket build."""
     from serverless_etl_bi_on_aws_spark.catalog import load_table
-    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
     digest = fixture_digest(sf_dir, ("lineitem",))[:8]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_rollup_{digest}")
+    path = artifact_dir(f"spark_graft_rollup_{digest}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         li = load_table(spark, sf_dir, "lineitem")
         # one file per year partition: the rollup is tiny, the scan of it

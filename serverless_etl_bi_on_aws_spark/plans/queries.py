@@ -1110,9 +1110,8 @@ def _q46_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     reused, so a crash between the two builds cannot strand a half-pair
     that poisons later runs."""
     import os
-    import tempfile
 
-    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
     # v2 (round 7): the bucket build ALSO materializes the part attribute
     # (category) into the lineitem side — J2 as the reference's own
@@ -1124,7 +1123,7 @@ def _q46_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # per-query plan keeps exactly what bucketing is FOR: the co-located
     # zero-Exchange orderkey join.
     digest = fixture_digest(sf_dir, ("lineitem", "orders", "part"), version="v2")[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_q46_{digest}")
+    base = artifact_dir(f"spark_graft_q46_{digest}")
     li_t, od_t = f"q46_li_{digest}", f"q46_ord_{digest}"
 
     def li_src() -> DataFrame:
@@ -1264,15 +1263,14 @@ def q48_streaming_funnel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (util.fixture_digest), so a driver fixture refresh rebuilds the copy
     instead of streaming stale rows/types."""
     import os
-    import tempfile
 
     from serverless_etl_bi_on_aws_spark.streaming.funnel import (
         stream_funnel_window_counts,
     )
-    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
     digest = fixture_digest(sf_dir, ("events",))[:8]
-    src = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_ev_{digest}")
+    src = artifact_dir(f"spark_graft_stream_ev_{digest}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
@@ -1868,14 +1866,13 @@ def q65_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMeans and the ADC stage never reads a raw float vector; the re-rank
     reads only the 100 shortlisted rows."""
     import os
-    import tempfile
 
     from serverless_etl_bi_on_aws_spark.operators.pq import (
         build_pq_index,
         pq_probe_reranked,
         pq_probe_topk,
     )
-    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [
@@ -1884,7 +1881,7 @@ def q65_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     pool = emb.filter(F.col("vec_id") != 0)
     digest = fixture_digest(sf_dir, ("embeddings",), version="pq2")[:8]
-    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{digest}")
+    idx = artifact_dir(f"spark_graft_pq_{digest}")
     if not (
         os.path.exists(os.path.join(idx, "codes", "_SUCCESS"))
         and os.path.exists(os.path.join(idx, "codebooks", "_SUCCESS"))
@@ -2424,9 +2421,8 @@ def q18_ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning, the 100 TB shape. The exact twin runs on the q44 Arrow/BLAS
     path."""
     import os
-    import tempfile
 
-    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
@@ -2449,7 +2445,7 @@ def q18_ann_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     digest = fixture_digest(sf_dir, ("embeddings",), version="ivf1")[:8]
-    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{digest}")
+    idx = artifact_dir(f"spark_graft_ivf_{digest}")
     if not (
         os.path.exists(os.path.join(idx, "corpus", "_SUCCESS"))
         and os.path.exists(os.path.join(idx, "centroids", "_SUCCESS"))
@@ -2519,7 +2515,6 @@ def q58_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupt column (Spark disallows corrupt-only projections), the ORC
     side is one map-side-combined groupBy."""
     import os
-    import tempfile
 
     from serverless_etl_bi_on_aws_spark.sources.formats import (
         CORRUPT_COL,
@@ -2527,10 +2522,10 @@ def q58_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_orc,
         write_partitioned_orc,
     )
-    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
     digest = fixture_digest(sf_dir, ("events",), version="fmt1")[:8]
-    base = os.path.join(tempfile.gettempdir(), f"spark_graft_fmt_{digest}")
+    base = artifact_dir(f"spark_graft_fmt_{digest}")
     jdir, odir = os.path.join(base, "jsonl"), os.path.join(base, "orc")
     marker = os.path.join(base, "_BUILT")
     if not os.path.exists(marker):
@@ -2603,15 +2598,14 @@ def q59_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast discipline. Source dir is the same digest-keyed micros copy
     of events q48 builds (shared cache key — built once per fixture)."""
     import os
-    import tempfile
 
     from serverless_etl_bi_on_aws_spark.streaming.enrich import (
         stream_enriched_segment_counts,
     )
-    from serverless_etl_bi_on_aws_spark.util import fixture_digest
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
     digest = fixture_digest(sf_dir, ("events",))[:8]
-    src = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_ev_{digest}")
+    src = artifact_dir(f"spark_graft_stream_ev_{digest}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema

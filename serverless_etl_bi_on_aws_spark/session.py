@@ -31,14 +31,6 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Arrow for any pandas_udf / toPandas path (vectorized transfer)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # ContextCleaner frees dead shuffle/broadcast/localCheckpoint blocks
-    # only after a DRIVER GC; the default forced-GC interval (30min) is
-    # longer than an entire test/sweep session, so on this container —
-    # where spark.local.dir is tmpfs (RAM) — a long session accumulates
-    # dead blocks in memory until the JVM dies (observed twice: silent
-    # mid-suite death, ConnectionRefused cascade). 2min bounds the
-    # accumulation at negligible GC cost.
-    "spark.cleaner.periodicGC.interval": "2min",
     # dims under this size go broadcast-hash without a hint. 16m is sized so
     # dimension tables (part/customer/nation/region at any fixture sf)
     # broadcast while fact tables (orders/lineitem) shuffle: at 64m the sf1

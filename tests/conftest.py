@@ -22,7 +22,20 @@ def spark():
     # engine default via SPARK_GRAFT_DRIVER_MEM.
     s = get_spark(
         app_name="engine-tests",
-        extra_conf={"spark.driver.memory": "12g"},
+        extra_conf={
+            "spark.driver.memory": "12g",
+            # ContextCleaner frees dead shuffle/broadcast/localCheckpoint
+            # blocks only after a DRIVER GC; the default forced-GC interval
+            # (30min) is longer than the whole suite, so on this container —
+            # where spark.local.dir is tmpfs (RAM) — a ~300-test session
+            # accumulates dead blocks until the JVM dies (observed twice).
+            # TEST-ONLY conf: in round 7 this lived in ENGINE_CONF and the
+            # forced full GC every 2min landed inside the bench's multi-
+            # second sf10 timed reps, regressing every raw scaling slope
+            # in lockstep (q1 1.88->2.28). Keep it here, next to the 12g
+            # test heap, never in the shared engine/bench conf.
+            "spark.cleaner.periodicGC.interval": "2min",
+        },
     )
     yield s
 
