@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from serverless_etl_bi_on_aws_spark.plans.oracles import ORACLE_SQL
+from serverless_etl_bi_on_aws_spark.plans.oracles import EXTRA_ORACLE_SQL, ORACLE_SQL
 from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
 
 
@@ -31,16 +31,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     EXACTLY 50 entries, every one with an ``oracle_sql()`` twin — the
     driver's sweep checks the first 50, so the surface is consolidated to
-    fit (round 6 exposed 57 and the last 7 went unrecorded). The
-    engine-defined sketch/ANN operators are value-gated through the
-    q13_sketch_neardup_verify / q18_ann_verify queries (exact reference
-    counts recomputed in SQL + expected-TRUE agreement booleans);
-    consolidated twins live on in ``plans.queries.EXTRA_QUERIES``,
-    pytest-gated against ``plans.oracles.EXTRA_ORACLE_SQL``."""
+    fit (round 6 exposed 57 and the last 7 went unrecorded). Since round 8
+    the 50 slots ROTATE round-to-round (mapping in COVERAGE.md): long-
+    stable entries cede their slot to operators that have only ever had
+    the pytest-side oracle, so every operator eventually earns a
+    driver-recorded row. Off-driver entries live in
+    ``plans.queries.EXTRA_QUERIES``, held to the identical oracle compare
+    in pytest (tests/test_oracle_queries.py runs the full union)."""
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for ALL 50 ``queries()`` entries — since
-    round 7 there is no rows-only entry left on the driver surface."""
-    return dict(ORACLE_SQL)
+    """DuckDB-equivalent SQL for ALL 50 ``queries()`` entries — derived
+    from the same union the pytest gate uses, restricted to the current
+    driver surface, so a slot rotation can never strand a query without
+    its oracle twin."""
+    merged = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
+    return {name: merged[name] for name in QUERIES}

@@ -2663,21 +2663,12 @@ QUERIES: dict[str, QueryFn] = {
     "q18_ann_verify": q18_ann_verify,
     "q20_lang_id_naive_bayes": q20_lang_id_naive_bayes,
     "q21_revenue_by_region": q21_revenue_by_region,
-    "q22_priority_status_matrix": q22_priority_status_matrix,
     "q24_embedding_similar_pairs": q24_embedding_similar_pairs,
-    "q25_doc_fingerprint": q25_doc_fingerprint,
-    "q27_funnel_conversion_lag": q27_funnel_conversion_lag,
-    "q28_approx_aggregates": q28_approx_aggregates,
-    "q29_regex_token_stats": q29_regex_token_stats,
     "q30_asof_last_purchase": q30_asof_last_purchase,
-    "q31_incident_window_counts": q31_incident_window_counts,
-    "q33_moving_avg_revenue": q33_moving_avg_revenue,
-    "q34_lapsed_customers": q34_lapsed_customers,
     "q35_embedding_centroids": q35_embedding_centroids,
     "q36_funnel_set_ops": q36_funnel_set_ops,
     "q37_train_val_test_split": q37_train_val_test_split,
     "q38_chunked_docs": q38_chunked_docs,
-    "q39_cube_event_matrix": q39_cube_event_matrix,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
     "q42_media_pixel_stats": q42_media_pixel_stats,
     "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,
@@ -2696,6 +2687,15 @@ QUERIES: dict[str, QueryFn] = {
     "q57_gapfilled_rollup": q57_gapfilled_rollup,
     "q58_format_roundtrip": q58_format_roundtrip,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
+    "q61_gif_frame_stats": q61_gif_frame_stats,
+    "q64_span_dedup": q64_span_dedup,
+    "q65_pq_verify": q65_pq_verify,
+    "q66_data_quality_report": q66_data_quality_report,
+    "q67_histogram_rollup": q67_histogram_rollup,
+    "q69_scd2_order_history": q69_scd2_order_history,
+    "q73_unicode_normalize": q73_unicode_normalize,
+    "q74_grouping_sets": q74_grouping_sets,
+    "q75_lm_quality_score": q75_lm_quality_score,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -2717,19 +2717,19 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q40_pack_token_shards": q40_pack_token_shards,  # global case of q41's per-lang packing
     "q45_topk_cosine_ivf": q45_topk_cosine_ivf,  # per-call-fit variant; q18_ann_verify probes the persisted index
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,  # q3's oracle; layout ladder rung
-    "q61_gif_frame_stats": q61_gif_frame_stats,  # fifth real codec; full value oracle
     "q62_sketch_rollup_users": q62_sketch_rollup_users,  # mergeable HLL distinct rollup
     "q63_pii_scrub": q63_pii_scrub,  # regex redaction; cross-dialect value oracle
-    "q64_span_dedup": q64_span_dedup,  # ExactSubstr-style corpus span dedup
-    "q65_pq_verify": q65_pq_verify,  # product-quantization ADC vs exact top-k
-    "q66_data_quality_report": q66_data_quality_report,  # Deequ-style expectations
-    "q67_histogram_rollup": q67_histogram_rollup,  # mergeable histogram percentile layout
     "q68_merge_audit_diff": q68_merge_audit_diff,  # data-diff reconciliation of the q9 merge
-    "q69_scd2_order_history": q69_scd2_order_history,  # SCD Type 2 history; full value oracle
     "q70_window_suite": q70_window_suite,  # lag/lead/ntile/percent_rank/cume_dist breadth
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # pivot -> native unpivot/melt
     "q72_temporal_dim_join": q72_temporal_dim_join,  # SCD2 read side: version-valid-at-event-time
-    "q73_unicode_normalize": q73_unicode_normalize,  # NFC cross-implementation value oracle
-    "q74_grouping_sets": q74_grouping_sets,  # arbitrary grains + grouping_id, one Expand pass
-    "q75_lm_quality_score": q75_lm_quality_score,  # CCNet-style bigram-LM perplexity filter
+    "q22_priority_status_matrix": q22_priority_status_matrix,  # rotated out r8: pivot family; q71 pivot/unpivot roundtrip is the broader driver row
+    "q25_doc_fingerprint": q25_doc_fingerprint,  # rotated out r8: X5 stays driver-visible via q7/q15/q20/q53-q55
+    "q27_funnel_conversion_lag": q27_funnel_conversion_lag,  # rotated out r8: J4/A3 stay driver-visible via q8/q59
+    "q28_approx_aggregates": q28_approx_aggregates,  # rotated out r8: exact-vs-approx agg; distinct agg also in q62's exact branch
+    "q29_regex_token_stats": q29_regex_token_stats,  # rotated out r8: tokenizer stats; subset of q53/q55 machinery
+    "q31_incident_window_counts": q31_incident_window_counts,  # rotated out r8: range-join family; windows stay via q10/q17
+    "q33_moving_avg_revenue": q33_moving_avg_revenue,  # rotated out r8: window-frame family; q70 window suite is broader
+    "q34_lapsed_customers": q34_lapsed_customers,  # rotated out r8: anti-join date filter; same family as q8 (driver)
+    "q39_cube_event_matrix": q39_cube_event_matrix,  # rotated out r8: cube; q74 grouping sets (driver now) is the superset
 }
