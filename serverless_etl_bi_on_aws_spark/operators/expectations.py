@@ -63,7 +63,11 @@ def matches_regex(col: str, pattern: str) -> Check:
 
 def unique(col: str) -> Check:
     """Marker check — uniqueness is not a per-row predicate; ``run_checks``
-    computes it as count(*) - count(distinct col) in the same pass."""
+    computes it as count(col) - count(distinct col) in the same pass.
+    Both sides skip NULLs, so the check counts only duplicated NON-NULL
+    values: [1, 2, NULL, NULL] has 0 violations (count(*) on the left —
+    the original formulation — reported every NULL row as a duplicate).
+    NULL handling is ``not_null``'s job; compose both to assert a key."""
     return Check("unique", col, F.lit(None))
 
 
@@ -75,7 +79,7 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     for i, c in enumerate(checks):
         if c.name == "unique":
             aggs.append(
-                (F.count("*") - F.count_distinct(F.col(c.col))).alias(f"_v{i}")
+                (F.count(F.col(c.col)) - F.count_distinct(F.col(c.col))).alias(f"_v{i}")
             )
         else:
             aggs.append(

@@ -107,14 +107,36 @@ def filter_by_lm_score(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    unscored: str = "drop",
 ) -> DataFrame:
     """Keep documents whose avg token log-prob clears ``threshold`` —
-    the perplexity gate (ln-space)."""
+    the perplexity gate (ln-space).
+
+    Documents with fewer than 2 tokens produce no bigrams and therefore
+    no score; ``unscored`` sets their fate EXPLICITLY instead of the gate
+    silently deleting them regardless of threshold (the pre-round-8
+    behavior, which made the quality filter double as an undocumented
+    min-length filter):
+
+    - ``"drop"`` (default — matches the published CCNet pipeline, where
+      sub-bigram fragments are never trainable documents anyway),
+    - ``"keep"`` — pass them through un-gated (an upstream length filter
+      owns that policy instead).
+    """
+    if unscored not in ("drop", "keep"):
+        raise ValueError(f"unscored must be 'drop' or 'keep', got {unscored!r}")
     scored = score_documents(
         docs, bigram_counts, unigram_counts, vocab_size, id_col, text_col
     )
-    return docs.join(
+    passed = docs.join(
         scored.filter(F.col("avg_logprob") >= threshold).select(id_col),
         id_col,
         "left_semi",
     )
+    if unscored == "drop":
+        return passed
+    # keep: anti-join against the SCORED set (not the passed set) — a doc
+    # absent from `scored` has no bigrams at all; both joins are on the
+    # same shuffle key so AQE reuses the exchange.
+    no_score = docs.join(scored.select(id_col), id_col, "left_anti")
+    return passed.unionByName(no_score)

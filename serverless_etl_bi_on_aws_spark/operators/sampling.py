@@ -79,21 +79,31 @@ def weighted_mix_sample(
     Scale shape: one tiny groupBy for per-stratum counts, a strata x strata
     threshold frame (squared in the number of STRATA — tens, never data-
     sized), one broadcast join back onto the scan, then a map-only filter.
-    The sampled output never shuffles. Overflow bound: k * w * cnt must fit
-    a long — with k=10^4 and weights <= 10^3 that is ~10^15 rows per
-    stratum, far past any real corpus's per-source count."""
+    The sampled output never shuffles.
+
+    Overflow: candidates are computed in DECIMAL(38,0) — the round-7
+    bigint formulation ``k * _w * _cnt_t DIV (...)`` silently wrapped in
+    non-ANSI mode once k*w*cnt passed 2^63 (~1e5 rows/stratum at
+    temperature weights), yielding WRONG thresholds. The numerator is
+    first clamped to ``k * den`` (sound: the min always includes the
+    t == s candidate, which is exactly k, so any candidate above k can
+    never win), keeping every quotient <= k; the floor division is the
+    exact ``(n - n % d) / d`` — a subtract-remainder-then-divide of an
+    exactly divisible value, no rounding anywhere. Bound: w and cnt each
+    fit a long and k*w*cnt <= ~1e34 << 1e38."""
     counts = df.groupBy(strata_col).agg(F.count("*").alias("_cnt")).select(
         strata_col, "_cnt", weight.cast("bigint").alias("_w")
     )
     other = counts.select(
         F.col("_cnt").alias("_cnt_t"), F.col("_w").alias("_w_t")
     )
+    num = f"CAST({k} AS DECIMAL(38,0)) * _w * _cnt_t"
+    den = "CAST(_cnt AS DECIMAL(38,0)) * _w_t"
+    numc = f"LEAST({num}, CAST({k} AS DECIMAL(38,0)) * ({den}))"
+    cand = f"CAST((({numc}) - (({numc}) % ({den}))) / ({den}) AS BIGINT)"
     thresholds = (
         counts.crossJoin(F.broadcast(other))
-        .select(
-            strata_col,
-            F.expr(f"{k} * _w * _cnt_t DIV (_cnt * _w_t)").alias("_cand"),
-        )
+        .select(strata_col, F.expr(cand).alias("_cand"))
         .groupBy(strata_col)
         .agg(F.min("_cand").alias("_thresh"))
     )
@@ -132,12 +142,15 @@ def temperature_mix_sample(
 
     Implemented as :func:`weighted_mix_sample` with the weight column
     ``floor(pow(cnt, alpha) * 2^20)`` evaluated on the per-stratum count
-    frame — the fixed-point scale keeps the exact-integer threshold
-    arithmetic (and its overflow bound: k * w * cnt ~ 1e16 worst case
-    here, inside a long). ``pow`` is one double op computed once per
-    STRATUM, not per row; selection stays the deterministic
-    multiplicative hash, so the sample is stable across runs,
-    partitionings, and cluster sizes."""
+    frame. The threshold arithmetic downstream is exact DECIMAL(38,0)
+    (see weighted_mix_sample — the earlier all-bigint version wrapped at
+    ~1e5 rows/stratum with these weights), so the binding limit is only
+    that the WEIGHT itself fits a long: cnt^alpha * 2^20 < 2^63, i.e.
+    ~8.8e12 rows per stratum at alpha=1 (looser for smaller alpha) —
+    ~three orders of magnitude past a 100 TB text corpus's largest
+    source. ``pow`` is one double op computed once per STRATUM, not per
+    row; selection stays the deterministic multiplicative hash, so the
+    sample is stable across runs, partitionings, and cluster sizes."""
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
     weight = F.expr(f"CAST(floor(pow(_cnt, {alpha!r}) * 1048576) AS BIGINT)")

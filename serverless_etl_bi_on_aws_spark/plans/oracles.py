@@ -889,7 +889,9 @@ ORACLE_SQL["q56_domain_mix_rebalance"] = """
                1 + (CAST(substr(source, 4) AS BIGINT) % 3) AS w
         FROM documents GROUP BY source
     ), t AS (
-        SELECT s.source, MIN((10000 * s.w * o.cnt) // (s.cnt * o.w)) AS thresh
+        -- HUGEINT: exact 128-bit, mirrors the Spark side's DECIMAL(38,0)
+        -- threshold math (bigint wrapped at temperature-weight magnitudes)
+        SELECT s.source, MIN((CAST(10000 AS HUGEINT) * s.w * o.cnt) // (s.cnt * o.w)) AS thresh
         FROM c s CROSS JOIN c o
         GROUP BY s.source
     )
@@ -1176,7 +1178,11 @@ EXTRA_ORACLE_SQL["q66_data_quality_report"] = """
                 FROM orders) AS n_violations
         UNION ALL
         SELECT 'unique', 'o_orderkey',
-               (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+               -- COUNT(col), not COUNT(*): both sides skip NULLs, so the
+               -- check counts duplicated NON-NULL values only (NULL policy
+               -- belongs to not_null) — matches operators/expectations.py
+               (SELECT CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders)
         UNION ALL
         SELECT 'in_range', 'o_totalprice',
                (SELECT CAST(SUM(CASE WHEN o_totalprice IS NULL

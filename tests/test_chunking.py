@@ -319,3 +319,23 @@ def test_normalize_text_batch_unicode_cases(spark):
     assert got[3] == "x y z"
     assert got[4] == "already clean"
     assert got[5] is None
+
+
+def test_temperature_mix_no_bigint_wrap_at_scale(spark):
+    """Threshold arithmetic is exact DECIMAL(38,0): with a 250k-row
+    stratum at alpha=1 the old all-bigint candidate k*w*cnt (~6.5e20)
+    silently wrapped past 2^63 in non-ANSI mode and dropped rows.
+    alpha=1 means natural proportions — every row must survive."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    big = spark.range(0, 250_000).select(
+        F.col("id").alias("doc_id"), F.lit("big").alias("source")
+    )
+    small = spark.range(250_000, 250_100).select(
+        F.col("id").alias("doc_id"), F.lit("small").alias("source")
+    )
+    df = big.unionByName(small)
+    out = temperature_mix_sample(df, "source", "doc_id", alpha=1.0, k=10000)
+    assert out.count() == df.count()

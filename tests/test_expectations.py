@@ -42,9 +42,9 @@ def test_run_checks_counts_each_violation_kind(spark):
         ).collect()
     }
     assert report[("not_null", "id")]["n_violations"] == 1
-    # 4 rows, 3 distinct ids (1, 2, NULL->not counted by count_distinct):
-    # count(*)=4 - count_distinct(id)=2 -> 2 (the dup AND the null surface)
-    assert report[("unique", "id")]["n_violations"] == 2
+    # 4 rows, ids (1, 2, 2, NULL): count(id)=3 - count_distinct(id)=2 -> 1
+    # (the dup; the NULL is not_null's violation, already counted above)
+    assert report[("unique", "id")]["n_violations"] == 1
     assert report[("in_range", "amount")]["n_violations"] == 2  # -5 and 200
     assert report[("accepted_values", "status")]["n_violations"] == 1  # Z
     assert report[("matches_regex", "code")]["n_violations"] == 1  # zzz
@@ -78,3 +78,16 @@ def test_all_green_on_clean_table(spark):
         df, [not_null("id"), unique("id"), accepted_values("status", ["A", "B"])]
     )
     assert all(r["passed"] and r["n_violations"] == 0 for r in report.collect())
+
+
+def test_unique_ignores_nulls(spark):
+    """unique counts duplicated NON-NULL values only: NULL rows are
+    not uniqueness violations (they're not_null's business). The
+    pre-round-8 count(*) formulation reported every NULL as a dup."""
+    df = spark.createDataFrame([(1,), (2,), (None,), (None,)], "v int")
+    row = run_checks(df, [unique("v")]).head()
+    assert row["n_violations"] == 0 and row["passed"] is True
+    # a real duplicate still counts, NULLs still don't
+    df2 = spark.createDataFrame([(1,), (1,), (None,)], "v int")
+    row2 = run_checks(df2, [unique("v")]).head()
+    assert row2["n_violations"] == 1 and row2["passed"] is False

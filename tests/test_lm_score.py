@@ -54,3 +54,32 @@ def test_lm_separates_reference_like_from_gibberish(spark):
         docs, b, u, v, threshold=(scores[1] + scores[2]) / 2
     ).collect()
     assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_unscored_policy_for_sub_bigram_docs(spark):
+    """Docs with <2 tokens have no bigrams and no score; the gate's
+    treatment of them is an explicit policy, not a silent delete:
+    'drop' removes them (default, CCNet-style), 'keep' passes them
+    through un-gated."""
+    import pytest
+
+    ref = spark.createDataFrame([("a b a b a",)], ["text"])
+    b, u, v = train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a"), (3, "")], ["doc_id", "text"]
+    )
+    # permissive threshold: every SCORED doc passes
+    kept_drop = {r["doc_id"] for r in
+                 filter_by_lm_score(docs, b, u, v, threshold=-100.0).collect()}
+    assert kept_drop == {1}
+    kept_keep = {r["doc_id"] for r in
+                 filter_by_lm_score(docs, b, u, v, threshold=-100.0,
+                                    unscored="keep").collect()}
+    assert kept_keep == {1, 2, 3}
+    # harsh threshold: scored docs fail, unscored still pass with 'keep'
+    kept_harsh = {r["doc_id"] for r in
+                  filter_by_lm_score(docs, b, u, v, threshold=100.0,
+                                     unscored="keep").collect()}
+    assert kept_harsh == {2, 3}
+    with pytest.raises(ValueError):
+        filter_by_lm_score(docs, b, u, v, threshold=0.0, unscored="maybe")

@@ -387,3 +387,41 @@ def test_streaming_histogram_cells_match_batch_build(spark, tmp_path):
     a = {key(r): (r["n_total"], r["qbin"]) for r in maintained.collect()}
     b = {key(r): (r["n_total"], r["qbin"]) for r in direct.collect()}
     assert a == b
+
+
+def test_cell_merge_epoch_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once; the additive cell fold is made
+    idempotent per (checkpoint, epoch): re-folding the SAME epoch after
+    a simulated crash-between-swap-and-commit changes nothing, the next
+    epoch folds normally, and a NEW checkpoint id resets the mark."""
+    from serverless_etl_bi_on_aws_spark.streaming.cells import (
+        merge_cells_into_parquet,
+    )
+
+    cells_path = str(tmp_path / "cells")
+    batch = spark.createDataFrame(
+        [("A", 0, 3), ("B", 1, 2)], ["event_type", "bin_id", "n"]
+    )
+    merge_cells_into_parquet(spark, batch, cells_path, ["event_type"],
+                             epoch=("ck1", 0))
+    once = {(r["event_type"], r["bin_id"]): r["n"]
+            for r in spark.read.parquet(cells_path).collect()}
+    assert once == {("A", 0): 3, ("B", 1): 2}
+    # replayed epoch 0: no double-count
+    merge_cells_into_parquet(spark, batch, cells_path, ["event_type"],
+                             epoch=("ck1", 0))
+    again = {(r["event_type"], r["bin_id"]): r["n"]
+             for r in spark.read.parquet(cells_path).collect()}
+    assert again == once
+    # epoch 1 folds in
+    merge_cells_into_parquet(spark, batch, cells_path, ["event_type"],
+                             epoch=("ck1", 1))
+    two = {(r["event_type"], r["bin_id"]): r["n"]
+           for r in spark.read.parquet(cells_path).collect()}
+    assert two == {("A", 0): 6, ("B", 1): 4}
+    # different checkpoint id: epoch numbering restarts, fold applies
+    merge_cells_into_parquet(spark, batch, cells_path, ["event_type"],
+                             epoch=("ck2", 0))
+    three = {(r["event_type"], r["bin_id"]): r["n"]
+             for r in spark.read.parquet(cells_path).collect()}
+    assert three == {("A", 0): 9, ("B", 1): 6}
