@@ -416,14 +416,13 @@ def topk_cosine_ivf(
         return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec))
 
     probe = sorted(range(len(centers)), key=lambda i: dist2(centers[i]))[:n_probe]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        assigned.filter(F.col("_cluster").isin(probe))
-        .withColumn("cosine", cosine(vec_col, q))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-        .drop("_features", "_cluster")
+    # re-rank through the Arrow/BLAS kernel (round-8): ab_q44_ship.py
+    # measured the interpreted HOF cosine at ~4x the Arrow path — cheap at
+    # probe-pruned sizes, but inconsistent once candidate sets grow
+    cands = assigned.filter(F.col("_cluster").isin(probe)).drop(
+        "_features", "_cluster"
     )
+    return topk_cosine_arrow(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def build_ivf_index(
@@ -498,14 +497,12 @@ def ivf_probe_topk(
         for r in sorted(centers, key=lambda r: dist2(r["centroid"]))[:n_probe]
     ]
     corpus = spark.read.parquet(os.path.join(index_path, "corpus"))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        corpus.filter(F.col("_cluster").isin(probe))
-        .withColumn("cosine", cosine(vec_col, q))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-        .drop("_cluster")
-    )
+    # partition pruning happens at the scan (the _cluster filter sits
+    # below the Python stage in the plan); the pruned candidate set is
+    # re-ranked by the Arrow/BLAS kernel, not the interpreted HOF cosine
+    # (measured 4x slower per row — tools/ab_q44_ship.py)
+    cands = corpus.filter(F.col("_cluster").isin(probe)).drop("_cluster")
+    return topk_cosine_arrow(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def topk_cosine_lsh(
@@ -537,11 +534,7 @@ def topk_cosine_lsh(
     pred = F.lit(False)
     for t, qb in enumerate(qbuckets):
         pred = pred | (F.col(f"bucket_{t}") == qb)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        bucketed.filter(pred)
-        .withColumn("cosine", cosine(vec_col, q))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
-        .drop(*[f"bucket_{t}" for t in range(n_tables)])
-    )
+    # exact re-rank of the bucket-pruned candidates via the Arrow/BLAS
+    # kernel (the interpreted HOF cosine measured 4x slower per row)
+    cands = bucketed.filter(pred).drop(*[f"bucket_{t}" for t in range(n_tables)])
+    return topk_cosine_arrow(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)

@@ -108,6 +108,10 @@ def test_persisted_ivf_probe_no_refit(spark, tmp_path, monkeypatch):
     probed = ivf_probe_topk(spark, idx, qvec, k=10, n_probe=3)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "_cluster" in plan  # partition filter present in the scan
+    # the re-rank runs through the Arrow/BLAS kernel (round-8: the
+    # interpreted HOF cosine measured 4x slower per row), with the
+    # cluster prune BELOW the Python stage in the plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan
     # scan reduction: the probed partitions hold strictly fewer rows than
     # the corpus. Counted via the partition filter directly — a probe with
     # a corpus-sized k would allocate a k-sized top-k buffer (the exact
