@@ -189,6 +189,41 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sigs: DataFrame,
+    bands: int,
+    rows: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode MinHash signatures into banded LSH buckets:
+    (_id, sig, band, bucket) with bucket = xxhash64 of the band's slice.
+    Shared by the one-shot pair join (:func:`neardup_minhash_lsh`) and the
+    persisted-index build/probe (operators/dedup_index.py) so both sides
+    of an incremental probe hash band slices identically by construction."""
+    return sigs.select(
+        F.col(id_col).alias("_id"),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.xxhash64(F.slice("sig", band * rows + 1, rows)).alias("bucket"),
+                ),
+            )
+        ).alias("_bb"),
+    ).select("_id", "sig", "_bb.band", "_bb.bucket")
+
+
+def est_jaccard(s1: str, s2: str, num_hashes: int):
+    """Signature-estimated Jaccard: fraction of matching components."""
+    return F.aggregate(
+        F.zip_with(s1, s2, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("double") / F.lit(float(num_hashes))
+
+
 def neardup_minhash_lsh(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -212,19 +247,7 @@ def neardup_minhash_lsh(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, id_col, text_col, n, num_hashes, seed)
-    banded = sigs.select(
-        F.col(id_col).alias("_id"),
-        F.col("sig"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda band: F.struct(
-                    band.alias("band"),
-                    F.xxhash64(F.slice("sig", band * rows + 1, rows)).alias("bucket"),
-                ),
-            )
-        ).alias("_bb"),
-    ).select("_id", "sig", "_bb.band", "_bb.bucket")
+    banded = band_buckets(sigs, bands, rows, id_col=id_col)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
@@ -237,13 +260,8 @@ def neardup_minhash_lsh(
         )
         .dropDuplicates(["id_1", "id_2"])
     )
-    est = F.aggregate(
-        F.zip_with("_s1", "_s2", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("double") / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.withColumn("est_jaccard", est_jaccard("_s1", "_s2", num_hashes))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_1", "id_2", "est_jaccard")
     )

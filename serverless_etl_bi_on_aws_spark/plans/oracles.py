@@ -1514,3 +1514,43 @@ EXTRA_ORACLE_SQL["q75_lm_quality_score"] = """
     GROUP BY d.source
     ORDER BY d.source
 """
+
+# q76_incremental_dedup_verify (round 8): incremental dedup-against-index
+# is engine-defined in its signature internals, but (a) the batch split,
+# (b) the exact-Jaccard dup tier among new docs (q12/q13's inverted-index
+# CTE), and (c) the equivalence/recall/false-drop assertions are a value
+# contract — integers recomputed from first principles plus expected-TRUE
+# booleans (q13's pattern). Measured margins at sf0.01: equals-oneshot
+# exact, recall 100% of the exact J>=0.5 tier (bar 90%), zero false drops.
+EXTRA_ORACLE_SQL["q76_incremental_dedup_verify"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(1, len(t) - 1)]) AS s
+        FROM toks WHERE len(t) >= 3
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_1, id_2, i * 1.0 / (s1.n + s2.n - i) AS j
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id_1
+        JOIN sizes s2 ON s2.doc_id = id_2
+        WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.35
+    ), mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents)
+    SELECT 'minhash_index' AS method,
+           CAST((SELECT COUNT(*) FROM documents, mid WHERE doc_id > m) AS BIGINT)
+               AS n_new,
+           CAST((SELECT COUNT(DISTINCT id_2) FROM pairs, mid
+                 WHERE j >= 0.5 AND id_2 > m) AS BIGINT) AS n_exact_dups_new,
+           TRUE AS incremental_equals_oneshot,
+           TRUE AS recall_ok,
+           TRUE AS no_false_drops
+"""

@@ -2329,6 +2329,104 @@ def q75_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q76_incremental_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup under a value gate (round-7 verdict #4;
+    operators/dedup_index.py): the corpus is split at max(doc_id)//2 into
+    a "seen" half (persisted as a MinHash band index — digest-keyed
+    build-once, like the IVF index) and a "new" half that dedups AGAINST
+    the index. The driver-checkable contract, q13-style:
+
+      * n_new / n_exact_dups_new — exact integers the oracle recomputes
+        from first principles (batch size; new docs with an exact-Jaccard
+        >= 0.5 partner of smaller id, via q12's inverted-index CTE);
+      * incremental_equals_oneshot — the incremental drop set equals the
+        one-shot banded-LSH rule over the UNION ("drop j iff exists i<j
+        with est >= 0.5"): batch boundaries must be invisible. This is
+        the operator's defining theorem (the index holds ALL seen docs'
+        signatures — survivor-only indexing breaks transitive chains);
+      * recall_ok — the incremental gate catches >= 90% of the exact
+        J>=0.5 tier among new docs (S-curve predicts ~98%);
+      * no_false_drops — every dropped new doc has an exact J >= 0.35
+        earlier partner (zero collateral).
+
+    Scale shape: the probe shuffles only the new half; the corpus side is
+    two parquet scans of precomputed signatures (never re-shingled —
+    pytest-trapped in test_dedup_index); all verdict branches are 1-row
+    aggregates crossJoined, nothing data-sized at the driver."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.max("doc_id")).head()[0] // 2
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    digest = fixture_digest(sf_dir, ("documents",), version="didx1")[:8]
+    idx = artifact_dir(f"spark_graft_dedupidx_{digest}")
+    if not os.path.exists(os.path.join(idx, "_meta.json")):
+        build_minhash_index(b1, idx)
+
+    surv2 = dedup_against_index(spark, b2, idx, threshold=0.5)
+    dropped2 = (
+        b2.join(surv2.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    # one-shot reference: same online rule over the whole corpus
+    oneshot2 = (
+        neardup_minhash_lsh(docs, n=3, num_hashes=128, bands=32, threshold=0.5)
+        .filter(F.col("id_2") > mid)
+        .select(F.col("id_2").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    exact = neardup_jaccard_pairs(docs, n=3, threshold=0.35, max_df_frac=0.05)
+    exact = exact.localCheckpoint(eager=True)
+    e50_new = (
+        exact.filter((F.col("jaccard") >= 0.5) & (F.col("id_2") > mid))
+        .select(F.col("id_2").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e35_new = exact.filter(F.col("id_2") > mid).select(
+        F.col("id_2").alias("doc_id")
+    ).distinct()
+
+    n_new = b2.agg(F.count("*").alias("n_new"))
+    n_exact = e50_new.agg(F.count("*").alias("n_exact_dups_new"))
+    # symmetric difference of the two drop sets must be empty
+    d_only = dropped2.join(oneshot2, "doc_id", "left_anti").agg(
+        F.count("*").alias("_d")
+    )
+    o_only = oneshot2.join(dropped2, "doc_id", "left_anti").agg(
+        F.count("*").alias("_o")
+    )
+    hit = dropped2.join(e50_new, "doc_id", "left_semi").agg(F.count("*").alias("_hit"))
+    false_drop = dropped2.join(e35_new, "doc_id", "left_anti").agg(
+        F.count("*").alias("_fd")
+    )
+    return (
+        n_new.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(d_only))
+        .crossJoin(F.broadcast(o_only))
+        .crossJoin(F.broadcast(hit))
+        .crossJoin(F.broadcast(false_drop))
+        .select(
+            F.lit("minhash_index").alias("method"),
+            F.col("n_new"),
+            F.col("n_exact_dups_new"),
+            ((F.col("_d") + F.col("_o")) == 0).alias("incremental_equals_oneshot"),
+            (F.col("_hit") * 10 >= F.col("n_exact_dups_new") * 9).alias("recall_ok"),
+            (F.col("_fd") == 0).alias("no_false_drops"),
+        )
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2723,6 +2821,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q70_window_suite": q70_window_suite,  # lag/lead/ntile/percent_rank/cume_dist breadth
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # pivot -> native unpivot/melt
     "q72_temporal_dim_join": q72_temporal_dim_join,  # SCD2 read side: version-valid-at-event-time
+    "q76_incremental_dedup_verify": q76_incremental_dedup_verify,  # dedup-against-persisted-index == one-shot union (r8)
     "q22_priority_status_matrix": q22_priority_status_matrix,  # rotated out r8: pivot family; q71 pivot/unpivot roundtrip is the broader driver row
     "q25_doc_fingerprint": q25_doc_fingerprint,  # rotated out r8: X5 stays driver-visible via q7/q15/q20/q53-q55
     "q27_funnel_conversion_lag": q27_funnel_conversion_lag,  # rotated out r8: J4/A3 stay driver-visible via q8/q59

@@ -1,0 +1,134 @@
+"""Incremental corpus dedup (operators/dedup_index.py): batch-vs-index
+equals one-shot over the union, the probe never recomputes corpus
+signatures, appends are idempotent per batch, and the all-docs index
+preserves chain equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.catalog import load_table
+from serverless_etl_bi_on_aws_spark.operators.dedup import neardup_minhash_lsh
+from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+    build_minhash_index,
+    dedup_against_index,
+    read_meta,
+    update_index,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _oneshot_ids(docs, **kw):
+    """One-shot online-rule survivors: drop j iff exists i<j with
+    est_jaccard >= threshold (pairs from the banded LSH join)."""
+    pairs = neardup_minhash_lsh(docs, **kw)
+    dropped = pairs.select(F.col("id_2").alias("doc_id")).distinct()
+    return {
+        r["doc_id"]
+        for r in docs.join(dropped, "doc_id", "left_anti").select("doc_id").collect()
+    }
+
+
+def _split(docs):
+    mid = docs.agg(F.max("doc_id")).head()[0] // 2
+    return docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)
+
+
+def test_incremental_equals_oneshot_on_fixture(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    b1, b2 = _split(docs)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(b1, idx)
+    inc_b2 = {
+        r["doc_id"]
+        for r in dedup_against_index(spark, b2, idx).select("doc_id").collect()
+    }
+    oneshot_union = _oneshot_ids(docs)
+    oneshot_b1 = _oneshot_ids(b1)
+    assert oneshot_b1 | inc_b2 == oneshot_union
+    # the fixture plants near-dup pairs, so the gate must actually fire
+    assert len(oneshot_b1 | inc_b2) < docs.count()
+
+
+def test_three_batch_chain_with_appends(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).head()[0]
+    c1, c2 = hi // 3, 2 * hi // 3
+    b1 = docs.filter(F.col("doc_id") <= c1)
+    b2 = docs.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2))
+    b3 = docs.filter(F.col("doc_id") > c2)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(b1, idx)
+    inc2 = {r["doc_id"] for r in dedup_against_index(spark, b2, idx).select("doc_id").collect()}
+    assert update_index(b2, idx, "batch2") is True
+    inc3 = {r["doc_id"] for r in dedup_against_index(spark, b3, idx).select("doc_id").collect()}
+    assert _oneshot_ids(b1) | inc2 | inc3 == _oneshot_ids(docs)
+
+
+def test_probe_never_recomputes_corpus_signatures(spark, tmp_path, monkeypatch):
+    """The build/probe split's whole point: corpus signatures are READ
+    from the index; minhash_signatures runs exactly once per probe — on
+    the new batch (the KMeans-refit-trap pattern of test_asof_ivf)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    b1, b2 = _split(docs)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(b1, idx)
+
+    from serverless_etl_bi_on_aws_spark.operators import dedup_index as di
+
+    calls = []
+    real = di.minhash_signatures
+
+    def counting(docs_arg, *a, **k):
+        calls.append(1)
+        return real(docs_arg, *a, **k)
+
+    monkeypatch.setattr(di, "minhash_signatures", counting)
+    survivors = dedup_against_index(spark, b2, idx)
+    assert survivors.count() > 0
+    assert len(calls) == 1, f"corpus side re-signatured: {len(calls)} calls"
+
+
+def test_update_index_idempotent_per_batch(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(b1, idx)
+    import os
+
+    assert update_index(b2, idx, "b2") is True
+    n_bands = spark.read.parquet(os.path.join(idx, "bands")).count()
+    n_sigs = spark.read.parquet(os.path.join(idx, "sigs")).count()
+    assert update_index(b2, idx, "b2") is False  # replay: no-op
+    assert spark.read.parquet(os.path.join(idx, "bands")).count() == n_bands
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+    with pytest.raises(ValueError):
+        build_minhash_index(b2, idx)  # clobber refusal
+
+
+def test_all_docs_index_preserves_chain_equivalence(spark, tmp_path):
+    """A ~ B ~ C with A !~ C: B is dropped as A's dup, but its signature
+    must STAY in the index — a survivor-only index would forget B and let
+    C through, diverging from the one-shot rule."""
+    w = [f"w{i:02d}" for i in range(36)]
+    a_txt = " ".join(w)
+    b_txt = " ".join(w[:30] + [f"x{i}" for i in range(6)])          # ~0.7 vs A
+    c_txt = " ".join([f"y{i}" for i in range(6)] + w[6:30] + [f"x{i}" for i in range(6)])
+    docs = spark.createDataFrame(
+        [(1, a_txt), (2, b_txt), (3, c_txt)], ["doc_id", "text"]
+    )
+    oneshot = _oneshot_ids(docs)
+    assert oneshot == {1}  # B dup of A; C dup of B (even though C !~ A)
+    b1 = docs.filter(F.col("doc_id") <= 2)
+    b2 = docs.filter(F.col("doc_id") == 3)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(b1, idx)
+    inc = {r["doc_id"] for r in dedup_against_index(spark, b2, idx).select("doc_id").collect()}
+    assert _oneshot_ids(b1) | inc == oneshot
+    assert inc == set()  # C caught via B's indexed signature
+    # and the meta round-trips
+    m = read_meta(idx)
+    assert (m.n, m.num_hashes, m.bands) == (3, 128, 32)
