@@ -316,6 +316,58 @@ def simhash64(
     return hashed.groupBy(id_col).agg(*sums).select(F.col(id_col), packed.alias("simhash"))
 
 
+def hamming_pairs_blocked(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    radius: int,
+    n_blocks: int,
+) -> DataFrame:
+    """Generic pigeonhole-blocked hamming self-join over any 64-bit
+    fingerprint column: split each fingerprint into ``n_blocks`` equal
+    sub-blocks — any pair within hamming radius ``n_blocks - 1`` shares at
+    least one exact block — self-join only on block collisions, then
+    verify ``bit_count(xor) <= radius``. Returns (id_1, id_2, hamming)
+    with id_1 < id_2. Shared by text SimHash (:func:`simhash_pairs_blocked`)
+    and image perceptual hashes (operators/image_dedup.py)."""
+    assert radius <= n_blocks - 1, "pigeonhole guarantee needs radius <= blocks-1"
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = hashes.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask)).alias("key"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_bk"),
+    ).select("_id", "_h", "_bk.block", "_bk.key")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), on=["block", "key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_1"),
+            F.col("b._id").alias("id_2"),
+            F.col("a._h").alias("_h1"),
+            F.col("b._h").alias("_h2"),
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    hamming = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= radius)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
 def simhash_pairs_blocked(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -326,48 +378,9 @@ def simhash_pairs_blocked(
 ) -> DataFrame:
     """SimHash near-dup candidate pairs via pigeonhole blocking (the q14
     semantics, factored so the driver's sketch-verification query shares
-    it): split each 64-bit fingerprint into ``n_blocks`` equal sub-blocks —
-    any pair within hamming radius ``n_blocks - 1`` shares at least one
-    exact block — self-join only on block collisions, then verify
-    ``bit_count(xor) <= radius``. Returns (id_1, id_2, hamming) with
-    id_1 < id_2."""
-    assert radius <= n_blocks - 1, "pigeonhole guarantee needs radius <= blocks-1"
+    it). Returns (id_1, id_2, hamming) with id_1 < id_2."""
     sh = simhash64(docs, id_col, text_col, n)
-    width = 64 // n_blocks
-    mask = (1 << width) - 1
-    blocks = sh.select(
-        F.col(id_col).alias("_id"),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftright("simhash", width * b).bitwiseAND(F.lit(mask)).alias("key"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("_bk"),
-    ).select("_id", "simhash", "_bk.block", "_bk.key")
-    cand = (
-        blocks.alias("a")
-        .join(blocks.alias("b"), on=["block", "key"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_1"),
-            F.col("b._id").alias("id_2"),
-            F.col("a.simhash").alias("_h1"),
-            F.col("b.simhash").alias("_h2"),
-        )
-        .dropDuplicates(["id_1", "id_2"])
-    )
-    hamming = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= radius)
-        .select("id_1", "id_2", "hamming")
-    )
+    return hamming_pairs_blocked(sh, id_col, "simhash", radius, n_blocks)
 
 
 def dedup_exact_spans(

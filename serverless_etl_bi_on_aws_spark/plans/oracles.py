@@ -1554,3 +1554,47 @@ EXTRA_ORACLE_SQL["q76_incremental_dedup_verify"] = """
            TRUE AS recall_ok,
            TRUE AS no_false_drops
 """
+
+# q77_image_phash_dedup (round 8): the planted corpus renders a 24x24-cell
+# integer pattern at cell-aligned sizes, so the dHash of ANY render equals
+# the closed-form dHash of the cell grid: thumbnail pixel (x, y) is
+# pat(8x//3, 3y, k) by the nested-floor identity floor(floor(xW/9)/(W/24))
+# = floor(8x/3) for W a multiple of 24. The oracle recomputes every hash
+# from that closed form in pure SQL (no codec anywhere) and derives the
+# SAME hamming pair set the Spark side reaches through real PNG/GIF
+# encode -> decode -> resize -> dHash -> blocked self-join. Measured:
+# exactly the 15 planted pairs at hamming 0; nearest unrelated pair 16.
+EXTRA_ORACLE_SQL["q77_image_phash_dedup"] = """
+    WITH ks AS (
+        SELECT doc_id AS k, doc_id AS id FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id AS k, doc_id + 100000 AS id FROM documents
+        WHERE doc_id < 150 AND doc_id % 10 = 0
+    ), grid AS (
+        SELECT t1.range AS x, t2.range AS y FROM range(8) t1, range(8) t2
+    ), bits AS (
+        SELECT id, x, y,
+               CASE WHEN (
+                   ((8*(x+1)//3) * (8*(x+1)//3) * (k % 7 + 1)
+                    + (3*y) * (3*y) * (k % 11 + 3)
+                    + (8*(x+1)//3) * (3*y) * (k % 5 + 1)
+                    + (8*(x+1)//3) * (k % 13) * 17
+                    + (3*y) * (k % 17) * 23 + k) % 256
+               ) > (
+                   ((8*x//3) * (8*x//3) * (k % 7 + 1)
+                    + (3*y) * (3*y) * (k % 11 + 3)
+                    + (8*x//3) * (3*y) * (k % 5 + 1)
+                    + (8*x//3) * (k % 13) * 17
+                    + (3*y) * (k % 17) * 23 + k) % 256
+               ) THEN CAST(1 AS UBIGINT) ELSE CAST(0 AS UBIGINT) END AS bit
+        FROM ks, grid
+    ), hashes AS (
+        SELECT id, SUM(bit * (CAST(1 AS UBIGINT) << CAST(y*8 + x AS INTEGER))) AS h
+        FROM bits GROUP BY id
+    )
+    SELECT a.id AS id_1, b.id AS id_2,
+           CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.id < b.id
+    WHERE bit_count(xor(a.h, b.h)) <= 8
+    ORDER BY id_1, id_2
+"""

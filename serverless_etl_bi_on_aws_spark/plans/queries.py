@@ -2427,6 +2427,97 @@ def q76_incremental_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash (operators/image_dedup.py),
+    under a FULL value oracle — the q42/q49 closed-form-codec pattern:
+
+    The corpus is planted from doc_ids < 150: each doc renders a logical
+    24x24-cell pattern (a doc-keyed integer polynomial mod 256) as a REAL
+    PNG at a doc-keyed size, and every 10th doc ALSO appears as a
+    re-encoded duplicate — the SAME logical image rendered at a DIFFERENT
+    size and encoded as a real GIF (id + 100000). Because every render
+    size is a multiple of 24, the 9x8 nearest-resample lands exactly on
+    cell boundaries, so the dHash of any render equals the closed-form
+    dHash of the cell grid — which the oracle recomputes in pure SQL,
+    never touching a codec. The Spark side goes end-to-end through the
+    real encoders AND decoders (PNG + GIF), resize, dHash, and the
+    pigeonhole-blocked hamming join; one flipped bit anywhere in that
+    pipeline changes a hash and breaks the pair set.
+
+    Expected result (measured): exactly the 15 planted duplicate pairs at
+    hamming 0; nearest unrelated pair sits at hamming 16 (radius 8).
+
+    Scale shape: decode isolated to one mapInPandas stage; the exchange
+    carries (id, 64-bit hash) only; the self-join is block-bucketed,
+    never all-pairs (see image_neardup_pairs docstring)."""
+    from serverless_etl_bi_on_aws_spark.operators.image_dedup import (
+        image_neardup_pairs,
+    )
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import MEDIA_STRUCT
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id")
+    )
+    keyed = base.unionByName(dups)
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType(), False), StructField("media", MEDIA_STRUCT, True)]
+    )
+
+    def render(it):
+        from serverless_etl_bi_on_aws_spark.functions.gif import encode_gif_frames
+        from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+
+        def pat(cx: int, cy: int, k: int) -> int:
+            return (
+                cx * cx * (k % 7 + 1)
+                + cy * cy * (k % 11 + 3)
+                + cx * cy * (k % 5 + 1)
+                + cx * (k % 13) * 17
+                + cy * (k % 17) * 23
+                + k
+            ) % 256
+
+        for pdf in it:
+            media = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                k, is_dup = (i - 100000, True) if i >= 100000 else (i, False)
+                if is_dup:
+                    w, h = 24 * (1 + (k + 2) % 4), 24 * (1 + (k * 3 + 2) % 4)
+                else:
+                    w, h = 24 * (1 + k % 4), 24 * (1 + (k * 3) % 4)
+                px = bytes(
+                    pat(x * 24 // w, y * 24 // h, k)
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payload, mime = (
+                    (encode_gif_frames([px], w, h), "image/gif")
+                    if is_dup
+                    else (encode_png(px, w, h), "image/png")
+                )
+                media.append(
+                    {"payload": payload, "mime": mime, "width": w, "height": h,
+                     "duration_ms": None}
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    with_media = keyed.mapInPandas(render, schema=out_schema)
+    return image_neardup_pairs(with_media, radius=8, n_blocks=16).orderBy(
+        "id_1", "id_2"
+    )
+
+
 def q13_sketch_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-dedup verification under the DRIVER's value gate (round-6
     verdict #3): MinHash-LSH and SimHash outputs are engine-defined
@@ -2822,6 +2913,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # pivot -> native unpivot/melt
     "q72_temporal_dim_join": q72_temporal_dim_join,  # SCD2 read side: version-valid-at-event-time
     "q76_incremental_dedup_verify": q76_incremental_dedup_verify,  # dedup-against-persisted-index == one-shot union (r8)
+    "q77_image_phash_dedup": q77_image_phash_dedup,  # dHash image near-dup, closed-form codec oracle (r8)
     "q22_priority_status_matrix": q22_priority_status_matrix,  # rotated out r8: pivot family; q71 pivot/unpivot roundtrip is the broader driver row
     "q25_doc_fingerprint": q25_doc_fingerprint,  # rotated out r8: X5 stays driver-visible via q7/q15/q20/q53-q55
     "q27_funnel_conversion_lag": q27_funnel_conversion_lag,  # rotated out r8: J4/A3 stay driver-visible via q8/q59

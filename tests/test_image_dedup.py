@@ -1,0 +1,100 @@
+"""Perceptual-hash image dedup (operators/image_dedup.py): scale and
+re-encode invariance through the REAL codecs, JPEG-lossy tolerance,
+unrelated-image separation, and loud-null behavior for undecodable
+media."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from serverless_etl_bi_on_aws_spark.operators.image_dedup import (
+    dhash_bits,
+    image_neardup_pairs,
+    with_dhash,
+)
+from serverless_etl_bi_on_aws_spark.sources.multimodal import MEDIA_STRUCT
+
+
+def _pat(cx: int, cy: int, k: int) -> int:
+    return (
+        cx * cx * (k % 7 + 1) + cy * cy * (k % 11 + 3) + cx * cy * (k % 5 + 1)
+        + cx * (k % 13) * 17 + cy * (k % 17) * 23 + k
+    ) % 256
+
+
+def _render(k: int, w: int, h: int) -> bytes:
+    return bytes(_pat(x * 24 // w, y * 24 // h, k) for y in range(h) for x in range(w))
+
+
+def _media_df(spark, rows):
+    schema = StructType(
+        [StructField("doc_id", LongType(), False), StructField("media", MEDIA_STRUCT, True)]
+    )
+    return spark.createDataFrame(
+        [
+            (i, {"payload": p, "mime": m, "width": None, "height": None, "duration_ms": None})
+            for i, (p, m) in enumerate(rows)
+        ],
+        schema,
+    )
+
+
+def test_scale_and_lossless_reencode_hash_identical(spark):
+    """The same logical image rendered at 24x48 (PNG), 72x96 (PNG) and
+    48x24 (GIF) produces ONE dHash — scale + lossless-codec invariance,
+    end-to-end through encode -> decode -> resize -> hash."""
+    from serverless_etl_bi_on_aws_spark.functions.gif import encode_gif_frames
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+
+    k = 5
+    rows = [
+        (encode_png(_render(k, 24, 48), 24, 48), "image/png"),
+        (encode_png(_render(k, 72, 96), 72, 96), "image/png"),
+        (encode_gif_frames([_render(k, 48, 24)], 48, 24), "image/gif"),
+    ]
+    hashes = [r["dhash"] for r in with_dhash(_media_df(spark, rows)).collect()]
+    assert len(set(hashes)) == 1 and hashes[0] is not None
+
+
+def test_jpeg_reencode_within_radius_unrelated_beyond(spark):
+    """A lossy JPEG re-encode of the same image lands within the hamming
+    radius; genuinely different images do not pair."""
+    from serverless_etl_bi_on_aws_spark.functions.jpeg import encode_jpeg_gray
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+
+    rows = [
+        (encode_png(_render(7, 48, 48), 48, 48), "image/png"),         # 0
+        (encode_jpeg_gray(_render(7, 48, 48), 48, 48), "image/jpeg"),  # 1: lossy twin
+        (encode_png(_render(23, 48, 48), 48, 48), "image/png"),        # 2: unrelated
+        (encode_png(_render(41, 72, 24), 72, 24), "image/png"),        # 3: unrelated
+    ]
+    pairs = {
+        (r["id_1"], r["id_2"]): r["hamming"]
+        for r in image_neardup_pairs(_media_df(spark, rows), radius=8).collect()
+    }
+    assert (0, 1) in pairs, "JPEG re-encode not caught as near-dup"
+    assert pairs[(0, 1)] <= 8
+    assert all(p == (0, 1) for p in pairs), f"false pairs: {pairs}"
+
+
+def test_undecodable_media_hashes_to_null(spark):
+    rows = [(b"\x00not-an-image", "application/octet-stream")]
+    got = with_dhash(_media_df(spark, rows)).collect()
+    assert got[0]["dhash"] is None
+    # and a null dhash never reaches the pair join
+    assert image_neardup_pairs(_media_df(spark, rows)).count() == 0
+
+
+def test_dhash_bits_reference_values():
+    """Hand-checkable: a strictly increasing row sets all 8 of its bits;
+    a flat row sets none; bit 63 round-trips through the signed-long
+    representation."""
+    inc = bytes(range(9))
+    flat = bytes([5] * 9)
+    px = inc + flat * 7
+    assert dhash_bits(px) == 0xFF
+    # top row flat, bottom row increasing -> bits 56..63 -> negative long
+    px2 = flat * 7 + inc
+    v = dhash_bits(px2)
+    assert v < 0 and (v + (1 << 64)) == 0xFF << 56
