@@ -85,8 +85,16 @@ def read_meta(index_path: str) -> IndexMeta:
 
 
 def _append_signatures(sigs: DataFrame, meta: IndexMeta, index_path: str) -> None:
-    """Persist (bands, sigs) for one batch of signatures. Append-only —
-    the index grows linearly with the corpus, nothing is rewritten."""
+    """Persist (sigs, bands) for one batch of signatures. Append-only —
+    the index grows linearly with the corpus, nothing is rewritten.
+
+    Write ORDER matters for crash safety: sigs first, bands second. A
+    crash between the two writes that is never replayed leaves a sig
+    with no band rows — inert (never a candidate, same as pre-append).
+    The reverse order would leave band rows whose doc has no sig, and
+    those candidates silently vanish from dup_vs_corpus's inner join
+    with idx_sigs: duplicates missed with no error (round-8 ADVICE)."""
+    sigs.write.mode("append").parquet(os.path.join(index_path, "sigs"))
     banded = band_buckets(sigs, meta.bands, meta.rows, id_col=meta.id_col)
     (
         banded.select("band", "bucket", F.col("_id").alias(meta.id_col))
@@ -94,7 +102,6 @@ def _append_signatures(sigs: DataFrame, meta: IndexMeta, index_path: str) -> Non
         .partitionBy("band")
         .parquet(os.path.join(index_path, "bands"))
     )
-    sigs.write.mode("append").parquet(os.path.join(index_path, "sigs"))
 
 
 def build_minhash_index(

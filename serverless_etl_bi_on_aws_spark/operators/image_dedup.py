@@ -57,8 +57,10 @@ def with_dhash(
 ) -> DataFrame:
     """Append a 64-bit dHash column computed through the REAL decode path
     (PNG/JPEG/GIF -> grayscale -> nearest-resample 9x8 -> dHash). Media
-    that is NULL or has no real decoder hashes to NULL — loud absence, not
-    a fake fingerprint."""
+    that is NULL, has no real decoder, or fails to decode (corrupt or
+    truncated payload — routine in crawl corpora) hashes to NULL — loud
+    absence, not a fake fingerprint, and never a failed task: one bad
+    image must not kill a corpus-wide stage."""
     from serverless_etl_bi_on_aws_spark.functions.png import resize_nearest
     from serverless_etl_bi_on_aws_spark.sources.multimodal import (
         REAL_DECODER_MIMES,
@@ -74,8 +76,11 @@ def with_dhash(
                 if m is None or m["payload"] is None or m["mime"] not in REAL_DECODER_MIMES:
                     hashes.append(None)
                     continue
-                w, h, px = _decode_image(bytes(m["payload"]), m["mime"])
-                hashes.append(dhash_bits(resize_nearest(px, w, h, _W, _H)))
+                try:
+                    w, h, px = _decode_image(bytes(m["payload"]), m["mime"])
+                    hashes.append(dhash_bits(resize_nearest(px, w, h, _W, _H)))
+                except Exception:
+                    hashes.append(None)  # corrupt payload with a real mime
             pdf = pdf.copy()
             pdf[out_col] = pd.array(hashes, dtype="Int64")
             yield pdf

@@ -85,6 +85,15 @@ def topk_cosine_arrow(
     names = [f.name for f in embeddings.schema.fields]
     vec_idx, id_idx = names.index(vec_col), names.index(id_col)
 
+    # Malformed rows (NULL or wrong-length vectors — present in real crawl
+    # corpora) cannot score: drop them BEFORE the Arrow stage, where the
+    # zero-copy flatten().reshape(n, dim) would otherwise throw and kill
+    # the task. Matches the HOF twin's observable top-k: its NULL cosine
+    # rows sort last under ORDER BY cosine DESC and never take a slot.
+    embeddings = embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+
     def batches(it):
         for batch in it:
             n = batch.num_rows

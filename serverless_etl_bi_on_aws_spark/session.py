@@ -52,6 +52,13 @@ ENGINE_CONF: dict[str, str] = {
     # q13's wall-time; explode drops empty arrays anyway, so the inferred
     # filter only re-derives what Generate already guarantees.
     "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    # Periodic ContextCleaner GC: long sweep sessions on this container's
+    # tmpfs spark.local.dir accumulate dead shuffle blocks until the JVM
+    # dies (observed round 6). 10min keeps that protection for driver
+    # sweeps/long benches without the per-query timing distortion the old
+    # 2min interval caused (round-8 bench fix); tests use 2min via
+    # conftest where churn is highest.
+    "spark.cleaner.periodicGC.interval": "10min",
 }
 
 

@@ -1003,3 +1003,33 @@ def test_ingest_avi_mime_matches_codec_path(spark, tmp_path):
     out = video_scene_cuts(ingest_media_dir(spark, str(d))).collect()
     assert len(out) == 1
     assert (out[0]["n_frames"], out[0]["n_cuts"], list(out[0]["cut_indices"])) == (4, 1, [2])
+
+
+def test_topk_cosine_arrow_tolerates_null_and_short_vectors(spark):
+    """Malformed rows (NULL or wrong-length embedding) must be dropped
+    before the Arrow stage, not crash the zero-copy reshape (round-8
+    ADVICE): the top-k over the remaining valid rows matches the HOF twin
+    run on the valid rows alone (whose NULL cosines sort last anyway)."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import topk_cosine_arrow
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(50)
+    dim = len(emb.select("embedding").head()[0])
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+    bad = spark.createDataFrame(
+        [(10_001, None), (10_002, [1.0] * (dim - 3)), (10_003, [])], schema
+    )
+    mixed = emb.select("vec_id", "embedding").unionByName(bad)
+    qvec = [float(x) for x in emb.select("embedding").head()[0]]
+    got = [(r.vec_id, round(r.cosine, 6)) for r in topk_cosine_arrow(mixed, qvec, k=10).collect()]
+    want = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in topk_cosine_bruteforce(emb.select("vec_id", "embedding"), qvec, k=10).collect()
+    ]
+    assert got == want

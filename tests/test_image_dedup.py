@@ -98,3 +98,22 @@ def test_dhash_bits_reference_values():
     px2 = flat * 7 + inc
     v = dhash_bits(px2)
     assert v < 0 and (v + (1 << 64)) == 0xFF << 56
+
+
+def test_corrupt_payload_with_real_mime_hashes_to_null(spark):
+    """A truncated/corrupt payload carrying a real image mime must degrade
+    to a NULL hash, not fail the mapInPandas task (round-8 ADVICE): crawl
+    corpora routinely contain broken images and one of them must not kill
+    a corpus-wide stage. Good rows in the same batch still hash."""
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+
+    good = encode_png(_render(3, 24, 24), 24, 24)
+    rows = [
+        (good, "image/png"),
+        (good[: len(good) // 2], "image/png"),  # truncated mid-stream
+        (b"\x89PNG\r\n\x1a\n garbage", "image/png"),  # bad chunk structure
+        (b"\xff\xd8\xff\xe0 nope", "image/jpeg"),  # JPEG SOI then garbage
+    ]
+    got = {r["doc_id"]: r["dhash"] for r in with_dhash(_media_df(spark, rows)).collect()}
+    assert got[0] is not None
+    assert got[1] is None and got[2] is None and got[3] is None
