@@ -156,8 +156,9 @@ def dedup_against_index(
     idx_bands = spark.read.parquet(os.path.join(index_path, "bands"))
     idx_sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
     cand = (
-        new_banded.select("band", "bucket", F.col("_id"))
-        .join(idx_bands.select("band", "bucket", F.col(id_col).alias("_old")), ["band", "bucket"])
+        new_banded.join(
+            idx_bands.select("band", "bucket", F.col(id_col).alias("_old")), ["band", "bucket"]
+        )
         .select("_id", "_old")
         .dropDuplicates(["_id", "_old"])
     )
@@ -169,18 +170,25 @@ def dedup_against_index(
         .distinct()
     )
 
-    # --- within batch: same banded join, smaller id is senior ---
-    within = (
+    # --- within batch: same shape as the corpus path (round-8 verdict #4:
+    # ids-only across the (band, bucket) exchange — the old self-join on a
+    # sig-carrying frame shipped each 128-long signature x bands on BOTH
+    # sides); signatures are fetched for candidate pairs only ---
+    within_cand = (
         new_banded.alias("a")
         .join(new_banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a._id") > F.col("b._id"))  # b is senior
-        .select(
-            F.col("a._id").alias("_id"),
-            F.col("b._id").alias("_senior"),
-            F.col("a.sig").alias("_s1"),
-            F.col("b.sig").alias("_s2"),
-        )
+        .select(F.col("a._id").alias("_id"), F.col("b._id").alias("_senior"))
         .dropDuplicates(["_id", "_senior"])
+    )
+    within = (
+        within_cand.join(
+            new_sigs.select(F.col(id_col).alias("_id"), F.col("sig").alias("_s1")), "_id"
+        )
+        .join(
+            new_sigs.select(F.col(id_col).alias("_senior"), F.col("sig").alias("_s2")),
+            "_senior",
+        )
         .filter(est_jaccard("_s1", "_s2", meta.num_hashes) >= threshold)
         .select("_id")
         .distinct()

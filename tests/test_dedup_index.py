@@ -132,3 +132,47 @@ def test_all_docs_index_preserves_chain_equivalence(spark, tmp_path):
     # and the meta round-trips
     m = read_meta(idx)
     assert (m.n, m.num_hashes, m.bands) == (3, 128, 32)
+
+
+def _band_exchange_blocks(df) -> list[str]:
+    """Formatted-plan blocks for every exchange that ships banded rows —
+    hashpartitioning(band, bucket) at scale, BroadcastExchange of the
+    banded side when AQE/size picks broadcast (the fixture case). Either
+    way the band column appears in the block's Input/Arguments."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    blocks, cur = [], []
+    for line in buf.getvalue().splitlines():
+        if line.strip() == "":
+            if cur:
+                blocks.append("\n".join(cur))
+            cur = []
+        else:
+            cur.append(line)
+    if cur:
+        blocks.append("\n".join(cur))
+    return [
+        b
+        for b in blocks
+        if "Exchange" in b.splitlines()[0] and ("band#" in b or "hashpartitioning(band" in b)
+    ]
+
+
+def test_band_exchanges_never_carry_signatures(spark, tmp_path):
+    """Round-8 verdict #4 plan pin: every (band, bucket) exchange in the
+    probe plan ships ids only — the 128-long signature column must sit
+    BELOW the pair join (fetched per candidate), never cross the banded
+    shuffle x bands times."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    old, new = _split(docs)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(old, idx)
+    probe = dedup_against_index(spark, new, idx)
+    blocks = _band_exchange_blocks(probe)
+    assert blocks, "expected at least one (band, bucket) exchange in the probe plan"
+    for b in blocks:
+        assert "sig" not in b, f"signature column crosses a band exchange:\n{b}"

@@ -1033,3 +1033,35 @@ def test_topk_cosine_arrow_tolerates_null_and_short_vectors(spark):
         for r in topk_cosine_bruteforce(emb.select("vec_id", "embedding"), qvec, k=10).collect()
     ]
     assert got == want
+
+
+def test_lsh_band_exchanges_never_carry_signatures(spark):
+    """Round-8 verdict #4 plan pin, one-shot path: neardup_minhash_lsh's
+    banded self-join exchanges ids only; signatures join in per candidate
+    pair, below the (band, bucket) shuffle."""
+    import contextlib
+    import io
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text").limit(200)
+    pairs = neardup_minhash_lsh(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain(mode="formatted")
+    blocks, cur = [], []
+    for line in buf.getvalue().splitlines():
+        if line.strip() == "":
+            if cur:
+                blocks.append("\n".join(cur))
+            cur = []
+        else:
+            cur.append(line)
+    if cur:
+        blocks.append("\n".join(cur))
+    band_ex = [
+        b
+        for b in blocks
+        if "Exchange" in b.splitlines()[0] and ("band#" in b or "hashpartitioning(band" in b)
+    ]
+    assert band_ex, "expected a (band, bucket) exchange in the LSH plan"
+    for b in band_ex:
+        assert "sig" not in b, f"signature column crosses a band exchange:\n{b}"
