@@ -48,7 +48,6 @@ exchange-free on the index side.
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 
@@ -59,6 +58,7 @@ from serverless_etl_bi_on_aws_spark.operators.dedup import (
     est_jaccard,
     minhash_signatures,
 )
+from serverless_etl_bi_on_aws_spark.util import marker_exists, read_marker, write_marker
 
 
 @dataclass(frozen=True)
@@ -75,13 +75,14 @@ class IndexMeta:
 
 
 def _write_meta(index_path: str, meta: IndexMeta) -> None:
-    with open(os.path.join(index_path, "_meta.json"), "w") as f:
-        json.dump(meta.__dict__, f)
+    write_marker(os.path.join(index_path, "_meta.json"), meta.__dict__)
 
 
 def read_meta(index_path: str) -> IndexMeta:
-    with open(os.path.join(index_path, "_meta.json")) as f:
-        return IndexMeta(**json.load(f))
+    d = read_marker(os.path.join(index_path, "_meta.json"))
+    if d is None:
+        raise FileNotFoundError(f"no index meta at {index_path}")
+    return IndexMeta(**d)
 
 
 def _append_signatures(sigs: DataFrame, meta: IndexMeta, index_path: str) -> None:
@@ -222,14 +223,56 @@ def update_index(
     transaction log. Returns True if the batch was applied, False if it
     had been already."""
     marker = os.path.join(index_path, "_applied", batch_id)
-    if os.path.exists(marker):
+    if marker_exists(marker):
         return False
     meta = read_meta(index_path)
     sigs = minhash_signatures(
         new_docs, meta.id_col, text_col, meta.n, meta.num_hashes, meta.seed
     )
     _append_signatures(sigs, meta, index_path)
-    os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    write_marker(marker, {"batch_id": batch_id})
     return True
+
+
+def compact_index(
+    spark: SparkSession, index_path: str, target_file_bytes: int = 128 << 20
+) -> dict[str, int]:
+    """Index maintenance (round-8 verdict #3): the hourly-crawl cadence
+    appends one small parquet file set per batch, so bands/sigs become a
+    small-file swamp, and crash-replayed batches leave duplicate rows
+    (harmless to consumers — candidates are pair-deduped and drops are
+    set-membership — but dead weight forever).
+
+    One compaction fixes both: each ``band=<b>`` partition is rewritten
+    to ~``target_file_bytes`` files, deduped on (bucket, id) and
+    range-clustered on ``bucket`` so a probe's bucket join skips files by
+    footer stats; ``sigs`` is deduped on the id (signatures are
+    deterministic per meta, so replay rows are exact duplicates). Every
+    rewrite is write-new-then-swap (operators/maintenance.py), and the
+    ``_meta.json`` / ``_applied`` markers are untouched — compaction
+    changes layout, never which batches are applied, so it composes with
+    concurrent :func:`dedup_against_index` readers and future
+    :func:`update_index` appends. Probe results are identical before and
+    after (pytest-pinned). Returns per-table new file counts."""
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import compact_parquet
+
+    meta = read_meta(index_path)
+    bands_root = os.path.join(index_path, "bands")
+    files = {}
+    for part in sorted(os.listdir(bands_root)):
+        if not part.startswith("band="):
+            continue
+        files[f"bands/{part}"] = compact_parquet(
+            spark,
+            os.path.join(bands_root, part),
+            target_file_bytes,
+            cluster_by="bucket",
+            dedupe_on=["bucket", meta.id_col],
+        )
+    files["sigs"] = compact_parquet(
+        spark,
+        os.path.join(index_path, "sigs"),
+        target_file_bytes,
+        dedupe_on=[meta.id_col],
+    )
+    return files

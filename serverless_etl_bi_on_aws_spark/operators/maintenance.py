@@ -50,15 +50,22 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 << 20,
     cluster_by: str | None = None,
+    dedupe_on: list[str] | None = None,
 ) -> int:
     """Rewrite the parquet directory at ``path`` into
     ``ceil(current_bytes / target_file_bytes)`` files; returns the new
     file count. With ``cluster_by``, files are range-clustered on that
-    column (near-disjoint per-file min/max -> stats-based skipping)."""
+    column (near-disjoint per-file min/max -> stats-based skipping).
+    With ``dedupe_on``, exact duplicates on those columns collapse to one
+    row — for append-only set-membership tables (the dedup-index bands/
+    sigs) whose at-least-once appends legally carry replay duplicates:
+    harmless to consumers, dead weight on disk until a compaction."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
     df = spark.read.parquet(path)
+    if dedupe_on is not None:
+        df = df.dropDuplicates(dedupe_on)
     if cluster_by is not None:
         out = df.repartitionByRange(n_files, F.col(cluster_by)).sortWithinPartitions(
             cluster_by

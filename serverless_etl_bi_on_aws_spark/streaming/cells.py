@@ -30,7 +30,6 @@ swap variant only ever rewrites |grain| x occupied-bins rows, not data.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import uuid
@@ -41,14 +40,11 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from serverless_etl_bi_on_aws_spark.operators.histogram import build_histogram_cells
+from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
 
 
 def _applied_epoch(cells_path: str) -> dict | None:
-    try:
-        with open(os.path.join(cells_path, "_applied_epoch.json")) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return None
+    return read_marker(os.path.join(cells_path, "_applied_epoch.json"))
 
 
 def merge_cells_into_parquet(
@@ -88,8 +84,10 @@ def merge_cells_into_parquet(
     tmp = f"{cells_path}.__new__{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     if epoch is not None:
-        with open(os.path.join(tmp, "_applied_epoch.json"), "w") as f:
-            json.dump({"ckpt": epoch[0], "epoch": epoch[1]}, f)
+        write_marker(
+            os.path.join(tmp, "_applied_epoch.json"),
+            {"ckpt": epoch[0], "epoch": epoch[1]},
+        )
     if os.path.exists(cells_path):
         old = f"{cells_path}.__old__{uuid.uuid4().hex[:8]}"
         os.rename(cells_path, old)

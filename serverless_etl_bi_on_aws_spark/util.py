@@ -72,3 +72,49 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def write_marker(path: str, payload: dict | None = None) -> None:
+    """Single swap point for every commit/applied marker in the engine
+    (index `_meta.json` and `_applied/<batch>` markers in
+    operators/dedup_index.py, the `_applied_epoch.json` high-water mark in
+    streaming/cells.py). Local filesystem: write-to-temp + ``os.replace``
+    so a reader never sees a torn marker.
+
+    Object-store story (the ONE place to change for S3/GCS at 100 TB):
+    plain driver-local ``open()`` has no meaning on an object store and
+    rename is not atomic there. Swap this pair for either (a) the Hadoop
+    FileSystem API (`FileSystem.create(path, overwrite=false)` — create-
+    exclusive is the commit), or (b) a conditional PUT
+    (`If-None-Match: *` on S3, `x-goods-if-generation-match: 0` on GCS) so
+    a marker commits exactly once even under concurrent writers. Markers
+    are KB-sized JSON; they are the protocol, not the data — the data
+    writes stay plain parquet appends either way."""
+    import json
+    import uuid
+
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload if payload is not None else {}, f)
+    os.replace(tmp, path)
+
+
+def read_marker(path: str) -> dict | None:
+    """Read a marker written by :func:`write_marker`; None if absent or
+    torn (a torn marker is treated as not-committed, which is the safe
+    direction for every caller: re-apply an idempotent batch rather than
+    silently skip it)."""
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def marker_exists(path: str) -> bool:
+    return os.path.exists(path)

@@ -176,3 +176,47 @@ def test_band_exchanges_never_carry_signatures(spark, tmp_path):
     assert blocks, "expected at least one (band, bucket) exchange in the probe plan"
     for b in blocks:
         assert "sig" not in b, f"signature column crosses a band exchange:\n{b}"
+
+
+def test_compact_index_bounds_files_and_purges_replay_duplicates(spark, tmp_path):
+    """Round-9 ask #3: N small appends (including a crash-replayed batch
+    that re-appended in full) -> compact -> probe results identical, file
+    count bounded, replay duplicates gone, markers untouched."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import compact_index
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(300)
+    third = docs.agg(F.max("doc_id")).head()[0] // 3
+    b0 = docs.filter(F.col("doc_id") <= third)
+    b1 = docs.filter((F.col("doc_id") > third) & (F.col("doc_id") <= 2 * third))
+    b2 = docs.filter(F.col("doc_id") > 2 * third)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(b0, idx)
+    assert update_index(b1, idx, "batch-1")
+    # simulate a crash between append and marker write: the replay
+    # re-appends batch-2 in full, leaving duplicate rows in bands+sigs
+    os.remove(os.path.join(idx, "_applied", "batch-1"))
+    assert update_index(b1, idx, "batch-1")
+    assert update_index(b2, idx, "batch-2")
+
+    probe = docs.filter(F.col("doc_id") > 2 * third + 5)
+    before = {r.doc_id for r in dedup_against_index(spark, probe, idx).collect()}
+    n_docs_indexed = (
+        spark.read.parquet(os.path.join(idx, "sigs")).select("doc_id").distinct().count()
+    )
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() > n_docs_indexed
+
+    files = compact_index(spark, idx)
+    # duplicates purged: sigs rows == distinct docs; bands rows distinct
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_docs_indexed
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    assert bands.count() == bands.dropDuplicates(["band", "bucket", "doc_id"]).count()
+    # file count bounded: one file per band partition + one for sigs here
+    assert all(n == 1 for n in files.values())
+    # markers survive: a replayed batch is still a no-op, meta still reads
+    assert not update_index(b1, idx, "batch-1")
+    assert read_meta(idx).num_hashes == 128
+    # and the probe sees the exact same survivors
+    after = {r.doc_id for r in dedup_against_index(spark, probe, idx).collect()}
+    assert after == before
