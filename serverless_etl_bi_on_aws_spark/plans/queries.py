@@ -2847,19 +2847,10 @@ QUERIES: dict[str, QueryFn] = {
     "q12_neardup_jaccard": q12_neardup_jaccard,
     "q13_sketch_neardup_verify": q13_sketch_neardup_verify,
     "q15_doc_quality_by_source": q15_doc_quality_by_source,
-    "q16_props_json_stats": q16_props_json_stats,
-    "q17_session_stats": q17_session_stats,
     "q18_ann_verify": q18_ann_verify,
     "q20_lang_id_naive_bayes": q20_lang_id_naive_bayes,
-    "q21_revenue_by_region": q21_revenue_by_region,
-    "q24_embedding_similar_pairs": q24_embedding_similar_pairs,
-    "q30_asof_last_purchase": q30_asof_last_purchase,
-    "q35_embedding_centroids": q35_embedding_centroids,
     "q36_funnel_set_ops": q36_funnel_set_ops,
-    "q37_train_val_test_split": q37_train_val_test_split,
-    "q38_chunked_docs": q38_chunked_docs,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
-    "q42_media_pixel_stats": q42_media_pixel_stats,
     "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
@@ -2876,15 +2867,24 @@ QUERIES: dict[str, QueryFn] = {
     "q57_gapfilled_rollup": q57_gapfilled_rollup,
     "q58_format_roundtrip": q58_format_roundtrip,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
+    "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
     "q61_gif_frame_stats": q61_gif_frame_stats,
+    "q62_sketch_rollup_users": q62_sketch_rollup_users,
+    "q63_pii_scrub": q63_pii_scrub,
     "q64_span_dedup": q64_span_dedup,
     "q65_pq_verify": q65_pq_verify,
     "q66_data_quality_report": q66_data_quality_report,
     "q67_histogram_rollup": q67_histogram_rollup,
+    "q68_merge_audit_diff": q68_merge_audit_diff,
     "q69_scd2_order_history": q69_scd2_order_history,
+    "q70_window_suite": q70_window_suite,
+    "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,
+    "q72_temporal_dim_join": q72_temporal_dim_join,
     "q73_unicode_normalize": q73_unicode_normalize,
     "q74_grouping_sets": q74_grouping_sets,
     "q75_lm_quality_score": q75_lm_quality_score,
+    "q76_incremental_dedup_verify": q76_incremental_dedup_verify,
+    "q77_image_phash_dedup": q77_image_phash_dedup,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -2905,15 +2905,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q32_time_bucket_rollup": q32_time_bucket_rollup,  # bucket semantics inside q57/q48
     "q40_pack_token_shards": q40_pack_token_shards,  # global case of q41's per-lang packing
     "q45_topk_cosine_ivf": q45_topk_cosine_ivf,  # per-call-fit variant; q18_ann_verify probes the persisted index
-    "q60_sales_by_category_denorm": q60_sales_by_category_denorm,  # q3's oracle; layout ladder rung
-    "q62_sketch_rollup_users": q62_sketch_rollup_users,  # mergeable HLL distinct rollup
-    "q63_pii_scrub": q63_pii_scrub,  # regex redaction; cross-dialect value oracle
-    "q68_merge_audit_diff": q68_merge_audit_diff,  # data-diff reconciliation of the q9 merge
-    "q70_window_suite": q70_window_suite,  # lag/lead/ntile/percent_rank/cume_dist breadth
-    "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # pivot -> native unpivot/melt
-    "q72_temporal_dim_join": q72_temporal_dim_join,  # SCD2 read side: version-valid-at-event-time
-    "q76_incremental_dedup_verify": q76_incremental_dedup_verify,  # dedup-against-persisted-index == one-shot union (r8)
-    "q77_image_phash_dedup": q77_image_phash_dedup,  # dHash image near-dup, closed-form codec oracle (r8)
     "q22_priority_status_matrix": q22_priority_status_matrix,  # rotated out r8: pivot family; q71 pivot/unpivot roundtrip is the broader driver row
     "q25_doc_fingerprint": q25_doc_fingerprint,  # rotated out r8: X5 stays driver-visible via q7/q15/q20/q53-q55
     "q27_funnel_conversion_lag": q27_funnel_conversion_lag,  # rotated out r8: J4/A3 stay driver-visible via q8/q59
@@ -2923,4 +2914,13 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q33_moving_avg_revenue": q33_moving_avg_revenue,  # rotated out r8: window-frame family; q70 window suite is broader
     "q34_lapsed_customers": q34_lapsed_customers,  # rotated out r8: anti-join date filter; same family as q8 (driver)
     "q39_cube_event_matrix": q39_cube_event_matrix,  # rotated out r8: cube; q74 grouping sets (driver now) is the superset
+    "q16_props_json_stats": q16_props_json_stats,  # rotated out r9: JSON parsing stays driver-visible via q58's PERMISSIVE+quarantine contract
+    "q17_session_stats": q17_session_stats,  # rotated out r9: session windows; q10 + q70 window suite (driver now) cover the family
+    "q21_revenue_by_region": q21_revenue_by_region,  # rotated out r9: J3 region chain stays via q3/q46/q60 (denorm now driver)
+    "q24_embedding_similar_pairs": q24_embedding_similar_pairs,  # rotated out r9: X3 pairs stay via q43 (cosine near-dup) + q44
+    "q30_asof_last_purchase": q30_asof_last_purchase,  # rotated out r9: as-of family; q72 temporal dim join (driver now) is the SCD2 read side
+    "q35_embedding_centroids": q35_embedding_centroids,  # rotated out r9: X3 stays via q44/q65/q18_ann_verify
+    "q37_train_val_test_split": q37_train_val_test_split,  # rotated out r9: sampling family stays via q56 domain-mix rebalance
+    "q38_chunked_docs": q38_chunked_docs,  # rotated out r9: chunking is the map-only front of q41's packing (driver)
+    "q42_media_pixel_stats": q42_media_pixel_stats,  # rotated out r9: media codecs stay via q49/q51/q52/q61 and q77 (driver now)
 }
