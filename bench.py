@@ -66,7 +66,12 @@ HEADLINE = {
     "q3": "q3_sales_by_category",
     "q4": "q4_funnel_counts",
     "q5": "q5_incremental_window",
-    "q6": "q6_topk_cosine",
+    # q6 benches the DEPLOYMENT path (round-8 verdict #7): the Arrow/BLAS
+    # kernel, not the interpreted-HOF oracle twin q6_topk_cosine — the two
+    # share one oracle SQL and agree exactly (pytest-pinned), but the HOF
+    # fold is ~11us/row interpreted overhead nobody would ship. The DuckDB
+    # side is unchanged (same SQL for both).
+    "q6": "q44_topk_cosine_arrow",
     "q7": "q7_text_stats",
 }
 
@@ -380,50 +385,108 @@ def _sf1_tier(spark, sf1_dir: str, floor) -> dict:
     return out
 
 
-def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str) -> dict:
+def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str, reps: int = 9) -> dict:
     """Marginal cost per row, sf0.1 -> sf1 -> sf10.
 
-    Timing protocol (round 7): all (query, sf) cells warm first, then
-    timed reps INTERLEAVE across every cell and the slope uses per-cell
-    MEDIANS — the bucketed-tier discipline. Sequential best-of-3 per cell
-    was observed reporting a 3.6x-inflated q1 sf10 when all three reps
-    landed inside one of this VM's multi-second degraded phases;
-    interleaving spreads each cell's reps across the tier's full wall
-    time so a phase costs one rep of many cells instead of every rep of
-    one."""
+    Timing protocol (round 9, verdict r8 ask #1): all (engine, query, sf)
+    cells warm first, then timed reps INTERLEAVE across every cell of
+    BOTH engines in one loop — round 7/8 interleaved only the Spark side
+    and gave DuckDB sequential best-of-4, so each round's ratio compared
+    a median against a lucky minimum taken in a different VM phase, and
+    the graded ratio moved +/-20% on engine noise alone (q1 2.28 -> 2.70
+    with NO plan change). Per-rep SLOPES are paired by rep index (rep i
+    of sf1 and sf10 ran adjacently, sharing any VM phase), giving a
+    slope distribution per engine; the reported number is the median
+    with the (p25, p75) spread, so a round-over-round move outside the
+    spread is attributable to the plan, not the VM."""
     import statistics
 
     points = {"0.1": sf01, "1": sf1_dir, "10": sf10_dir}
     names = {s: (HEADLINE.get(s) or SCALING_EXTRA[s]) for s in SCALING_QUERIES}
+
+    # one DuckDB connection per sf dir, registered once, reused by every rep
+    duck = {}
+    try:
+        import duckdb
+
+        from serverless_etl_bi_on_aws_spark.plans.oracles import (
+            EXTRA_ORACLE_SQL,
+            ORACLE_SQL,
+        )
+        from tools.duckdb_baseline import register
+
+        sql_all = {**ORACLE_SQL, **EXTRA_ORACLE_SQL}
+        for lbl, d in points.items():
+            con = duckdb.connect()
+            register(con, d)
+            duck[lbl] = con
+    except Exception:  # noqa: BLE001 - Spark-only numbers still report
+        duck = {}
+
     for short, name in names.items():
-        for d in points.values():
+        for lbl, d in points.items():
             QUERIES[name](spark, d).collect()  # warm plan + IO cache
-    times: dict[tuple[str, str], list[float]] = {}
-    for _ in range(7):
+            if duck:
+                duck[lbl].execute(sql_all[names[short]]).fetchall()
+    sp_t: dict[tuple[str, str], list[float]] = {}
+    du_t: dict[tuple[str, str], list[float]] = {}
+    for _ in range(reps):
         for short, name in names.items():
             for lbl, d in points.items():
                 t0 = time.perf_counter()
                 QUERIES[name](spark, d).collect()
-                times.setdefault((short, lbl), []).append(time.perf_counter() - t0)
+                sp_t.setdefault((short, lbl), []).append(time.perf_counter() - t0)
+                if duck:
+                    t0 = time.perf_counter()
+                    duck[lbl].execute(sql_all[names[short]]).fetchall()
+                    du_t.setdefault((short, lbl), []).append(time.perf_counter() - t0)
+    for con in duck.values():
+        con.close()
+
+    def q(vals, p):  # quartile on the sorted sample (inclusive method)
+        return statistics.quantiles(vals, n=4, method="inclusive")[p]
+
     scal: dict = {}
     for short in SCALING_QUERIES:
-        sp = {lbl: round(min(times[(short, lbl)]), 4) for lbl in points}
-        sp_med = {
-            lbl: round(statistics.median(times[(short, lbl)]), 4) for lbl in points
-        }
-        du = {lbl: _duckdb_warm(d, (short,)).get(short) for lbl, d in points.items()}
-        # slope between the two big points: sec per 10x-of-sf0.1 step —
-        # the intercept-free number that survives a cluster scale-up
-        sp_slope = (sp_med["10"] - sp_med["1"]) / 9.0
-        du_slope = (du["10"] - du["1"]) / 9.0 if du.get("10") and du.get("1") else None
-        scal[short] = {
-            "spark_sec": sp,
+        sp_med = {lbl: round(statistics.median(sp_t[(short, lbl)]), 4) for lbl in points}
+        # per-rep paired slopes: rep i of sf1 and sf10 ran back-to-back
+        sp_slopes = [
+            (b - a) / 9.0
+            for a, b in zip(sp_t[(short, "1")], sp_t[(short, "10")])
+        ]
+        sp_slope = statistics.median(sp_slopes)
+        entry = {
+            "spark_sec": {lbl: round(min(sp_t[(short, lbl)]), 4) for lbl in points},
             "spark_sec_median": sp_med,
-            "duckdb_sec": du,
             "spark_slope_per_sf": round(sp_slope, 4),
-            "duckdb_slope_per_sf": round(du_slope, 4) if du_slope else None,
-            "slope_ratio": round(sp_slope / du_slope, 2) if du_slope else None,
+            "spark_slope_iqr": [round(q(sp_slopes, 0), 4), round(q(sp_slopes, 2), 4)],
         }
+        if duck:
+            du_med = {lbl: round(statistics.median(du_t[(short, lbl)]), 4) for lbl in points}
+            du_slopes = [
+                (b - a) / 9.0
+                for a, b in zip(du_t[(short, "1")], du_t[(short, "10")])
+            ]
+            du_slope = statistics.median(du_slopes)
+            entry.update(
+                {
+                    "duckdb_sec": du_med,
+                    "duckdb_slope_per_sf": round(du_slope, 4),
+                    "duckdb_slope_iqr": [
+                        round(q(du_slopes, 0), 4),
+                        round(q(du_slopes, 2), 4),
+                    ],
+                    "slope_ratio": round(sp_slope / du_slope, 2) if du_slope else None,
+                    # spread of the graded ratio: worst/best quartile pairing
+                    "slope_ratio_range": [
+                        round(q(sp_slopes, 0) / q(du_slopes, 2), 2),
+                        round(q(sp_slopes, 2) / max(q(du_slopes, 0), 1e-9), 2),
+                    ]
+                    if du_slope
+                    else None,
+                }
+            )
+        scal[short] = entry
     return scal
 
 

@@ -1,0 +1,163 @@
+"""q1 scaling-slope decomposition: where does Spark's ~0.075 s/sf go?
+(round-8 verdict ask #1b — the GC-conf hypothesis was falsified, so this
+measures the structural terms instead of guessing confs.)
+
+q1 is scan -> filter(l_shipdate) -> 6-group hash agg over 7 columns with
+exact scaled-long money sums. The marginal cost per sf decomposes into
+four nested rungs, each adding one plan component; the DELTAS between
+adjacent rungs attribute the slope:
+
+  A. filter-count     scan l_shipdate + filter + count          (IO floor)
+  B. +group           A + decode the two flag strings, 6-group hash agg
+                      (count only) + exchange — grouping machinery
+  C. +decode          B + decode the 5 numeric payload columns, raw sums
+  D. full q1          C + the money expressions (disc_price, charge
+                      split-long recovery, rounded avgs)
+
+Every rung from B on shares the same 6-group keyed plan shape, so each
+delta isolates one component (a first cut that measured the strings via
+single-group min() aggregates mis-attributed: a per-row UTF8String min
+costs MORE than hashing the same column as a group key, making the
+"grouped" rung look negative).
+
+MEASURED (2026-08-14, this VM, 7 interleaved reps, medians of paired
+per-rep slopes; DuckDB q1 slope the same session: ~31 ms/sf):
+
+  A_filter_count    slope  13.3 ms/sf   -> IO + shipdate filter floor
+  B_group           slope  38.2 ms/sf   -> +24.9: flag-string decode
+                                           (~12, re-measured via a
+                                           max(length) no-group probe)
+                                           + 6-group hash-agg machinery
+                                           (~13-19)
+  C_decode          slope  55.9 ms/sf   -> +17.7: numeric column decode
+  D_full_q1         slope  65.3 ms/sf   -> + 9.4: money expressions
+                                           (already the scaled-long
+                                           formulation; a DECIMAL sum
+                                           measured 10x worse)
+
+Attacks tried, none pay:
+  * packed-int group key (ascii(flag)*256+ascii(status), char() back
+    after the 6-row agg): slope 41.3 vs 40.4 for string keys — the
+    strings must be DECODED either way, and ascii() evaluation offsets
+    the cheaper int hash.
+  * spark.sql.codegen.aggregate.map.vectorized.enable=true: 54.3 vs
+    44.5 (worse); twolevel.enabled=false: 47.2 (worse). The default
+    row-based two-level fast map is already the best Spark has.
+
+Conclusion: ~46 of the ~65 ms/sf (70%) is parquet DECODE (strings 12 +
+numerics 18) plus per-row hash-agg machinery (~19) — the JVM row
+pipeline's throughput against DuckDB's native SIMD vectors; the
+query-shape terms we control (expressions 9.4, IO floor shared by both
+engines) are already minimal. The residual slope_ratio ~2.1 (spread
+[1.71, 2.67] straddling the 2.0 contract) is the engine floor for a raw
+scan+agg; the deployment answer the engine ships is the materialized
+pricing rollup (bench rollup_q1 slope_ratio 0.24 in round 8), which
+removes the per-query decode entirely — the same answer a warehouse
+gives (the reference serves this query from a Redshift table it
+maintains, not a raw re-scan; README.md:100-107).
+
+All (rung, sf) cells warm first; timed reps interleave across every cell
+(the scaling-tier discipline — this VM throws multi-second stall
+windows); slopes are medians of per-rep paired (sf10 - sf1)/9.
+
+Run: PYTHONPATH=/root/repo python tools/ab_q1_floor.py
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from serverless_etl_bi_on_aws_spark.catalog import load_table  # noqa: E402
+from serverless_etl_bi_on_aws_spark.plans.queries import q1_pricing_summary  # noqa: E402
+from serverless_etl_bi_on_aws_spark.session import get_spark  # noqa: E402
+
+REPS = int(os.environ.get("AB_REPS", "7"))
+
+
+def _li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp")
+    )
+
+
+def rung_a(spark, sf_dir):
+    _li(spark, sf_dir).count()
+
+
+def rung_b(spark, sf_dir):
+    (
+        _li(spark, sf_dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*"))
+        .collect()
+    )
+
+
+def rung_c(spark, sf_dir):
+    (
+        _li(spark, sf_dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity"),
+            F.sum("l_extendedprice"),
+            F.sum("l_discount"),
+            F.sum("l_tax"),
+            F.count("*"),
+        )
+        .collect()
+    )
+
+
+def rung_d(spark, sf_dir):
+    q1_pricing_summary(spark, sf_dir).collect()
+
+
+def main() -> None:
+    spark = get_spark(app_name="ab-q1-floor")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
+    dirs = {
+        "1": os.path.join(REPO, "benchdata", "sf1"),
+        "10": os.path.join(REPO, "benchdata", "sf10"),
+    }
+    rungs = {"A_filter_count": rung_a, "B_group": rung_b, "C_decode": rung_c, "D_full_q1": rung_d}
+    for fn in rungs.values():
+        for d in dirs.values():
+            fn(spark, d)  # warm
+    t: dict[tuple[str, str], list[float]] = {}
+    for _ in range(REPS):
+        for rname, fn in rungs.items():
+            for lbl, d in dirs.items():
+                t0 = time.perf_counter()
+                fn(spark, d)
+                t.setdefault((rname, lbl), []).append(time.perf_counter() - t0)
+    slopes = {}
+    for rname in rungs:
+        paired = [(b - a) / 9.0 for a, b in zip(t[(rname, "1")], t[(rname, "10")])]
+        slopes[rname] = statistics.median(paired)
+        med1 = statistics.median(t[(rname, "1")])
+        med10 = statistics.median(t[(rname, "10")])
+        print(
+            f"{rname:16s} sf1 {med1:6.3f}s  sf10 {med10:6.3f}s  "
+            f"slope {slopes[rname]*1000:6.1f} ms/sf"
+        )
+    names = list(rungs)
+    print("-- deltas (component attribution) --")
+    print(f"IO+filter floor   : {slopes[names[0]]*1000:6.1f} ms/sf")
+    for prev, cur, label in [
+        (names[0], names[1], "strings+grouping "),
+        (names[1], names[2], "numeric decode   "),
+        (names[2], names[3], "money expressions"),
+    ]:
+        print(f"{label} : {(slopes[cur] - slopes[prev])*1000:6.1f} ms/sf")
+
+
+if __name__ == "__main__":
+    main()
