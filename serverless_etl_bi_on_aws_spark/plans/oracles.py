@@ -1598,3 +1598,37 @@ EXTRA_ORACLE_SQL["q77_image_phash_dedup"] = """
     WHERE bit_count(xor(a.h, b.h)) <= 8
     ORDER BY id_1, id_2
 """
+
+# q78: MP4/BMFF container + Motion-JPEG frames. Container columns
+# (n_frames, fps) are exact; frame pixels are lossy JPEG, so — exactly
+# the q49 pattern — the oracle recomputes the ANALYTIC per-doc mean
+# brightness via generate_series (frames x rows x cols; every frame
+# shares w,h so the flat average equals the avg of per-frame means) and
+# the Spark side must agree on the exact container counts, the rounded
+# analytic mean, and an expected-TRUE tolerance boolean for the decode.
+EXTRA_ORACLE_SQL["q78_mp4_frame_stats"] = """
+    WITH per_doc AS (
+        SELECT doc_id AS k, source,
+               2 + (doc_id % 3)        AS n_frames,
+               32 + (doc_id % 32)      AS w,
+               32 + ((doc_id * 7) % 32) AS h
+        FROM documents
+    ), ana AS (
+        SELECT p.k, p.source, p.n_frames,
+               AVG((x.i * 3 + y.i * 5 + p.k + 11 * f.i) % 256) AS ana_mean
+        FROM per_doc p
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.n_frames - 1 AS BIGINT))) AS f(i)
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.h - 1 AS BIGINT))) AS y(i)
+        CROSS JOIN UNNEST(generate_series(0, CAST(p.w - 1 AS BIGINT))) AS x(i)
+        GROUP BY p.k, p.source, p.n_frames
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)       AS n_docs,
+           CAST(SUM(n_frames) AS BIGINT)  AS total_frames,
+           CAST(4 AS INT)                 AS min_fps,
+           ROUND(AVG(ana_mean), 4)        AS avg_brightness,
+           TRUE                           AS decoded_within_tol
+    FROM ana
+    GROUP BY source
+    ORDER BY source
+"""

@@ -2834,6 +2834,74 @@ def q59_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gated, still benched), and the four rows-only sketch/ANN entries are
 #: replaced by the two value-oracled verification queries
 #: (q13_sketch_neardup_verify / q18_ann_verify).
+def q78_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 with the SIXTH real media path — ISO BMFF (MP4) container +
+    baseline-JPEG frames (functions/mp4.py + functions/jpeg.py, Motion
+    JPEG 'jpeg' sample entry; round-8 verdict ask #5). The container is
+    LOSSLESS (sample-table walk returns the exact JPEG bytes — n_frames
+    and fps are full-value columns), the frames are lossy JPEG, so the
+    pixel check uses the q49 bounded-tolerance pattern: per doc the
+    decoded per-frame means must sit within 1.5 gray levels of the
+    analytic gradient means the oracle recomputes independently via
+    generate_series. A box mis-parse drops/garbles a frame and flips
+    n_frames or the boolean; a broken huffman/DCT path shifts means by
+    tens of levels.
+
+    Scale shape: identical to q42/q49/q51/q52 — encode and decode
+    isolated to Arrow stages after all relational work; the exchange
+    ships 5 small values per row, never container bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from serverless_etl_bi_on_aws_spark.functions.jpeg import decode_jpeg_gray
+    from serverless_etl_bi_on_aws_spark.functions.mp4 import decode_mp4_frames
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import attach_mp4_media
+    from serverless_etl_bi_on_aws_spark.util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "source"))
+    with_media = attach_mp4_media(docs)
+
+    def stats(it):
+        for pdf in it:
+            n_fr, fps_l, ana_l, ok_l = [], [], [], []
+            for key, m in zip(pdf["doc_id"], pdf["media"]):
+                k = int(key)
+                frames, w, h, fps, _cc = decode_mp4_frames(bytes(m["payload"]))
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                ana_means, ok = [], True
+                for f, fr in enumerate(frames):
+                    px, fw, fh = decode_jpeg_gray(fr)
+                    dec = float(np.frombuffer(px, dtype=np.uint8).mean())
+                    ana = float(((x * 3 + y * 5 + k + 11 * f) % 256).mean())
+                    ana_means.append(ana)
+                    ok = ok and (fw, fh) == (w, h) and abs(dec - ana) <= 1.5
+                n_fr.append(len(frames))
+                fps_l.append(fps)
+                ana_l.append(float(np.mean(ana_means)))
+                ok_l.append(ok)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "source": pdf["source"],
+                 "n_frames": n_fr, "fps": fps_l, "ana_mean": ana_l, "ok": ok_l}
+            )
+
+    per_doc = with_media.mapInPandas(
+        stats,
+        schema="doc_id bigint, source string, n_frames bigint, fps int, ana_mean double, ok boolean",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_frames").alias("total_frames"),
+            F.min("fps").alias("min_fps"),
+            F.round(F.avg("ana_mean"), 4).alias("avg_brightness"),
+            F.expr("bool_and(ok)").alias("decoded_within_tol"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -2923,4 +2991,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q37_train_val_test_split": q37_train_val_test_split,  # rotated out r9: sampling family stays via q56 domain-mix rebalance
     "q38_chunked_docs": q38_chunked_docs,  # rotated out r9: chunking is the map-only front of q41's packing (driver)
     "q42_media_pixel_stats": q42_media_pixel_stats,  # rotated out r9: media codecs stay via q49/q51/q52/q61 and q77 (driver now)
+    "q78_mp4_frame_stats": q78_mp4_frame_stats,  # NEW r9: ISO BMFF (MP4) container, MJPEG track, q49 bounded-lossy oracle
 }

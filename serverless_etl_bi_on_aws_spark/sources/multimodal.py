@@ -488,6 +488,16 @@ def decode_and_resize(
                 return None
             iw, ih, px = decode_png(frames[0])
             return resize_nearest(px, iw, ih, w, h)
+        if mime == "video/mp4":
+            # BMFF sample tables -> first JPEG sample -> real T.81 decode
+            from serverless_etl_bi_on_aws_spark.functions.jpeg import decode_jpeg_gray
+            from serverless_etl_bi_on_aws_spark.functions.mp4 import decode_mp4_frames
+
+            frames = decode_mp4_frames(bytes(payload))[0]
+            if not frames:
+                return None
+            px, iw, ih = decode_jpeg_gray(frames[0])
+            return resize_nearest(px, iw, ih, w, h)
         # remaining mimes (no pixel semantics / no codec): deterministic
         # stand-in — tile the payload bytes to w*h "pixels"
         reps = (w * h) // max(len(payload), 1) + 1
@@ -537,6 +547,13 @@ def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> Da
             return b"".join(
                 decode_png(fr)[2] for fr in decode_avi_frames(payload)[0]
             )
+        if mime == "video/mp4":
+            from serverless_etl_bi_on_aws_spark.functions.jpeg import decode_jpeg_gray
+            from serverless_etl_bi_on_aws_spark.functions.mp4 import decode_mp4_frames
+
+            return b"".join(
+                decode_jpeg_gray(fr)[0] for fr in decode_mp4_frames(payload)[0]
+            )
         return payload
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -582,6 +599,7 @@ def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") ->
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from serverless_etl_bi_on_aws_spark.functions.avi import decode_avi_frames
         from serverless_etl_bi_on_aws_spark.functions.gif import decode_gif_frames
+        from serverless_etl_bi_on_aws_spark.functions.mp4 import decode_mp4_frames
 
         for pdf in it:
             rows = []
@@ -591,6 +609,8 @@ def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") ->
                 frames = None
                 if payload is not None and m["mime"] == "video/x-msvideo":
                     frames = decode_avi_frames(bytes(payload))[0]
+                elif payload is not None and m["mime"] == "video/mp4":
+                    frames = decode_mp4_frames(bytes(payload))[0]
                 elif payload is not None and m["mime"] == "image/gif":
                     frames = decode_gif_frames(bytes(payload))[0]
                 if frames is not None:
@@ -620,6 +640,8 @@ _EXT_MIME = {
     ".gif": "image/gif",
     ".wav": "audio/wav",
     ".avi": "video/x-msvideo",  # the mime every codec stage keys on
+    ".mp4": "video/mp4",
+    ".m4v": "video/mp4",
 }
 
 
@@ -814,6 +836,57 @@ def video_scene_cuts(
             pdf["n_frames"] = nf_col
             pdf["n_cuts"] = nc_col
             pdf["cut_indices"] = idx_col
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def attach_mp4_media(df: DataFrame, id_col: str = "doc_id", fps: int = 4) -> DataFrame:
+    """Attach a ``media`` struct whose payload is a REAL MP4 (ISO BMFF,
+    functions/mp4.py — the SIXTH from-scratch container/codec path)
+    carrying baseline-JPEG frames under the 'jpeg' sample entry (Motion
+    JPEG). The container is lossless (sample bytes round-trip exactly);
+    the frames are lossy JPEG, so q78 uses the q49 bounded-tolerance
+    oracle pattern over the analytic gradients.
+
+    Per key k: n_frames = 2 + k%3, w = 32 + k%32, h = 32 + (k*7)%32
+    (the q49 JPEG size family, whose DC-quantization mean error bound is
+    measured), frame f pixel (x,y) = (x*3 + y*5 + k + 11*f) % 256 — the
+    AVI per-frame shift over the JPEG gradient family."""
+    from serverless_etl_bi_on_aws_spark.functions.jpeg import encode_jpeg_gray
+    from serverless_etl_bi_on_aws_spark.functions.mp4 import encode_mp4_mjpeg
+
+    out_schema = StructType(df.schema.fields + [StructField("media", MEDIA_STRUCT, True)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            media = []
+            for key in pdf[id_col]:
+                k = int(key)
+                n_frames, w, h = 2 + k % 3, 32 + k % 32, 32 + (k * 7) % 32
+                frames = [
+                    encode_jpeg_gray(
+                        bytes(
+                            (x * 3 + y * 5 + k + 11 * f) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ),
+                        w,
+                        h,
+                    )
+                    for f in range(n_frames)
+                ]
+                media.append(
+                    {
+                        "payload": encode_mp4_mjpeg(frames, w, h, fps=fps),
+                        "mime": "video/mp4",
+                        "width": w,
+                        "height": h,
+                        "duration_ms": n_frames * 1000 // fps,
+                    }
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
             yield pdf
 
     return df.mapInPandas(batches, schema=out_schema)
