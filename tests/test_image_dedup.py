@@ -5,6 +5,7 @@ media."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -117,3 +118,90 @@ def test_corrupt_payload_with_real_mime_hashes_to_null(spark):
     got = {r["doc_id"]: r["dhash"] for r in with_dhash(_media_df(spark, rows)).collect()}
     assert got[0] is not None
     assert got[1] is None and got[2] is None and got[3] is None
+
+
+def _media_df_ids(spark, rows):
+    """Like _media_df but with explicit (doc_id, payload, mime) rows."""
+    schema = StructType(
+        [StructField("doc_id", LongType(), False), StructField("media", MEDIA_STRUCT, True)]
+    )
+    return spark.createDataFrame(
+        [
+            (i, {"payload": p, "mime": m, "width": None, "height": None, "duration_ms": None})
+            for i, p, m in rows
+        ],
+        schema,
+    )
+
+
+def test_incremental_image_dedup_equals_oneshot(spark, tmp_path, monkeypatch):
+    """Round-9 ask #6: batch-2 images dedup against batch-1's persisted
+    dHash index exactly as the one-shot online rule over the union — and
+    the probe never re-decodes indexed images (with_dhash runs exactly
+    once, on the new batch)."""
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+    from serverless_etl_bi_on_aws_spark.operators import image_dedup as idd
+    from serverless_etl_bi_on_aws_spark.operators.image_dedup import (
+        build_dhash_index,
+        dedup_images_against_index,
+        update_dhash_index,
+    )
+
+    # batch 1: images 0..5 (distinct patterns); batch 2: 10..15 where
+    # 10 re-renders image 1 at another scale (cross-batch dup), 12 and
+    # 13 re-render one new pattern (within-batch dup pair), 14 is
+    # corrupt (NULL hash -> must survive), 15 is fresh
+    b1_rows = [(k, encode_png(_render(k, 24, 24), 24, 24), "image/png") for k in range(6)]
+    b2_rows = [
+        (10, encode_png(_render(1, 48, 48), 48, 48), "image/png"),
+        (11, encode_png(_render(30, 24, 24), 24, 24), "image/png"),
+        (12, encode_png(_render(40, 24, 24), 24, 24), "image/png"),
+        (13, encode_png(_render(40, 72, 24), 72, 24), "image/png"),
+        (14, b"\x89PNG\r\n\x1a\n broken", "image/png"),
+        (15, encode_png(_render(50, 24, 24), 24, 24), "image/png"),
+    ]
+    b1, b2 = _media_df_ids(spark, b1_rows), _media_df_ids(spark, b2_rows)
+    idx = str(tmp_path / "idx")
+    build_dhash_index(b1, idx)
+
+    # one-shot rule over the union: drop j iff exists i<j within radius
+    union = _media_df_ids(spark, b1_rows + b2_rows)
+    pairs = image_neardup_pairs(union, radius=8)
+    dropped_oneshot = {r.id_2 for r in pairs.collect()}
+
+    calls = []
+    real = idd.with_dhash
+
+    def counting(df, **kw):
+        calls.append(1)
+        return real(df, **kw)
+
+    monkeypatch.setattr(idd, "with_dhash", counting)
+    survivors = {
+        r.doc_id for r in dedup_images_against_index(spark, b2, idx, radius=8).collect()
+    }
+    assert len(calls) == 1, f"indexed images re-decoded: {len(calls)} with_dhash calls"
+    monkeypatch.undo()
+
+    expected = {i for i, _, _ in b2_rows} - dropped_oneshot
+    assert survivors == expected
+    assert 14 in survivors  # undecodable -> NULL hash -> survives
+    assert 10 not in survivors and 13 not in survivors
+
+    # append is idempotent per batch id; NULL-hash rows are not indexed
+    import os
+
+    assert update_dhash_index(b2, idx, "b2") is True
+    n_hashes = spark.read.parquet(os.path.join(idx, "hashes")).count()
+    assert n_hashes == len(b1_rows) + len(b2_rows) - 1  # 14 not indexed
+    assert update_dhash_index(b2, idx, "b2") is False
+    assert spark.read.parquet(os.path.join(idx, "hashes")).count() == n_hashes
+
+    # a third batch re-rendering batch-2's image 12/13 pattern is caught
+    # through the updated index (chain through an indexed duplicate)
+    b3 = _media_df_ids(
+        spark, [(20, encode_png(_render(40, 24, 48), 24, 48), "image/png")]
+    )
+    assert dedup_images_against_index(spark, b3, idx, radius=8).count() == 0
+    with pytest.raises(ValueError):
+        build_dhash_index(b3, idx)  # clobber refusal
