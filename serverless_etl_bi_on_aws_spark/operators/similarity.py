@@ -547,3 +547,84 @@ def topk_cosine_lsh(
     # kernel (the interpreted HOF cosine measured 4x slower per row)
     cands = bucketed.filter(pred).drop(*[f"bucket_{t}" for t in range(n_tables)])
     return topk_cosine_arrow(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def update_ivf_index(
+    new_embeddings: DataFrame,
+    index_path: str,
+    batch_id: str,
+    vec_col: str = "embedding",
+) -> bool:
+    """Append a batch of new vectors to a persisted IVF index with ZERO
+    KMeans refits (the incremental-index family: dedup_index.update_index
+    / image_dedup.update_dhash_index, applied to ANN) — the hourly-crawl
+    shape for embeddings: clustering is paid once at build; each append
+    only ASSIGNS new rows to the existing centroids and appends them to
+    the corpus partitions, so probes keep pruning by partition and see
+    the new vectors immediately.
+
+    Assignment is one Arrow/BLAS stage: the centroid matrix (n_clusters x
+    dim — KBs) ships as a broadcast-sized literal into mapInArrow and
+    each batch does ONE matmul argmin; no driver loop over rows, no
+    interpreted per-element HOF distance. Centroids drift as the corpus
+    grows — the standard IVF trade; rebuild policy (e.g. when assignment
+    distortion degrades) stays with the caller, exactly like compaction.
+
+    Idempotent per ``batch_id`` via the centralized commit markers
+    (marker written LAST; replays of an applied batch are no-ops).
+    Returns True if the batch was applied."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from serverless_etl_bi_on_aws_spark.util import marker_exists, write_marker
+
+    marker = os.path.join(index_path, "_applied", batch_id)
+    if marker_exists(marker):
+        return False
+    spark = new_embeddings.sparkSession
+    centers = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    cmat = np.zeros((len(centers), len(centers[0]["centroid"])), dtype="float64")
+    for r in centers:
+        cmat[int(r["cluster"])] = r["centroid"]
+    c_sq = (cmat * cmat).sum(axis=1)
+    dim = cmat.shape[1]
+    names = [f.name for f in new_embeddings.schema.fields]
+    vec_idx = names.index(vec_col)
+    out_schema = StructType(
+        new_embeddings.schema.fields + [StructField("_cluster", IntegerType(), False)]
+    )
+
+    def assign(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            m = (
+                batch.column(vec_idx).flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, dim)
+                .astype("float64", copy=False)
+            )
+            # argmin ||x - c||^2 = argmin (|c|^2 - 2 x.c): one BLAS matmul
+            d = c_sq[None, :] - 2.0 * (m @ cmat.T)
+            cl = pa.array(np.argmin(d, axis=1).astype("int32"))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [cl],
+                names=names + ["_cluster"],
+            )
+
+    valid = new_embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+    (
+        valid.mapInArrow(assign, schema=out_schema)
+        .write.mode("append")
+        .partitionBy("_cluster")
+        .parquet(os.path.join(index_path, "corpus"))
+    )
+    write_marker(marker, {"batch_id": batch_id})
+    return True

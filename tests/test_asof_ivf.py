@@ -223,3 +223,58 @@ def test_pq_persisted_probe_runs_no_kmeans(spark, tmp_path, monkeypatch):
     out = pq_probe_topk(spark, idx, qvec, k=10)
     assert out.count() == 10
     assert set(out.columns) == {"vec_id", "adc_cosine"}
+
+
+def test_ivf_index_incremental_update(spark, tmp_path, monkeypatch):
+    """update_ivf_index (round-9, the incremental-index family applied to
+    ANN): appending a batch runs ZERO KMeans fits, assigns through the
+    persisted centroids, is idempotent per batch id — and with n_probe =
+    n_clusters (no pruning) the probe over the updated index equals exact
+    brute-force top-k over the union, proving the appended vectors landed
+    in probe-visible partitions with correct values."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        topk_cosine_bruteforce,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    pool = emb.filter(F.col("vec_id") != 0)
+    b1 = pool.filter(F.col("vec_id") % 2 == 0)
+    b2 = pool.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(b1, idx, n_clusters=8, seed=42)
+
+    from pyspark.ml.clustering import KMeans
+
+    def boom(self, *a, **kw):
+        raise AssertionError("KMeans.fit called during update/probe")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+    assert update_ivf_index(b2, idx, "b2") is True
+    n_rows = spark.read.parquet(os.path.join(idx, "corpus")).count()
+    assert update_ivf_index(b2, idx, "b2") is False  # replay: no-op
+    assert spark.read.parquet(os.path.join(idx, "corpus")).count() == n_rows
+    monkeypatch.undo()
+
+    got = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=10, n_probe=8).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in topk_cosine_bruteforce(pool, qvec, k=10).collect()
+    ]
+    assert got == want
+    # and a pruned probe still sees appended vectors: some b2 (odd-id)
+    # rows surface through a 3-cluster probe with exact scores
+    pruned = ivf_probe_topk(spark, idx, qvec, k=10, n_probe=3).collect()
+    exact = {v: c for v, c in want}
+    assert any(r.vec_id % 2 == 1 for r in pruned), "no appended vector probe-visible"
+    for r in pruned:
+        if r.vec_id in exact:
+            assert abs(round(r.cosine, 6) - exact[r.vec_id]) < 1e-9
