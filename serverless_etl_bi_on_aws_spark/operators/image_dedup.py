@@ -274,3 +274,40 @@ def update_dhash_index(
     _append_hashes(hashed, meta["id_col"], meta["n_blocks"], index_path)
     write_marker(marker, {"batch_id": batch_id})
     return True
+
+
+def compact_dhash_index(
+    spark: SparkSession, index_path: str, target_file_bytes: int = 128 << 20
+) -> dict[str, int]:
+    """Maintenance for the dHash index — the compact_index story
+    (operators/dedup_index.py) applied here: each ``block=<b>`` partition
+    rewritten to ~``target_file_bytes`` files, deduped on (key, id) and
+    range-clustered on ``key`` for footer-stats skipping; ``hashes``
+    deduped on the id (dHash is deterministic per payload, so replay rows
+    are exact duplicates). Markers untouched; probe results pinned
+    identical before/after."""
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import compact_parquet
+
+    meta = read_marker(_os.path.join(index_path, "_meta.json"))
+    if meta is None:
+        raise FileNotFoundError(f"no dhash index meta at {index_path}")
+    id_col = meta["id_col"]
+    files = {}
+    blocks_root = _os.path.join(index_path, "blocks")
+    for part in sorted(_os.listdir(blocks_root)):
+        if not part.startswith("block="):
+            continue
+        files[f"blocks/{part}"] = compact_parquet(
+            spark,
+            _os.path.join(blocks_root, part),
+            target_file_bytes,
+            cluster_by="key",
+            dedupe_on=["key", id_col],
+        )
+    files["hashes"] = compact_parquet(
+        spark,
+        _os.path.join(index_path, "hashes"),
+        target_file_bytes,
+        dedupe_on=[id_col],
+    )
+    return files

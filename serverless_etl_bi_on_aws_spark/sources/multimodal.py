@@ -782,12 +782,15 @@ def video_scene_cuts(
     hard cut does, independent of content brightness).
 
     Output per row: ``n_frames, n_cuts, cut_indices`` (frame i starts a
-    new scene). Non-AVI / NULL media pass through NULL. One Arrow stage;
-    the per-payload work is numpy over decoded frames and the output is
-    a handful of ints per row."""
+    new scene). Handles both real video containers — AVI (PNG frames)
+    and MP4 (Motion-JPEG samples, functions/mp4.py); other/NULL media
+    pass through NULL. One Arrow stage; the per-payload work is numpy
+    over decoded frames and the output is a handful of ints per row."""
     import numpy as np
 
     from serverless_etl_bi_on_aws_spark.functions.avi import decode_avi_frames
+    from serverless_etl_bi_on_aws_spark.functions.jpeg import decode_jpeg_gray
+    from serverless_etl_bi_on_aws_spark.functions.mp4 import decode_mp4_frames
     from serverless_etl_bi_on_aws_spark.functions.png import decode_png
 
     out_schema = StructType(
@@ -805,16 +808,26 @@ def video_scene_cuts(
             nc_col: list = []
             idx_col: list = []
             for m in pdf[media_col]:
-                if m is None or m["payload"] is None or m["mime"] != "video/x-msvideo":
+                if m is None or m["payload"] is None or m["mime"] not in (
+                    "video/x-msvideo",
+                    "video/mp4",
+                ):
                     nf_col.append(None)
                     nc_col.append(None)
                     idx_col.append(None)
                     continue
-                payloads, w, h, _fps, _fourcc = decode_avi_frames(bytes(m["payload"]))
-                frames = [
-                    np.frombuffer(decode_png(p)[2], dtype=np.uint8).astype(np.int32)
-                    for p in payloads
-                ]
+                if m["mime"] == "video/mp4":
+                    payloads = decode_mp4_frames(bytes(m["payload"]))[0]
+                    frames = [
+                        np.frombuffer(decode_jpeg_gray(p)[0], dtype=np.uint8).astype(np.int32)
+                        for p in payloads
+                    ]
+                else:
+                    payloads, w, h, _fps, _fourcc = decode_avi_frames(bytes(m["payload"]))
+                    frames = [
+                        np.frombuffer(decode_png(p)[2], dtype=np.uint8).astype(np.int32)
+                        for p in payloads
+                    ]
                 if len(frames) < 2:
                     nf_col.append(len(frames))
                     nc_col.append(0)

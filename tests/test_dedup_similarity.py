@@ -1143,3 +1143,40 @@ def test_sample_frames_real_mp4(spark):
         f = r.frame_idx * step
         ana = float(((x * 3 + y * 5 + k + 11 * f) % 256).mean())
         assert abs(dec - ana) <= 1.5
+
+
+def test_video_scene_cuts_real_mp4(spark):
+    """Scene cuts over the MP4/MJPEG path: a two-scene clip (three near-
+    identical frames, then a hard content switch) yields exactly one cut
+    at the boundary; a slow pan yields zero."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from serverless_etl_bi_on_aws_spark.functions.jpeg import encode_jpeg_gray
+    from serverless_etl_bi_on_aws_spark.functions.mp4 import encode_mp4_mjpeg
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import MEDIA_STRUCT, video_scene_cuts
+
+    w = h = 32
+
+    def grad(k, shift):
+        return bytes((x * 3 + y * 5 + k + shift) % 256 for y in range(h) for x in range(w))
+
+    def checker(off):
+        return bytes(
+            (255 if ((x // 8 + y // 8 + off) % 2) else 0) for y in range(h) for x in range(w)
+        )
+
+    two_scene = [grad(5, s) for s in (0, 1, 2)] + [checker(0), checker(0)]
+    slow_pan = [grad(5, s) for s in range(6)]
+    schema = StructType(
+        [StructField("doc_id", LongType(), False), StructField("media", MEDIA_STRUCT, True)]
+    )
+    rows = [
+        (0, {"payload": encode_mp4_mjpeg([encode_jpeg_gray(f, w, h) for f in two_scene], w, h),
+             "mime": "video/mp4", "width": w, "height": h, "duration_ms": None}),
+        (1, {"payload": encode_mp4_mjpeg([encode_jpeg_gray(f, w, h) for f in slow_pan], w, h),
+             "mime": "video/mp4", "width": w, "height": h, "duration_ms": None}),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r.doc_id: r for r in video_scene_cuts(df).collect()}
+    assert got[0].n_frames == 5 and got[0].n_cuts == 1 and got[0].cut_indices == [3]
+    assert got[1].n_frames == 6 and got[1].n_cuts == 0

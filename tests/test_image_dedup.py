@@ -205,3 +205,47 @@ def test_incremental_image_dedup_equals_oneshot(spark, tmp_path, monkeypatch):
     assert dedup_images_against_index(spark, b3, idx, radius=8).count() == 0
     with pytest.raises(ValueError):
         build_dhash_index(b3, idx)  # clobber refusal
+
+
+def test_compact_dhash_index_purges_replay_and_keeps_results(spark, tmp_path):
+    """Same contract as compact_index: after a crash-replayed append left
+    duplicate rows, compaction bounds files, dedupes, keeps markers, and
+    the probe sees identical survivors."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+    from serverless_etl_bi_on_aws_spark.operators.image_dedup import (
+        build_dhash_index,
+        compact_dhash_index,
+        dedup_images_against_index,
+        update_dhash_index,
+    )
+
+    b1 = _media_df_ids(
+        spark, [(k, encode_png(_render(k, 24, 24), 24, 24), "image/png") for k in range(5)]
+    )
+    b2 = _media_df_ids(
+        spark,
+        [(10, encode_png(_render(2, 48, 24), 48, 24), "image/png"),
+         (11, encode_png(_render(60, 24, 24), 24, 24), "image/png")],
+    )
+    probe = _media_df_ids(
+        spark,
+        [(20, encode_png(_render(60, 24, 48), 24, 48), "image/png"),
+         (21, encode_png(_render(70, 24, 24), 24, 24), "image/png")],
+    )
+    idx = str(tmp_path / "idx")
+    build_dhash_index(b1, idx)
+    assert update_dhash_index(b2, idx, "b2")
+    os.remove(os.path.join(idx, "_applied", "b2"))
+    assert update_dhash_index(b2, idx, "b2")  # crash replay: duplicates
+    n_docs = spark.read.parquet(os.path.join(idx, "hashes")).select("doc_id").distinct().count()
+    assert spark.read.parquet(os.path.join(idx, "hashes")).count() > n_docs
+
+    before = {r.doc_id for r in dedup_images_against_index(spark, probe, idx).collect()}
+    files = compact_dhash_index(spark, idx)
+    assert all(n == 1 for n in files.values())
+    assert spark.read.parquet(os.path.join(idx, "hashes")).count() == n_docs
+    assert not update_dhash_index(b2, idx, "b2")  # marker survived
+    after = {r.doc_id for r in dedup_images_against_index(spark, probe, idx).collect()}
+    assert after == before == {21}  # 20 chains to 11 via the index
