@@ -129,6 +129,28 @@ def build_minhash_index(
     _write_meta(index_path, meta)  # written LAST: meta present == build complete
 
 
+def init_minhash_index(
+    index_path: str,
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> None:
+    """Create an EMPTY index — meta only, no corpus. The streaming ingest
+    loop (streaming/dedup_stream.py) starts here so its very first
+    micro-batch runs the same probe-then-append path as every later one
+    (a probe against an empty corpus simply yields no corpus candidates);
+    a separate bootstrap path would need its own replay guard."""
+    if os.path.exists(os.path.join(index_path, "_meta.json")):
+        raise ValueError(f"index already exists at {index_path}")
+    os.makedirs(index_path, exist_ok=True)
+    _write_meta(
+        index_path,
+        IndexMeta(n=n, num_hashes=num_hashes, bands=bands, seed=seed, id_col=id_col),
+    )
+
+
 def dedup_against_index(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -153,23 +175,28 @@ def dedup_against_index(
     ).localCheckpoint(eager=True)  # 2 consumers (corpus + within-batch join)
     new_banded = band_buckets(new_sigs, meta.bands, meta.rows, id_col=id_col)
 
-    # --- vs corpus: band-bucket candidates, then signature compare ---
-    idx_bands = spark.read.parquet(os.path.join(index_path, "bands"))
-    idx_sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
-    cand = (
-        new_banded.join(
-            idx_bands.select("band", "bucket", F.col(id_col).alias("_old")), ["band", "bucket"]
+    # --- vs corpus: band-bucket candidates, then signature compare.
+    # A just-initialized index (init_minhash_index) has no bands/sigs
+    # dirs yet — an empty corpus contributes no candidates. ---
+    if os.path.exists(os.path.join(index_path, "bands")):
+        idx_bands = spark.read.parquet(os.path.join(index_path, "bands"))
+        idx_sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
+        cand = (
+            new_banded.join(
+                idx_bands.select("band", "bucket", F.col(id_col).alias("_old")), ["band", "bucket"]
+            )
+            .select("_id", "_old")
+            .dropDuplicates(["_id", "_old"])
         )
-        .select("_id", "_old")
-        .dropDuplicates(["_id", "_old"])
-    )
-    dup_vs_corpus = (
-        cand.join(idx_sigs.select(F.col(id_col).alias("_old"), F.col("sig").alias("_s2")), "_old")
-        .join(new_sigs.select(F.col(id_col).alias("_id"), F.col("sig").alias("_s1")), "_id")
-        .filter(est_jaccard("_s1", "_s2", meta.num_hashes) >= threshold)
-        .select("_id")
-        .distinct()
-    )
+        dup_vs_corpus = (
+            cand.join(idx_sigs.select(F.col(id_col).alias("_old"), F.col("sig").alias("_s2")), "_old")
+            .join(new_sigs.select(F.col(id_col).alias("_id"), F.col("sig").alias("_s1")), "_id")
+            .filter(est_jaccard("_s1", "_s2", meta.num_hashes) >= threshold)
+            .select("_id")
+            .distinct()
+        )
+    else:
+        dup_vs_corpus = new_sigs.select(F.col(id_col).alias("_id")).limit(0)
 
     # --- within batch: same shape as the corpus path (round-8 verdict #4:
     # ids-only across the (band, bucket) exchange — the old self-join on a

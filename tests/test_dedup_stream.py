@@ -1,0 +1,119 @@
+"""Streaming incremental dedup (streaming/dedup_stream.py): the drained
+stream's clean corpus equals the one-shot online rule over the union,
+and every foreachBatch crash/replay point is a no-op or an identical
+rewrite — never an empty-partition data loss."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.catalog import load_table
+from serverless_etl_bi_on_aws_spark.operators.dedup import neardup_minhash_lsh
+from serverless_etl_bi_on_aws_spark.operators.dedup_index import init_minhash_index
+from serverless_etl_bi_on_aws_spark.streaming.dedup_stream import (
+    apply_dedup_batch,
+    start_incremental_dedup,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _oneshot_ids(docs):
+    pairs = neardup_minhash_lsh(docs)
+    dropped = pairs.select(F.col("id_2").alias("doc_id")).distinct()
+    return {
+        r["doc_id"]
+        for r in docs.join(dropped, "doc_id", "left_anti").select("doc_id").collect()
+    }
+
+
+def test_streamed_dedup_equals_oneshot_over_union(spark, tmp_path):
+    """Two files land (two micro-batches via maxFilesPerTrigger=1); the
+    drained clean corpus must equal the one-shot online-rule survivors
+    over the union — batch boundaries invisible, exactly the
+    test_dedup_index equivalence but driven through the REAL stream."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(400)
+    mid = docs.agg(F.max("doc_id")).head()[0] // 2
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    b1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "f2"))
+    for i, src in enumerate(("f1", "f2")):
+        part = next(
+            p for p in os.listdir(tmp_path / src) if p.endswith(".parquet")
+        )
+        os.rename(tmp_path / src / part, land / f"batch{i}.parquet")
+    (land / "README.txt").write_text("junk the glob filter must skip")
+
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    q = start_incremental_dedup(
+        spark,
+        str(land),
+        idx,
+        clean,
+        schema=docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()}
+    want = _oneshot_ids(docs)
+    assert got == want
+    assert len(got) < docs.count()  # the gate actually fired
+    # provenance partition column present, one partition per micro-batch
+    batches = {r.batch for r in spark.read.parquet(clean).select("batch").distinct().collect()}
+    assert len(batches) >= 1
+
+
+def test_apply_dedup_batch_replay_points(spark, tmp_path):
+    """Drive the batch body directly through each crash point:
+    (a) full replay of an applied batch -> no-op (clean partition byte
+    counts unchanged, index row counts unchanged);
+    (b) crash between survivors write and index append (marker removed,
+    index rows re-appended on replay) -> the survivors partition is NOT
+    recomputed against the self-contaminated index — the _SUCCESS gate
+    holds and the partition keeps its rows."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(200)
+    mid = docs.agg(F.max("doc_id")).head()[0] // 2
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    apply_dedup_batch(spark, b1, idx, clean, "bid-0")
+    apply_dedup_batch(spark, b2, idx, clean, "bid-1")
+
+    def rows(bid):
+        return spark.read.parquet(os.path.join(clean, f"batch={bid}")).count()
+
+    n0, n1 = rows("bid-0"), rows("bid-1")
+    assert n0 > 0 and n1 > 0
+    n_sigs = spark.read.parquet(os.path.join(idx, "sigs")).count()
+
+    # (a) straight replay: fully idempotent
+    apply_dedup_batch(spark, b2, idx, clean, "bid-1")
+    assert rows("bid-1") == n1
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+
+    # (b) crash between survivors write and index marker: the index
+    # already holds bid-1's signatures (appended before the crash), the
+    # marker does not exist — replay must NOT recompute the partition
+    # (a recompute would see bid-1 as a dup of itself and write EMPTY)
+    os.remove(os.path.join(idx, "_applied", "bid-1"))
+    apply_dedup_batch(spark, b2, idx, clean, "bid-1")
+    assert rows("bid-1") == n1, "replay clobbered survivors with a self-dup probe"
+    # the re-append added duplicate signature rows — harmless, and
+    # exactly what compact_index purges
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() > n_sigs
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import compact_index
+
+    compact_index(spark, idx)
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
