@@ -1632,3 +1632,51 @@ EXTRA_ORACLE_SQL["q78_mp4_frame_stats"] = """
     GROUP BY source
     ORDER BY source
 """
+
+# q79: audio energy-envelope fingerprint under a closed-form oracle (the
+# q77 pattern for WAV): every fingerprint is recomputed in pure SQL from
+# the analytic waveform — AVG(ABS()) envelope per 1/65th segment, LEAD
+# comparisons, exact bit pack (1<<63 wraps to the signed long exactly as
+# the engine's signed-64 representation does; SUM promotes to HUGEINT so
+# the wrap survives, then casts back) — and the pair set comes from
+# bit_count(xor()) over the 165-row fingerprint table. Duplicates
+# (sample-repetition re-encodes) share their base doc's fingerprint BY
+# CONSTRUCTION (n = 65*m keeps segment means exactly invariant under
+# repetition), so the oracle assigns fp by base key.
+EXTRA_ORACLE_SQL["q79_audio_fingerprint_dedup"] = """
+    WITH ks AS (
+        SELECT DISTINCT doc_id AS k FROM documents WHERE doc_id < 150
+    ), params AS (
+        SELECT k, 8 + (k % 8) AS m, (k % 31) + 3 AS a FROM ks
+    ), env AS (
+        SELECT p.k, (g.i // p.m) AS seg,
+               AVG(ABS((((g.i * p.a + p.k) % 7168) - 3584)
+                       * (((g.i // p.m) * (g.i // p.m) * (p.k % 7 + 1)
+                           + (g.i // p.m) * (p.k % 13) + p.k) % 9 + 1))) AS e
+        FROM params p
+        CROSS JOIN UNNEST(generate_series(0, CAST(65 * p.m - 1 AS BIGINT))) AS g(i)
+        GROUP BY p.k, (g.i // p.m)
+    ), fp_by_k AS (
+        SELECT k,
+               CAST(SUM(CASE WHEN nxt <= e THEN CAST(0 AS BIGINT)
+                             WHEN seg = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                             ELSE (CAST(1 AS BIGINT) << CAST(seg AS INT)) END) AS BIGINT) AS afp
+        FROM (
+            SELECT k, seg, e, LEAD(e) OVER (PARTITION BY k ORDER BY seg) AS nxt
+            FROM env
+        )
+        WHERE seg < 64
+        GROUP BY k
+    ), ids AS (
+        SELECT k AS id, k FROM ks
+        UNION ALL
+        SELECT k + 100000, k FROM ks WHERE k % 10 = 0
+    ), fps AS (
+        SELECT i.id, f.afp FROM ids i JOIN fp_by_k f USING (k)
+    )
+    SELECT a.id AS id_1, b.id AS id_2,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.id < b.id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 6
+    ORDER BY id_1, id_2
+"""

@@ -2902,6 +2902,89 @@ def q78_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via the energy-envelope fingerprint
+    (operators/audio_dedup.py), under a FULL value oracle — the q77
+    closed-form pattern for the audio modality:
+
+    The corpus is planted from doc_ids < 150: each doc carries a REAL
+    16-bit WAV of an analytic amplitude-MODULATED waveform: base[i] =
+    ((i*a + k) % 7168) - 3584 scaled per segment by w[s] = ((s*s*(k%7+1)
+    + s*(k%13) + k) % 9) + 1 (s = i // m), n = 65*m samples (m = 8 +
+    k%8, a = k%31 + 3 — n a multiple of the 65 fingerprint segments, so
+    each segment's mean |amplitude| is an exact integer ratio; the
+    k-keyed w[] pattern dominates the envelope ordering, so distinct
+    docs get genuinely distinct fingerprints — an unmodulated sawtooth
+    measured near-flat envelopes that put EVERY pair inside the radius).
+    Every 10th doc ALSO appears
+    as a duplicate (id + 100000): the SAME waveform with every sample
+    repeated twice — segment boundaries stay on repetition boundaries,
+    so each segment mean (and therefore the 64-bit fingerprint) is
+    EXACTLY preserved, which the oracle encodes by recomputing every
+    fingerprint in closed-form SQL (envelope AVG(ABS(...)) over
+    generate_series -> LEAD comparisons -> bit pack) and cross-joining
+    hamming via bit_count(xor). The Spark side goes end-to-end through
+    the real WAV encoder AND decoder, the envelope hash, and the
+    pigeonhole-blocked hamming join; a bit slip anywhere breaks the
+    pair set.
+
+    Scale shape: decode isolated to one mapInPandas stage; (id, 64-bit
+    hash) is all that reaches an exchange; blocked join, never
+    all-pairs."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from serverless_etl_bi_on_aws_spark.operators.audio_dedup import (
+        audio_neardup_pairs,
+    )
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import MEDIA_STRUCT
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id")
+    )
+    keyed = base.unionByName(dups)
+
+    out_schema = StructType(
+        [StructField("doc_id", LongType(), False), StructField("media", MEDIA_STRUCT, True)]
+    )
+
+    def render(it):
+        from serverless_etl_bi_on_aws_spark.functions.wav import encode_wav_pcm16
+
+        for pdf in it:
+            media = []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                k, is_dup = (i - 100000, True) if i >= 100000 else (i, False)
+                m, a = 8 + k % 8, (k % 31) + 3
+                n = 65 * m
+                i_arr = np.arange(n, dtype=np.int64)
+                seg = i_arr // m
+                w = (seg * seg * (k % 7 + 1) + seg * (k % 13) + k) % 9 + 1
+                samp = (((i_arr * a + k) % 7168) - 3584) * w
+                if is_dup:
+                    samp = np.repeat(samp, 2)
+                media.append(
+                    {"payload": encode_wav_pcm16(samp), "mime": "audio/wav",
+                     "width": None, "height": None,
+                     "duration_ms": samp.size * 1000 // 8000}
+                )
+            pdf = pdf.copy()
+            pdf["media"] = media
+            yield pdf
+
+    with_media = keyed.mapInPandas(render, schema=out_schema)
+    return audio_neardup_pairs(with_media, radius=6, n_blocks=8).orderBy(
+        "id_1", "id_2"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -2992,4 +3075,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q38_chunked_docs": q38_chunked_docs,  # rotated out r9: chunking is the map-only front of q41's packing (driver)
     "q42_media_pixel_stats": q42_media_pixel_stats,  # rotated out r9: media codecs stay via q49/q51/q52/q61 and q77 (driver now)
     "q78_mp4_frame_stats": q78_mp4_frame_stats,  # NEW r9: ISO BMFF (MP4) container, MJPEG track, q49 bounded-lossy oracle
+    "q79_audio_fingerprint_dedup": q79_audio_fingerprint_dedup,  # NEW r9: audio energy-envelope near-dup, closed-form fp oracle
 }
