@@ -47,6 +47,17 @@ slope 0.041 — under DuckDB's whole-query slope — and is the adopted
 layer (bench `denorm_q3` tier, EXTRA query q60). The scan floor itself
 is 3.7x BELOW DuckDB's whole-query slope — the residual raw-q3 gap is
 shuffle + final-stage, not the scan. Recorded in SURVEY.md §8.5.
+
+Round-9 addendum — pre-aggregation rewrite MEASURED AND REJECTED: a
+partial rollup by (l_partkey, order_year) between the orderkey join and
+the part broadcast (shrinking the probe + string-agg input from 60M to
+~14M rows; counts/long-sums decompose exactly so the oracle is
+unaffected) measured slope 0.82 s/sf vs 0.50 for the shipped plan
+(5 interleaved reps, medians) — the added exchange + 14M-group hash
+aggregate costs far more than the probe work it saves. The high-
+cardinality mid-aggregate is the same trap at any scale; the adopted
+answers remain the ingest-time layouts (bucketed 1.26, denorm 0.37
+slope-ratio tiers in BENCH).
 """
 
 from __future__ import annotations
