@@ -95,6 +95,9 @@ LLM_TIER = {
     "q55": "q55_repetition_stats",
     # round-7 addition: corpus-wide span dedup (two-exchange plan)
     "q64": "q64_span_dedup",
+    # round-9 additions: MP4/MJPEG container path, audio fingerprint dedup
+    "q78": "q78_mp4_frame_stats",
+    "q79": "q79_audio_fingerprint_dedup",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")

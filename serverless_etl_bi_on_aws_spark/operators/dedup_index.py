@@ -138,7 +138,7 @@ def init_minhash_index(
     seed: int = 42,
 ) -> None:
     """Create an EMPTY index — meta only, no corpus. The streaming ingest
-    loop (streaming/dedup_stream.py) starts here so its very first
+    loop (streaming/ingest_dedup.py) starts here so its very first
     micro-batch runs the same probe-then-append path as every later one
     (a probe against an empty corpus simply yields no corpus candidates);
     a separate bootstrap path would need its own replay guard."""

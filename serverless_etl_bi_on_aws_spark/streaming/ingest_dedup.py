@@ -1,0 +1,125 @@
+"""Streaming incremental corpus dedup — the hourly-crawl ingest LOOP the
+persisted MinHash index (operators/dedup_index.py) was built for, wired
+end to end: watch a landing directory for new document files, and per
+micro-batch probe-the-index -> write survivors -> append signatures.
+
+    readStream(dir) --AvailableNow/hourly--> foreachBatch(apply_dedup_batch)
+
+The survivors table is ``clean_dir/batch=<batch-id>/`` — hive-partitioned
+by the batch id, so ``spark.read.parquet(clean_dir)`` serves the whole
+deduped corpus with a free provenance column and each batch's output is
+an independently-replaceable partition.
+
+Replay safety (foreachBatch is at-least-once; every crash point is
+covered, pytest-pinned in tests/test_ingest_dedup.py):
+
+  * crash BEFORE the survivors write commits — replay recomputes the
+    probe against an index the batch has not touched yet and overwrites
+    the same partition with the identical result;
+  * crash AFTER survivors commit, before/inside the index append — the
+    partition's ``_SUCCESS`` gates the write (survivors are NOT
+    recomputed: the index may already hold some of this batch's
+    signatures, and a recompute would see the batch as a duplicate of
+    itself and emit an EMPTY partition — the one data-loss trap in this
+    composition); ``update_index`` then re-appends, and its replay
+    duplicates are harmless set-membership rows that
+    ``compact_index`` purges;
+  * crash AFTER the index marker — both steps no-op.
+
+The ORDER is load-bearing: survivors must be computed before the batch's
+signatures reach the index (probe-then-append), which is exactly the
+online rule the one-shot equivalence proof in test_dedup_index relies on.
+
+Start from :func:`operators.dedup_index.init_minhash_index` (an empty
+index) so the first micro-batch runs the identical path as every later
+one. At 100 TB this loop is the same shape per batch: the probe shuffles
+only the batch, the corpus side stays partition-pruned parquet scans,
+and the appends grow the index linearly between compactions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+    dedup_against_index,
+    update_index,
+)
+
+
+def apply_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    clean_dir: str,
+    batch_id: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the ingest loop: probe -> write survivors ->
+    append signatures. Idempotent per ``batch_id`` (see module docstring
+    for the per-crash-point argument). Exposed separately from the
+    stream so tests (and batch schedulers) can drive replays directly."""
+    out = os.path.join(clean_dir, f"batch={batch_id}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        survivors = dedup_against_index(
+            spark, batch_df, index_path, threshold=threshold, text_col=text_col
+        )
+        survivors.write.mode("overwrite").parquet(out)
+    update_index(batch_df, index_path, batch_id, text_col=text_col)
+
+
+def start_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    clean_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Watch ``source_dir`` for new document files and keep ``clean_dir``
+    a deduped corpus: every new file's documents are admitted iff they
+    are not near-duplicates of anything already seen (indexed corpus or
+    a smaller-id doc of the same micro-batch). Drain with
+    ``available_now`` for the scheduled-batch cadence or leave running
+    on a processing-time trigger. Batch ids fold the checkpoint identity
+    in (epoch ids restart at 0 per checkpoint — the streaming/cells.py
+    epoch-guard rule)."""
+    ckpt = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = getattr(reader, fmt)(source_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_dedup_batch(
+            spark,
+            batch_df,
+            index_path,
+            clean_dir,
+            f"{ckpt}-{epoch_id}",
+            threshold=threshold,
+            text_col=text_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

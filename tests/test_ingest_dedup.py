@@ -1,4 +1,4 @@
-"""Streaming incremental dedup (streaming/dedup_stream.py): the drained
+"""Streaming incremental dedup (streaming/ingest_dedup.py): the drained
 stream's clean corpus equals the one-shot online rule over the union,
 and every foreachBatch crash/replay point is a no-op or an identical
 rewrite — never an empty-partition data loss."""
@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from serverless_etl_bi_on_aws_spark.catalog import load_table
 from serverless_etl_bi_on_aws_spark.operators.dedup import neardup_minhash_lsh
 from serverless_etl_bi_on_aws_spark.operators.dedup_index import init_minhash_index
-from serverless_etl_bi_on_aws_spark.streaming.dedup_stream import (
+from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
     apply_dedup_batch,
     start_incremental_dedup,
 )
