@@ -3043,7 +3043,9 @@ QUERIES: dict[str, QueryFn] = {
 #: value-verified THROUGH one — see the mapping in COVERAGE.md). Same
 #: correctness discipline locally: entries with EXTRA_ORACLE_SQL twins run
 #: through the identical pytest oracle compare; the rest are pytest-pinned
-#: to exact counterparts. bench.py times q2/q6/q13 from here.
+#: to exact counterparts. bench.py times q2/q13/q78/q79 from here (the q6
+#: headline slot times the Arrow kernel q44 — the deployment path — since
+#: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
     "q2_denorm_customer_orders": q2_denorm_customer_orders,  # P1/J1 via q9/q10
     "q6_topk_cosine": q6_topk_cosine,  # oracle-stable twin of q44 (HOF path)
