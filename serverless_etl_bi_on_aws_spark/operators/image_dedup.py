@@ -18,9 +18,11 @@ on block collisions only, bit_count(xor) verify. Nothing is all-pairs.
 (Arrow batches; peak memory = one batch per core) and the only thing that
 ever reaches an exchange is (id, 64-bit hash) — 16 bytes/image, never a
 payload. The blocked self-join shuffles on (block, key), a uniform key by
-construction (hash bits). For incremental corpora, persist the hash
-column next to the media metadata at ingest and probe it exactly like
-operators/dedup_index.py probes MinHash bands.
+construction (hash bits). For incremental corpora the persisted-index
+half lives below (:func:`build_dhash_index` / :func:`dedup_images_
+against_index` / :func:`update_dhash_index` / :func:`compact_dhash_
+index`), probing exactly like operators/dedup_index.py probes MinHash
+bands.
 """
 
 from __future__ import annotations

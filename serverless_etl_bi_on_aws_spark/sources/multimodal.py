@@ -9,16 +9,20 @@ out of the scan (no codec work during shuffles/joins; only the final
 mapInPandas stage touches bytes, and it streams Arrow batches so peak memory
 is one batch per core, not one file per row).
 
-Decoders: PNG decode/resize is REAL — a from-scratch stdlib codec
-(functions/png.py, zlib + struct) — and since round 3 JPEG is too: a
-from-scratch baseline T.81 codec (functions/jpeg.py, huffman + dequant +
-batched-matmul IDCT in numpy). Since round 6 AUDIO is real as well: a
-from-scratch RIFF/WAV integer-PCM codec (functions/wav.py) — lossless,
-so q51's oracle hash-checks exact sample statistics. Only VIDEO decode
-remains a deterministic stand-in (no ffmpeg in this container; clearly
-marked); everything Spark-side — schema, batching, partitioning, UDF
-signatures — is identical for real and stand-in mimes. Swap the stand-in
-branch for ffmpeg calls in production; the plumbing does not change.
+Decoders: ALL six container/codec paths are REAL, from-scratch, stdlib+
+numpy implementations — PNG (functions/png.py, zlib + struct), baseline
+T.81 JPEG (functions/jpeg.py, huffman + dequant + batched-matmul IDCT),
+RIFF/WAV integer PCM (functions/wav.py), AVI container with PNG frames
+(functions/avi.py), animated GIF89a with from-scratch LZW
+(functions/gif.py), and ISO BMFF/MP4 with a Motion-JPEG track
+(functions/mp4.py). Lossless paths carry FULL-value oracles
+(q42/q51/q52/q61); lossy JPEG paths carry tolerance-bounded ones
+(q49/q78). Only genuinely inter-frame video codecs (H.264/HEVC/VP9) are
+out of scope — those mimes refuse loudly by fourcc or fall to the
+clearly-marked deterministic stand-in branch, and everything Spark-side
+(schema, batching, partitioning, UDF signatures) is identical either
+way; swap that branch for ffmpeg in production and the plumbing does
+not change.
 """
 
 from __future__ import annotations
