@@ -628,3 +628,190 @@ def update_ivf_index(
     )
     write_marker(marker, {"batch_id": batch_id})
     return True
+
+
+def dedup_embeddings_against_index(
+    spark,
+    new_embeddings: DataFrame,
+    index_path: str,
+    threshold: float = 0.9,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Embedding near-dup survivors of a NEW batch against the persisted
+    IVF index — the incremental-dedup family's fourth modality (text:
+    dedup_against_index; image: dedup_images_against_index; audio: the
+    same hash-index shape; embeddings: this). Composes with
+    :func:`update_ivf_index` for the ingest loop.
+
+    Online rule: drop a new vector iff cosine >= ``threshold`` against
+    ANY indexed vector in its ``n_probe`` nearest clusters, or against a
+    smaller-id vector of the same batch (within-batch is EXACT — the
+    block-pair BLAS matmul of neardup_cosine_pairs). The corpus side is
+    IVF-approximate by construction: a true near-duplicate of a new
+    vector almost always assigns to the same nearest centroids (two
+    vectors at cosine >= 0.9 rank centroids near-identically), so probe
+    recall at dedup thresholds is high; n_probe widens the boundary
+    band, n_probe = n_clusters makes the corpus side exact (the pytest
+    equivalence gate). Zero KMeans fits (trap-pinned).
+
+    Plan shape: ONE Arrow stage assigns each new vector its n_probe
+    clusters and emits (probe_cluster, id, vec) — the corpus is then
+    joined per (cluster, corpus-block) group, so every applyInPandas
+    group holds ~``block_rows`` corpus rows plus that cluster's probes
+    (bounded memory however large a cluster is), does one BLAS matmul,
+    and emits only over-threshold new ids. The corpus scan is partition-
+    pruned to the probed clusters; vectors never cross a shuffle outside
+    their block group."""
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    centers = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    n_clusters = len(centers)
+    n_probe = min(n_probe, n_clusters)
+    cmat = np.zeros((n_clusters, len(centers[0]["centroid"])), dtype="float64")
+    for r in centers:
+        cmat[int(r["cluster"])] = r["centroid"]
+    c_sq = (cmat * cmat).sum(axis=1)
+    dim = cmat.shape[1]
+
+    valid = new_embeddings.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+    names = [f.name for f in valid.schema.fields]
+    vec_idx, id_idx = names.index(vec_col), names.index(id_col)
+    probe_schema = StructType(
+        [
+            StructField("_probe", IntegerType(), False),
+            StructField("_id", LongType(), False),
+            StructField("_vec", ArrayType(FloatType()), False),
+        ]
+    )
+
+    def probes(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            m = (
+                batch.column(vec_idx).flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, dim)
+                .astype("float64", copy=False)
+            )
+            d = c_sq[None, :] - 2.0 * (m @ cmat.T)
+            nearest = np.argpartition(d, n_probe - 1, axis=1)[:, :n_probe]
+            ids = batch.column(id_idx).to_numpy(zero_copy_only=False)
+            rep_ids = pa.array(np.repeat(ids, n_probe).astype("int64"))
+            rep_cl = pa.array(nearest.reshape(-1).astype("int32"))
+            rep_vec = pa.ListArray.from_arrays(
+                pa.array(np.arange(n * n_probe + 1) * dim, type=pa.int32()),
+                pa.array(
+                    np.repeat(m, n_probe, axis=0).reshape(-1).astype("float32")
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rep_cl, rep_ids, rep_vec], names=["_probe", "_id", "_vec"]
+            )
+
+    new_probes = valid.mapInArrow(probes, schema=probe_schema)
+
+    corpus = spark.read.parquet(os.path.join(index_path, "corpus"))
+    # partition pruning: only clusters some new vector probes are read.
+    # The probe list is computed per-batch executor-side, so prune with
+    # the distinct probed clusters (n_probe x batch distinct values — a
+    # tiny broadcast semi-join the optimizer folds into the listing).
+    probed = new_probes.select(F.col("_probe").alias("_cluster")).distinct()
+    cand_corpus = corpus.join(F.broadcast(probed), "_cluster").select(
+        F.col("_cluster"),
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(1 << 14)).alias("_blk_raw"),
+    )
+
+    # block the corpus side inside each cluster so one applyInPandas
+    # group never exceeds ~block_rows corpus rows; probes replicate per
+    # block via a per-cluster block-count dim (counted once, tiny)
+    blk_counts = (
+        cand_corpus.groupBy("_cluster")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "_cluster",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_n") / F.lit(block_rows)).cast("int")
+            ).alias("_nblk"),
+        )
+    )
+    corpus_blocked = cand_corpus.join(F.broadcast(blk_counts), "_cluster").select(
+        "_cluster",
+        F.pmod("_blk_raw", F.col("_nblk")).alias("_blk"),
+        "_cid",
+        "_cvec",
+    )
+    probes_blocked = (
+        new_probes.withColumnRenamed("_probe", "_cluster")
+        .join(F.broadcast(blk_counts), "_cluster")
+        .select(
+            "_cluster",
+            F.explode(F.sequence(F.lit(0), F.col("_nblk") - 1)).alias("_blk"),
+            F.col("_id").alias("_pid"),
+            F.col("_vec").alias("_pvec"),
+        )
+    )
+    tagged = corpus_blocked.withColumn("_is_probe", F.lit(0)).unionByName(
+        probes_blocked.select(
+            "_cluster", "_blk",
+            F.col("_pid").alias("_cid"), F.col("_pvec").alias("_cvec"),
+        ).withColumn("_is_probe", F.lit(1))
+    )
+
+    th = float(threshold)
+
+    def group_drops(pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame({"_id": pd.Series(dtype="int64")})
+        pr = pdf[pdf["_is_probe"] == 1]
+        co = pdf[pdf["_is_probe"] == 0]
+        if len(pr) == 0 or len(co) == 0:
+            return empty
+        pm = np.array(pr["_cvec"].tolist(), dtype="float64")
+        pm = pm / np.maximum(np.linalg.norm(pm, axis=1, keepdims=True), 1e-12)
+        cm = np.array(co["_cvec"].tolist(), dtype="float64")
+        cm = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-12)
+        hit = (pm @ cm.T >= th).any(axis=1)
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"_id": pr["_cid"].to_numpy(dtype="int64")[hit]})
+
+    dup_vs_corpus = (
+        tagged.groupBy("_cluster", "_blk")
+        .applyInPandas(group_drops, schema="_id bigint")
+        .distinct()
+    )
+
+    # within batch: exact block-pair matmul, smaller id is senior
+    within = (
+        neardup_cosine_pairs(valid, th, id_col, vec_col, block_rows=2048)
+        .select(F.col("id_2").alias("_id"))
+        .distinct()
+    )
+
+    dropped = dup_vs_corpus.unionByName(within).distinct()
+    return new_embeddings.join(
+        dropped.select(F.col("_id").alias(id_col)), id_col, "left_anti"
+    )

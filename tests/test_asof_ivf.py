@@ -278,3 +278,66 @@ def test_ivf_index_incremental_update(spark, tmp_path, monkeypatch):
     for r in pruned:
         if r.vec_id in exact:
             assert abs(round(r.cosine, 6) - exact[r.vec_id]) < 1e-9
+
+
+def test_dedup_embeddings_against_index(spark, tmp_path, monkeypatch):
+    """Fourth incremental-dedup modality: with n_probe = n_clusters the
+    probe-pruned corpus check is EXACT, so survivors must equal the
+    online rule computed from exact cosine pairs over the union; zero
+    KMeans fits; planted cross-batch near-dups are caught at a pruned
+    n_probe too (same-cluster assignment of near-identical vectors)."""
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        dedup_embeddings_against_index,
+        neardup_cosine_pairs,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(b1, idx, n_clusters=8, seed=42)
+
+    from pyspark.ml.clustering import KMeans
+
+    def boom(self, *a, **kw):
+        raise AssertionError("KMeans.fit called during dedup/update")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+    th = 0.4  # fixture-calibrated near-dup threshold (q43)
+    survivors = {
+        r.vec_id
+        for r in dedup_embeddings_against_index(
+            spark, b2, idx, threshold=th, n_probe=8
+        ).collect()
+    }
+    monkeypatch.undo()
+
+    # expected: online rule over exact pairs — drop an odd id iff it
+    # pairs >= th with any even id (corpus) or a smaller odd id
+    pairs = neardup_cosine_pairs(emb, threshold=th, block_rows=256).collect()
+    b1_ids = {r.vec_id for r in b1.collect()}
+    dropped = set()
+    for r in pairs:
+        lo, hi = r.id_1, r.id_2
+        for a, b in ((lo, hi), (hi, lo)):
+            if b in b1_ids or (b not in b1_ids and a not in b1_ids and b < a):
+                if a not in b1_ids:
+                    dropped.add(a)
+    expected = {r.vec_id for r in b2.collect()} - dropped
+    assert survivors == expected
+    assert len(survivors) < b2.count()  # the gate fired
+
+    # pruned probe still catches a planted exact duplicate of an indexed
+    # vector (identical vectors share a nearest centroid by definition)
+    some = b1.limit(1).collect()[0]
+    probe_df = spark.createDataFrame(
+        [(99991, list(some.embedding))], "vec_id bigint, embedding array<float>"
+    )
+    out = dedup_embeddings_against_index(
+        spark, probe_df, idx, threshold=0.99, n_probe=1
+    )
+    assert out.count() == 0
+    # and appends keep composing
+    assert update_ivf_index(b2, idx, "b2-dedup") is True
