@@ -191,6 +191,24 @@ def build_dhash_index(
     )
 
 
+def init_dhash_index(
+    index_path: str,
+    id_col: str = "doc_id",
+    n_blocks: int = 16,
+) -> None:
+    """Create an EMPTY dHash index — meta only (the init_minhash_index
+    twin): the streaming image-ingest loop starts here so its first
+    micro-batch probes an empty corpus through the same path as every
+    later one."""
+    if _os.path.exists(_os.path.join(index_path, "_meta.json")):
+        raise ValueError(f"index already exists at {index_path}")
+    _os.makedirs(index_path, exist_ok=True)
+    write_marker(
+        _os.path.join(index_path, "_meta.json"),
+        {"n_blocks": n_blocks, "id_col": id_col},
+    )
+
+
 def dedup_images_against_index(
     spark: SparkSession,
     new_df: DataFrame,
@@ -221,9 +239,18 @@ def dedup_images_against_index(
     )
     new_blocks = _hash_blocks(new_hashed, id_col, "dhash", n_blocks)
 
-    idx_blocks = spark.read.parquet(_os.path.join(index_path, "blocks"))
-    idx_hashes = spark.read.parquet(_os.path.join(index_path, "hashes"))
     hamming = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
+
+    # a just-initialized index (init_dhash_index) has no blocks/hashes
+    # dirs yet — an empty corpus contributes no candidates
+    if _os.path.exists(_os.path.join(index_path, "blocks")):
+        idx_blocks = spark.read.parquet(_os.path.join(index_path, "blocks"))
+        idx_hashes = spark.read.parquet(_os.path.join(index_path, "hashes"))
+    else:
+        idx_blocks = new_blocks.select(
+            "block", "key", F.col("_id").alias(id_col)
+        ).limit(0)
+        idx_hashes = new_hashed.limit(0)
 
     cand = (
         new_blocks.join(

@@ -123,3 +123,32 @@ def start_incremental_dedup(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def apply_image_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    clean_dir: str,
+    batch_id: str,
+    radius: int = 8,
+    media_col: str = "media",
+) -> None:
+    """The IMAGE twin of :func:`apply_dedup_batch` — identical crash-point
+    discipline (probe -> _SUCCESS-gated survivors write -> marker-gated
+    hash append), with the dHash index (operators/image_dedup.py) as the
+    corpus. Start from ``init_dhash_index``; survivors keep their media
+    payloads (the anti-join broadcasts dropped ids, payloads never
+    shuffle)."""
+    from serverless_etl_bi_on_aws_spark.operators.image_dedup import (
+        dedup_images_against_index,
+        update_dhash_index,
+    )
+
+    out = os.path.join(clean_dir, f"batch={batch_id}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        survivors = dedup_images_against_index(
+            spark, batch_df, index_path, radius=radius, media_col=media_col
+        )
+        survivors.write.mode("overwrite").parquet(out)
+    update_dhash_index(batch_df, index_path, batch_id, media_col=media_col)

@@ -117,3 +117,82 @@ def test_apply_dedup_batch_replay_points(spark, tmp_path):
 
     compact_index(spark, idx)
     assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+
+
+def test_apply_image_dedup_batch_loop(spark, tmp_path):
+    """Image twin of the ingest loop: two batches through
+    apply_image_dedup_batch (starting from an EMPTY index) equal the
+    one-shot image pair rule over the union; replay of an applied batch
+    is a no-op; the crash-between-write-and-append replay keeps the
+    survivors partition intact."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+    from serverless_etl_bi_on_aws_spark.operators.image_dedup import (
+        image_neardup_pairs,
+        init_dhash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import MEDIA_STRUCT
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_image_dedup_batch,
+    )
+
+    def pat(cx, cy, k):
+        return (
+            cx * cx * (k % 7 + 1) + cy * cy * (k % 11 + 3) + cx * cy * (k % 5 + 1)
+            + cx * (k % 13) * 17 + cy * (k % 17) * 23 + k
+        ) % 256
+
+    def render(k, w, h):
+        return bytes(pat(x * 24 // w, y * 24 // h, k) for y in range(h) for x in range(w))
+
+    schema = StructType(
+        [StructField("doc_id", LongType(), False), StructField("media", MEDIA_STRUCT, True)]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, {"payload": p, "mime": "image/png", "width": None,
+                     "height": None, "duration_ms": None})
+                for i, p in rows
+            ],
+            schema,
+        )
+
+    # batch 1: patterns 0-4; batch 2: 10 re-renders pattern 2 at another
+    # scale (cross-batch dup), 11-12 re-render one new pattern
+    # (within-batch dup), 13 fresh
+    b1_rows = [(k, encode_png(render(k, 24, 24), 24, 24)) for k in range(5)]
+    b2_rows = [
+        (10, encode_png(render(2, 48, 48), 48, 48)),
+        (11, encode_png(render(30, 24, 24), 24, 24)),
+        (12, encode_png(render(30, 72, 24), 72, 24)),
+        (13, encode_png(render(40, 24, 24), 24, 24)),
+    ]
+    b1, b2 = mk(b1_rows), mk(b2_rows)
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_dhash_index(idx)
+    apply_image_dedup_batch(spark, b1, idx, clean, "b0")
+    apply_image_dedup_batch(spark, b2, idx, clean, "b1")
+
+    got = {r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()}
+    union = mk(b1_rows + b2_rows)
+    dropped = {r.id_2 for r in image_neardup_pairs(union, radius=8).collect()}
+    want = {i for i, _ in b1_rows + b2_rows} - dropped
+    assert got == want
+    assert 10 not in got and 12 not in got and 13 in got
+
+    # replay of an applied batch: byte-stable
+    n1 = spark.read.parquet(os.path.join(clean, "batch=b1")).count()
+    apply_image_dedup_batch(spark, b2, idx, clean, "b1")
+    assert spark.read.parquet(os.path.join(clean, "batch=b1")).count() == n1
+
+    # crash between write and append marker: survivors must not be
+    # recomputed against the self-contaminated index
+    os.remove(os.path.join(idx, "_applied", "b1"))
+    apply_image_dedup_batch(spark, b2, idx, clean, "b1")
+    assert spark.read.parquet(os.path.join(clean, "batch=b1")).count() == n1
