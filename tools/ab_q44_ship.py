@@ -28,6 +28,13 @@ fixed per-task Python IPC against DuckDB's in-process scan, and amortizes
 at real corpus sizes (the per-row cost is ~0.7 us and falls with batch
 size). The scale path for ANN remains q18/q45 (LSH/IVF pruning).
 
+Round-9 addendum — Arrow batch size MEASURED AND REJECTED as a lever:
+spark.sql.execution.arrow.maxRecordsPerBatch at 10k (default) / 64k /
+256k gives slopes 29.9 / 31.6 / 33.6 ms/sf (7 interleaved reps,
+medians) — flat-to-worse, confirming the residual is per-TASK stream
+setup/teardown framing, not per-batch overhead; fewer, larger batches
+do not amortize it and marginally hurt cache locality.
+
 Run: PYTHONPATH=/root/repo python tools/ab_q44_ship.py
 """
 
