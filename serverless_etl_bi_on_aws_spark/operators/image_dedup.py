@@ -113,59 +113,43 @@ def image_neardup_pairs(
 
 
 # ---------------------------------------------------------------------------
-# Incremental image dedup against a PERSISTED dHash index — the module
-# docstring's "persist the hash column at ingest and probe it exactly like
-# operators/dedup_index.py probes MinHash bands", made real (round-8
-# verdict ask #6). Same online rule, same markers, same build/probe split:
-# indexed images are NEVER re-decoded (the probe's only decode stage runs
-# on the new batch; pytest-trapped), and the index stores 16 bytes per
-# image — (id, 64-bit hash) — plus the exploded (block, key) table,
-# partitioned by block so a probe prunes to 1/n_blocks of the index at
-# file listing. NULL-hash media (undecodable) survive by definition and
-# are not indexed (nothing to compare).
+# Incremental image dedup against a PERSISTED dHash index — thin wrappers
+# over the modality-agnostic operators/hash_index.py core (round-9
+# consolidation: text SimHash / image dHash / audio envelope share one
+# build/probe/append/compact implementation; this module contributes the
+# decode+hash stage). Indexed images are NEVER re-decoded: the probe's
+# only decode stage runs on the new batch (pytest-trapped). NULL-hash
+# media (undecodable) survive by definition and are not indexed.
 # ---------------------------------------------------------------------------
 
 import os as _os
 
 from pyspark.sql import SparkSession, functions as F
 
-from serverless_etl_bi_on_aws_spark.util import marker_exists, read_marker, write_marker
+from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+    build_hash_index,
+    compact_hash_index,
+    dropped_ids_against_index,
+    init_hash_index,
+    read_hash_meta,
+    update_hash_index,
+)
 
 
-def _hash_blocks(hashed: DataFrame, id_col: str, hash_col: str, n_blocks: int) -> DataFrame:
-    """(_id, block, key): pigeonhole sub-blocks of a 64-bit hash — the
-    same split as hamming_pairs_blocked, shared so index and probe block
-    identically by construction."""
-    width = 64 // n_blocks
-    mask = (1 << width) - 1
-    return hashed.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask)).alias("key"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("_bk"),
-    ).select("_id", "_bk.block", "_bk.key")
-
-
-def _append_hashes(hashed: DataFrame, id_col: str, n_blocks: int, index_path: str) -> None:
-    """hashes first, blocks second (the sigs-before-bands rule): an
-    unreplayed crash leaves an inert hash, never block rows whose
-    candidates silently vanish from the verify join."""
-    hashed.write.mode("append").parquet(_os.path.join(index_path, "hashes"))
-    (
-        _hash_blocks(hashed, id_col, "dhash", n_blocks)
-        .select("block", "key", F.col("_id").alias(id_col))
-        .write.mode("append")
-        .partitionBy("block")
-        .parquet(_os.path.join(index_path, "blocks"))
+def _hashed(df: DataFrame, id_col: str, media_col: str) -> DataFrame:
+    return (
+        with_dhash(df, media_col=media_col)
+        .filter(F.col("dhash").isNotNull())
+        .select(id_col, "dhash")
     )
+
+
+def init_dhash_index(
+    index_path: str, id_col: str = "doc_id", n_blocks: int = 16
+) -> None:
+    """Create an EMPTY image index (meta only) — the streaming image
+    ingest loop starts here; see hash_index.init_hash_index."""
+    init_hash_index(index_path, id_col=id_col, hash_col="dhash", n_blocks=n_blocks)
 
 
 def build_dhash_index(
@@ -178,34 +162,12 @@ def build_dhash_index(
     """One-time build: decode + hash the starting corpus once, persist
     (id, dhash) and the block table. Refuses to clobber an existing
     index (appends belong to :func:`update_dhash_index`)."""
-    if _os.path.exists(_os.path.join(index_path, "_meta.json")):
-        raise ValueError(f"index already exists at {index_path}; use update_dhash_index")
-    _os.makedirs(index_path, exist_ok=True)
-    hashed = with_dhash(df, media_col=media_col).filter(F.col("dhash").isNotNull()).select(
-        id_col, "dhash"
-    )
-    _append_hashes(hashed, id_col, n_blocks, index_path)
-    write_marker(
-        _os.path.join(index_path, "_meta.json"),
-        {"n_blocks": n_blocks, "id_col": id_col},
-    )
-
-
-def init_dhash_index(
-    index_path: str,
-    id_col: str = "doc_id",
-    n_blocks: int = 16,
-) -> None:
-    """Create an EMPTY dHash index — meta only (the init_minhash_index
-    twin): the streaming image-ingest loop starts here so its first
-    micro-batch probes an empty corpus through the same path as every
-    later one."""
-    if _os.path.exists(_os.path.join(index_path, "_meta.json")):
-        raise ValueError(f"index already exists at {index_path}")
-    _os.makedirs(index_path, exist_ok=True)
-    write_marker(
-        _os.path.join(index_path, "_meta.json"),
-        {"n_blocks": n_blocks, "id_col": id_col},
+    build_hash_index(
+        _hashed(df, id_col, media_col),
+        index_path,
+        id_col=id_col,
+        hash_col="dhash",
+        n_blocks=n_blocks,
     )
 
 
@@ -222,60 +184,13 @@ def dedup_images_against_index(
     always survive. Composes with :func:`update_dhash_index`.
 
     Plan shape: ``with_dhash`` (the only decode stage) runs exactly once,
-    on the new batch; the corpus side is two parquet scans — the
-    block-partitioned candidate join, then a hash fetch for candidates
-    only — mirroring dedup_against_index's probe."""
-    meta = read_marker(_os.path.join(index_path, "_meta.json"))
-    if meta is None:
-        raise FileNotFoundError(f"no dhash index meta at {index_path}")
-    n_blocks, id_col = meta["n_blocks"], meta["id_col"]
-    assert radius <= n_blocks - 1, "pigeonhole guarantee needs radius <= blocks-1"
-
-    new_hashed = (
-        with_dhash(new_df, media_col=media_col)
-        .filter(F.col("dhash").isNotNull())
-        .select(id_col, "dhash")
-        .localCheckpoint(eager=True)  # 3 consumers: blocks + 2 hash fetches
-    )
-    new_blocks = _hash_blocks(new_hashed, id_col, "dhash", n_blocks)
-
-    hamming = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
-
-    # a just-initialized index (init_dhash_index) has no blocks/hashes
-    # dirs yet — an empty corpus contributes no candidates
-    if _os.path.exists(_os.path.join(index_path, "blocks")):
-        idx_blocks = spark.read.parquet(_os.path.join(index_path, "blocks"))
-        idx_hashes = spark.read.parquet(_os.path.join(index_path, "hashes"))
-    else:
-        idx_blocks = new_blocks.select(
-            "block", "key", F.col("_id").alias(id_col)
-        ).limit(0)
-        idx_hashes = new_hashed.limit(0)
-
-    cand = (
-        new_blocks.join(
-            idx_blocks.select("block", "key", F.col(id_col).alias("_old")), ["block", "key"]
-        )
-        .select("_id", "_old")
-        .dropDuplicates(["_id", "_old"])
-    )
-    dup_vs_corpus = (
-        cand.join(idx_hashes.select(F.col(id_col).alias("_old"), F.col("dhash").alias("_h2")), "_old")
-        .join(new_hashed.select(F.col(id_col).alias("_id"), F.col("dhash").alias("_h1")), "_id")
-        .filter(hamming <= radius)
-        .select("_id")
-        .distinct()
-    )
-
-    # within batch: the existing blocked self-join (hashes are 8 bytes —
-    # nothing like the x-bands signature problem)
-    within = (
-        hamming_pairs_blocked(new_hashed, id_col, "dhash", radius, n_blocks)
-        .select(F.col("id_2").alias("_id"))  # larger id is junior
-        .distinct()
-    )
-
-    dropped = dup_vs_corpus.unionByName(within).distinct()
+    on the new batch; the corpus side is two parquet scans (the block-
+    partitioned candidate join, then a hash fetch for candidates only);
+    the final anti-join broadcasts dropped ids, so payloads never cross
+    an exchange."""
+    id_col = read_hash_meta(index_path)["id_col"]
+    new_hashed = _hashed(new_df, id_col, media_col).localCheckpoint(eager=True)
+    dropped = dropped_ids_against_index(spark, new_hashed, index_path, radius)
     return new_df.join(dropped.select(F.col("_id").alias(id_col)), id_col, "left_anti")
 
 
@@ -286,57 +201,15 @@ def update_dhash_index(
     media_col: str = "media",
 ) -> bool:
     """Append one batch's hashes — ALL decodable images, duplicates
-    included (hamming is a metric; the chain-equivalence argument of
-    operators/dedup_index.py applies verbatim). Idempotent per
-    ``batch_id``; marker written LAST via the centralized commit-marker
-    helper. compact_parquet(dedupe_on=[id, 'dhash']) per block partition
-    is the same maintenance story as compact_index."""
-    marker = _os.path.join(index_path, "_applied", batch_id)
-    if marker_exists(marker):
-        return False
-    meta = read_marker(_os.path.join(index_path, "_meta.json"))
-    if meta is None:
-        raise FileNotFoundError(f"no dhash index meta at {index_path}")
-    hashed = with_dhash(new_df, media_col=media_col).filter(
-        F.col("dhash").isNotNull()
-    ).select(meta["id_col"], "dhash")
-    _append_hashes(hashed, meta["id_col"], meta["n_blocks"], index_path)
-    write_marker(marker, {"batch_id": batch_id})
-    return True
+    included (chain equivalence). Idempotent per ``batch_id``; NULL-hash
+    rows are skipped. compact via :func:`compact_dhash_index`."""
+    id_col = read_hash_meta(index_path)["id_col"]
+    return update_hash_index(_hashed(new_df, id_col, media_col), index_path, batch_id)
 
 
 def compact_dhash_index(
     spark: SparkSession, index_path: str, target_file_bytes: int = 128 << 20
 ) -> dict[str, int]:
-    """Maintenance for the dHash index — the compact_index story
-    (operators/dedup_index.py) applied here: each ``block=<b>`` partition
-    rewritten to ~``target_file_bytes`` files, deduped on (key, id) and
-    range-clustered on ``key`` for footer-stats skipping; ``hashes``
-    deduped on the id (dHash is deterministic per payload, so replay rows
-    are exact duplicates). Markers untouched; probe results pinned
-    identical before/after."""
-    from serverless_etl_bi_on_aws_spark.operators.maintenance import compact_parquet
-
-    meta = read_marker(_os.path.join(index_path, "_meta.json"))
-    if meta is None:
-        raise FileNotFoundError(f"no dhash index meta at {index_path}")
-    id_col = meta["id_col"]
-    files = {}
-    blocks_root = _os.path.join(index_path, "blocks")
-    for part in sorted(_os.listdir(blocks_root)):
-        if not part.startswith("block="):
-            continue
-        files[f"blocks/{part}"] = compact_parquet(
-            spark,
-            _os.path.join(blocks_root, part),
-            target_file_bytes,
-            cluster_by="key",
-            dedupe_on=["key", id_col],
-        )
-    files["hashes"] = compact_parquet(
-        spark,
-        _os.path.join(index_path, "hashes"),
-        target_file_bytes,
-        dedupe_on=[id_col],
-    )
-    return files
+    """Maintenance: see hash_index.compact_hash_index (per-block rewrite,
+    replay-duplicate purge, markers untouched, probe results pinned)."""
+    return compact_hash_index(spark, index_path, target_file_bytes)

@@ -95,3 +95,49 @@ def test_fingerprint_noise_tolerance_measured():
     )
     ham = bin((fp ^ noisy) & ((1 << 64) - 1)).count("1")
     assert ham <= 4, f"noise moved the fingerprint too far: {ham}"
+
+
+def test_incremental_audio_dedup_via_hash_index(spark, tmp_path):
+    """The generic hash index serves audio: batch-2 clips dedup against
+    batch-1's fingerprint index under the online rule — a gain-scaled
+    re-encode of an indexed clip is dropped, fresh material survives,
+    appends are idempotent, compaction preserves probe results."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.audio_dedup import (
+        build_afp_index,
+        compact_afp_index,
+        dedup_audio_against_index,
+        update_afp_index,
+    )
+
+    def wav(k, gain=1.0):
+        return encode_wav_pcm16(np.clip((_program(k) * gain).astype(np.int64), -32768, 32767))
+
+    b1 = _media_df(spark, [(k, wav(k), "audio/wav") for k in (1, 2, 3)])
+    b2 = _media_df(
+        spark,
+        [
+            (10, wav(2, gain=0.5), "audio/wav"),  # cross-batch dup of clip 2
+            (11, wav(9), "audio/wav"),            # fresh
+            (12, wav(9, gain=0.25), "audio/wav"), # within-batch dup of 11
+            (13, b"not a wav", "audio/wav"),      # corrupt -> survives
+        ],
+    )
+    idx = str(tmp_path / "afp")
+    build_afp_index(b1, idx)
+    survivors = {
+        r.doc_id for r in dedup_audio_against_index(spark, b2, idx, radius=6).collect()
+    }
+    assert survivors == {11, 13}
+    assert update_afp_index(b2, idx, "b2") is True
+    n = spark.read.parquet(os.path.join(idx, "hashes")).count()
+    assert update_afp_index(b2, idx, "b2") is False
+    assert spark.read.parquet(os.path.join(idx, "hashes")).count() == n
+    # a third batch duplicating clip 11 (indexed via b2) is caught
+    b3 = _media_df(spark, [(20, wav(9, gain=0.75), "audio/wav")])
+    assert dedup_audio_against_index(spark, b3, idx, radius=6).count() == 0
+    before = n
+    compact_afp_index(spark, idx)
+    assert spark.read.parquet(os.path.join(idx, "hashes")).count() == before
+    assert dedup_audio_against_index(spark, b3, idx, radius=6).count() == 0
