@@ -329,6 +329,27 @@ def simhash64(
     return hashed.groupBy(id_col).agg(*sums).select(F.col(id_col), packed.alias("simhash"))
 
 
+def hash_block_expr(hash_col: str, n_blocks: int):
+    """The ONE pigeonhole block-split expression for 64-bit fingerprints:
+    an ``array<struct<block:int, key:bigint>>`` of the ``n_blocks`` equal
+    sub-blocks of ``hash_col``. Shared by :func:`hamming_pairs_blocked`
+    (self-join blocking) and operators/hash_index.hash_blocks (persisted
+    index blocking) so index and probe block identically BY CONSTRUCTION
+    — two copies of this expression drifting apart would silently lose
+    corpus-vs-new candidate recall (round-9 ADVICE)."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+
+
 def hamming_pairs_blocked(
     hashes: DataFrame,
     id_col: str,
@@ -344,22 +365,10 @@ def hamming_pairs_blocked(
     with id_1 < id_2. Shared by text SimHash (:func:`simhash_pairs_blocked`)
     and image perceptual hashes (operators/image_dedup.py)."""
     assert radius <= n_blocks - 1, "pigeonhole guarantee needs radius <= blocks-1"
-    width = 64 // n_blocks
-    mask = (1 << width) - 1
     blocks = hashes.select(
         F.col(id_col).alias("_id"),
         F.col(hash_col).alias("_h"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask)).alias("key"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("_bk"),
+        F.explode(hash_block_expr(hash_col, n_blocks)).alias("_bk"),
     ).select("_id", "_h", "_bk.block", "_bk.key")
     cand = (
         blocks.alias("a")

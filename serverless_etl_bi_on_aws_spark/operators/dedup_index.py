@@ -38,10 +38,11 @@ which would store each 128-long signature ``bands`` times over):
                              meaningless; validated on every probe.
 
 100 TB shape: the probe shuffles ONLY the new batch (corpus side is
-bucket-joined storage); the bands table is partitioned by ``band`` so a
-band's probe prunes to 1/bands of the index at file listing, and the
-candidate pair set — not the corpus — flows into the signature-compare
-join. Appends grow the index linearly (no rewrite). On a real cluster,
+bucket-joined storage); every new doc emits a bucket for ALL ``bands``
+bands, so the probe join touches every band partition — the real (and
+sufficient) guarantee is that the scan reads only the 3-long
+(band, bucket, id) triples, never signatures, and the candidate pair
+set — not the corpus — flows into the signature-compare join. Appends grow the index linearly (no rewrite). On a real cluster,
 bucketBy(bucket) the band partitions to make the probe join
 exchange-free on the index side.
 """
@@ -286,20 +287,25 @@ def compact_index(
     meta = read_meta(index_path)
     bands_root = os.path.join(index_path, "bands")
     files = {}
-    for part in sorted(os.listdir(bands_root)):
-        if not part.startswith("band="):
-            continue
-        files[f"bands/{part}"] = compact_parquet(
+    # a just-initialized index (init_minhash_index, no appends yet) has
+    # neither table — nothing to compact, same grace dedup_against_index
+    # extends to the empty-corpus probe (round-9 ADVICE)
+    if os.path.exists(bands_root):
+        for part in sorted(os.listdir(bands_root)):
+            if not part.startswith("band="):
+                continue
+            files[f"bands/{part}"] = compact_parquet(
+                spark,
+                os.path.join(bands_root, part),
+                target_file_bytes,
+                cluster_by="bucket",
+                dedupe_on=["bucket", meta.id_col],
+            )
+    if os.path.exists(os.path.join(index_path, "sigs")):
+        files["sigs"] = compact_parquet(
             spark,
-            os.path.join(bands_root, part),
+            os.path.join(index_path, "sigs"),
             target_file_bytes,
-            cluster_by="bucket",
-            dedupe_on=["bucket", meta.id_col],
+            dedupe_on=[meta.id_col],
         )
-    files["sigs"] = compact_parquet(
-        spark,
-        os.path.join(index_path, "sigs"),
-        target_file_bytes,
-        dedupe_on=[meta.id_col],
-    )
     return files

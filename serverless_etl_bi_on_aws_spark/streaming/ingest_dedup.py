@@ -39,8 +39,8 @@ and the appends grow the index linearly between compactions.
 
 from __future__ import annotations
 
-import hashlib
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -50,6 +50,30 @@ from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
     dedup_against_index,
     update_index,
 )
+from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
+
+
+def checkpoint_instance_nonce(checkpoint_dir: str) -> str:
+    """A nonce identifying THIS INSTANCE of the checkpoint, folded into
+    every batch id. Epoch ids restart at 0 whenever a checkpoint is
+    recreated, so an id derived from the checkpoint *path* alone (the
+    pre-round-10 scheme: md5 of the string) collides after the common
+    'delete the checkpoint and reprocess' move: replayed epoch 0 would
+    find old ``_applied/<ckpt>-0`` markers and ``_SUCCESS``-gated
+    partitions and silently skip genuinely new batches — data loss with
+    no error (round-9 ADVICE, medium).
+
+    The nonce is a ``_instance.json`` marker written inside the
+    checkpoint dir on first use; wiping the checkpoint wipes the nonce,
+    so the recreated stream mints fresh batch ids that share no markers
+    or partitions with the old instance. Written through
+    util.write_marker — the documented object-store swap point."""
+    path = os.path.join(checkpoint_dir, "_instance.json")
+    m = read_marker(path)
+    if m is None:
+        m = {"nonce": uuid.uuid4().hex[:12]}
+        write_marker(path, m)
+    return m["nonce"]
 
 
 def apply_dedup_batch(
@@ -93,10 +117,11 @@ def start_incremental_dedup(
     are not near-duplicates of anything already seen (indexed corpus or
     a smaller-id doc of the same micro-batch). Drain with
     ``available_now`` for the scheduled-batch cadence or leave running
-    on a processing-time trigger. Batch ids fold the checkpoint identity
-    in (epoch ids restart at 0 per checkpoint — the streaming/cells.py
-    epoch-guard rule)."""
-    ckpt = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    on a processing-time trigger. Batch ids fold the checkpoint INSTANCE
+    identity in (epoch ids restart at 0 per checkpoint instance — see
+    :func:`checkpoint_instance_nonce` for why the path alone is not
+    enough)."""
+    ckpt = checkpoint_instance_nonce(checkpoint_dir)
     reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

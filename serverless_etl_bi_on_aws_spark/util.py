@@ -86,7 +86,7 @@ def write_marker(path: str, payload: dict | None = None) -> None:
     rename is not atomic there. Swap this pair for either (a) the Hadoop
     FileSystem API (`FileSystem.create(path, overwrite=false)` — create-
     exclusive is the commit), or (b) a conditional PUT
-    (`If-None-Match: *` on S3, `x-goods-if-generation-match: 0` on GCS) so
+    (`If-None-Match: *` on S3, `x-goog-if-generation-match: 0` on GCS) so
     a marker commits exactly once even under concurrent writers. Markers
     are KB-sized JSON; they are the protocol, not the data — the data
     writes stay plain parquet appends either way."""

@@ -341,3 +341,90 @@ def test_dedup_embeddings_against_index(spark, tmp_path, monkeypatch):
     assert out.count() == 0
     # and appends keep composing
     assert update_ivf_index(b2, idx, "b2-dedup") is True
+
+
+def test_ivf_compaction_drift_and_probe_dedup(spark, tmp_path, monkeypatch):
+    """Round-9 verdict #2, all three pieces on one index:
+
+    (a) probe dedup — a crash-replayed append leaves duplicate corpus
+        rows; ivf_probe_topk must not let repeated vec_ids eat top-k
+        slots even BEFORE compaction;
+    (b) compact_ivf_index — N appends + a replay, then compact: corpus
+        row count collapses to unique, per-partition file counts bounded
+        (1 at this size), probe results identical before/after, markers
+        and centroids untouched;
+    (c) ivf_drift_status — same-distribution appends score a drift ratio
+        near 1 (no retrain), a planted distribution shift (vectors offset
+        far outside the trained cloud) drives the ratio up and flips
+        retrain_recommended."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_drift_status,
+        ivf_probe_topk,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    pool = emb.filter(F.col("vec_id") != 0)
+    base = pool.filter(F.col("vec_id") % 3 != 0)   # 2/3 builds
+    app = pool.filter(F.col("vec_id") % 3 == 0)    # 1/3 appends
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_clusters=8, seed=42)
+
+    st0 = ivf_drift_status(idx)
+    assert st0["appended_rows"] == 0 and not st0["retrain_recommended"]
+    assert st0["build_distortion"] > 0
+
+    from pyspark.ml.clustering import KMeans
+
+    def boom(self, *a, **kw):
+        raise AssertionError("KMeans.fit called during update/compact/probe")
+
+    monkeypatch.setattr(KMeans, "fit", boom)
+    assert update_ivf_index(app, idx, "b0") is True
+    # crash AFTER corpus append, BEFORE marker: replay re-appends — the
+    # corpus now holds every app row twice (drift record keyed by batch
+    # id, so it is overwritten identically, not double-counted)
+    os.remove(os.path.join(idx, "_applied", "b0"))
+    assert update_ivf_index(app, idx, "b0") is True
+    n_total = spark.read.parquet(os.path.join(idx, "corpus")).count()
+    n_unique = pool.count()
+    assert n_total > n_unique
+
+    # (a) duplicates never eat top-k slots
+    pre = ivf_probe_topk(spark, idx, qvec, k=10, n_probe=8).collect()
+    assert len({r.vec_id for r in pre}) == 10
+
+    # (c) same-distribution appends: ratio near 1, no retrain (appended
+    # rows are half the build rows)
+    st1 = ivf_drift_status(idx, retrain_ratio=2.0)
+    assert st1["appended_rows"] == app.count()
+    assert 0.2 < st1["drift_ratio"] < 2.0
+    assert not st1["retrain_recommended"]
+
+    # (b) compaction: unique rows, bounded files, probe-identical
+    files = compact_ivf_index(spark, idx)
+    assert files and all(n == 1 for n in files.values())
+    assert spark.read.parquet(os.path.join(idx, "corpus")).count() == n_unique
+    assert os.path.exists(os.path.join(idx, "_applied", "b0"))
+    post = ivf_probe_topk(spark, idx, qvec, k=10, n_probe=8).collect()
+    assert [(r.vec_id, round(r.cosine, 6)) for r in post] == [
+        (r.vec_id, round(r.cosine, 6)) for r in pre
+    ]
+
+    # (c) planted shift: offset vectors far from the trained cloud
+    shifted = app.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding"),
+    )
+    assert update_ivf_index(shifted, idx, "b-shift") is True
+    st2 = ivf_drift_status(idx, retrain_ratio=2.0)
+    assert st2["drift_ratio"] > 2.0
+    assert st2["retrain_recommended"]

@@ -196,3 +196,83 @@ def test_apply_image_dedup_batch_loop(spark, tmp_path):
     os.remove(os.path.join(idx, "_applied", "b1"))
     apply_image_dedup_batch(spark, b2, idx, clean, "b1")
     assert spark.read.parquet(os.path.join(clean, "batch=b1")).count() == n1
+
+
+def test_checkpoint_recreate_mints_fresh_batch_ids(spark, tmp_path):
+    """Round-9 ADVICE (medium): batch ids must fold in the checkpoint
+    INSTANCE, not just the path. Scenario: a stream drains file A, the
+    operator deletes the checkpoint ('reprocess' move) and a new file B
+    lands; the restarted stream's epoch ids restart at 0. Under the old
+    path-hash scheme epoch 0's batch id collides with the first
+    instance's — _SUCCESS and _applied markers both exist, so B's
+    genuinely-new docs are silently dropped from index AND clean corpus.
+    The per-instance nonce makes the restarted ids fresh: B's unique
+    docs must survive."""
+    import shutil
+
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        checkpoint_instance_nonce,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(300)
+    mid = docs.agg(F.max("doc_id")).head()[0] // 2
+    a = docs.filter(F.col("doc_id") <= mid)
+    b = docs.filter(F.col("doc_id") > mid)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def drop_file(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(stage / part, land / f"{name}.parquet")
+
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    init_minhash_index(idx)
+
+    drop_file(a, "a")
+    q = start_incremental_dedup(
+        spark, str(land), idx, clean, schema=docs.schema, checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+    nonce1 = checkpoint_instance_nonce(ckpt)
+    got_a = {r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()}
+    assert got_a == _oneshot_ids(a)
+
+    # operator wipes the checkpoint and a new file lands; the restarted
+    # stream reprocesses A (now a self-dup of the indexed corpus — all
+    # dropped) and must ADMIT B's survivors under fresh batch ids
+    shutil.rmtree(ckpt)
+    drop_file(b, "b")
+    q2 = start_incremental_dedup(
+        spark, str(land), idx, clean, schema=docs.schema, checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(180)
+    assert checkpoint_instance_nonce(ckpt) != nonce1
+
+    got = {r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()}
+    want = _oneshot_ids(docs)
+    assert got == want, "recreated checkpoint dropped genuinely new docs"
+    assert any(i > mid for i in got), "no B doc admitted after checkpoint recreate"
+
+
+def test_compactors_noop_on_empty_index(spark, tmp_path):
+    """Round-9 ADVICE (low): compacting a just-initialized (meta-only)
+    index must be a graceful no-op — same grace the probes already
+    extend to the empty-corpus state — not a FileNotFoundError."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import compact_index
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        compact_hash_index,
+        init_hash_index,
+    )
+
+    mh = str(tmp_path / "mh")
+    init_minhash_index(mh)
+    assert compact_index(spark, mh) == {}
+
+    hx = str(tmp_path / "hx")
+    init_hash_index(hx)
+    assert compact_hash_index(spark, hx) == {}
