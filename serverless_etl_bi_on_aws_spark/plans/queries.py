@@ -3009,7 +3009,6 @@ QUERIES: dict[str, QueryFn] = {
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q49_media_pixel_stats_jpeg": q49_media_pixel_stats_jpeg,
     "q50_dedup_survivors_cc": q50_dedup_survivors_cc,
-    "q51_audio_pcm_stats": q51_audio_pcm_stats,
     "q52_video_frame_stats": q52_video_frame_stats,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,
     "q54_contamination_check": q54_contamination_check,
@@ -3019,7 +3018,6 @@ QUERIES: dict[str, QueryFn] = {
     "q58_format_roundtrip": q58_format_roundtrip,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
-    "q61_gif_frame_stats": q61_gif_frame_stats,
     "q62_sketch_rollup_users": q62_sketch_rollup_users,
     "q63_pii_scrub": q63_pii_scrub,
     "q64_span_dedup": q64_span_dedup,
@@ -3036,6 +3034,8 @@ QUERIES: dict[str, QueryFn] = {
     "q75_lm_quality_score": q75_lm_quality_score,
     "q76_incremental_dedup_verify": q76_incremental_dedup_verify,
     "q77_image_phash_dedup": q77_image_phash_dedup,
+    "q78_mp4_frame_stats": q78_mp4_frame_stats,
+    "q79_audio_fingerprint_dedup": q79_audio_fingerprint_dedup,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -3043,7 +3043,7 @@ QUERIES: dict[str, QueryFn] = {
 #: value-verified THROUGH one — see the mapping in COVERAGE.md). Same
 #: correctness discipline locally: entries with EXTRA_ORACLE_SQL twins run
 #: through the identical pytest oracle compare; the rest are pytest-pinned
-#: to exact counterparts. bench.py times q2/q13/q78/q79 from here (the q6
+#: to exact counterparts. bench.py times q2/q13/q51 from here (the q6
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
@@ -3076,6 +3076,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q37_train_val_test_split": q37_train_val_test_split,  # rotated out r9: sampling family stays via q56 domain-mix rebalance
     "q38_chunked_docs": q38_chunked_docs,  # rotated out r9: chunking is the map-only front of q41's packing (driver)
     "q42_media_pixel_stats": q42_media_pixel_stats,  # rotated out r9: media codecs stay via q49/q51/q52/q61 and q77 (driver now)
-    "q78_mp4_frame_stats": q78_mp4_frame_stats,  # NEW r9: ISO BMFF (MP4) container, MJPEG track, q49 bounded-lossy oracle
-    "q79_audio_fingerprint_dedup": q79_audio_fingerprint_dedup,  # NEW r9: audio energy-envelope near-dup, closed-form fp oracle
+    "q51_audio_pcm_stats": q51_audio_pcm_stats,  # rotated out r10: audio stays driver-visible via q79 (WAV decode inside the fingerprint path)
+    "q61_gif_frame_stats": q61_gif_frame_stats,  # rotated out r10: codec family stays via q49/q52/q77/q78; GIF LZW full-value oracle stays in the pytest union
 }

@@ -425,3 +425,95 @@ def test_cell_merge_epoch_replay_is_noop(spark, tmp_path):
     three = {(r["event_type"], r["bin_id"]): r["n"]
              for r in spark.read.parquet(cells_path).collect()}
     assert three == {("A", 0): 9, ("B", 1): 6}
+
+
+def test_streaming_denorm_maintenance(spark, tmp_path):
+    """EP1's last leg (round-9 verdict #8): the denorm BI layout kept
+    current by a stream over the landing zone. Land a staged extract of
+    20 new orders -> drain -> land a second extract that reprices and
+    year-moves one order and deletes another -> drain (same checkpoint:
+    file-source exactly-once across restarts) -> the maintained table
+    equals a full rebuild over the merged base tables, and a third drain
+    with no new files changes nothing."""
+    from serverless_etl_bi_on_aws_spark.operators.denorm import (
+        denorm_rows,
+        upsert_sales_denorm,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        start_denorm_maintenance,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    key, lkey = F.col("o_orderkey"), F.col("l_orderkey")
+    years = sorted(
+        r[0] for r in orders.select(F.year("o_orderdate")).distinct().collect()
+    )
+    y_new, y_mod = years[-1], years[0]
+
+    k_new = [
+        r[0]
+        for r in orders.filter(F.year("o_orderdate") == y_new)
+        .select("o_orderkey").orderBy("o_orderkey").limit(20).collect()
+    ]
+    m1, d = (
+        r[0]
+        for r in orders.filter(F.year("o_orderdate") == y_mod)
+        .join(li.select(lkey.alias("o_orderkey")).distinct(), "o_orderkey")
+        .select("o_orderkey").orderBy("o_orderkey").limit(2).collect()
+    )
+    odt = dict(orders.dtypes)["o_orderdate"]
+    base_orders = orders.filter(~key.isin(k_new))
+    base_li = li.filter(~lkey.isin(k_new))
+    mod1 = orders.filter(key == m1).withColumn(
+        "o_orderdate", F.add_months("o_orderdate", 13).cast(odt)
+    )
+    mod1_li = li.filter(lkey == m1).withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 2
+    )
+
+    def staged(o_df, l_df):
+        lines = l_df.select(
+            lkey.alias("o_orderkey"), "l_partkey", "l_extendedprice", "l_discount"
+        )
+        return o_df.select("o_orderkey", "o_orderdate").join(
+            lines, "o_orderkey", "left"
+        )
+
+    path = str(tmp_path / "denorm")
+    upsert_sales_denorm(spark, path, base_orders, base_li, part)  # bootstrap
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    f1 = staged(orders.filter(key.isin(k_new)), li.filter(lkey.isin(k_new)))
+    f2 = staged(
+        mod1.unionByName(orders.filter(key == d)), mod1_li
+    )  # d: one NULL-lines row = delete
+
+    def drain():
+        q = start_denorm_maintenance(
+            spark, str(land / "*"), path, part, f1.schema, ckpt
+        )
+        q.awaitTermination(120)
+
+    f1.coalesce(1).write.mode("overwrite").parquet(str(land / "extract1"))
+    drain()
+    cols = ["o_orderkey", "category", "order_year", "_rev"]
+
+    def rows():
+        return sorted(tuple(r) for r in spark.read.parquet(path).select(*cols).collect())
+
+    want1 = sorted(tuple(r) for r in denorm_rows(li, orders, part).collect())
+    assert rows() == want1  # all fixture orders present after batch 1
+
+    f2.coalesce(1).write.mode("overwrite").parquet(str(land / "extract2"))
+    drain()
+    exp_orders = orders.filter(key != m1).unionByName(mod1)
+    exp_li = li.filter((lkey != m1) & (lkey != d)).unionByName(mod1_li)
+    want2 = sorted(tuple(r) for r in denorm_rows(exp_li, exp_orders, part).collect())
+    assert rows() == want2
+
+    drain()  # no new files -> no change
+    assert rows() == want2

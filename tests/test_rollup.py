@@ -123,3 +123,110 @@ def test_hll_sketch_rollup_merge_exact_and_bounded(spark):
     assert merged["approx_distinct"] == direct["est"]  # union identity
     assert merged["n_rows"] == 400_000
     assert abs(merged["approx_distinct"] - n_distinct) <= n_distinct * 0.05
+
+
+def test_denorm_upsert_equals_full_rebuild(spark):
+    """Incremental maintenance of the denorm fact (round-9 verdict #1):
+    bootstrap + two staged batches == a full rebuild from the merged base
+    tables, under exact scaled-long revenue equality. The batches cover
+    every staging-merge shape: brand-new orders, a modified order whose
+    lineitems were repriced AND whose o_orderdate moved years, an order
+    parked in a year of its own then moved back (the emptied year
+    partition must be dropped — dynamic overwrite alone would leave it),
+    and an order staged with no lineitems (delete). Untouched year
+    partitions are never rewritten (mtime-pinned), and replaying a batch
+    is idempotent."""
+    from serverless_etl_bi_on_aws_spark.operators.denorm import (
+        denorm_rows,
+        sales_by_category_from_denorm,
+        upsert_sales_denorm,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part")
+    key = F.col("o_orderkey")
+    lkey = F.col("l_orderkey")
+
+    # late-arriving orders: 40 keys from 2001 (batch1 gets 20, batch2 20)
+    k01 = [
+        r[0]
+        for r in orders.filter(F.year("o_orderdate") == 2001)
+        .select("o_orderkey").orderBy("o_orderkey").limit(40).collect()
+    ]
+    b1_new, b2_new = k01[:20], k01[20:]
+    # modified/deleted orders: 3 keys from 1995 (so batch1 touches only
+    # 1995/1996/2001/2099 and 1997-2000 stay untouched)
+    m1, m2, d = (
+        r[0]
+        for r in orders.filter(F.year("o_orderdate") == 1995)
+        .select("o_orderkey").orderBy("o_orderkey").limit(3).collect()
+    )
+    odt = dict(orders.dtypes)["o_orderdate"]
+    late = set(b1_new) | set(b2_new)
+    base_orders = orders.filter(~key.isin(late))
+    base_li = li.filter(~lkey.isin(late))
+
+    mod1 = orders.filter(key == m1).withColumn(
+        "o_orderdate", F.add_months("o_orderdate", 13).cast(odt)
+    )  # 1995 -> 1996
+    mod1_li = li.filter(lkey == m1).withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 2
+    )
+    park2 = orders.filter(key == m2).withColumn(
+        "o_orderdate", F.lit("2099-06-01").cast(odt)
+    )
+
+    with tempfile.TemporaryDirectory(prefix="denorm_upsert_") as dd:
+        path = os.path.join(dd, "denorm")
+        # bootstrap: first batch IS the table
+        upsert_sales_denorm(spark, path, base_orders, base_li, part)
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+        pre = {
+            y: os.path.getmtime(os.path.join(path, f"order_year={y}"))
+            for y in (1997, 1998, 1999, 2000)
+        }
+
+        # batch 1: 20 new orders + m1 repriced/year-moved + m2 parked in 2099
+        b1_orders = (
+            orders.filter(key.isin(b1_new)).unionByName(mod1).unionByName(park2)
+        )
+        b1_li = (
+            li.filter(lkey.isin(b1_new))
+            .unionByName(mod1_li)
+            .unionByName(li.filter(lkey == m2))
+        )
+        upsert_sales_denorm(spark, path, b1_orders, b1_li, part)
+        assert os.path.exists(os.path.join(path, "order_year=2099"))
+        for y, mtime in pre.items():
+            assert os.path.getmtime(os.path.join(path, f"order_year={y}")) == mtime
+
+        # batch 2: 20 new orders + m2 restored to 1995 + d deleted (no lines)
+        b2_orders = (
+            orders.filter(key.isin(b2_new))
+            .unionByName(orders.filter(key == m2))
+            .unionByName(orders.filter(key == d))
+        )
+        b2_li = li.filter(lkey.isin(b2_new)).unionByName(li.filter(lkey == m2))
+        upsert_sales_denorm(spark, path, b2_orders, b2_li, part)
+        assert not os.path.exists(os.path.join(path, "order_year=2099")), (
+            "emptied year partition must be dropped"
+        )
+
+        # equivalence: table == full rebuild over the merged base tables
+        exp_orders = orders.filter(key != m1).unionByName(mod1)
+        exp_li = li.filter((lkey != m1) & (lkey != d)).unionByName(mod1_li)
+        want = _rows(denorm_rows(exp_li, exp_orders, part))
+        cols = ["o_orderkey", "category", "order_year", "_rev"]
+        assert _rows(spark.read.parquet(path).select(*cols)) == want
+
+        # replay of batch 2: delete-matching is idempotent
+        upsert_sales_denorm(spark, path, b2_orders, b2_li, part)
+        assert _rows(spark.read.parquet(path).select(*cols)) == want
+
+        # and the BI query still serves exact cents from the maintained table
+        got_q3 = sales_by_category_from_denorm(spark, path)
+        assert got_q3.count() > 0
+        assert {c for c in got_q3.columns} == {
+            "category", "order_year", "n_sold", "revenue"
+        }
