@@ -59,7 +59,12 @@ from serverless_etl_bi_on_aws_spark.operators.dedup import (
     est_jaccard,
     minhash_signatures,
 )
-from serverless_etl_bi_on_aws_spark.util import marker_exists, read_marker, write_marker
+from serverless_etl_bi_on_aws_spark.util import (
+    marker_exists,
+    read_marker,
+    write_marker,
+    writer_lease,
+)
 
 
 @dataclass(frozen=True)
@@ -249,16 +254,23 @@ def update_index(
     decisions depend on set membership, not multiplicity), which is what
     lets a plain-parquet append survive at-least-once delivery without a
     transaction log. Returns True if the batch was applied, False if it
-    had been already."""
+    had been already.
+
+    Appends are serialized by the index's single-writer lease
+    (util.writer_lease): a second concurrent updater fails loudly with
+    LeaseHeldError instead of interleaving probe-then-append."""
     marker = os.path.join(index_path, "_applied", batch_id)
     if marker_exists(marker):
         return False
-    meta = read_meta(index_path)
-    sigs = minhash_signatures(
-        new_docs, meta.id_col, text_col, meta.n, meta.num_hashes, meta.seed
-    )
-    _append_signatures(sigs, meta, index_path)
-    write_marker(marker, {"batch_id": batch_id})
+    with writer_lease(index_path, owner=f"update_index:{batch_id}"):
+        if marker_exists(marker):  # applied while we waited on the lease
+            return False
+        meta = read_meta(index_path)
+        sigs = minhash_signatures(
+            new_docs, meta.id_col, text_col, meta.n, meta.num_hashes, meta.seed
+        )
+        _append_signatures(sigs, meta, index_path)
+        write_marker(marker, {"batch_id": batch_id})
     return True
 
 
@@ -287,25 +299,26 @@ def compact_index(
     meta = read_meta(index_path)
     bands_root = os.path.join(index_path, "bands")
     files = {}
-    # a just-initialized index (init_minhash_index, no appends yet) has
-    # neither table — nothing to compact, same grace dedup_against_index
-    # extends to the empty-corpus probe (round-9 ADVICE)
-    if os.path.exists(bands_root):
-        for part in sorted(os.listdir(bands_root)):
-            if not part.startswith("band="):
-                continue
-            files[f"bands/{part}"] = compact_parquet(
+    with writer_lease(index_path, owner="compact_index"):
+        # a just-initialized index (init_minhash_index, no appends yet) has
+        # neither table — nothing to compact, same grace dedup_against_index
+        # extends to the empty-corpus probe (round-9 ADVICE)
+        if os.path.exists(bands_root):
+            for part in sorted(os.listdir(bands_root)):
+                if not part.startswith("band="):
+                    continue
+                files[f"bands/{part}"] = compact_parquet(
+                    spark,
+                    os.path.join(bands_root, part),
+                    target_file_bytes,
+                    cluster_by="bucket",
+                    dedupe_on=["bucket", meta.id_col],
+                )
+        if os.path.exists(os.path.join(index_path, "sigs")):
+            files["sigs"] = compact_parquet(
                 spark,
-                os.path.join(bands_root, part),
+                os.path.join(index_path, "sigs"),
                 target_file_bytes,
-                cluster_by="bucket",
-                dedupe_on=["bucket", meta.id_col],
+                dedupe_on=[meta.id_col],
             )
-    if os.path.exists(os.path.join(index_path, "sigs")):
-        files["sigs"] = compact_parquet(
-            spark,
-            os.path.join(index_path, "sigs"),
-            target_file_bytes,
-            dedupe_on=[meta.id_col],
-        )
     return files

@@ -36,7 +36,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from serverless_etl_bi_on_aws_spark.operators.dedup import hamming_pairs_blocked
-from serverless_etl_bi_on_aws_spark.util import marker_exists, read_marker, write_marker
+from serverless_etl_bi_on_aws_spark.util import (
+    marker_exists,
+    read_marker,
+    write_marker,
+    writer_lease,
+)
 
 
 def read_hash_meta(index_path: str) -> dict:
@@ -164,13 +169,18 @@ def update_hash_index(
 ) -> bool:
     """Append one batch's ``(id, hash)`` rows — ALL of them, duplicates
     included (chain equivalence; see operators/dedup_index.py).
-    Idempotent per ``batch_id``; marker written LAST."""
+    Idempotent per ``batch_id``; marker written LAST. Serialized by the
+    index's single-writer lease (util.writer_lease) — a second
+    concurrent updater fails loudly instead of interleaving."""
     marker = os.path.join(index_path, "_applied", batch_id)
     if marker_exists(marker):
         return False
-    meta = read_hash_meta(index_path)
-    _append(new_hashed.select(meta["id_col"], meta["hash_col"]), meta, index_path)
-    write_marker(marker, {"batch_id": batch_id})
+    with writer_lease(index_path, owner=f"update_hash_index:{batch_id}"):
+        if marker_exists(marker):
+            return False
+        meta = read_hash_meta(index_path)
+        _append(new_hashed.select(meta["id_col"], meta["hash_col"]), meta, index_path)
+        write_marker(marker, {"batch_id": batch_id})
     return True
 
 
@@ -186,24 +196,25 @@ def compact_hash_index(
     id_col = meta["id_col"]
     files = {}
     blocks_root = os.path.join(index_path, "blocks")
-    # a just-initialized index (init_hash_index, no appends yet) has
-    # neither table — nothing to compact (round-9 ADVICE)
-    if os.path.exists(blocks_root):
-        for part in sorted(os.listdir(blocks_root)):
-            if not part.startswith("block="):
-                continue
-            files[f"blocks/{part}"] = compact_parquet(
+    with writer_lease(index_path, owner="compact_hash_index"):
+        # a just-initialized index (init_hash_index, no appends yet) has
+        # neither table — nothing to compact (round-9 ADVICE)
+        if os.path.exists(blocks_root):
+            for part in sorted(os.listdir(blocks_root)):
+                if not part.startswith("block="):
+                    continue
+                files[f"blocks/{part}"] = compact_parquet(
+                    spark,
+                    os.path.join(blocks_root, part),
+                    target_file_bytes,
+                    cluster_by="key",
+                    dedupe_on=["key", id_col],
+                )
+        if os.path.exists(os.path.join(index_path, "hashes")):
+            files["hashes"] = compact_parquet(
                 spark,
-                os.path.join(blocks_root, part),
+                os.path.join(index_path, "hashes"),
                 target_file_bytes,
-                cluster_by="key",
-                dedupe_on=["key", id_col],
+                dedupe_on=[id_col],
             )
-    if os.path.exists(os.path.join(index_path, "hashes")):
-        files["hashes"] = compact_parquet(
-            spark,
-            os.path.join(index_path, "hashes"),
-            target_file_bytes,
-            dedupe_on=[id_col],
-        )
     return files

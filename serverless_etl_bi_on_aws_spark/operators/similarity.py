@@ -608,8 +608,33 @@ def update_ivf_index(
 
     Idempotent per ``batch_id`` via the centralized commit markers
     (marker written LAST, after corpus append and drift record; replays
-    of an applied batch are no-ops). Returns True if the batch was
-    applied."""
+    of an applied batch are no-ops), and serialized by the index's
+    single-writer lease (util.writer_lease) — a second concurrent
+    updater fails loudly instead of interleaving. Returns True if the
+    batch was applied."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.util import marker_exists, writer_lease
+
+    marker = os.path.join(index_path, "_applied", batch_id)
+    if marker_exists(marker):
+        return False
+    with writer_lease(index_path, owner=f"update_ivf_index:{batch_id}"):
+        if marker_exists(marker):
+            return False
+        return _update_ivf_index_locked(
+            new_embeddings, index_path, batch_id, vec_col, marker
+        )
+
+
+def _update_ivf_index_locked(
+    new_embeddings: DataFrame,
+    index_path: str,
+    batch_id: str,
+    vec_col: str,
+    marker: str,
+) -> bool:
+    """Body of :func:`update_ivf_index`, run under the writer lease."""
     import os
 
     import numpy as np
@@ -617,11 +642,8 @@ def update_ivf_index(
 
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    from serverless_etl_bi_on_aws_spark.util import marker_exists, write_marker
+    from serverless_etl_bi_on_aws_spark.util import write_marker
 
-    marker = os.path.join(index_path, "_applied", batch_id)
-    if marker_exists(marker):
-        return False
     spark = new_embeddings.sparkSession
     centers = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
     cmat = np.zeros((len(centers), len(centers[0]["centroid"])), dtype="float64")
@@ -770,16 +792,19 @@ def compact_ivf_index(
     files: dict[str, int] = {}
     if not os.path.isdir(corpus_root):
         return files
-    for part in sorted(os.listdir(corpus_root)):
-        if not part.startswith("_cluster="):
-            continue
-        files[f"corpus/{part}"] = compact_parquet(
-            spark,
-            os.path.join(corpus_root, part),
-            target_file_bytes,
-            cluster_by=id_col,
-            dedupe_on=[id_col],
-        )
+    from serverless_etl_bi_on_aws_spark.util import writer_lease
+
+    with writer_lease(index_path, owner="compact_ivf_index"):
+        for part in sorted(os.listdir(corpus_root)):
+            if not part.startswith("_cluster="):
+                continue
+            files[f"corpus/{part}"] = compact_parquet(
+                spark,
+                os.path.join(corpus_root, part),
+                target_file_bytes,
+                cluster_by=id_col,
+                dedupe_on=[id_col],
+            )
     return files
 
 

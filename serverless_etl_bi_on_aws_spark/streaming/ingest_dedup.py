@@ -177,3 +177,76 @@ def apply_image_dedup_batch(
         )
         survivors.write.mode("overwrite").parquet(out)
     update_dhash_index(batch_df, index_path, batch_id, media_col=media_col)
+
+
+def apply_afp_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    clean_dir: str,
+    batch_id: str,
+    radius: int = 6,
+    media_col: str = "media",
+) -> None:
+    """The AUDIO twin of :func:`apply_dedup_batch` — identical crash-point
+    discipline (probe -> _SUCCESS-gated survivors write -> marker-gated
+    fingerprint append), with the energy-envelope fingerprint index
+    (operators/audio_dedup.py, hash_index-backed) as the corpus. Start
+    from ``init_afp_index``; survivors keep their media payloads
+    (dropped ids broadcast into the anti-join, payloads never shuffle);
+    NULL-fingerprint (corrupt/non-WAV) media always survive."""
+    from serverless_etl_bi_on_aws_spark.operators.audio_dedup import (
+        dedup_audio_against_index,
+        update_afp_index,
+    )
+
+    out = os.path.join(clean_dir, f"batch={batch_id}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        survivors = dedup_audio_against_index(
+            spark, batch_df, index_path, radius=radius, media_col=media_col
+        )
+        survivors.write.mode("overwrite").parquet(out)
+    update_afp_index(batch_df, index_path, batch_id, media_col=media_col)
+
+
+def apply_embedding_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    clean_dir: str,
+    batch_id: str,
+    threshold: float = 0.9,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The EMBEDDING twin of :func:`apply_dedup_batch` over the persisted
+    IVF index (operators/similarity.py): probe the probed-cluster corpus
+    for cosine >= ``threshold`` -> _SUCCESS-gated survivors write ->
+    marker-gated centroid-assigned corpus append. The same one data-loss
+    trap applies: once the batch's vectors are IN the corpus, a survivors
+    recompute would see the batch as a duplicate of itself and emit an
+    EMPTY partition — hence the write is gated, never recomputed, after
+    commit. Crash-replayed appends leave duplicate corpus rows that are
+    harmless to dedup probes (set membership) and purged by
+    ``compact_ivf_index``; ``ivf_drift_status`` tells the operator when
+    the append stream has drifted far enough from the trained centroids
+    to retrain."""
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        dedup_embeddings_against_index,
+        update_ivf_index,
+    )
+
+    out = os.path.join(clean_dir, f"batch={batch_id}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        survivors = dedup_embeddings_against_index(
+            spark,
+            batch_df,
+            index_path,
+            threshold=threshold,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        survivors.write.mode("overwrite").parquet(out)
+    update_ivf_index(batch_df, index_path, batch_id, vec_col=vec_col)

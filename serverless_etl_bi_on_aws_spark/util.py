@@ -118,3 +118,96 @@ def read_marker(path: str) -> dict | None:
 
 def marker_exists(path: str) -> bool:
     return os.path.exists(path)
+
+
+class LeaseHeldError(RuntimeError):
+    """Another writer holds the index's `_writer.lock`; the caller must
+    fail loudly rather than interleave probe-then-append with it."""
+
+
+def create_exclusive_marker(path: str, payload: dict | None = None) -> bool:
+    """Create a marker iff it does not already exist — the CAS half of
+    the object-store swap point (:func:`write_marker` is the last-wins
+    half). Local filesystem: ``O_CREAT|O_EXCL``, which is atomic on
+    POSIX. Object-store swap: S3 ``If-None-Match: *`` / GCS
+    ``x-goog-if-generation-match: 0`` conditional PUT — the precondition
+    failure maps to the ``False`` branch here. Returns True iff THIS
+    call created the marker."""
+    import json
+
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(payload if payload is not None else {}, f)
+    return True
+
+
+def writer_lease(root: str, owner: str = "writer", stale_after_s: float | None = None):
+    """Single-writer lease over an index directory — the concurrency
+    story for the whole persisted-index family (MinHash / dHash / audio
+    fingerprint / IVF). Every probe is a read-only scan and needs no
+    coordination, but two schedulers pointed at one index would race
+    probe-then-append: each could admit the other's duplicates. This
+    context manager makes the mutating half (update_* appends, compact_*
+    rewrites) exclusive:
+
+        with writer_lease(index_path, owner="hourly-crawl"):
+            ...appends/compaction...
+
+    Acquisition is a create-exclusive ``_writer.lock`` marker
+    (:func:`create_exclusive_marker` — the documented object-store CAS
+    swap point); release removes it on exit, success or raise. A second
+    writer gets :class:`LeaseHeldError` immediately — fail-loud, never
+    interleave.
+
+    STALE-LEASE RULE: a writer that dies without cleanup leaves the lock
+    behind. The lock records owner/pid/acquisition time; an operator (or
+    a caller passing ``stale_after_s``) may break a lease older than the
+    longest plausible batch. Breaking is remove-then-recreate — on a
+    local filesystem two simultaneous breakers can in principle both
+    succeed (the window is the remove/create gap); on an object store
+    the generation-match precondition closes even that. Choose
+    ``stale_after_s`` >> the batch cadence, never comparable to it."""
+    import contextlib
+    import time
+
+    @contextlib.contextmanager
+    def _lease():
+        lock = os.path.join(root, "_writer.lock")
+        payload = {"owner": owner, "pid": os.getpid(), "acquired_unix": time.time()}
+        if not create_exclusive_marker(lock, payload):
+            held = read_marker(lock)
+            age = None
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                pass
+            if stale_after_s is not None and age is not None and age > stale_after_s:
+                try:
+                    os.remove(lock)  # break the documented-stale lease
+                except FileNotFoundError:
+                    pass
+                if not create_exclusive_marker(lock, payload):
+                    raise LeaseHeldError(
+                        f"writer lease at {lock} re-acquired by another writer "
+                        f"while breaking a stale lease"
+                    )
+            else:
+                raise LeaseHeldError(
+                    f"writer lease at {lock} held by {held or 'unknown writer'}"
+                    + (f" (age {age:.0f}s)" if age is not None else "")
+                )
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    return _lease()

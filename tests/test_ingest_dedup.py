@@ -276,3 +276,221 @@ def test_compactors_noop_on_empty_index(spark, tmp_path):
     hx = str(tmp_path / "hx")
     init_hash_index(hx)
     assert compact_hash_index(spark, hx) == {}
+
+
+def test_apply_afp_dedup_batch_loop(spark, tmp_path):
+    """AUDIO twin of the ingest loop (round-9 verdict #4): two batches
+    through apply_afp_dedup_batch (starting from an EMPTY index) equal
+    the one-shot audio pair rule over the union; corrupt payloads
+    (NULL fingerprint) always survive; replay of an applied batch is a
+    no-op; the crash-between-write-and-append replay keeps the
+    survivors partition intact."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import encode_wav_pcm16
+    from serverless_etl_bi_on_aws_spark.operators.audio_dedup import (
+        audio_neardup_pairs,
+        init_afp_index,
+    )
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import MEDIA_STRUCT
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_afp_dedup_batch,
+    )
+
+    def program(k, n=4000):
+        t = np.arange(n)
+        env = 0.55 + 0.45 * np.sin(2 * np.pi * (k % 7 + 1) * t / n + k)
+        wobble = 0.2 * np.sin(2 * np.pi * (k % 11 + 2) * t / n + 2 * k)
+        carrier = np.sin(2 * np.pi * t * (0.03 + 0.001 * (k % 5)))
+        return ((env + wobble) * carrier * 12000).astype(np.int64)
+
+    def wav(k, gain_div=1):
+        return encode_wav_pcm16(np.clip(program(k) // gain_div, -32768, 32767))
+
+    schema = StructType(
+        [StructField("doc_id", LongType(), False), StructField("media", MEDIA_STRUCT, True)]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, {"payload": p, "mime": "audio/wav", "width": None,
+                     "height": None, "duration_ms": None})
+                for i, p in rows
+            ],
+            schema,
+        )
+
+    # batch 1: programs 1,3,5,6,9; batch 2: 10 re-renders program 3 at
+    # half gain (cross-batch dup), 11/12 one new program at two gains
+    # (within-batch dup), 13 fresh, 14 corrupt (NULL fp -> survives)
+    b1_rows = [(i, wav(k)) for i, k in zip(range(5), (1, 3, 5, 6, 9))]
+    b2_rows = [
+        (10, wav(3, gain_div=2)),
+        (11, wav(20)),
+        (12, wav(20, gain_div=4)),
+        (13, wav(30)),
+        (14, b"RIFF not really a wav"),
+    ]
+    b1, b2 = mk(b1_rows), mk(b2_rows)
+    idx = str(tmp_path / "afp_idx")
+    clean = str(tmp_path / "clean")
+    init_afp_index(idx)
+    apply_afp_dedup_batch(spark, b1, idx, clean, "b0")
+    apply_afp_dedup_batch(spark, b2, idx, clean, "b1")
+
+    got = {r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()}
+    union = mk(b1_rows + b2_rows)
+    dropped = {r.id_2 for r in audio_neardup_pairs(union, radius=6).collect()}
+    want = {i for i, _ in b1_rows + b2_rows} - dropped
+    assert got == want
+    assert 10 not in got and 12 not in got and 13 in got and 14 in got
+
+    n1 = spark.read.parquet(os.path.join(clean, "batch=b1")).count()
+    apply_afp_dedup_batch(spark, b2, idx, clean, "b1")  # full replay: no-op
+    assert spark.read.parquet(os.path.join(clean, "batch=b1")).count() == n1
+
+    # crash between survivors commit and index marker: survivors must
+    # NOT be recomputed against the self-contaminated index
+    os.remove(os.path.join(idx, "_applied", "b1"))
+    apply_afp_dedup_batch(spark, b2, idx, clean, "b1")
+    assert spark.read.parquet(os.path.join(clean, "batch=b1")).count() == n1
+
+
+def test_apply_embedding_dedup_batch_loop(spark, tmp_path):
+    """EMBEDDING twin of the ingest loop over the persisted IVF index
+    (round-9 verdict #4): bootstrap corpus via build_ivf_index, then a
+    batch with a planted cross-batch duplicate (exact copy of an indexed
+    vector), a within-batch duplicate pair, and fresh vectors. The loop
+    drops both duplicates, keeps fresh vectors, and survives the replay
+    trio; crash-replayed corpus rows collapse under compact_ivf_index
+    with probe-identical results."""
+    from pyspark.sql.types import ArrayType, FloatType, LongType, StructField, StructType
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_embedding_dedup_batch,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "ivf_idx")
+    clean = str(tmp_path / "clean_emb")
+    build_ivf_index(b0, idx, n_clusters=8, seed=42)
+
+    # batch: a planted exact copy of indexed vec 0 (new id 1_000_000),
+    # a within-batch duplicate pair (1_000_001 ~ copy of 1_000_002),
+    # plus genuinely fresh odd-id vectors
+    v0 = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    vf = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") % 2 == 1).limit(2).collect()
+    ]
+    fresh_ids = [
+        r.vec_id for r in emb.filter(F.col("vec_id") % 2 == 1).limit(2).collect()
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            (1_000_000, v0),
+            (1_000_001, vf[0]),  # same vector as fresh_ids[0], larger id
+            (int(fresh_ids[0]), vf[0]),
+            (int(fresh_ids[1]), vf[1]),
+        ],
+        schema,
+    )
+    # within-batch rule: smaller id is senior -> fresh_ids[0] survives,
+    # 1_000_001 (same vector, larger id) is dropped
+    apply_embedding_dedup_batch(
+        spark, batch, idx, clean, "b0", threshold=0.99, n_probe=8
+    )
+    got = {r.vec_id for r in spark.read.parquet(clean).select("vec_id").collect()}
+    assert got == {int(fresh_ids[0]), int(fresh_ids[1])}
+
+    n1 = spark.read.parquet(os.path.join(clean, "batch=b0")).count()
+    apply_embedding_dedup_batch(  # full replay: no-op
+        spark, batch, idx, clean, "b0", threshold=0.99, n_probe=8
+    )
+    assert spark.read.parquet(os.path.join(clean, "batch=b0")).count() == n1
+
+    # crash between survivors commit and index marker: replay re-appends
+    # (duplicate corpus rows) but must NOT recompute survivors
+    n_corpus = spark.read.parquet(os.path.join(idx, "corpus")).count()
+    os.remove(os.path.join(idx, "_applied", "b0"))
+    apply_embedding_dedup_batch(
+        spark, batch, idx, clean, "b0", threshold=0.99, n_probe=8
+    )
+    assert spark.read.parquet(os.path.join(clean, "batch=b0")).count() == n1
+    assert spark.read.parquet(os.path.join(idx, "corpus")).count() > n_corpus
+    compact_ivf_index(spark, idx)
+    assert spark.read.parquet(os.path.join(idx, "corpus")).count() == n_corpus
+
+
+def test_writer_lease_blocks_concurrent_updates(spark, tmp_path):
+    """Round-9 verdict #6: two schedulers pointed at one index must not
+    interleave probe-then-append. The mutating half of every index
+    (update/compact) acquires a create-exclusive `_writer.lock`; a
+    second writer fails loudly with LeaseHeldError; replays of applied
+    batches stay lease-free no-ops; a documented-stale lease can be
+    broken with an explicit stale_after_s."""
+    import time
+
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import update_index
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        init_hash_index,
+        update_hash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.util import (
+        LeaseHeldError,
+        create_exclusive_marker,
+        writer_lease,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(50)
+    idx = str(tmp_path / "mh_idx")
+    init_minhash_index(idx)
+
+    with writer_lease(idx, owner="scheduler-a"):
+        with pytest.raises(LeaseHeldError):
+            update_index(docs, idx, "b0")
+    # lease released on exit -> the same call now succeeds
+    assert update_index(docs, idx, "b0") is True
+    # replay of an applied batch is a marker no-op BEFORE the lease
+    with writer_lease(idx, owner="scheduler-a"):
+        assert update_index(docs, idx, "b0") is False
+
+    # hash-index twin
+    hashed = spark.createDataFrame(
+        [(1, 7), (2, 9)], "doc_id bigint, hash bigint"
+    )
+    hx = str(tmp_path / "hx_idx")
+    init_hash_index(hx)
+    with writer_lease(hx, owner="scheduler-b"):
+        with pytest.raises(LeaseHeldError):
+            update_hash_index(hashed, hx, "b0")
+    assert update_hash_index(hashed, hx, "b0") is True
+
+    # stale-lease rule: a dead writer's lock older than stale_after_s is
+    # broken; a fresh one is not
+    lock = os.path.join(idx, "_writer.lock")
+    assert create_exclusive_marker(lock, {"owner": "dead-writer"})
+    with pytest.raises(LeaseHeldError):
+        with writer_lease(idx, owner="new", stale_after_s=3600):
+            pass
+    past = time.time() - 7200
+    os.utime(lock, (past, past))
+    with writer_lease(idx, owner="new", stale_after_s=3600):
+        assert os.path.exists(lock)  # re-acquired by the breaker
+    assert not os.path.exists(lock)  # released on exit
