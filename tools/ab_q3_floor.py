@@ -31,33 +31,56 @@ Result (2026-08-14 run, REPS=7, medians, 8 MB splits, local[32]):
     full        0.866 s  5.865 s  0.5555    0.2906  (part bcast + agg)
     duckdb q3   0.193 s  0.910 s  0.0797    -       (denominator)
 
-Two findings. (1) The orderkey exchanges cost +0.19 s/sf — 2.4x DuckDB's
-WHOLE-query slope on their own; that share is irreducible per query (the
-semantics need the join) and is exactly what the q46 buckets pay once at
-ingest instead. (2) The LARGEST component (+0.29 s/sf, 52%) is the final
-stage: probing a 2M-entry broadcast map with STRING p_type values and
-hash-aggregating 60M rows on a string key — a cost the bucketed path
-pays too. That finding drove tools/ab_q3_aggkeys.py (dictionary-encode
-the category to an int id before the probe, map back after the 42-row
-aggregate) — measured only ~8% slope (0.507 -> 0.468) and REJECTED: the
-cost is the probe's per-row DRAM latency, not key width. What removes it
-is not paying it per query: the pre-join denormalized fact
-(operators/denorm.py, the reference's own README.md:113 move) measures
-slope 0.041 — under DuckDB's whole-query slope — and is the adopted
-layer (bench `denorm_q3` tier, EXTRA query q60). The scan floor itself
-is 3.7x BELOW DuckDB's whole-query slope — the residual raw-q3 gap is
-shuffle + final-stage, not the scan. Recorded in SURVEY.md §8.5.
+The rung DELTAS attribute the whole measured slope — they sum by
+construction and the attribution is the finding:
 
-Round-9 addendum — pre-aggregation rewrite MEASURED AND REJECTED: a
-partial rollup by (l_partkey, order_year) between the orderkey join and
-the part broadcast (shrinking the probe + string-agg input from 60M to
-~14M rows; counts/long-sums decompose exactly so the oracle is
-unaffected) measured slope 0.82 s/sf vs 0.50 for the shipped plan
-(5 interleaved reps, medians) — the added exchange + 14M-group hash
-aggregate costs far more than the probe work it saves. The high-
-cardinality mid-aggregate is the same trap at any scale; the adopted
-answers remain the ingest-time layouts (bucketed 1.26, denorm 0.37
-slope-ratio tiers in BENCH).
+    scan + revenue expression        0.021 s/sf   ( 4%)
+    orders-side scan                 0.011 s/sf   ( 2%)
+    orderkey exchanges (both sides)  0.189 s/sf   (34%)
+    hash build + probe on orderkey   0.044 s/sf   ( 8%)
+    part broadcast probe + cat agg   0.291 s/sf   (52%)
+    ------------------------------------------------
+    full raw q3                      0.556 s/sf   vs DuckDB 0.080
+
+The scan floor alone is 3.7x BELOW DuckDB's whole-query slope — the gap
+is entirely the two join stages, i.e. work DuckDB also does but in
+native SIMD pipelines without a shuffle.
+
+Attacks tried, none pay (each measured, interleaved medians, then
+REJECTED on the numbers):
+
+  * dictionary-encode the category before the probe, map back after the
+    42-row agg (tools/ab_q3_aggkeys.py, round 7): slope 0.507 -> 0.468,
+    only ~8% — the final stage's cost is the 2M-entry broadcast map's
+    per-row DRAM latency, not string-key width.
+  * mid-pipeline pre-aggregation by (l_partkey, order_year) between the
+    orderkey join and the part broadcast, shrinking the probe + string
+    agg input 60M -> ~14M rows (round 9; counts/long-sums decompose
+    exactly, oracle unaffected): slope 0.82 vs 0.50 for the shipped
+    plan — the added exchange + 14M-group hash aggregate costs more
+    than the probe work it saves, at any scale.
+  * the orderkey exchange itself is semantically irreducible per query:
+    no per-query rewrite joins 60M lineitem rows to 15M orders without
+    co-locating them, which is precisely an INGEST-time decision.
+
+Conclusion — engine floor; the deployment answer is the layouts. The
+two dominant rungs (exchange 0.19, probe+agg 0.29 — 86% of the slope)
+are the per-query price of joining at read time in a JVM row pipeline;
+both per-query rewrites that attack them were measured and rejected.
+The engine therefore ships the reference's own move (README.md:113,
+materialize the join away) as a LADDER, each rung paying more at ingest
+to delete a rung of per-query slope, all oracle-exact:
+
+    raw q3                 slope 0.556 s/sf   ratio ~4-6 vs DuckDB
+    q46 bucketed fact      ratio 0.92        (exchange paid at ingest)
+    q60 denorm fact        ratio 0.25        (exchange + probe at ingest)
+    q47 pricing rollup     ratio 0.13        (everything at ingest)
+
+(BENCH_r09 medians; the denorm fact is incrementally MAINTAINED as of
+round 10 — operators/denorm.upsert_sales_denorm — so "pay at ingest" is
+an hourly staging merge, not a rebuild.) Raw q3 stays in the scaling
+tier as the honest un-materialized number; the contract-meeting paths
+are the tiers above. Recorded in SURVEY.md §8.5.
 """
 
 from __future__ import annotations
