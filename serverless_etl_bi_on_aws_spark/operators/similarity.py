@@ -763,6 +763,77 @@ def ivf_drift_status(index_path: str, retrain_ratio: float = 2.0) -> dict:
     }
 
 
+def retrain_ivf_index(
+    spark,
+    index_path: str,
+    n_clusters: int | None = None,
+    seed: int | None = None,
+) -> None:
+    """Act on :func:`ivf_drift_status`'s recommendation: re-fit KMeans
+    over the CURRENT corpus (build rows + every appended batch), rewrite
+    the cluster-partitioned corpus and centroids in place, and reset the
+    drift baseline — the one deliberate KMeans fit in the index's life
+    after its build.
+
+    Protocol (write-new-then-swap, under the single-writer lease):
+      1. read the whole corpus (dropping the stale ``_cluster`` dirs and
+         deduping crash-replayed rows on the id — a retrain is also the
+         natural compaction point),
+      2. build a fresh index at ``<index>.__retrain__<nonce>`` via
+         :func:`build_ivf_index` (new centroids, new partitioning, new
+         ``_meta.json`` whose build_distortion is the NEW baseline),
+      3. carry the ``_applied`` batch markers over unchanged — every
+         appended batch's vectors are IN the retrained corpus, so a
+         replayed ``update_ivf_index`` of an old batch must stay a
+         no-op; ``_drift`` records are NOT carried (they measured
+         distance to the OLD centroids),
+      4. swap directories (rename, keep the old as ``.__old__`` until
+         the swap completes, then remove).
+
+    Probes in flight during the swap see either the old or the new index
+    (both correct); the lease excludes concurrent writers."""
+    import os
+    import shutil
+    import uuid
+
+    from serverless_etl_bi_on_aws_spark.util import read_marker, writer_lease
+
+    meta = read_marker(os.path.join(index_path, "_meta.json"))
+    if meta is None:
+        raise FileNotFoundError(f"no _meta.json at {index_path}; cannot retrain")
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    with writer_lease(index_path, owner="retrain_ivf_index"):
+        corpus = (
+            spark.read.parquet(os.path.join(index_path, "corpus"))
+            .drop("_cluster")
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)  # snapshot: we rewrite the source dirs
+        )
+        tmp = f"{index_path}.__retrain__{uuid.uuid4().hex[:8]}"
+        build_ivf_index(
+            corpus,
+            tmp,
+            n_clusters=int(n_clusters or meta["n_clusters"]),
+            seed=int(seed if seed is not None else meta["seed"]),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        applied = os.path.join(index_path, "_applied")
+        if os.path.isdir(applied):
+            shutil.copytree(applied, os.path.join(tmp, "_applied"))
+        # swap: the lock lives in the OLD dir, so move the new CONTENTS in
+        old = f"{index_path}.__old__{uuid.uuid4().hex[:8]}"
+        os.makedirs(old)
+        for name in ("corpus", "centroids", "_meta.json", "_drift", "_applied"):
+            src = os.path.join(index_path, name)
+            if os.path.exists(src):
+                os.rename(src, os.path.join(old, name))
+        for name in os.listdir(tmp):
+            os.rename(os.path.join(tmp, name), os.path.join(index_path, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_ivf_index(
     spark, index_path: str, target_file_bytes: int = 128 << 20
 ) -> dict[str, int]:

@@ -428,3 +428,65 @@ def test_ivf_compaction_drift_and_probe_dedup(spark, tmp_path, monkeypatch):
     st2 = ivf_drift_status(idx, retrain_ratio=2.0)
     assert st2["drift_ratio"] > 2.0
     assert st2["retrain_recommended"]
+
+
+def test_ivf_retrain_resets_drift_and_stays_exact(spark, tmp_path):
+    """retrain_ivf_index acts on the drift recommendation: after a
+    planted distribution shift flips retrain_recommended, the retrain
+    (a) re-fits over the FULL corpus and the probe over the retrained
+    index equals exact brute force over the union, (b) resets the drift
+    baseline (appended_rows back to 0, ratio 0, build_rows == corpus),
+    (c) keeps the _applied markers so a replayed old batch remains a
+    no-op, and (d) collapses crash-replay duplicate rows (the retrain
+    is a compaction point)."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_drift_status,
+        ivf_probe_topk,
+        retrain_ivf_index,
+        topk_cosine_bruteforce,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    base = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 3 != 0))
+    shifted = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding"),
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_clusters=8, seed=42)
+    assert update_ivf_index(shifted, idx, "b-shift") is True
+    # crash-replay duplicates before the retrain
+    os.remove(os.path.join(idx, "_applied", "b-shift"))
+    assert update_ivf_index(shifted, idx, "b-shift") is True
+    assert ivf_drift_status(idx)["retrain_recommended"]
+
+    retrain_ivf_index(spark, idx)
+
+    union = base.unionByName(shifted)
+    n_unique = union.count()
+    # (d) duplicates collapsed; (b) baseline reset over the full corpus
+    assert spark.read.parquet(os.path.join(idx, "corpus")).count() == n_unique
+    st = ivf_drift_status(idx)
+    assert st["appended_rows"] == 0 and st["drift_ratio"] == 0.0
+    assert st["build_rows"] == n_unique and not st["retrain_recommended"]
+    # (c) replayed old batch is still a marker no-op
+    assert update_ivf_index(shifted, idx, "b-shift") is False
+    assert spark.read.parquet(os.path.join(idx, "corpus")).count() == n_unique
+    # (a) probe over the retrained index == exact brute force
+    got = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=10, n_probe=8).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in topk_cosine_bruteforce(union, qvec, k=10).collect()
+    ]
+    assert got == want
