@@ -633,7 +633,7 @@ def _denorm_q3(spark, dirs: dict[str, str]) -> dict:
         for lbl, sf_dir in dirs.items():
             digest = fixture_digest(sf_dir, ("lineitem", "orders", "part"))[:8]
             pre_built = os.path.exists(
-                os.path.join(artifact_dir(f"spark_graft_denorm2_{digest}"), "_SUCCESS")
+                os.path.join(artifact_dir(f"spark_graft_denorm3_{digest}"), "_SUCCESS")
             )
             t0 = time.perf_counter()
             paths[lbl] = ensure_sales_denorm(spark, sf_dir)

@@ -43,6 +43,37 @@ def write_bucketed_table(
     writer.saveAsTable(table_name)
 
 
+def append_to_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str] | str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Incremental ingest into a bucketed fact: append a delta batch
+    while PRESERVING the bucket layout — each new row hashes into its
+    bucket (one more file per touched bucket per batch), so the
+    co-located zero-Exchange join property survives every append. The
+    bucket spec must match the existing table's; Spark validates and
+    fails loudly on a mismatch rather than silently degrading the
+    layout.
+
+    This is the maintenance story for the ladder's bucketed rung
+    (q46): new orders APPEND (this), and the rungs that also need
+    delete-matching updates are the year-partitioned ones —
+    operators/denorm.upsert_sales_denorm / rollup.upsert_pricing_rollup
+    — because replacing rows in place needs a partition (or a
+    transactional format) to scope the rewrite; a bucketed-only table
+    has no sub-table rewrite unit. Compact small per-batch bucket files
+    on the usual cadence (maintenance.compact_parquet per bucket keeps
+    files-per-bucket bounded; the bucket id is in the file name)."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.format("parquet").mode("append").bucketBy(n_buckets, *cols)
+    if sort:
+        writer = writer.sortBy(*cols)
+    writer.saveAsTable(table_name)
+
+
 def colocated_join(
     spark: SparkSession,
     left_table: str,

@@ -159,3 +159,47 @@ def test_delta_gate_fallback_merge(spark, tmp_path):
     assert which == "parquet"
     rows = {(r.k, r.v) for r in spark.read.parquet(target).collect()}
     assert rows == {(i, "old") for i in range(5)} | {(i, "new") for i in range(5, 15)}
+
+
+def test_bucketed_append_preserves_colocated_join(spark):
+    """Incremental ingest into the bucketed rung of the layout ladder:
+    appending a delta batch keeps the bucket layout — the co-located
+    join stays Exchange-free and returns base+delta results; a
+    mismatched bucket spec fails loudly instead of silently degrading
+    the layout."""
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.bucketed import (
+        append_to_bucketed_table,
+    )
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    customer = load_table(spark, SF_SMOKE, "customer")
+    mid = orders.agg(F.max("o_orderkey")).head()[0] // 2
+    base = orders.filter(F.col("o_orderkey") <= mid)
+    delta = orders.filter(F.col("o_orderkey") > mid)
+    write_bucketed_table(base, "bkt_orders_inc", "o_custkey", 8)
+    write_bucketed_table(customer, "bkt_customer_inc", "c_custkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        append_to_bucketed_table(delta, "bkt_orders_inc", "o_custkey", 8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(
+            spark, "bkt_orders_inc", "bkt_customer_inc", "o_custkey", "c_custkey"
+        )
+        n = joined.count()
+        plan = _executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "append degraded the bucketed layout"
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert n == expected
+        # mismatched spec: loud failure, never a silent layout downgrade
+        with pytest.raises(Exception, match="(?i)bucket"):
+            append_to_bucketed_table(delta, "bkt_orders_inc", "o_custkey", 16)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders_inc")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer_inc")
