@@ -121,6 +121,97 @@ def start_incremental_merge(
     return writer.start()
 
 
+def start_rollup_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Streaming maintenance of the PRICING ROLLUP layout — the q47/q1
+    rung of the ladder kept current from a landing zone of lineitem
+    extract files, completing the maintained-layout pair with
+    :func:`start_denorm_maintenance`. Each staged file's rows are merged
+    into the rollup via ``operators/rollup.upsert_pricing_rollup``:
+    exact scaled-long partials re-sum associatively, and only the year
+    partitions the delta touches are rewritten.
+
+    Replay caveat — and why markers are PER SOURCE FILE here: unlike the
+    denorm upsert (delete-matching on a key, hence idempotent), the
+    rollup merge ADDS partials, so re-delivering rows double-counts
+    them. foreachBatch is at-least-once AND a wiped checkpoint
+    rediscovers every landed file with arbitrary re-BATCHING (two files
+    that first arrived as two epochs can replay as one), so neither an
+    instance-keyed epoch id (the dedup loops' nonce scheme) nor a
+    batch-file-set hash survives; the stable unit of identity is the
+    landed FILE. Each micro-batch therefore filters itself to rows from
+    files with no `_applied/<md5(file)>` marker, merges only those, and
+    writes one marker per file — any re-delivery, in any batching, is
+    swallowed. The crash window between the partition overwrite and the
+    marker writes remains — at 100 TB close it with a transactional
+    table format (Delta/Iceberg MERGE carries the file ids in the same
+    commit); on plain parquet the window is one rename wide and a
+    replay within it double-counts, which the markers make detectable
+    (documented, not silent)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.rollup import (
+        build_pricing_rollup,
+        upsert_pricing_rollup,
+    )
+    from serverless_etl_bi_on_aws_spark.util import marker_exists, write_marker
+
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
+    stream = getattr(reader, fmt)(source_dir)
+
+    def fid(path: str) -> str:
+        return hashlib.md5(path.encode()).hexdigest()[:16]
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with_src = batch_df.withColumn("_src", F.input_file_name())
+        files = sorted(r[0] for r in with_src.select("_src").distinct().collect())
+        todo = [
+            f
+            for f in files
+            if not marker_exists(os.path.join(rollup_path, "_applied", fid(f)))
+        ]
+        if not todo:
+            return
+        delta = with_src.filter(F.col("_src").isin(todo)).drop("_src")
+        if not os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
+            # bootstrap: first unapplied files ARE the rollup
+            (
+                build_pricing_rollup(delta)
+                .repartition(1, "ship_year")
+                .write.mode("overwrite")
+                .partitionBy("ship_year")
+                .parquet(rollup_path)
+            )
+        else:
+            upsert_pricing_rollup(spark, rollup_path, delta)
+        for f in todo:
+            write_marker(
+                os.path.join(rollup_path, "_applied", fid(f)), {"file": f}
+            )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def start_denorm_maintenance(
     spark: SparkSession,
     source_dir: str,

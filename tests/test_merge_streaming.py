@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from serverless_etl_bi_on_aws_spark.catalog import load_table
 from serverless_etl_bi_on_aws_spark.operators.merge import merge_upsert
 from serverless_etl_bi_on_aws_spark.streaming.funnel import stream_funnel_window_counts
+from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
 from serverless_etl_bi_on_aws_spark.streaming.incremental import (
     backfill,
     merge_into_parquet_target,
@@ -517,3 +518,73 @@ def test_streaming_denorm_maintenance(spark, tmp_path):
 
     drain()  # no new files -> no change
     assert rows() == want2
+
+
+def test_streaming_rollup_maintenance(spark, tmp_path):
+    """The q47/q1 rung kept current by a stream: land two lineitem
+    extracts -> drain each -> the rollup equals a full build over the
+    union and serves q1's exact summary. The additive-merge poison pill
+    is pinned: a drain with no new files changes nothing, and — the case
+    the content-keyed markers exist for — wiping the CHECKPOINT and
+    draining again re-delivers every landed file but must NOT
+    double-count the partials."""
+    import shutil
+
+    from serverless_etl_bi_on_aws_spark.operators.rollup import (
+        build_pricing_rollup,
+        pricing_summary_from_rollup,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        start_rollup_maintenance,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    years = sorted(
+        r[0] for r in li.select(F.year("l_shipdate")).distinct().collect()
+    )
+    split = years[len(years) // 2]
+    b1 = li.filter(F.year("l_shipdate") <= split)
+    b2 = li.filter(F.year("l_shipdate") > split)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_rollup_maintenance(
+            spark, str(land / "*"), rollup, li.schema, ckpt
+        )
+        q.awaitTermination(120)
+
+    def rows():
+        cols = sorted(spark.read.parquet(rollup).columns)
+        return sorted(
+            tuple(r) for r in spark.read.parquet(rollup).select(*cols).collect()
+        )
+
+    b1.coalesce(1).write.mode("overwrite").parquet(str(land / "extract1"))
+    drain()
+    b2.coalesce(1).write.mode("overwrite").parquet(str(land / "extract2"))
+    drain()
+
+    full = build_pricing_rollup(li)
+    cols = sorted(full.columns)
+    want = sorted(tuple(r) for r in full.select(*cols).collect())
+    assert rows() == want
+
+    drain()  # no new files -> no change
+    assert rows() == want
+
+    # checkpoint wiped ('reprocess' move): every file re-delivers, the
+    # content-keyed markers must swallow them — partials NOT re-added
+    shutil.rmtree(ckpt)
+    drain()
+    assert rows() == want
+
+    # and the maintained rollup serves q1 exactly
+    got = pricing_summary_from_rollup(spark.read.parquet(rollup), "2001-06-01")
+    want_q1 = QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in want_q1.collect()
+    )
