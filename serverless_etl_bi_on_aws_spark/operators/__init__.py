@@ -12,10 +12,17 @@ from serverless_etl_bi_on_aws_spark.operators.dedup import (  # noqa: F401
     simhash64,
 )
 from serverless_etl_bi_on_aws_spark.operators.similarity import (  # noqa: F401
+    build_ivf_index,
+    compact_ivf_index,
+    dedup_embeddings_against_index,
+    ivf_drift_status,
+    ivf_probe_topk,
     pairwise_topk_blocked,
+    retrain_ivf_index,
     topk_cosine_bruteforce,
     topk_cosine_ivf,
     topk_cosine_lsh,
+    update_ivf_index,
 )
 from serverless_etl_bi_on_aws_spark.operators.sessionize import sessionize  # noqa: F401
 from serverless_etl_bi_on_aws_spark.operators.asof import asof_join  # noqa: F401
@@ -24,6 +31,7 @@ from serverless_etl_bi_on_aws_spark.operators.range_join import (  # noqa: F401
 )
 from serverless_etl_bi_on_aws_spark.operators.skew import salted_join  # noqa: F401
 from serverless_etl_bi_on_aws_spark.operators.bucketed import (  # noqa: F401
+    append_to_bucketed_table,
     colocated_join,
     write_bucketed_table,
 )
