@@ -26,7 +26,7 @@ the middle rung of the engine's q3-shaped layout ladder:
 Exactness: `_rev` is the exact scaled-long revenue (q1/q3's scheme), so
 the layout cannot move a cent — the denorm query shares q3's verbatim
 oracle, and upsert(build(A), B) == build(merge(A, B)) is pytest-pinned
-under exact long equality (tests/test_maintenance.py).
+under exact long equality (tests/test_rollup.py).
 
 Maintenance semantics (round-9 verdict #1 — the last rebuild-only
 artifact): the staged unit is the ORDER. A staged order replaces ALL of
@@ -123,6 +123,7 @@ def upsert_sales_denorm(
     delta_lineitem: DataFrame,
     part: DataFrame,
     broadcast_staging: bool | None = None,
+    mutable_years: list[int] | None = None,
 ) -> None:
     """Incremental maintenance of the denorm fact: the reference's
     staging merge (README.md:67-70) applied to the pre-joined table
@@ -140,7 +141,21 @@ def upsert_sales_denorm(
 
     Same snapshot discipline as upsert_pricing_rollup: the merged plan
     reads the very partitions it overwrites, so it is localCheckpoint'd
-    before the write."""
+    before the write.
+
+    ``mutable_years`` — the 100 TB knob for the old-version search. With
+    None (default, always safe) the discovery of which partitions hold
+    prior versions of staged keys is one whole-table scan of the
+    o_orderkey column; at warehouse scale that is TBs of one column per
+    hourly batch. The reference's own load bounds its change horizon —
+    it re-extracts only the trailing 3 months and treats older data as
+    immutable (README.md:58-59, ST5) — and ``mutable_years`` is that
+    contract made explicit: pass the years the source system can still
+    mutate and the old-version scan partition-prunes to them. An order
+    that changed OUTSIDE the declared horizon would leave stale rows —
+    the same staleness the reference accepts for data older than its
+    re-extract window; delta rows landing outside the horizon are still
+    merged correctly (their years join the touched set regardless)."""
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # bootstrap: first batch IS the table
         _write_partitioned(denorm_rows(delta_lineitem, delta_orders, part), path)
@@ -156,8 +171,12 @@ def upsert_sales_denorm(
     # touched years = where delta rows land + where prior versions of the
     # staged keys live. The second term is one scan reading ONLY the
     # o_orderkey column (order_year comes from the dir name) against the
-    # broadcast key set — the price of not keeping a key->partition log.
-    years_old = existing.join(keys, "o_orderkey").select("order_year")
+    # broadcast key set — the price of not keeping a key->partition log;
+    # mutable_years partition-prunes it to the declared change horizon.
+    search = existing
+    if mutable_years is not None:
+        search = search.filter(F.col("order_year").isin([int(y) for y in mutable_years]))
+    years_old = search.join(keys, "o_orderkey").select("order_year")
     years_new = delta.select("order_year")
     years = [int(r[0]) for r in years_old.union(years_new).distinct().collect()]
     if not years:

@@ -230,3 +230,38 @@ def test_denorm_upsert_equals_full_rebuild(spark):
         assert {c for c in got_q3.columns} == {
             "category", "order_year", "n_sold", "revenue"
         }
+
+
+def test_denorm_upsert_mutable_years_prunes_and_matches(spark):
+    """The 100 TB knob: with ``mutable_years`` declaring the change
+    horizon (the reference's trailing-re-extract contract), the
+    old-version key scan partition-prunes — and for changes inside the
+    horizon the result is IDENTICAL to the always-safe full scan."""
+    from serverless_etl_bi_on_aws_spark.operators.denorm import upsert_sales_denorm
+
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part")
+    key, lkey = F.col("o_orderkey"), F.col("l_orderkey")
+    m = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .join(li.select(lkey.alias("o_orderkey")).distinct(), "o_orderkey")
+        .select("o_orderkey").orderBy("o_orderkey").head()[0]
+    )
+    mod = orders.filter(key == m)  # same year; lineitems repriced
+    mod_li = li.filter(lkey == m).withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 3
+    )
+
+    cols = ["o_orderkey", "category", "order_year", "_rev"]
+
+    def final_rows(mutable_years):
+        with tempfile.TemporaryDirectory(prefix="denorm_my_") as d:
+            path = os.path.join(d, "denorm")
+            upsert_sales_denorm(spark, path, orders, li, part)  # bootstrap full
+            upsert_sales_denorm(
+                spark, path, mod, mod_li, part, mutable_years=mutable_years
+            )
+            return _rows(spark.read.parquet(path).select(*cols))
+
+    assert final_rows([1995]) == final_rows(None)
