@@ -101,6 +101,11 @@ LLM_TIER = {
     # round-9 additions: MP4/MJPEG container path, audio fingerprint dedup
     "q78": "q78_mp4_frame_stats",
     "q79": "q79_audio_fingerprint_dedup",
+    # round-10 additions: cluster-pruned semantic dedup (verify harness:
+    # exact all-pairs twin + KMeans + clustered pairs), end-to-end
+    # curation funnel (quality -> exact dedup -> jaccard near-dup)
+    "q80": "q80_semantic_dedup_verify",
+    "q81": "q81_curation_funnel",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")

@@ -24,6 +24,15 @@ from serverless_etl_bi_on_aws_spark.operators.similarity import (  # noqa: F401
     topk_cosine_lsh,
     update_ivf_index,
 )
+from serverless_etl_bi_on_aws_spark.operators.semantic_dedup import (  # noqa: F401
+    cluster_assignments,
+    semantic_dedup,
+    semantic_neardup_pairs,
+)
+from serverless_etl_bi_on_aws_spark.operators.curation import (  # noqa: F401
+    curation_report,
+    curation_stages,
+)
 from serverless_etl_bi_on_aws_spark.operators.sessionize import sessionize  # noqa: F401
 from serverless_etl_bi_on_aws_spark.operators.asof import asof_join  # noqa: F401
 from serverless_etl_bi_on_aws_spark.operators.range_join import (  # noqa: F401

@@ -1,0 +1,121 @@
+"""The training-data curation funnel — the LLM-pipeline operators
+composed in their production order (north-star X2/X5; SURVEY.md §2.10):
+
+    raw -> quality filter -> exact dedup -> n-gram near-dup dedup -> report
+
+Each stage is an existing first-class operator (functions/text.
+quality_score, the keep-min-id exact rule, operators/dedup.
+neardup_jaccard_pairs with the dominance drop); this module owns only
+their composition, so a pipeline author gets the standard funnel in one
+call and the per-stage DataFrames for anything custom. q81 is the
+driver-gated face: the whole chain is SQL-expressible, so the composed
+result is value-hash-compared against DuckDB end to end.
+
+Scale shape: quality scoring is map-only; exact dedup is ONE shuffle on
+the text (content identity is the partition key); the near-dup stage is
+the inverted-index shingle join (pairs meet only on shared shingles —
+``max_df_frac`` passes through for the hot-shingle cap at corpus scale);
+the report is tiny per-group aggregates. Nothing is all-pairs, nothing
+collects. At 100 TB run the stages as separate materialized hops (each
+is one write) so a crashed near-dup pass doesn't re-pay quality scoring
+— exactly the reference's staged-landing discipline (README.md:63-70).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from serverless_etl_bi_on_aws_spark.functions.text import quality_score, token_count
+from serverless_etl_bi_on_aws_spark.operators.dedup import neardup_jaccard_pairs
+
+
+def curation_stages(
+    docs: DataFrame,
+    quality_threshold: float = 0.49999,
+    jaccard_threshold: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df_frac: float | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns the three surviving sets ``(quality, uniq, final)``:
+
+    * ``quality`` — rows with ``quality_score(text) >= quality_threshold``;
+    * ``uniq`` — minus exact duplicates: MIN(id) per identical text wins
+      (the reference's staging-merge keep-one rule, README.md:67-70,
+      applied to content identity);
+    * ``final`` — minus near-duplicates: ``shingle_n``-gram Jaccard >=
+      ``jaccard_threshold`` pairs under the dominance rule (every id_2
+      drops — q12/q50's family; order-independent, no iteration).
+
+    The uniq set is localCheckpoint'd: it feeds BOTH the pair join's two
+    fan-outs and the downstream aggregates, and re-deriving a window over
+    the quality filter per consumer re-pays the text shuffle each time."""
+    quality = docs.filter(quality_score(text_col) >= F.lit(quality_threshold))
+    w = Window.partitionBy(text_col)
+    uniq = (
+        quality.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+        .localCheckpoint(eager=True)
+    )
+    pairs = neardup_jaccard_pairs(
+        uniq,
+        id_col=id_col,
+        text_col=text_col,
+        n=shingle_n,
+        threshold=jaccard_threshold,
+        max_df_frac=max_df_frac,
+    )
+    dropped = pairs.select(F.col("id_2").alias("_drop")).distinct()
+    final = uniq.join(dropped, uniq[id_col] == dropped["_drop"], "left_anti").drop(
+        "_drop"
+    )
+    return quality, uniq, final
+
+
+def curation_report(
+    docs: DataFrame,
+    group_col: str = "source",
+    quality_threshold: float = 0.49999,
+    jaccard_threshold: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Per-``group_col`` funnel report: (group, n_raw, n_quality,
+    n_unique, n_final, tokens_final) — the stage survivor counts plus the
+    final whitespace-token budget, what a mix planner consumes. A group
+    whose every doc is filtered still reports (zeros, via left joins)."""
+    quality, uniq, final = curation_stages(
+        docs,
+        quality_threshold,
+        jaccard_threshold,
+        id_col,
+        text_col,
+        shingle_n,
+        max_df_frac,
+    )
+    raw_c = docs.groupBy(group_col).agg(F.count("*").alias("n_raw"))
+    q_c = quality.groupBy(group_col).agg(F.count("*").alias("_nq"))
+    u_c = uniq.groupBy(group_col).agg(F.count("*").alias("_nu"))
+    f_c = final.groupBy(group_col).agg(
+        F.count("*").alias("_nf"),
+        F.sum(token_count(text_col)).alias("_tf"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        raw_c.join(q_c, group_col, "left")
+        .join(u_c, group_col, "left")
+        .join(f_c, group_col, "left")
+        .select(
+            group_col,
+            "n_raw",
+            F.coalesce(F.col("_nq"), zero).alias("n_quality"),
+            F.coalesce(F.col("_nu"), zero).alias("n_unique"),
+            F.coalesce(F.col("_nf"), zero).alias("n_final"),
+            F.coalesce(F.col("_tf"), zero).alias("tokens_final"),
+        )
+        .orderBy(group_col)
+    )

@@ -1680,3 +1680,96 @@ EXTRA_ORACLE_SQL["q79_audio_fingerprint_dedup"] = """
     WHERE bit_count(xor(a.afp, b.afp)) <= 6
     ORDER BY id_1, id_2
 """
+
+# q80: the exact side of the semantic-dedup verify — corpus count and the
+# >= 0.4 cosine pair count recomputed with DuckDB's own
+# list_cosine_similarity (q43's zero-norm guard); the cluster-dependent
+# quantities surface as VALUE-checked invariants (subset-violation count
+# must be exactly 0, survivors + dropped must repartition the corpus
+# exactly) plus the calibrated capture-floor expected-TRUE boolean
+# (measured 0.565/0.642/0.572 at sf0.001/0.01/0.1 vs the 0.45 floor —
+# see plans/queries.q80_semantic_dedup_verify).
+EXTRA_ORACLE_SQL["q80_semantic_dedup_verify"] = """
+    WITH normed AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ), pairs AS (
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    )
+    SELECT * FROM (
+        SELECT 'capture_floor' AS metric, CAST(0 AS BIGINT) AS n, TRUE AS ok
+        UNION ALL
+        SELECT 'cluster_pairs_subset', CAST(0 AS BIGINT), TRUE
+        UNION ALL
+        SELECT 'corpus', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings), TRUE
+        UNION ALL
+        SELECT 'exact_pairs', (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs), TRUE
+        UNION ALL
+        SELECT 'partition', (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings), TRUE
+    ) ORDER BY metric
+"""
+
+# q81: the whole curation funnel in SQL — quality filter (q15's score
+# formula, threshold 0.49999: offset from the fixture's exact-0.5 score
+# mass, nearest score >= 1e-5 away at every sf), exact dedup (MIN doc_id
+# per text via QUALIFY), 3-gram Jaccard near-dup pairs (q12's shingle SQL
+# restricted to the surviving set) with the dominance drop rule, then the
+# per-source stage counts + final whitespace-token sum.
+EXTRA_ORACLE_SQL["q81_curation_funnel"] = """
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' '))                       AS n_toks,
+               len(list_distinct(string_split(text, ' ')))        AS n_distinct,
+               len(replace(text, ' ', ''))                        AS tok_chars
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, source, text, n_toks FROM scored
+        WHERE 0.4 * LEAST(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE))
+            + 0.3 * LEAST((CAST(tok_chars AS DOUBLE) / CAST(n_toks AS DOUBLE)) / 8.0, 1.0)
+            >= 0.49999
+    ), uniq AS (
+        SELECT doc_id, source, text, n_toks FROM quality
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+    ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM uniq
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(1, len(t) - 1)]) AS s
+        FROM toks WHERE len(t) >= 3
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), dropped AS (
+        SELECT DISTINCT id_2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = id_1
+        JOIN sizes s2 ON s2.doc_id = id_2
+        WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.35
+    ), final AS (
+        SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id_2 FROM dropped)
+    )
+    SELECT r.source,
+           r.n_raw,
+           COALESCE(q.n, 0) AS n_quality,
+           COALESCE(u.n, 0) AS n_unique,
+           COALESCE(f.n, 0) AS n_final,
+           COALESCE(f.tok, 0) AS tokens_final
+    FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+          FROM documents GROUP BY source) r
+    LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM quality GROUP BY source) q USING (source)
+    LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM uniq GROUP BY source) u USING (source)
+    LEFT JOIN (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(n_toks) AS BIGINT) AS tok
+               FROM final GROUP BY source) f USING (source)
+    ORDER BY r.source
+"""

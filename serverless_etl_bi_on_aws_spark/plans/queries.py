@@ -2985,6 +2985,135 @@ def q79_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_semantic_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (cluster-pruned) embedding dedup under the driver's value
+    gate — the SemDeDup recipe (operators/semantic_dedup.py) verified
+    against the EXACT blocked-matmul pair set, the same
+    approximate-vs-exact discipline as q13 (MinHash vs exact Jaccard)
+    and q18 (ANN vs exact top-k):
+
+      * corpus / exact_pairs — exact SQL-recomputable values: corpus
+        row count and the number of unordered pairs with cosine >= 0.4
+        (the oracle recomputes the pairs with DuckDB's own
+        list_cosine_similarity, zero code shared with the engine);
+      * cluster_pairs_subset — VALUE-checked 0: the count of clustered
+        pairs NOT in the exact pair set. Cluster pruning may only ever
+        lose pairs, never invent them; any nonzero here is a broken
+        tiling or kernel;
+      * partition — VALUE-checked == corpus: survivors (via the real
+        anti-join) + distinct dropped ids, computed independently, must
+        repartition the corpus exactly;
+      * capture_floor — expected-TRUE: clustered dedup drops >= 45% of
+        what the exact dominance rule drops. Honest calibration:
+        measured 0.565 / 0.642 / 0.572 at sf0.001/0.01/0.1 (k=4,
+        seed 42, identical at local[8] and local[32]) on a fixture
+        whose >= 0.4 pairs are only moderately similar — k-means
+        separates many of them, which is exactly the subquadratic
+        trade SemDeDup documents; near-identical duplicates co-cluster
+        far more reliably.
+
+    Scale shape: assignment is one seed-pinned KMeans fit (the IVF
+    build's machinery); pair search tiles block pairs WITHIN a cluster
+    only, so per-row replication is the cluster's block count, not the
+    corpus's — linear in N with cluster size held constant. The exact
+    all-pairs twin here is the verifier, priced only at fixture scale."""
+    from serverless_etl_bi_on_aws_spark.operators.semantic_dedup import (
+        cluster_assignments,
+        semantic_neardup_pairs,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        neardup_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = neardup_cosine_pairs(emb, 0.4).localCheckpoint(eager=True)
+    asg = cluster_assignments(emb, n_clusters=4, seed=42)
+    clustered = semantic_neardup_pairs(emb, 0.4, assignments=asg).localCheckpoint(
+        eager=True
+    )
+    dropped = clustered.select(F.col("id_2").alias("_drop")).distinct()
+
+    nc = emb.agg(F.count("*").alias("_nc"))
+    ne = exact.agg(F.count("*").alias("_ne"))
+    nx = clustered.join(
+        exact.select("id_1", "id_2"), ["id_1", "id_2"], "left_anti"
+    ).agg(F.count("*").alias("_nx"))
+    dc = dropped.agg(F.count("*").alias("_dc"))
+    dg = exact.select("id_2").distinct().agg(F.count("*").alias("_dg"))
+    ns = emb.join(dropped, emb["vec_id"] == dropped["_drop"], "left_anti").agg(
+        F.count("*").alias("_ns")
+    )
+    base = (
+        nc.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(dc))
+        .crossJoin(F.broadcast(dg))
+        .crossJoin(F.broadcast(ns))
+    )
+
+    def row(metric: str, n, ok):
+        return base.select(
+            F.lit(metric).alias("metric"),
+            n.cast("bigint").alias("n"),
+            ok.alias("ok"),
+        )
+
+    return (
+        row(
+            "capture_floor",
+            F.lit(0),
+            F.col("_dc").cast("double") >= F.lit(0.45) * F.col("_dg"),
+        )
+        .unionByName(row("cluster_pairs_subset", F.col("_nx"), F.lit(True)))
+        .unionByName(row("corpus", F.col("_nc"), F.lit(True)))
+        .unionByName(row("exact_pairs", F.col("_ne"), F.lit(True)))
+        .unionByName(
+            row("partition", F.col("_ns") + F.col("_dc"), F.lit(True))
+        )
+        .orderBy("metric")
+    )
+
+
+def q81_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation funnel as ONE query — the
+    LLM-pipeline operators composed in their production order, with a
+    FULL value oracle (every stage is SQL-expressible, so the whole
+    chain is hash-compared, not boolean-gated):
+
+        raw documents
+          -> quality filter   (functions/text.quality_score >= 0.49999;
+                               threshold offset from 0.5 because the
+                               fixture has docs scoring EXACTLY 0.5 —
+                               a >= on a float knife-edge would let
+                               engine ulp-noise flip membership; the
+                               nearest score is >= 1e-5 away at every
+                               sf, measured)
+          -> exact dedup      (keep MIN doc_id per identical text —
+                               the reference's staging-merge keep-one
+                               rule, README.md:67-70, applied to
+                               content identity)
+          -> near-dup dedup   (3-gram Jaccard >= 0.35 pairs from the
+                               inverted-index operator; dominance rule:
+                               drop every id_2 — q12/q50's family)
+          -> per-source report: n_raw, n_quality, n_unique, n_final,
+                               tokens_final (whitespace token sum —
+                               what a mix planner budgets with)
+
+    Scale shape: quality scoring is map-only; exact dedup shuffles on
+    the text hash once; the pair stage is the inverted-index join
+    (pairs meet only on shared shingles, df-cappable); the report is
+    four tiny per-source aggregates left-joined per source. Nothing is
+    all-pairs, nothing collects. Implementation:
+    operators/curation.curation_report (stage semantics unit-pinned on
+    planted docs in tests/test_curation.py)."""
+    from serverless_etl_bi_on_aws_spark.operators.curation import curation_report
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return curation_report(docs)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -2999,8 +3128,6 @@ QUERIES: dict[str, QueryFn] = {
     "q13_sketch_neardup_verify": q13_sketch_neardup_verify,
     "q15_doc_quality_by_source": q15_doc_quality_by_source,
     "q18_ann_verify": q18_ann_verify,
-    "q20_lang_id_naive_bayes": q20_lang_id_naive_bayes,
-    "q36_funnel_set_ops": q36_funnel_set_ops,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
     "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
@@ -3036,6 +3163,8 @@ QUERIES: dict[str, QueryFn] = {
     "q77_image_phash_dedup": q77_image_phash_dedup,
     "q78_mp4_frame_stats": q78_mp4_frame_stats,
     "q79_audio_fingerprint_dedup": q79_audio_fingerprint_dedup,
+    "q80_semantic_dedup_verify": q80_semantic_dedup_verify,
+    "q81_curation_funnel": q81_curation_funnel,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -3078,4 +3207,6 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q42_media_pixel_stats": q42_media_pixel_stats,  # rotated out r9: media codecs stay via q49/q51/q52/q61 and q77 (driver now)
     "q51_audio_pcm_stats": q51_audio_pcm_stats,  # rotated out r10: audio stays driver-visible via q79 (WAV decode inside the fingerprint path)
     "q61_gif_frame_stats": q61_gif_frame_stats,  # rotated out r10: codec family stays via q49/q52/q77/q78; GIF LZW full-value oracle stays in the pytest union
+    "q20_lang_id_naive_bayes": q20_lang_id_naive_bayes,  # rotated out r10 (ceded to q80): X5 text stays driver-visible via q7/q15/q53-q55/q63/q73/q75
+    "q36_funnel_set_ops": q36_funnel_set_ops,  # rotated out r10 (ceded to q81): set ops stay driver-visible via q9's INTERSECT/EXCEPT merge audit (q68)
 }

@@ -1,0 +1,96 @@
+"""Curation funnel stage semantics — operators/curation.py.
+
+The sf fixture has no exact-duplicate texts, so q81's oracle compare
+never exercises the exact-dedup stage's drop path; these tests plant
+docs that hit every stage."""
+
+from __future__ import annotations
+
+from serverless_etl_bi_on_aws_spark.operators.curation import (
+    curation_report,
+    curation_stages,
+)
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "astronomers catalogue distant variable stars using automated "
+    "telescopes during long winter observation campaigns across chile"
+)
+GOOD2 = (
+    "market analysts reviewed quarterly earnings reports from twelve "
+    "industrial manufacturers before revising their annual growth "
+    "projections downward amid persistent supply chain disruptions"
+)
+LOW_QUALITY = "a a a a a a a a"  # degenerate repetition + short tokens
+
+
+def _docs(spark):
+    near_dup = GOOD + " extra trailing clause appended"
+    rows = [
+        (1, "s1", GOOD),
+        (2, "s1", GOOD),  # exact dup of 1 -> dropped at uniq (min id wins)
+        (3, "s1", near_dup),  # near dup of 1 -> dropped at final (id_2)
+        (4, "s2", GOOD2),
+        (5, "s2", LOW_QUALITY),  # dropped at quality
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+
+
+def test_stages_drop_at_the_right_rung(spark):
+    quality, uniq, final = curation_stages(_docs(spark))
+    assert {r.doc_id for r in quality.select("doc_id").collect()} == {1, 2, 3, 4}
+    assert {r.doc_id for r in uniq.select("doc_id").collect()} == {1, 3, 4}
+    assert {r.doc_id for r in final.select("doc_id").collect()} == {1, 4}
+
+
+def test_exact_dup_keeps_min_id(spark):
+    docs = _docs(spark).union(
+        _docs(spark).sparkSession.createDataFrame(
+            [(0, "s3", GOOD2)], "doc_id bigint, source string, text string"
+        )
+    )
+    _, uniq, _ = curation_stages(docs)
+    kept = {r.doc_id for r in uniq.select("doc_id").collect()}
+    assert 0 in kept and 4 not in kept  # GOOD2 now keeps id 0, not 4
+
+
+def test_report_counts_and_zero_group(spark):
+    rep = {r["source"]: r.asDict() for r in curation_report(_docs(spark)).collect()}
+    assert rep["s1"]["n_raw"] == 3
+    assert rep["s1"]["n_quality"] == 3
+    assert rep["s1"]["n_unique"] == 2
+    assert rep["s1"]["n_final"] == 1
+    assert rep["s1"]["tokens_final"] == len(GOOD.split(" "))
+    assert rep["s2"] == {
+        "source": "s2",
+        "n_raw": 2,
+        "n_quality": 1,
+        "n_unique": 1,
+        "n_final": 1,
+        "tokens_final": len(GOOD2.split(" ")),
+    }
+    # a group that loses everything still reports, with zeros
+    docs = _docs(spark).union(
+        _docs(spark).sparkSession.createDataFrame(
+            [(9, "s9", LOW_QUALITY)], "doc_id bigint, source string, text string"
+        )
+    )
+    rep9 = {r["source"]: r.asDict() for r in curation_report(docs).collect()}
+    assert rep9["s9"] == {
+        "source": "s9",
+        "n_raw": 1,
+        "n_quality": 0,
+        "n_unique": 0,
+        "n_final": 0,
+        "tokens_final": 0,
+    }
+
+
+def test_dominance_rule_is_order_independent(spark):
+    """Renumbering ids reverses which side of each near-dup pair drops,
+    but the survivor COUNT is stable (dominance drops every id_2)."""
+    base = _docs(spark)
+    flipped = base.selectExpr("(100 - doc_id) AS doc_id", "source", "text")
+    _, _, f1 = curation_stages(base)
+    _, _, f2 = curation_stages(flipped)
+    assert f1.count() == f2.count()
