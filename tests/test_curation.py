@@ -94,3 +94,17 @@ def test_dominance_rule_is_order_independent(spark):
     _, _, f1 = curation_stages(base)
     _, _, f2 = curation_stages(flipped)
     assert f1.count() == f2.count()
+
+
+def test_q81_plan_is_jvm_only_and_pruned(spark):
+    """The funnel's hot path must stay inside whole-stage codegen: no
+    Python eval stages anywhere (quality scoring and shingling are
+    built-in expressions), and the report-side scans prune to the
+    columns they aggregate."""
+    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+    df = QUERIES["q81_curation_funnel"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEval", "BatchEval", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"unexpected Python stage: {marker}"
+    assert "ReadSchema: struct<source:string>" in plan  # n_raw scan pruned
