@@ -10,9 +10,11 @@ from serverless_etl_bi_on_aws_spark.streaming.incremental import (  # noqa: F401
 )
 from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (  # noqa: F401
     apply_afp_dedup_batch,
+    apply_curation_batch,
     apply_dedup_batch,
     apply_embedding_dedup_batch,
     apply_image_dedup_batch,
+    start_incremental_curation,
     start_incremental_dedup,
 )
 from serverless_etl_bi_on_aws_spark.streaming.funnel import (  # noqa: F401

@@ -35,6 +35,12 @@ index) so the first micro-batch runs the identical path as every later
 one. At 100 TB this loop is the same shape per batch: the probe shuffles
 only the batch, the corpus side stays partition-pruned parquet scans,
 and the appends grow the index linearly between compactions.
+
+:func:`apply_curation_batch` / :func:`start_incremental_curation` are
+the full-funnel variant (round 10): the q81 curation chain — quality
+gate, batch-local exact dedup, THEN the index probe — as a running
+pipeline, with the same crash-point discipline and the filter-first
+ordering that keeps rejected junk out of the index.
 """
 
 from __future__ import annotations
@@ -138,6 +144,116 @@ def start_incremental_dedup(
             f"{ckpt}-{epoch_id}",
             threshold=threshold,
             text_col=text_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def apply_curation_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    clean_dir: str,
+    batch_id: str,
+    quality_threshold: float = 0.49999,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """The streaming twin of the q81 curation funnel: one micro-batch
+    runs quality-gate -> batch-local exact dedup -> index probe ->
+    _SUCCESS-gated survivors write -> marker-gated signature append.
+    ``clean_dir`` stays a continuously-curated corpus, the composition
+    of this loop with operators/curation.py's batch semantics:
+
+      * quality gate — ``quality_score(text) >= quality_threshold``,
+        BEFORE anything touches the index: a rejected doc neither
+        survives nor gets indexed, so later good docs are never dropped
+        as near-duplicates of filtered junk (the filter-then-dedup
+        order every curation recipe fixes);
+      * exact dedup — keep MIN id per identical text WITHIN the batch
+        (deterministic on replay). ACROSS batches an exact duplicate is
+        caught by the index probe itself: identical text -> identical
+        MinHash signature -> estimated Jaccard 1.0 >= any threshold, so
+        no separate cross-batch text index is needed;
+      * near-dup vs corpus — ``dedup_against_index``'s online rule over
+        the gated batch, with the identical crash-point discipline as
+        :func:`apply_dedup_batch` (probe before append; survivors
+        partition gated by ``_SUCCESS``, never recomputed once the
+        batch's own signatures may be in the index; appends
+        marker-idempotent, replay duplicates purged by compaction).
+
+    The gated/exact-deduped frame is a pure per-row/per-text function of
+    ``batch_df``, so every replay reconstructs the identical probe input
+    — the determinism the _SUCCESS/marker protocol requires."""
+    from pyspark.sql import Window, functions as F
+
+    from serverless_etl_bi_on_aws_spark.functions.text import quality_score
+
+    gated = batch_df.filter(
+        quality_score(text_col) >= F.lit(float(quality_threshold))
+    )
+    w = Window.partitionBy(text_col)
+    gated = (
+        gated.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_min_id")
+    )
+    out = os.path.join(clean_dir, f"batch={batch_id}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        survivors = dedup_against_index(
+            spark, gated, index_path, threshold=threshold, text_col=text_col
+        )
+        survivors.write.mode("overwrite").parquet(out)
+    update_index(gated, index_path, batch_id, text_col=text_col)
+
+
+def start_incremental_curation(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    clean_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    quality_threshold: float = 0.49999,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Watch ``source_dir`` and keep ``clean_dir`` a continuously-CURATED
+    corpus (quality-gated, exact- and near-deduped) — the q81 funnel as
+    a running pipeline, same trigger/checkpoint/batch-id discipline as
+    :func:`start_incremental_dedup`."""
+    ckpt = checkpoint_instance_nonce(checkpoint_dir)
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = getattr(reader, fmt)(source_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_curation_batch(
+            spark,
+            batch_df,
+            index_path,
+            clean_dir,
+            f"{ckpt}-{epoch_id}",
+            quality_threshold=quality_threshold,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

@@ -494,3 +494,119 @@ def test_writer_lease_blocks_concurrent_updates(spark, tmp_path):
     with writer_lease(idx, owner="new", stale_after_s=3600):
         assert os.path.exists(lock)  # re-acquired by the breaker
     assert not os.path.exists(lock)  # released on exit
+
+
+def test_streamed_curation_equals_batch_funnel_over_union(spark, tmp_path):
+    """The CURATION loop (quality gate + exact dedup + index probe)
+    drained over two landed files must equal the one-shot composition
+    over the union: quality-filtered docs, MIN-id per text, then the
+    online near-dup rule — and no filtered-out doc may ever have
+    poisoned the index (pinned by checking the index row count equals
+    the gated doc count)."""
+    from serverless_etl_bi_on_aws_spark.functions.text import quality_score
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        start_incremental_curation,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(400)
+    mid = docs.agg(F.max("doc_id")).head()[0] // 2
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"f{i}"))
+        part = next(
+            p for p in os.listdir(tmp_path / f"f{i}") if p.endswith(".parquet")
+        )
+        os.rename(tmp_path / f"f{i}" / part, land / f"batch{i}.parquet")
+
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    q = start_incremental_curation(
+        spark,
+        str(land),
+        idx,
+        clean,
+        schema=docs.schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()}
+    # one-shot composition over the union (fixture texts are all distinct,
+    # so the exact stage is an identity here; the quality gate is not)
+    gated = docs.filter(quality_score("text") >= 0.49999)
+    want = _oneshot_ids(gated)
+    assert got == want
+    assert 0 < len(got) < gated.count() < docs.count()  # both gates fired
+    n_idx = spark.read.parquet(os.path.join(idx, "sigs")).count()
+    assert n_idx == gated.count()  # nothing filtered was indexed
+
+
+def test_apply_curation_batch_replay_points(spark, tmp_path):
+    """The crash-point trio for the curation loop, plus the exact-dedup
+    stage on PLANTED batch-local and cross-batch duplicate texts:
+    batch-local exact dups collapse to MIN id before the index sees
+    them; a cross-batch exact dup is caught by the probe (identical
+    signature -> jaccard 1.0)."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import compact_index
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_curation_batch,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronomers catalogue distant variable stars using automated "
+        "telescopes during long winter observation campaigns across chile"
+    )
+    good2 = (
+        "market analysts reviewed quarterly earnings reports from twelve "
+        "industrial manufacturers before revising their annual growth "
+        "projections downward amid persistent supply chain disruptions"
+    )
+    low = "a a a a a a a a"
+    b1 = spark.createDataFrame(
+        [(1, good), (2, good), (5, low)], "doc_id bigint, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, good), (11, good2)], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    apply_curation_batch(spark, b1, idx, clean, "cb-0")
+    apply_curation_batch(spark, b2, idx, clean, "cb-1")
+
+    def ids(bid):
+        return {
+            r.doc_id
+            for r in spark.read.parquet(
+                os.path.join(clean, f"batch={bid}")
+            ).select("doc_id").collect()
+        }
+
+    # batch 0: 2 collapses onto 1 (exact, MIN id), 5 fails quality
+    assert ids("cb-0") == {1}
+    # batch 1: 10 is an exact CROSS-batch dup of 1 -> caught by the probe
+    assert ids("cb-1") == {11}
+    # only gated docs reached the index: 1 from b1; 10, 11 from b2
+    n_sigs = spark.read.parquet(os.path.join(idx, "sigs")).count()
+    assert n_sigs == 3
+
+    # (a) full replay: no-op on both clean and index
+    apply_curation_batch(spark, b2, idx, clean, "cb-1")
+    assert ids("cb-1") == {11}
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+
+    # (b) crash between survivors write and index marker: _SUCCESS gate
+    # must hold (a recompute would see cb-1 as a dup of itself)
+    os.remove(os.path.join(idx, "_applied", "cb-1"))
+    apply_curation_batch(spark, b2, idx, clean, "cb-1")
+    assert ids("cb-1") == {11}, "replay clobbered survivors with a self-dup probe"
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() > n_sigs
+    compact_index(spark, idx)
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
