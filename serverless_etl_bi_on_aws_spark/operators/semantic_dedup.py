@@ -53,12 +53,25 @@ def cluster_assignments(
     """(id, _cluster) via one seed-pinned KMeans fit — the same
     assignment the IVF index build persists (similarity.py:437); callers
     with a built index should pass its corpus ``_cluster`` column to
-    :func:`semantic_neardup_pairs` instead of re-fitting."""
+    :func:`semantic_neardup_pairs` instead of re-fitting.
+
+    Degenerate shapes degrade instead of failing the fit (Spark KMeans
+    rejects k < 2 and crashes when the corpus has fewer rows than k):
+    the requested k is clamped to [2, n]; below 2 effective clusters the
+    whole corpus is one cluster — semantic dedup then equals the exact
+    dominance rule, the correct limit. The sizing ``count()`` is the
+    same O(1)-result driver action the block tiling already pays."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    n = embeddings.count()
+    k = min(int(n_clusters), n)
+    if k < 2:
+        return embeddings.select(
+            F.col(id_col), F.lit(0).cast("int").alias("_cluster")
+        )
     feat = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feat)
+    model = KMeans(k=k, seed=seed, featuresCol="_features").fit(feat)
     return (
         model.transform(feat)
         .select(F.col(id_col), F.col("prediction").alias("_cluster"))

@@ -173,3 +173,119 @@ def test_riff_parsers_never_accept_truncation():
                 assert fr == frames[0]  # any returned frame is intact
         except ValueError:
             pass
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=0,
+        max_size=24,
+    ),
+    n_clusters=st.integers(min_value=1, max_value=4),
+)
+def test_semantic_dedup_invariants(spark, vecs, n_clusters):
+    """On ANY corpus: clustered pairs ⊆ exact pairs, survivors + dropped
+    repartition the corpus, and no surviving pair within one cluster is
+    over-threshold (the dominance rule's guarantee)."""
+    from serverless_etl_bi_on_aws_spark.operators.semantic_dedup import (
+        cluster_assignments,
+        semantic_dedup,
+        semantic_neardup_pairs,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        neardup_cosine_pairs,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows or [(None, None)], "vec_id bigint, embedding array<float>"
+    ).filter(F.col("vec_id").isNotNull())
+    n = df.count()
+    if n == 0:
+        return
+    k = min(n_clusters, n)
+    asg = cluster_assignments(df, n_clusters=k, seed=11).localCheckpoint(eager=True)
+    clustered = semantic_neardup_pairs(df, 0.8, assignments=asg).localCheckpoint(
+        eager=True
+    )
+    exact = neardup_cosine_pairs(df, 0.8)
+    assert (
+        clustered.join(
+            exact.select("id_1", "id_2"), ["id_1", "id_2"], "left_anti"
+        ).count()
+        == 0
+    )
+    dropped = clustered.select("id_2").distinct().count()
+    survivors = semantic_dedup(df, 0.8, assignments=asg).count()
+    assert survivors + dropped == n
+    # dominance guarantee: re-probing the survivor set within the same
+    # assignment finds pairs only where BOTH ends were id_1 survivors of
+    # chains — i.e. no pair may involve a dropped id... every surviving
+    # same-cluster pair's id_2 would have been dropped, so there are none
+    surv_df = semantic_dedup(df, 0.8, assignments=asg)
+    re_pairs = semantic_neardup_pairs(surv_df, 0.8, assignments=asg)
+    assert re_pairs.count() == 0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # source bucket
+            st.integers(min_value=0, max_value=3),  # text template id
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_curation_funnel_monotone_and_conserving(spark, docs):
+    """On ANY corpus: per-group stage counts are monotone non-increasing
+    (n_raw >= n_quality >= n_unique >= n_final) and n_raw sums to the
+    corpus size."""
+    from serverless_etl_bi_on_aws_spark.operators.curation import curation_report
+
+    templates = [
+        "b b b b",  # low quality (degenerate repetition, short tokens)
+        (
+            "the quick brown fox jumps over the lazy dog while seventeen "
+            "astronomers catalogue distant variable stars using automated "
+            "telescopes during long winter observation campaigns"
+        ),
+        (
+            "market analysts reviewed quarterly earnings reports from twelve "
+            "industrial manufacturers before revising their annual growth "
+            "projections downward amid persistent supply disruptions"
+        ),
+        (
+            "the quick brown fox jumps over the lazy dog while seventeen "
+            "astronomers catalogue distant variable stars using automated "
+            "telescopes during long winter observation campaigns appended"
+        ),  # near-dup of template 1
+    ]
+    rows = [
+        (i, f"s{srcb}", templates[t]) for i, (srcb, t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "doc_id bigint, source string, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    n = df.count()
+    rep = curation_report(df).collect()
+    assert sum(r["n_raw"] for r in rep) == n
+    for r in rep:
+        assert r["n_raw"] >= r["n_quality"] >= r["n_unique"] >= r["n_final"] >= 0
+        assert (r["n_final"] == 0) == (r["tokens_final"] == 0)
