@@ -32,6 +32,7 @@ from serverless_etl_bi_on_aws_spark.operators.semantic_dedup import (  # noqa: F
 from serverless_etl_bi_on_aws_spark.operators.curation import (  # noqa: F401
     curation_report,
     curation_stages,
+    semantic_curation_stage,
 )
 from serverless_etl_bi_on_aws_spark.operators.sessionize import sessionize  # noqa: F401
 from serverless_etl_bi_on_aws_spark.operators.asof import asof_join  # noqa: F401

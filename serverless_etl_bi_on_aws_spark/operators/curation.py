@@ -74,6 +74,54 @@ def curation_stages(
     return quality, uniq, final
 
 
+def semantic_curation_stage(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.85,
+    n_clusters: int = 8,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """The funnel's optional FOURTH rung — semantic dedup over the
+    surviving docs' embeddings (the SemDeDup stage modern pipelines run
+    after lexical dedup: n-gram Jaccard misses paraphrases; embeddings
+    catch them). Compose after :func:`curation_stages`::
+
+        quality, uniq, final = curation_stages(docs)
+        curated = semantic_curation_stage(final, embeddings)
+
+    Only embeddings of SURVIVING docs enter the pair search (left-semi
+    on the funnel's output — a doc already dropped lexically must not
+    shield its semantic twin), and a doc with no embedding passes
+    through untouched (real corpora embed a subset; silently dropping
+    unembedded docs would turn coverage gaps into data loss). The drop
+    rule is the same cluster-pruned dominance as
+    :func:`~serverless_etl_bi_on_aws_spark.operators.semantic_dedup.
+    semantic_dedup`; pass ``assignments=`` (e.g. a persisted IVF
+    corpus's cluster column) to run zero KMeans fits."""
+    from serverless_etl_bi_on_aws_spark.operators.semantic_dedup import (
+        semantic_neardup_pairs,
+    )
+
+    emb = embeddings.join(
+        docs.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
+    )
+    pairs = semantic_neardup_pairs(
+        emb,
+        threshold,
+        n_clusters,
+        seed,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        assignments=assignments,
+    )
+    dropped = pairs.select(F.col("id_2").alias("_drop")).distinct()
+    return docs.join(dropped, docs[id_col] == dropped["_drop"], "left_anti")
+
+
 def curation_report(
     docs: DataFrame,
     group_col: str = "source",

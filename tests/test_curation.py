@@ -108,3 +108,44 @@ def test_q81_plan_is_jvm_only_and_pruned(spark):
     for marker in ("ArrowEval", "BatchEval", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan, f"unexpected Python stage: {marker}"
     assert "ReadSchema: struct<source:string>" in plan  # n_raw scan pruned
+
+
+def test_semantic_stage_composes_after_lexical(spark):
+    """Fourth rung: paraphrase docs (lexically distinct, semantically
+    near-identical embeddings) survive the lexical funnel but collapse
+    in the semantic stage; docs without an embedding pass through; a
+    lexically-dropped doc's embedding must NOT shield its semantic twin."""
+    from serverless_etl_bi_on_aws_spark.operators.curation import (
+        semantic_curation_stage,
+    )
+
+    para = (
+        "seventeen astronomers catalogue distant variable stars with "
+        "automated telescopes through extended winter observation "
+        "campaigns spanning the high deserts of northern chile"
+    )
+    rows = [
+        (1, "s1", GOOD),
+        (2, "s1", GOOD),   # exact dup of 1 -> dropped lexically
+        (3, "s1", para),   # paraphrase of 1: survives lexical, semantic twin
+        (4, "s2", GOOD2),  # unrelated; has NO embedding
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    # embeddings: 1 and 3 near-identical; 2 identical to 1 (but 2 is
+    # lexically dropped, so its embedding must not matter); 4 absent
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [1.0, 0.02, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    _, _, final = curation_stages(docs)
+    assert {r.doc_id for r in final.select("doc_id").collect()} == {1, 3, 4}
+    # n_clusters=1: with only the two twin embeddings surviving the
+    # left-semi, k=2 would be forced to split them into separate
+    # clusters (two points, two centroids) and never examine the pair —
+    # the k<<n deployment rule in miniature
+    curated = semantic_curation_stage(final, emb, threshold=0.9, n_clusters=1)
+    assert {r.doc_id for r in curated.select("doc_id").collect()} == {1, 4}
