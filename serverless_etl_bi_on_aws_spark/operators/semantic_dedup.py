@@ -19,6 +19,14 @@ to the driver: dropped ⊆ exact-dropped (expected-TRUE), plus a measured
 capture-ratio floor — the same honest-calibration discipline as q13's
 LSH recall booleans.
 
+The INCREMENTAL twin of this operator is the persisted-IVF loop:
+``dedup_embeddings_against_index`` + ``update_ivf_index``
+(operators/similarity.py) probe a new batch against cluster-partitioned
+parquet with the same centroid-pruning idea, and
+``streaming/ingest_dedup.apply_embedding_dedup_batch`` runs it as an
+ingest pipeline — use THIS operator for one-shot corpus dedup and the
+index loop when batches arrive continuously.
+
 Measured A/B (tools/ab_semantic_tiles.py, replicated sf0.1 corpus,
 cluster size held constant): at N=96k the pruned tiling runs 3.4-3.6x
 faster than the exact path and grows ~linearly where exact grows with
