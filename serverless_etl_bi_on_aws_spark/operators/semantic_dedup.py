@@ -169,7 +169,13 @@ def semantic_neardup_pairs(
     (id_1, id_2, cosine) with id_1 < id_2. A subset of
     ``neardup_cosine_pairs``'s exact output by construction — the
     subquadratic candidate generator, with the exact operator as its
-    verifier (q80 pins the subset + capture-floor contract)."""
+    verifier (q80 pins the subset + capture-floor contract).
+
+    With an EXTERNAL ``assignments`` frame, vectors absent from it
+    never enter the pair search (the assignment join is inner): they
+    are unclusterable, emit no pairs, and therefore always SURVIVE
+    :func:`semantic_dedup` — the same conservative pass-through rule
+    the curation funnel applies to unembedded docs."""
     if assignments is None:
         assignments = cluster_assignments(
             embeddings, n_clusters, seed, id_col, vec_col

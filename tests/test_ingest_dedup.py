@@ -610,3 +610,27 @@ def test_apply_curation_batch_replay_points(spark, tmp_path):
     assert spark.read.parquet(os.path.join(idx, "sigs")).count() > n_sigs
     compact_index(spark, idx)
     assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+
+
+def test_apply_curation_batch_fully_filtered_batch(spark, tmp_path):
+    """A non-empty batch that the quality gate empties completely (the
+    stream's isEmpty check can't catch this case) must still commit an
+    empty _SUCCESS-gated partition, index nothing, and replay as a
+    no-op."""
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_curation_batch,
+    )
+
+    b = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b b b b")], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    apply_curation_batch(spark, b, idx, clean, "e-0")
+    out = os.path.join(clean, "batch=e-0")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert spark.read.parquet(out).count() == 0
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == 0
+    apply_curation_batch(spark, b, idx, clean, "e-0")  # replay: no-op
+    assert spark.read.parquet(out).count() == 0
