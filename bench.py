@@ -124,6 +124,28 @@ SCALING_EXTRA = {"q44": "q44_topk_cosine_arrow"}
 BIG_TIER_SPLIT_BYTES = 8 << 20
 
 
+def _paired_slope_stats(times: dict[str, list[float]]) -> dict:
+    """Per-rep PAIRED (sf1, sf10) slopes -> median + IQR + clamped graded
+    slope — the scaling tier's statistical protocol, shared by every
+    layout tier (round 10; previously the layout tiers reported a
+    difference-of-medians point estimate, and the denorm ratio wobbled
+    0.25-0.48 round-to-round with no spread to judge it by). Rep i of
+    both labels ran adjacently, so each pair shares its VM phase; when
+    the IQR straddles zero the tier is floor-bound and the graded slope
+    is clamped at 0 (no measurable marginal cost IS the claim)."""
+    import statistics
+
+    slopes = sorted((b - a) / 9.0 for a, b in zip(times["1"], times["10"]))
+    med = statistics.median(slopes)
+    q = statistics.quantiles(slopes, n=4, method="inclusive")
+    return {
+        "slope_per_sf": round(med, 4),
+        "slope_iqr": [round(q[0], 4), round(q[2], 4)],
+        "flat_within_noise": bool(q[0] <= 0.0 <= q[2] or med <= 0.0),
+        "graded_slope_per_sf": round(max(med, 0.0), 4),
+    }
+
+
 def _time_best(spark, name: str, sf_dir: str, runs: int = 3) -> float:
     fn = QUERIES[name]
     fn(spark, sf_dir).collect()  # warm-up: plan, JIT, IO cache
@@ -247,8 +269,9 @@ def main() -> None:
                 bq3 = _bucketed_q3(spark, {"1": sf1_dir, "10": sf10_dir})
                 scaling = result.get("scaling") or {}
                 du_slope = (scaling.get("q3") or {}).get("duckdb_slope_per_sf")
-                if du_slope and bq3.get("slope_per_sf") is not None:
-                    bq3["slope_ratio"] = round(bq3["slope_per_sf"] / du_slope, 2)
+                graded = bq3.get("graded_slope_per_sf")
+                if du_slope and graded is not None:
+                    bq3["slope_ratio"] = round(graded / du_slope, 2)
                 return bq3
 
             tier("bucketed_q3", bucketed)
@@ -259,8 +282,9 @@ def main() -> None:
                 dq3 = _denorm_q3(spark, {"1": sf1_dir, "10": sf10_dir})
                 scaling = result.get("scaling") or {}
                 du_slope = (scaling.get("q3") or {}).get("duckdb_slope_per_sf")
-                if du_slope and dq3.get("slope_per_sf") is not None:
-                    dq3["slope_ratio"] = round(dq3["slope_per_sf"] / du_slope, 2)
+                graded = dq3.get("graded_slope_per_sf")
+                if du_slope and graded is not None:
+                    dq3["slope_ratio"] = round(graded / du_slope, 2)
                 return dq3
 
             tier("denorm_q3", denorm)
@@ -271,8 +295,9 @@ def main() -> None:
                 rq1 = _rollup_q1(spark, {"1": sf1_dir, "10": sf10_dir})
                 scaling = result.get("scaling") or {}
                 du_slope = (scaling.get("q1") or {}).get("duckdb_slope_per_sf")
-                if du_slope and rq1.get("slope_per_sf") is not None:
-                    rq1["slope_ratio"] = round(rq1["slope_per_sf"] / du_slope, 2)
+                graded = rq1.get("graded_slope_per_sf")
+                if du_slope and graded is not None:
+                    rq1["slope_ratio"] = round(graded / du_slope, 2)
                 return rq1
 
             tier("rollup_q1", rollup)
@@ -533,9 +558,10 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
     after the 60M-row scaling scans, in a degraded-JVM phase, and
     back-to-back per-label reps let one VM stall window poison a whole
     label): both labels are built FIRST, then timed reps are INTERLEAVED
-    across sf1/sf10 (gc before each) and the slope uses per-label MEDIANS
-    — the same discipline as tools/ab_shuffle_hash.py, which is what the
-    in-session numbers were measured with."""
+    across sf1/sf10 (gc before each); since round 10 the slope is the
+    per-rep PAIRED median with IQR (_paired_slope_stats) — the same
+    discipline as the scaling tier, so a round-over-round move outside
+    the spread is attributable to the plan, not the VM."""
     from serverless_etl_bi_on_aws_spark.catalog import load_table
 
     out: dict = {"build_sec": {}, "q3_sec": {}, "q3_sec_median": {}}
@@ -624,13 +650,10 @@ def _bucketed_q3(spark, dirs: dict[str, str]) -> dict:
         for lbl in dirs:
             out["q3_sec"][lbl] = round(min(times[lbl]), 4)
             out["q3_sec_median"][lbl] = round(statistics.median(times[lbl]), 4)
+        if {"1", "10"} <= times.keys():
+            out.update(_paired_slope_stats(times))
     except Exception as ex:  # noqa: BLE001 - bench tiers degrade, never fail
         out["error"] = f"{type(ex).__name__}: {ex}"[:200]
-        return out
-    if {"1", "10"} <= out["q3_sec_median"].keys():
-        out["slope_per_sf"] = round(
-            (out["q3_sec_median"]["10"] - out["q3_sec_median"]["1"]) / 9.0, 4
-        )
     return out
 
 
@@ -643,7 +666,8 @@ def _denorm_q3(spark, dirs: dict[str, str]) -> dict:
     2M-entry broadcast probe + string agg as the LARGEST slope component
     (+0.29 s/sf of raw q3's 0.556) — this layout pays it once. Build cost
     reported (digest-cached); query-time slope scored like the other
-    layout tiers, interleaved across labels with per-label medians."""
+    layout tiers: interleaved reps, per-rep paired slopes, median + IQR
+    (_paired_slope_stats)."""
     import statistics
 
     from serverless_etl_bi_on_aws_spark.operators.denorm import ensure_sales_denorm
@@ -676,13 +700,10 @@ def _denorm_q3(spark, dirs: dict[str, str]) -> dict:
         for lbl in dirs:
             out["q3_sec"][lbl] = round(min(times[lbl]), 4)
             out["q3_sec_median"][lbl] = round(statistics.median(times[lbl]), 4)
+        if {"1", "10"} <= times.keys():
+            out.update(_paired_slope_stats(times))
     except Exception as ex:  # noqa: BLE001 - bench tiers degrade, never fail
         out["error"] = f"{type(ex).__name__}: {ex}"[:200]
-        return out
-    if {"1", "10"} <= out["q3_sec_median"].keys():
-        out["slope_per_sf"] = round(
-            (out["q3_sec_median"]["10"] - out["q3_sec_median"]["1"]) / 9.0, 4
-        )
     return out
 
 
@@ -754,22 +775,7 @@ def _ivf_q44(spark, dirs: dict[str, str]) -> dict:
         out["error"] = f"{type(ex).__name__}: {ex}"[:200]
         return out
     if {"1", "10"} <= out["probe_sec"].keys():
-        # per-rep paired slopes, same protocol as _scaling_tier: rep i of
-        # sf1 and sf10 ran adjacently so each pair shares its VM phase
-        slopes = sorted(
-            (b - a) / 9.0 for a, b in zip(times["1"], times["10"])
-        )
-        med = statistics.median(slopes)
-        p25, p75 = (
-            statistics.quantiles(slopes, n=4, method="inclusive")[0],
-            statistics.quantiles(slopes, n=4, method="inclusive")[2],
-        )
-        out["slope_per_sf"] = round(med, 4)
-        out["slope_iqr"] = [round(p25, 4), round(p75, 4)]
-        out["flat_within_noise"] = bool(p25 <= 0.0 <= p75 or med <= 0.0)
-        # graded slope: clamped at 0 — a floor-bound probe has no
-        # measurable marginal cost, which is the claim, not a negative one
-        out["graded_slope_per_sf"] = round(max(med, 0.0), 4)
+        out.update(_paired_slope_stats(times))
     return out
 
 
@@ -783,10 +789,12 @@ def _rollup_q1(spark, dirs: dict[str, str]) -> dict:
     (its build cost is likewise reported, not added per query)."""
     from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
 
-    out: dict = {"build_sec": {}, "q1_sec": {}}
+    import statistics
+
+    out: dict = {"build_sec": {}, "q1_sec": {}, "q1_sec_median": {}}
     fn = QUERIES["q47_pricing_summary_rollup"]
-    for lbl, sf_dir in dirs.items():
-        try:
+    try:
+        for lbl, sf_dir in dirs.items():
             from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
             rollup_path = artifact_dir(
@@ -800,22 +808,23 @@ def _rollup_q1(spark, dirs: dict[str, str]) -> dict:
             out["build_sec"][lbl] = (
                 "cached" if pre_built else round(time.perf_counter() - t0, 2)
             )
-            spark._jvm.System.gc()
-            best = float("inf")
-            for _ in range(5):
+        times: dict[str, list[float]] = {lbl: [] for lbl in dirs}
+        for _ in range(7):
+            for lbl, sf_dir in dirs.items():
+                spark._jvm.System.gc()
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).collect()
-                best = min(best, time.perf_counter() - t0)
-            out["q1_sec"][lbl] = round(best, 4)
-        except Exception as ex:  # noqa: BLE001 - bench tiers degrade, never fail
-            out["error"] = f"sf{lbl}: {type(ex).__name__}: {ex}"[:200]
-            return out
-    if {"1", "10"} <= out["q1_sec"].keys():
-        # clamped at 0: the rollup is the same ~15k rows at every sf, so
-        # the true slope is ~0 and timing noise can land slightly negative
-        out["slope_per_sf"] = round(
-            max((out["q1_sec"]["10"] - out["q1_sec"]["1"]) / 9.0, 0.0), 4
-        )
+                times[lbl].append(time.perf_counter() - t0)
+        for lbl in dirs:
+            out["q1_sec"][lbl] = round(min(times[lbl]), 4)
+            out["q1_sec_median"][lbl] = round(statistics.median(times[lbl]), 4)
+        # the rollup is the same ~15k rows at every sf, so the TRUE slope
+        # is ~0 — the paired stats make that claim inspectable
+        # (flat_within_noise) instead of silently clamped
+        if {"1", "10"} <= times.keys():
+            out.update(_paired_slope_stats(times))
+    except Exception as ex:  # noqa: BLE001 - bench tiers degrade, never fail
+        out["error"] = f"{type(ex).__name__}: {ex}"[:200]
     return out
 
 
