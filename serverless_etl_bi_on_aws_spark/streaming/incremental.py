@@ -238,7 +238,16 @@ def start_denorm_maintenance(
     l_discount`` — one row per lineitem of every staged order, a single
     row with NULL line columns for an order staged as deleted. (This
     pre-joined extract shape is the reference's own: its hourly "orders"
-    dump IS order+line denormalized, README.md:113.)
+    dump IS order+line denormalized, README.md:113.) One file holds ONE
+    version of an order; ACROSS files, staged filenames must sort
+    lexicographically by staging order (hourly extracts are timestamp-
+    named, so they do) — a drained backlog (availableNow after downtime)
+    can put two hourly versions of the same order into ONE micro-batch,
+    and the batch keeps only each order's rows from its latest file.
+    Without that filter, ``dropDuplicates`` would pick an arbitrary
+    version's o_orderdate while the lineitem delta unioned BOTH
+    versions' rows — silently double-counted revenue (round-10 ADVICE).
+    The disambiguation window shuffles only the micro-batch.
 
     Replay safety needs NO markers here, unlike the ingest-dedup loops:
     ``upsert_sales_denorm`` is delete-matching and therefore idempotent
@@ -261,10 +270,24 @@ def start_denorm_maintenance(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        delta_orders = batch_df.select("o_orderkey", "o_orderdate").dropDuplicates(
+        from pyspark.sql import Window
+
+        # latest-file-per-order: a backlog drain can batch two staged
+        # versions of one order together; only the newest file's rows
+        # may contribute (filenames sort by staging order — contract
+        # above). Keyed on the source file, not the row values, so an
+        # order re-staged UNCHANGED still counts once.
+        w = Window.partitionBy("o_orderkey")
+        latest = (
+            batch_df.withColumn("_src", F.input_file_name())
+            .withColumn("_max_src", F.max("_src").over(w))
+            .filter(F.col("_src") == F.col("_max_src"))
+            .drop("_src", "_max_src")
+        )
+        delta_orders = latest.select("o_orderkey", "o_orderdate").dropDuplicates(
             ["o_orderkey"]
         )
-        delta_li = batch_df.filter(F.col("l_partkey").isNotNull()).select(
+        delta_li = latest.filter(F.col("l_partkey").isNotNull()).select(
             F.col("o_orderkey").alias("l_orderkey"),
             "l_partkey",
             "l_extendedprice",

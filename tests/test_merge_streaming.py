@@ -520,6 +520,67 @@ def test_streaming_denorm_maintenance(spark, tmp_path):
     assert rows() == want2
 
 
+def test_streaming_denorm_two_versions_one_batch(spark, tmp_path):
+    """Backlog-drain disambiguation (round-10 ADVICE, medium): TWO staged
+    versions of the same order land before a single availableNow drain,
+    so both arrive in ONE micro-batch. The maintained fact must reflect
+    only the LATEST file's version — the unguarded composition unioned
+    both versions' lineitems (double-counted revenue) while picking an
+    arbitrary o_orderdate."""
+    from serverless_etl_bi_on_aws_spark.operators.denorm import (
+        denorm_rows,
+        upsert_sales_denorm,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        start_denorm_maintenance,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    key, lkey = F.col("o_orderkey"), F.col("l_orderkey")
+    m = (
+        orders.join(li.select(lkey.alias("o_orderkey")).distinct(), "o_orderkey")
+        .select("o_orderkey").orderBy("o_orderkey").head()[0]
+    )
+
+    def staged(o_df, l_df):
+        lines = l_df.select(
+            lkey.alias("o_orderkey"), "l_partkey", "l_extendedprice", "l_discount"
+        )
+        return o_df.select("o_orderkey", "o_orderdate").join(
+            lines, "o_orderkey", "left"
+        )
+
+    path = str(tmp_path / "denorm")
+    upsert_sales_denorm(
+        spark, path, orders.filter(key != m), li.filter(lkey != m), part
+    )  # bootstrap without order m
+
+    # v1: order m at original prices; v2: repriced 3x — the truth
+    v1 = staged(orders.filter(key == m), li.filter(lkey == m))
+    li_v2 = li.filter(lkey == m).withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 3
+    )
+    v2 = staged(orders.filter(key == m), li_v2)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    # hourly-extract naming: lexicographic order == staging order
+    v1.coalesce(1).write.mode("overwrite").parquet(str(land / "extract_t01"))
+    v2.coalesce(1).write.mode("overwrite").parquet(str(land / "extract_t02"))
+    q = start_denorm_maintenance(
+        spark, str(land / "*"), path, part, v1.schema, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    cols = ["o_orderkey", "category", "order_year", "_rev"]
+    got = sorted(tuple(r) for r in spark.read.parquet(path).select(*cols).collect())
+    exp_li = li.filter(lkey != m).unionByName(li_v2)
+    want = sorted(tuple(r) for r in denorm_rows(exp_li, orders, part).collect())
+    assert got == want
+
+
 def test_streaming_rollup_maintenance(spark, tmp_path):
     """The q47/q1 rung kept current by a stream: land two lineitem
     extracts -> drain each -> the rollup equals a full build over the
