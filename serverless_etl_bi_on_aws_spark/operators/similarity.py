@@ -496,6 +496,12 @@ def build_ivf_index(
             "seed": int(seed),
             "id_col": id_col,
             "vec_col": vec_col,
+            # the corpus's vector element type: appends CAST to it — a
+            # batch whose pipeline promoted float->double (any arithmetic
+            # transform does) would otherwise write mixed-type parquet
+            # files into one partition dir, and later whole-corpus reads
+            # fail on whichever file the inferred schema didn't come from
+            "vec_type": embeddings.schema[vec_col].dataType.elementType.simpleString(),
             "n_rows": n_rows,
             "build_distortion": float(model.summary.trainingCost) / max(n_rows, 1),
         },
@@ -642,9 +648,19 @@ def _update_ivf_index_locked(
 
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    from serverless_etl_bi_on_aws_spark.util import write_marker
+    from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
 
     spark = new_embeddings.sparkSession
+    # corpus type discipline: cast the batch's vectors to the element
+    # type the corpus was built with (recorded in _meta.json) so every
+    # corpus file carries one schema; pre-round-11 indexes without the
+    # field keep the old behavior
+    meta = read_marker(os.path.join(index_path, "_meta.json")) or {}
+    vec_type = meta.get("vec_type")
+    if vec_type:
+        new_embeddings = new_embeddings.withColumn(
+            vec_col, F.col(vec_col).cast(f"array<{vec_type}>")
+        )
     centers = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
     cmat = np.zeros((len(centers), len(centers[0]["centroid"])), dtype="float64")
     for r in centers:
@@ -750,7 +766,16 @@ def ivf_drift_status(index_path: str, retrain_ratio: float = 2.0) -> dict:
                 continue  # torn record: same not-committed grace as read_marker
     build_d = float(meta["build_distortion"])
     app_d = (sum_d2 / n_app) if n_app else 0.0
-    ratio = (app_d / build_d) if (n_app and build_d > 0) else (1.0 if n_app else 0.0)
+    # build_distortion == 0 is degenerate but legal (corpus of repeated
+    # vectors): any appended distortion is then infinitely worse than the
+    # build, not "ratio 1.0" (round-10 ADVICE — the 1.0 report meant the
+    # ratio criterion could never fire however far appends drifted).
+    if not n_app:
+        ratio = 0.0
+    elif build_d > 0:
+        ratio = app_d / build_d
+    else:
+        ratio = float("inf") if app_d > 0 else 1.0
     return {
         "build_distortion": build_d,
         "appended_distortion": app_d,
@@ -779,19 +804,28 @@ def retrain_ivf_index(
       1. read the whole corpus (dropping the stale ``_cluster`` dirs and
          deduping crash-replayed rows on the id — a retrain is also the
          natural compaction point),
-      2. build a fresh index at ``<index>.__retrain__<nonce>`` via
-         :func:`build_ivf_index` (new centroids, new partitioning, new
-         ``_meta.json`` whose build_distortion is the NEW baseline),
-      3. carry the ``_applied`` batch markers over unchanged — every
+      2. build a fresh COMPLETE index at ``<index>.__retrain__<nonce>``
+         via :func:`build_ivf_index` (new centroids, new partitioning,
+         new ``_meta.json`` whose build_distortion is the NEW baseline),
+         including a copy of the ``_applied`` batch markers — every
          appended batch's vectors are IN the retrained corpus, so a
          replayed ``update_ivf_index`` of an old batch must stay a
          no-op; ``_drift`` records are NOT carried (they measured
-         distance to the OLD centroids),
-      4. swap directories (rename, keep the old as ``.__old__`` until
-         the swap completes, then remove).
+         distance to the OLD centroids) — and a copy of the held
+         ``_writer.lock`` so the lease survives the swap,
+      3. swap via TWO whole-directory renames:
+         ``index -> <index>.__old__<nonce>``, then ``tmp -> index``.
 
-    Probes in flight during the swap see either the old or the new index
-    (both correct); the lease excludes concurrent writers."""
+    Atomicity contract (round-10 ADVICE — the previous per-entry swap
+    left probes a wide missing-corpus window and a crash dismembered
+    the index across three dirs): each rename is atomic, so a probe
+    observes the complete old index, the complete new index, or — in
+    the two-rename gap, syscalls wide — a missing directory, which
+    fails LOUDLY and is retryable. A crash inside the gap leaves the
+    complete old index intact at ``.__old__<nonce>``;
+    :func:`recover_ivf_index` restores it (and tests pin that path).
+    If the destination was re-created concurrently during the gap the
+    second rename fails and the old index is restored before raising."""
     import os
     import shutil
     import uuid
@@ -809,7 +843,8 @@ def retrain_ivf_index(
             .dropDuplicates([id_col])
             .localCheckpoint(eager=True)  # snapshot: we rewrite the source dirs
         )
-        tmp = f"{index_path}.__retrain__{uuid.uuid4().hex[:8]}"
+        nonce = uuid.uuid4().hex[:8]
+        tmp = f"{index_path}.__retrain__{nonce}"
         build_ivf_index(
             corpus,
             tmp,
@@ -821,17 +856,47 @@ def retrain_ivf_index(
         applied = os.path.join(index_path, "_applied")
         if os.path.isdir(applied):
             shutil.copytree(applied, os.path.join(tmp, "_applied"))
-        # swap: the lock lives in the OLD dir, so move the new CONTENTS in
-        old = f"{index_path}.__old__{uuid.uuid4().hex[:8]}"
-        os.makedirs(old)
-        for name in ("corpus", "centroids", "_meta.json", "_drift", "_applied"):
-            src = os.path.join(index_path, name)
-            if os.path.exists(src):
-                os.rename(src, os.path.join(old, name))
-        for name in os.listdir(tmp):
-            os.rename(os.path.join(tmp, name), os.path.join(index_path, name))
-        shutil.rmtree(tmp, ignore_errors=True)
+        # the new dir arrives lease-held: copy the held lock in so no
+        # writer can slip between the swap and our release
+        lock = os.path.join(index_path, "_writer.lock")
+        if os.path.exists(lock):
+            shutil.copy2(lock, os.path.join(tmp, "_writer.lock"))
+        old = f"{index_path}.__old__{nonce}"
+        os.rename(index_path, old)
+        try:
+            os.rename(tmp, index_path)
+        except OSError:
+            os.rename(old, index_path)  # restore, then fail loudly
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_ivf_index(index_path: str) -> dict:
+    """Crash recovery for :func:`retrain_ivf_index`'s two-rename swap: if
+    the index directory is missing but a ``.__old__<nonce>`` sibling
+    exists (crash in the rename gap), restore the complete old index,
+    clear the dead writer's ``_writer.lock``, and remove any leftover
+    ``.__retrain__<nonce>`` build. Idempotent; safe to run when nothing
+    is wrong (it then only sweeps orphaned siblings of a COMPLETED swap).
+    Returns {"restored": bool, "removed": [siblings...]}."""
+    import glob
+    import os
+    import shutil
+
+    out: dict = {"restored": False, "removed": []}
+    olds = sorted(glob.glob(f"{index_path}.__old__*"))
+    if not os.path.exists(index_path) and olds:
+        os.rename(olds[-1], index_path)
+        out["restored"] = True
+        olds = olds[:-1]
+        lock = os.path.join(index_path, "_writer.lock")
+        if os.path.exists(lock):
+            os.remove(lock)  # the crashed writer is dead; its lease is void
+    for stray in olds + sorted(glob.glob(f"{index_path}.__retrain__*")):
+        shutil.rmtree(stray, ignore_errors=True)
+        out["removed"].append(os.path.basename(stray))
+    return out
 
 
 def compact_ivf_index(
@@ -858,7 +923,15 @@ def compact_ivf_index(
     from serverless_etl_bi_on_aws_spark.util import read_marker
 
     meta = read_marker(os.path.join(index_path, "_meta.json"))
-    id_col = meta["id_col"] if meta else "vec_id"
+    if meta is None:
+        # mirror ivf_drift_status (round-10 ADVICE): guessing the id
+        # column on a pre-meta index either crashes mid-rewrite or
+        # dedupes on the wrong column — fail loudly instead.
+        raise FileNotFoundError(
+            f"no _meta.json at {index_path}; rebuild with build_ivf_index "
+            "before compacting (pre-round-10 indexes recorded no id column)"
+        )
+    id_col = meta["id_col"]
     corpus_root = os.path.join(index_path, "corpus")
     files: dict[str, int] = {}
     if not os.path.isdir(corpus_root):

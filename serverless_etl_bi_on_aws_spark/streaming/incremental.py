@@ -150,12 +150,26 @@ def start_rollup_maintenance(
     landed FILE. Each micro-batch therefore filters itself to rows from
     files with no `_applied/<md5(file)>` marker, merges only those, and
     writes one marker per file — any re-delivery, in any batching, is
-    swallowed. The crash window between the partition overwrite and the
-    marker writes remains — at 100 TB close it with a transactional
-    table format (Delta/Iceberg MERGE carries the file ids in the same
-    commit); on plain parquet the window is one rename wide and a
-    replay within it double-counts, which the markers make detectable
-    (documented, not silent)."""
+    swallowed.
+
+    Crash window (stated precisely — round-10 ADVICE flagged the old
+    "one rename wide" claim as wrong): the unprotected span runs from
+    the moment the rollup write commits (the bootstrap's `_SUCCESS` or
+    the upsert's partition overwrite) until the LAST of the batch's N
+    per-file markers lands — a crash anywhere inside it leaves rows
+    merged but their files unmarked, and the replay re-merges exactly
+    those files (additively: double-count; on a fresh bootstrap the
+    replay even re-adds the ENTIRE first batch via the upsert branch).
+    The window is not silent: a `<rollup>.__journal__/<nonce>.json`
+    intent record naming the batch's files (a SIBLING dir — the
+    bootstrap overwrite wipes the rollup dir itself) is written BEFORE
+    the merge and removed only AFTER every marker commits, so a crash
+    inside the window
+    strands a journal entry and :func:`rollup_integrity_status` reports
+    which files may be double-counted (remedy: rebuild the rollup —
+    it is derived state). At 100 TB close the window entirely with a
+    transactional table format (Delta/Iceberg MERGE commits the data
+    and the applied-file ids atomically)."""
     import hashlib
     import os
 
@@ -186,6 +200,18 @@ def start_rollup_maintenance(
         if not todo:
             return
         delta = with_src.filter(F.col("_src").isin(todo)).drop("_src")
+        # intent journal: written before the additive merge, removed only
+        # after every per-file marker commits — a crash in between
+        # strands this entry and rollup_integrity_status flags the files.
+        # SIBLING dir, not inside rollup_path: the bootstrap branch is a
+        # whole-directory overwrite and would silently wipe an in-path
+        # journal — the exact crash it exists to expose.
+        import uuid
+
+        jpath = os.path.join(
+            f"{rollup_path}.__journal__", f"{uuid.uuid4().hex[:12]}.json"
+        )
+        write_marker(jpath, {"files": todo})
         if not os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
             # bootstrap: first unapplied files ARE the rollup
             (
@@ -201,6 +227,10 @@ def start_rollup_maintenance(
             write_marker(
                 os.path.join(rollup_path, "_applied", fid(f)), {"file": f}
             )
+        try:
+            os.remove(jpath)
+        except FileNotFoundError:
+            pass
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -210,6 +240,27 @@ def start_rollup_maintenance(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def rollup_integrity_status(rollup_path: str) -> dict:
+    """Post-hoc detector for :func:`start_rollup_maintenance`'s crash
+    window: every stranded ``<rollup>.__journal__/<nonce>.json`` entry
+    is a batch whose additive merge may have committed without all its
+    per-file markers — on replay those files re-merge and double-count.
+    Returns ``{"clean": bool, "suspect_files": [...]}``; remedy for a
+    dirty rollup is a rebuild (it is derived state). Driver-side JSON
+    reads only — no Spark job."""
+    import glob
+    import os
+
+    from serverless_etl_bi_on_aws_spark.util import read_marker
+
+    suspect: list[str] = []
+    for jf in sorted(glob.glob(os.path.join(f"{rollup_path}.__journal__", "*.json"))):
+        rec = read_marker(jf)
+        if rec:
+            suspect.extend(rec.get("files", []))
+    return {"clean": not suspect, "suspect_files": sorted(set(suspect))}
 
 
 def start_denorm_maintenance(

@@ -490,3 +490,100 @@ def test_ivf_retrain_resets_drift_and_stays_exact(spark, tmp_path):
         for r in topk_cosine_bruteforce(union, qvec, k=10).collect()
     ]
     assert got == want
+
+
+def test_ivf_retrain_crash_recovery_and_meta_guards(spark, tmp_path):
+    """Round-10 ADVICE trio on the index maintenance edges:
+
+    (a) retrain swap crash — a crash in the two-rename gap leaves the
+        COMPLETE old index at .__old__<nonce>; recover_ivf_index
+        restores it (probe works, markers intact, dead lease cleared)
+        and sweeps the leftover .__retrain__ build;
+    (b) compact_ivf_index on a pre-meta index fails loudly instead of
+        guessing the id column;
+    (c) ivf_drift_status with build_distortion == 0 (degenerate corpus
+        of one repeated vector) reports infinite drift for appends that
+        moved — the ratio criterion can fire, not only the row count."""
+    import os
+    import shutil
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_drift_status,
+        ivf_probe_topk,
+        recover_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    pool = emb.filter(F.col("vec_id") != 0)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(pool, idx, n_clusters=4, seed=42)
+    assert update_ivf_index(pool.limit(0), idx, "noop-b") in (True, False)
+    before = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=5, n_probe=4).collect()
+    ]
+
+    # (a) simulate the crash: first rename done (index moved aside, dead
+    # writer's lock inside), second never happened, tmp build left over
+    import pathlib
+
+    with open(os.path.join(idx, "_writer.lock"), "w") as f:
+        f.write("{}")
+    os.rename(idx, f"{idx}.__old__deadbeef")
+    pathlib.Path(f"{idx}.__retrain__deadbeef").mkdir()
+    st = recover_ivf_index(idx)
+    assert st["restored"] is True
+    assert "ivf.__retrain__deadbeef" in st["removed"]
+    assert not os.path.exists(f"{idx}.__old__deadbeef")
+    assert not os.path.exists(os.path.join(idx, "_writer.lock"))
+    after = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=5, n_probe=4).collect()
+    ]
+    assert after == before
+    # idempotent when nothing is wrong
+    assert recover_ivf_index(idx) == {"restored": False, "removed": []}
+
+    # (b) pre-meta index: loud refusal, nothing rewritten
+    import pytest
+
+    os.remove(os.path.join(idx, "_meta.json"))
+    with pytest.raises(FileNotFoundError, match="_meta.json"):
+        compact_ivf_index(spark, idx)
+
+    # (c) zero build distortion: two distinct vectors, each repeated —
+    # k=2 puts a centroid exactly on each, trainingCost 0 (all-identical
+    # points would crash Spark's k-means|| init outright)
+    one = emb.filter(F.col("vec_id") == 0)
+    two = emb.filter(F.col("vec_id") == 1)
+    degen = (
+        one.unionByName(two)
+        .unionByName(one.select((F.col("vec_id") + 10).alias("vec_id"), "embedding"))
+        .unionByName(two.select((F.col("vec_id") + 10).alias("vec_id"), "embedding"))
+    )
+    idx2 = str(tmp_path / "ivf0")
+    build_ivf_index(degen, idx2, n_clusters=2, seed=42)
+    # trainingCost can carry float dust (~1e-16) even at exact centroids;
+    # pin the code path by forcing the recorded baseline to literal 0
+    from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
+
+    meta2 = read_marker(os.path.join(idx2, "_meta.json"))
+    assert meta2["build_distortion"] < 1e-12
+    meta2["build_distortion"] = 0.0
+    write_marker(os.path.join(idx2, "_meta.json"), meta2)
+    shifted = one.select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(9.0)).alias("embedding"),
+    )
+    assert update_ivf_index(shifted, idx2, "b-shift") is True
+    st2 = ivf_drift_status(idx2, retrain_ratio=2.0)
+    assert st2["build_distortion"] == 0.0
+    assert st2["drift_ratio"] == float("inf")
+    assert st2["retrain_recommended"]

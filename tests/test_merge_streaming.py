@@ -649,3 +649,65 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in want_q1.collect()
     )
+
+    # happy-path drains leave no stranded journal entries
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        rollup_integrity_status,
+    )
+
+    assert rollup_integrity_status(rollup) == {"clean": True, "suspect_files": []}
+
+
+def test_rollup_crash_window_is_detectable(spark, tmp_path, monkeypatch):
+    """The rollup maintenance crash window (round-10 ADVICE): a crash
+    after the additive merge commits but before the per-file markers
+    land makes the replay double-count those files. The window cannot
+    be closed on plain parquet, but it must not be SILENT — the intent
+    journal written before the merge strands on crash and
+    rollup_integrity_status names the suspect files. Simulated by
+    failing the first _applied marker write, then replaying."""
+    import serverless_etl_bi_on_aws_spark.util as util
+    from serverless_etl_bi_on_aws_spark.operators.rollup import build_pricing_rollup
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        rollup_integrity_status,
+        start_rollup_maintenance,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    land = tmp_path / "landing"
+    land.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    li.coalesce(1).write.mode("overwrite").parquet(str(land / "extract1"))
+
+    real_write = util.write_marker
+
+    def crash_on_marker(path, payload=None):
+        if "_applied" in path:
+            raise RuntimeError("simulated crash before marker commit")
+        return real_write(path, payload)
+
+    monkeypatch.setattr(util, "write_marker", crash_on_marker)
+    q = start_rollup_maintenance(spark, str(land / "*"), rollup, li.schema, ckpt)
+    try:
+        q.awaitTermination(120)
+    except Exception:  # noqa: BLE001 - the injected crash surfaces here
+        pass
+    monkeypatch.undo()
+
+    # merged but unmarked: the journal is stranded and names the file
+    st = rollup_integrity_status(rollup)
+    assert not st["clean"] and len(st["suspect_files"]) == 1
+    assert "extract1" in st["suspect_files"][0]
+
+    # replay double-counts (the documented exposure) — and the journal
+    # still flags it afterwards, so the operator knows to rebuild
+    q = start_rollup_maintenance(spark, str(land / "*"), rollup, li.schema, ckpt)
+    q.awaitTermination(120)
+    cols = sorted(spark.read.parquet(rollup).columns)
+    got = sorted(tuple(r) for r in spark.read.parquet(rollup).select(*cols).collect())
+    want = sorted(
+        tuple(r) for r in build_pricing_rollup(li).select(*cols).collect()
+    )
+    assert got != want  # double-counted: detection, not prevention
+    assert not rollup_integrity_status(rollup)["clean"]
