@@ -46,6 +46,7 @@ def topk_cosine_arrow(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dedup_ids: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k, Arrow-vectorized: the throughput twin of
     :func:`topk_cosine_bruteforce`.
@@ -72,6 +73,20 @@ def topk_cosine_arrow(
     vs DuckDB is Spark's per-task Python IPC against an in-process
     scan — irreducible for exact top-k here; LSH/IVF (q18/q45) are the
     scale path that prunes it.
+
+    ``dedup_ids=True`` (round 11): collapse repeated ids WITHOUT a
+    corpus-wide exchange, for inputs whose duplicate ids carry
+    IDENTICAL rows — the crash-replayed IVF corpus shape. The previous
+    remedy (``dropDuplicates`` before the top-k) shuffled every
+    candidate row INCLUDING its vector, and that exchange was the
+    dominant marginal cost of the pruned IVF probe (ivf_q44 graded
+    2.12 in BENCH_r10). Here duplicates within an Arrow batch collapse
+    via ``np.unique`` before scoring (so they cannot eat batch-local
+    top-k slots), and duplicates ACROSS batches are removed on the
+    already-pruned k-rows-per-batch frame — a shuffle of dozens of
+    rows, not the corpus. Exact for identical-row duplicates because
+    every distinct id's row survives its batch's top-k cut whenever it
+    belongs to the global top-k.
     """
     import numpy as np
     import pyarrow as pa
@@ -99,6 +114,12 @@ def topk_cosine_arrow(
             n = batch.num_rows
             if n == 0:
                 continue
+            if dedup_ids:
+                ids_all = batch.column(id_idx).to_numpy(zero_copy_only=False)
+                uniq, first = np.unique(ids_all, return_index=True)
+                if len(uniq) < n:
+                    batch = batch.take(pa.array(np.sort(first)))
+                    n = batch.num_rows
             m = (
                 batch.column(vec_idx).flatten()
                 .to_numpy(zero_copy_only=False)
@@ -123,6 +144,10 @@ def topk_cosine_arrow(
             yield pa.RecordBatch.from_arrays(cols, names=names + ["cosine"])
 
     pruned = embeddings.mapInArrow(batches, schema=out_schema)
+    if dedup_ids:
+        # cross-batch duplicates: the frame is k rows per batch here, so
+        # this exchange moves dozens of rows, not the candidate corpus
+        pruned = pruned.dropDuplicates([id_col])
     return pruned.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
@@ -508,6 +533,33 @@ def build_ivf_index(
     )
 
 
+#: collected centroid rows per (index path, centroids-dir mtime): the
+#: probe's only driver-side read is n_clusters rows, but re-reading the
+#: parquet per call still costs a full job's fixed machinery (~0.1-0.3 s
+#: on the bench VM) — pure noise for a repeated-query workload. The
+#: mtime key self-invalidates on rebuild/retrain (both replace the
+#: centroids directory wholesale); compaction and appends never touch it.
+_CENTROID_CACHE: dict = {}
+
+
+def _load_centroids(spark, index_path: str):
+    import os
+
+    cdir = os.path.join(index_path, "centroids")
+    try:
+        key = (os.path.abspath(index_path), os.path.getmtime(cdir))
+    except OSError:
+        key = None
+    if key is not None and key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    rows = spark.read.parquet(cdir).collect()
+    if key is not None:
+        if len(_CENTROID_CACHE) > 64:
+            _CENTROID_CACHE.clear()
+        _CENTROID_CACHE[key] = rows
+    return rows
+
+
 def ivf_probe_topk(
     spark,
     index_path: str,
@@ -519,13 +571,21 @@ def ivf_probe_topk(
 ) -> DataFrame:
     """Probe half of the persisted IVF index: choose the ``n_probe``
     centroids nearest the query (centroids are n_clusters rows — the one
-    acceptable driver-side read), then scan ONLY those partitions of the
-    corpus (``_cluster IN probes`` prunes at file listing, visible as
-    PartitionFilters in the plan) and exact-rerank by cosine. Zero KMeans
-    fits per query — pytest-pinned (test_asof_ivf)."""
+    acceptable driver-side read, mtime-cached per index), then scan ONLY
+    those partitions of the corpus (``_cluster IN probes`` prunes at file
+    listing, visible as PartitionFilters in the plan) and exact-rerank by
+    cosine. Zero KMeans fits per query — pytest-pinned (test_asof_ivf).
+
+    Crash-replayed duplicate corpus rows (update_ivf_index's replay
+    shape, purged at compaction) must not eat top-k slots, but deduping
+    them with ``dropDuplicates`` here shuffled every candidate row with
+    its vector — measured as the probe's dominant marginal cost
+    (BENCH_r10 ivf_q44 2.12). The rerank kernel's ``dedup_ids`` path
+    collapses them batch-locally and dedups only the k-per-batch pruned
+    rows — exact for identical-row duplicates, no candidate exchange."""
     import os
 
-    centers = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    centers = _load_centroids(spark, index_path)
 
     def dist2(c) -> float:
         return sum((float(a) - float(b)) ** 2 for a, b in zip(c, query_vec))
@@ -539,16 +599,10 @@ def ivf_probe_topk(
     # below the Python stage in the plan); the pruned candidate set is
     # re-ranked by the Arrow/BLAS kernel, not the interpreted HOF cosine
     # (measured 4x slower per row — tools/ab_q44_ship.py).
-    # dropDuplicates(id): a crashed-then-replayed update_ivf_index leaves
-    # duplicate corpus rows between compactions; unlike the set-membership
-    # dedup probes, repeated vec_ids here would EAT top-k slots (round-9
-    # ADVICE), so the candidate scan dedupes on id before the rerank.
-    cands = (
-        corpus.filter(F.col("_cluster").isin(probe))
-        .drop("_cluster")
-        .dropDuplicates([id_col])
+    cands = corpus.filter(F.col("_cluster").isin(probe)).drop("_cluster")
+    return topk_cosine_arrow(
+        cands, query_vec, k=k, id_col=id_col, vec_col=vec_col, dedup_ids=True
     )
-    return topk_cosine_arrow(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def topk_cosine_lsh(
@@ -661,7 +715,7 @@ def _update_ivf_index_locked(
         new_embeddings = new_embeddings.withColumn(
             vec_col, F.col(vec_col).cast(f"array<{vec_type}>")
         )
-    centers = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    centers = _load_centroids(spark, index_path)
     cmat = np.zeros((len(centers), len(centers[0]["centroid"])), dtype="float64")
     for r in centers:
         cmat[int(r["cluster"])] = r["centroid"]
@@ -1002,7 +1056,7 @@ def dedup_embeddings_against_index(
         StructType,
     )
 
-    centers = spark.read.parquet(os.path.join(index_path, "centroids")).collect()
+    centers = _load_centroids(spark, index_path)
     n_clusters = len(centers)
     n_probe = min(n_probe, n_clusters)
     cmat = np.zeros((n_clusters, len(centers[0]["centroid"])), dtype="float64")
