@@ -65,11 +65,20 @@ def cluster_assignments(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_rows: int | None = None,
 ) -> DataFrame:
     """(id, _cluster) via one seed-pinned KMeans fit — the same
     assignment the IVF index build persists (similarity.py:437); callers
     with a built index should pass its corpus ``_cluster`` column to
     :func:`semantic_neardup_pairs` instead of re-fitting.
+
+    ``fit_sample_rows`` — the 100 TB fit knob (round-10 verdict #2),
+    identical semantics to ``build_ivf_index``: the KMeans fit sees only
+    a bounded seeded sample and the FULL corpus is assigned through the
+    shared Arrow/BLAS argmin stage (similarity._assign_with_centroids).
+    Cluster placement decides only which pairs the pruned search
+    EXAMINES; the dropped⊆exact and capture contracts (q80) hold for
+    ANY assignment, so sampling trades capture ratio, never soundness.
 
     Degenerate shapes degrade instead of failing the fit (Spark KMeans
     rejects k < 2 and crashes when the corpus has fewer rows than k):
@@ -85,6 +94,18 @@ def cluster_assignments(
     if k < 2:
         return embeddings.select(
             F.col(id_col), F.lit(0).cast("int").alias("_cluster")
+        )
+    if fit_sample_rows is not None:
+        from serverless_etl_bi_on_aws_spark.operators.similarity import (
+            _assign_with_centroids,
+            _fit_centroids_on_sample,
+        )
+
+        centers = _fit_centroids_on_sample(
+            embeddings, k, seed, vec_col, fit_sample_rows
+        )
+        return _assign_with_centroids(embeddings, centers, vec_col).select(
+            F.col(id_col), F.col("_cluster")
         )
     feat = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
     model = KMeans(k=k, seed=seed, featuresCol="_features").fit(feat)
@@ -164,6 +185,7 @@ def semantic_neardup_pairs(
     vec_col: str = "embedding",
     block_rows: int = 2048,
     assignments: DataFrame | None = None,
+    fit_sample_rows: int | None = None,
 ) -> DataFrame:
     """Every unordered SAME-CLUSTER pair with cosine >= ``threshold``:
     (id_1, id_2, cosine) with id_1 < id_2. A subset of
@@ -178,7 +200,7 @@ def semantic_neardup_pairs(
     the curation funnel applies to unembedded docs."""
     if assignments is None:
         assignments = cluster_assignments(
-            embeddings, n_clusters, seed, id_col, vec_col
+            embeddings, n_clusters, seed, id_col, vec_col, fit_sample_rows
         )
     tagged = _tag_cluster_block_pairs(
         embeddings, assignments, id_col, vec_col, block_rows
@@ -232,6 +254,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     block_rows: int = 2048,
     assignments: DataFrame | None = None,
+    fit_sample_rows: int | None = None,
 ) -> DataFrame:
     """Cluster-pruned survivor set: the dominance rule of
     ``dedup_by_cosine`` (drop iff higher id of any over-threshold pair)
@@ -246,6 +269,7 @@ def semantic_dedup(
         vec_col,
         block_rows,
         assignments,
+        fit_sample_rows,
     )
     dropped = pairs.select(F.col("id_2").alias("_drop")).distinct()
     return embeddings.join(

@@ -459,6 +459,92 @@ def topk_cosine_ivf(
     return topk_cosine_arrow(cands, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def _assign_with_centroids(df: DataFrame, cmat, vec_col: str) -> DataFrame:
+    """ONE Arrow/BLAS stage: nearest-centroid assignment over a FIXED
+    centroid matrix — the shared kernel of every zero-fit path (index
+    appends, sample-fit builds, semantic cluster assignment). Emits the
+    input columns plus ``_cluster`` (int) and ``_dist2`` (double, the
+    true squared distance to the assigned centroid — the drift/distortion
+    measure, free from the same matmul). ``cmat`` is (n_clusters, dim)
+    float64 and ships as a closure literal (KBs); each Arrow batch does
+    one BLAS matmul argmin — no per-row Python, no driver loop. Rows
+    with NULL or wrong-dim vectors are dropped; callers own the
+    pass-through rule for them."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cmat = np.asarray(cmat, dtype="float64")
+    c_sq = (cmat * cmat).sum(axis=1)
+    dim = cmat.shape[1]
+    names = [f.name for f in df.schema.fields]
+    vec_idx = names.index(vec_col)
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("_cluster", IntegerType(), False),
+            StructField("_dist2", DoubleType(), False),
+        ]
+    )
+
+    def assign(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            m = (
+                batch.column(vec_idx).flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, dim)
+                .astype("float64", copy=False)
+            )
+            # argmin ||x - c||^2 = argmin (|c|^2 - 2 x.c): one BLAS matmul
+            d = c_sq[None, :] - 2.0 * (m @ cmat.T)
+            cl = np.argmin(d, axis=1)
+            # true squared distance adds back the |x|^2 the argmin dropped
+            d2 = np.maximum(d[np.arange(n), cl] + (m * m).sum(axis=1), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(cl.astype("int32")), pa.array(d2)],
+                names=names + ["_cluster", "_dist2"],
+            )
+
+    valid = df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
+    return valid.mapInArrow(assign, schema=out_schema)
+
+
+def _fit_centroids_on_sample(
+    embeddings: DataFrame,
+    n_clusters: int,
+    seed: int,
+    vec_col: str,
+    fit_sample_rows: int,
+) -> list[list[float]]:
+    """KMeans centroids from a bounded seeded sample — the 100 TB fit
+    path (round-10 verdict #2): the full-corpus ``KMeans.fit`` is a
+    multi-pass distributed ML job over every embedding, paid again on
+    every retrain; centroid QUALITY only needs a representative sample
+    (SemDeDup and FAISS train IVF centroids on samples as standard
+    practice), while assignment correctness is exact regardless because
+    the full corpus is assigned by the BLAS argmin stage. Returns the
+    centroid list; the effective k is min(n_clusters, sample rows)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = embeddings.count()
+    frac = min(1.0, (float(fit_sample_rows) * 1.2) / max(n, 1))
+    sample = embeddings.select(vec_col)
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=seed)
+    sample = sample.limit(int(fit_sample_rows))
+    feat = sample.withColumn("_features", array_to_vector(F.col(vec_col)))
+    cnt = feat.count()
+    k = max(1, min(int(n_clusters), cnt))
+    model = KMeans(k=k, seed=seed, featuresCol="_features").fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     index_path: str,
@@ -466,6 +552,7 @@ def build_ivf_index(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    fit_sample_rows: int | None = None,
 ) -> None:
     """One-time IVF index build: the persisted half of the build/probe
     split (round-6 verdict #7 — :func:`topk_cosine_ivf` re-fit KMeans per
@@ -487,7 +574,23 @@ def build_ivf_index(
     assigned centroid, straight from the KMeans training summary) — so
     :func:`ivf_drift_status` can later MEASURE how far appended batches
     have drifted from the trained centroids instead of guessing when to
-    retrain."""
+    retrain.
+
+    ``fit_sample_rows`` — the 100 TB fit knob (round-10 verdict #2).
+    With None (default), KMeans fits over the FULL corpus: fine at
+    fixture scale, but a multi-pass distributed ML job over every
+    embedding at warehouse scale, re-paid on every drift-triggered
+    retrain. With a bound, the fit sees only a seeded sample of that
+    many rows and the FULL corpus is assigned through the same
+    Arrow/BLAS argmin stage every append already uses
+    (:func:`_assign_with_centroids`) — probe answers stay exact with
+    respect to whatever centroids exist (pytest-pinned equivalence vs
+    brute force at n_probe = n_clusters), only centroid placement
+    (i.e. pruned-probe recall) depends on the sample, which is how
+    FAISS/SemDeDup-scale pipelines train IVF as standard practice.
+    ``build_distortion`` is then measured by one extra columnar pass
+    over the written corpus (the fit summary's trainingCost only
+    covers the sample)."""
     import os
 
     from pyspark.ml.clustering import KMeans
@@ -495,28 +598,46 @@ def build_ivf_index(
 
     from serverless_etl_bi_on_aws_spark.util import write_marker
 
-    feat = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feat)
-    assigned = model.transform(feat).withColumnRenamed("prediction", "_cluster")
-    (
-        assigned.drop("_features")
-        .write.mode("overwrite")
-        .partitionBy("_cluster")
-        .parquet(os.path.join(index_path, "corpus"))
-    )
     spark = embeddings.sparkSession
-    centers = model.clusterCenters()
-    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)]
+    corpus_path = os.path.join(index_path, "corpus")
+    if fit_sample_rows is None:
+        feat = embeddings.withColumn("_features", array_to_vector(F.col(vec_col)))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feat)
+        assigned = model.transform(feat).withColumnRenamed("prediction", "_cluster")
+        assigned.drop("_features").write.mode("overwrite").partitionBy(
+            "_cluster"
+        ).parquet(corpus_path)
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        # training summary: clusterSizes/trainingCost come with the fit — no
+        # extra job. trainingCost = sum over corpus of ||x - c_assigned||^2.
+        n_rows = int(sum(model.summary.clusterSizes))
+        distortion = float(model.summary.trainingCost) / max(n_rows, 1)
+    else:
+        centers = _fit_centroids_on_sample(
+            embeddings, n_clusters, seed, vec_col, fit_sample_rows
+        )
+        _assign_with_centroids(embeddings, centers, vec_col).drop(
+            "_dist2"
+        ).write.mode("overwrite").partitionBy("_cluster").parquet(corpus_path)
+        # distortion over the FULL corpus: one columnar re-read + the
+        # same BLAS stage (build-time only; appends get theirs free)
+        stats = (
+            _assign_with_centroids(
+                spark.read.parquet(corpus_path).drop("_cluster"), centers, vec_col
+            )
+            .agg(F.count("*").alias("n"), F.sum("_dist2").alias("s"))
+            .collect()[0]
+        )
+        n_rows = int(stats["n"])
+        distortion = float(stats["s"] or 0.0) / max(n_rows, 1)
+    rows = [(int(i), c) for i, c in enumerate(centers)]
     spark.createDataFrame(rows, "cluster int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
-    # training summary: clusterSizes/trainingCost come with the fit — no
-    # extra job. trainingCost = sum over corpus of ||x - c_assigned||^2.
-    n_rows = int(sum(model.summary.clusterSizes))
     write_marker(
         os.path.join(index_path, "_meta.json"),
         {
-            "n_clusters": int(n_clusters),
+            "n_clusters": int(len(centers)),
             "dim": int(len(centers[0])),
             "seed": int(seed),
             "id_col": id_col,
@@ -528,7 +649,7 @@ def build_ivf_index(
             # fail on whichever file the inferred schema didn't come from
             "vec_type": embeddings.schema[vec_col].dataType.elementType.simpleString(),
             "n_rows": n_rows,
-            "build_distortion": float(model.summary.trainingCost) / max(n_rows, 1),
+            "build_distortion": distortion,
         },
     )
 
@@ -694,13 +815,12 @@ def _update_ivf_index_locked(
     vec_col: str,
     marker: str,
 ) -> bool:
-    """Body of :func:`update_ivf_index`, run under the writer lease."""
+    """Body of :func:`update_ivf_index`, run under the writer lease.
+    Assignment is the shared :func:`_assign_with_centroids` BLAS stage
+    over the mtime-cached centroid rows."""
     import os
 
     import numpy as np
-    import pyarrow as pa
-
-    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
 
@@ -719,48 +839,11 @@ def _update_ivf_index_locked(
     cmat = np.zeros((len(centers), len(centers[0]["centroid"])), dtype="float64")
     for r in centers:
         cmat[int(r["cluster"])] = r["centroid"]
-    c_sq = (cmat * cmat).sum(axis=1)
-    dim = cmat.shape[1]
-    names = [f.name for f in new_embeddings.schema.fields]
-    vec_idx = names.index(vec_col)
-    out_schema = StructType(
-        new_embeddings.schema.fields
-        + [
-            StructField("_cluster", IntegerType(), False),
-            StructField("_dist2", DoubleType(), False),
-        ]
-    )
-
-    def assign(it):
-        for batch in it:
-            n = batch.num_rows
-            if n == 0:
-                continue
-            m = (
-                batch.column(vec_idx).flatten()
-                .to_numpy(zero_copy_only=False)
-                .reshape(n, dim)
-                .astype("float64", copy=False)
-            )
-            # argmin ||x - c||^2 = argmin (|c|^2 - 2 x.c): one BLAS matmul
-            d = c_sq[None, :] - 2.0 * (m @ cmat.T)
-            cl = np.argmin(d, axis=1)
-            # true squared distance adds back the |x|^2 the argmin dropped
-            d2 = np.maximum(
-                d[np.arange(n), cl] + (m * m).sum(axis=1), 0.0
-            )
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(batch.num_columns)]
-                + [pa.array(cl.astype("int32")), pa.array(d2)],
-                names=names + ["_cluster", "_dist2"],
-            )
-
-    valid = new_embeddings.filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
-    )
     # one Arrow pass, two consumers (corpus write + drift agg): batches
     # are small-per-batch by the incremental contract, so pin the pass
-    assigned = valid.mapInArrow(assign, schema=out_schema).localCheckpoint(eager=True)
+    assigned = _assign_with_centroids(
+        new_embeddings, cmat, vec_col
+    ).localCheckpoint(eager=True)
     (
         assigned.drop("_dist2")
         .write.mode("append")
@@ -847,12 +930,16 @@ def retrain_ivf_index(
     index_path: str,
     n_clusters: int | None = None,
     seed: int | None = None,
+    fit_sample_rows: int | None = None,
 ) -> None:
     """Act on :func:`ivf_drift_status`'s recommendation: re-fit KMeans
     over the CURRENT corpus (build rows + every appended batch), rewrite
     the cluster-partitioned corpus and centroids in place, and reset the
     drift baseline — the one deliberate KMeans fit in the index's life
-    after its build.
+    after its build. ``fit_sample_rows`` bounds that fit exactly as in
+    :func:`build_ivf_index` — at 100 TB a drift-triggered retrain should
+    re-place centroids from a sample, not re-run distributed ML over
+    the whole corpus (round-10 verdict #2).
 
     Protocol (write-new-then-swap, under the single-writer lease):
       1. read the whole corpus (dropping the stale ``_cluster`` dirs and
@@ -906,6 +993,7 @@ def retrain_ivf_index(
             seed=int(seed if seed is not None else meta["seed"]),
             vec_col=vec_col,
             id_col=id_col,
+            fit_sample_rows=fit_sample_rows,
         )
         applied = os.path.join(index_path, "_applied")
         if os.path.isdir(applied):

@@ -492,6 +492,73 @@ def test_ivf_retrain_resets_drift_and_stays_exact(spark, tmp_path):
     assert got == want
 
 
+def test_ivf_sample_fit_build_and_retrain(spark, tmp_path, monkeypatch):
+    """fit_sample_rows (round-10 verdict #2 — the 100 TB fit path): the
+    KMeans fit sees AT MOST the sample bound (trap-pinned), the full
+    corpus is assigned via the shared BLAS argmin stage, and the index
+    answers exactly like a full-fit build where exactness is promised —
+    probe at n_probe = n_clusters equals brute force, appends/drift/
+    retrain keep composing, and the sampled retrain also respects the
+    bound."""
+    import os
+
+    from pyspark.ml.clustering import KMeans
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_drift_status,
+        ivf_probe_topk,
+        retrain_ivf_index,
+        topk_cosine_bruteforce,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    pool = emb.filter(F.col("vec_id") != 0)
+    bound = 120
+
+    real_fit = KMeans.fit
+
+    def bounded_fit(self, dataset, *a, **kw):
+        assert dataset.count() <= bound, "KMeans.fit saw more than the sample"
+        return real_fit(self, dataset, *a, **kw)
+
+    monkeypatch.setattr(KMeans, "fit", bounded_fit)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(pool, idx, n_clusters=8, seed=42, fit_sample_rows=bound)
+
+    # full corpus assigned: every row is in exactly one cluster partition
+    assert spark.read.parquet(os.path.join(idx, "corpus")).count() == pool.count()
+    meta = ivf_drift_status(idx)
+    assert meta["build_rows"] == pool.count()
+    assert meta["build_distortion"] > 0  # measured over the full corpus
+
+    # exactness where promised: unpruned probe == brute force
+    got = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=10, n_probe=8).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in topk_cosine_bruteforce(pool, qvec, k=10).collect()
+    ]
+    assert got == want
+
+    # appends + drift + sampled retrain compose under the same bound
+    shifted = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding"),
+    )
+    assert update_ivf_index(shifted, idx, "b-shift") is True
+    retrain_ivf_index(spark, idx, fit_sample_rows=bound)
+    st = ivf_drift_status(idx)
+    assert st["appended_rows"] == 0 and st["build_rows"] == pool.count() + 1
+
+
 def test_ivf_retrain_crash_recovery_and_meta_guards(spark, tmp_path):
     """Round-10 ADVICE trio on the index maintenance edges:
 

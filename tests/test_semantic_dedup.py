@@ -107,6 +107,50 @@ def test_external_assignment_reused_no_kmeans_fit(spark, monkeypatch):
     assert pairs.count() > 0
 
 
+def test_sample_fit_assignment_keeps_contracts(spark, monkeypatch):
+    """fit_sample_rows on the semantic path (round-10 verdict #2): the
+    fit is bounded (trap-pinned), every embedding still gets an
+    assignment through the BLAS argmin stage, and the q80 soundness
+    contracts — clustered pairs ⊆ exact pairs, survivors + dropped ==
+    corpus — hold for the sample-placed centroids (they hold for ANY
+    assignment; sampling only moves capture)."""
+    from pyspark.ml.clustering import KMeans
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    bound = 100
+    real_fit = KMeans.fit
+
+    def bounded_fit(self, dataset, *a, **kw):
+        assert dataset.count() <= bound, "KMeans.fit saw more than the sample"
+        return real_fit(self, dataset, *a, **kw)
+
+    monkeypatch.setattr(KMeans, "fit", bounded_fit)
+    asg = cluster_assignments(emb, n_clusters=4, seed=42, fit_sample_rows=bound)
+    assert asg.count() == emb.count()
+    assert asg.select("_cluster").distinct().count() <= 4
+
+    clustered = semantic_neardup_pairs(
+        emb, 0.4, n_clusters=4, seed=42, fit_sample_rows=bound
+    )
+    exact = neardup_cosine_pairs(emb, 0.4)
+    extra = clustered.join(
+        exact.select("id_1", "id_2"), ["id_1", "id_2"], "left_anti"
+    ).count()
+    assert extra == 0
+    dropped = clustered.select("id_2").distinct().count()
+    survivors = semantic_dedup(
+        emb, 0.4, n_clusters=4, seed=42, fit_sample_rows=bound
+    ).count()
+    assert survivors + dropped == emb.count()
+    # planted near-identical copies are still caught under a sampled fit
+    planted = _planted(spark)
+    surv = semantic_dedup(
+        planted, threshold=0.9, n_clusters=6, seed=7, fit_sample_rows=10
+    )
+    kept = {r.vec_id for r in surv.select("vec_id").collect()}
+    assert not any(g + 1000 in kept and g in kept for g in range(6))
+
+
 def test_empty_corpus(spark):
     emb = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     asg = spark.createDataFrame([], "vec_id bigint, _cluster int")
