@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from serverless_etl_bi_on_aws_spark.functions.text import quality_score, token_count
-from serverless_etl_bi_on_aws_spark.operators.dedup import neardup_jaccard_pairs
+from serverless_etl_bi_on_aws_spark.operators.dedup import (
+    neardup_jaccard_pairs,
+    neardup_minhash_lsh,
+)
 
 
 def curation_stages(
@@ -37,6 +40,10 @@ def curation_stages(
     text_col: str = "text",
     shingle_n: int = 3,
     max_df_frac: float | None = None,
+    neardup: str = "exact",
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns the three surviving sets ``(quality, uniq, final)``:
 
@@ -47,6 +54,21 @@ def curation_stages(
     * ``final`` — minus near-duplicates: ``shingle_n``-gram Jaccard >=
       ``jaccard_threshold`` pairs under the dominance rule (every id_2
       drops — q12/q50's family; order-independent, no iteration).
+
+    ``neardup`` selects the pair generator for the third rung (round-10
+    verdict #3 — the funnel hardwired the exact inverted-index join,
+    so the repo's own scale answer couldn't be chosen):
+
+    * ``"exact"`` (default) — ``neardup_jaccard_pairs``: true shingle
+      Jaccard via the inverted index; the SQL-expressible, q81-oracled
+      form. The shingle join is the expensive stage at corpus scale
+      (df-capped via ``max_df_frac``, but still every shared shingle).
+    * ``"minhash"`` — ``neardup_minhash_lsh``: banded MinHash-LSH with
+      SIGNATURE-ESTIMATED Jaccard >= the same threshold; candidates
+      meet only on band-bucket collisions, the 100 TB shape. The
+      estimate concentrates around true Jaccard (q13 value-gates the
+      recall booleans); ``num_hashes``/``bands``/``seed`` tune the
+      S-curve exactly as in q13.
 
     The uniq set is localCheckpoint'd: it feeds BOTH the pair join's two
     fan-outs and the downstream aggregates, and re-deriving a window over
@@ -59,14 +81,28 @@ def curation_stages(
         .drop("_min_id")
         .localCheckpoint(eager=True)
     )
-    pairs = neardup_jaccard_pairs(
-        uniq,
-        id_col=id_col,
-        text_col=text_col,
-        n=shingle_n,
-        threshold=jaccard_threshold,
-        max_df_frac=max_df_frac,
-    )
+    if neardup == "exact":
+        pairs = neardup_jaccard_pairs(
+            uniq,
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+            threshold=jaccard_threshold,
+            max_df_frac=max_df_frac,
+        )
+    elif neardup == "minhash":
+        pairs = neardup_minhash_lsh(
+            uniq,
+            id_col=id_col,
+            text_col=text_col,
+            n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=jaccard_threshold,
+            seed=seed,
+        )
+    else:
+        raise ValueError(f"neardup must be 'exact' or 'minhash', got {neardup!r}")
     dropped = pairs.select(F.col("id_2").alias("_drop")).distinct()
     final = uniq.join(dropped, uniq[id_col] == dropped["_drop"], "left_anti").drop(
         "_drop"
@@ -131,11 +167,17 @@ def curation_report(
     text_col: str = "text",
     shingle_n: int = 3,
     max_df_frac: float | None = None,
+    neardup: str = "exact",
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
 ) -> DataFrame:
     """Per-``group_col`` funnel report: (group, n_raw, n_quality,
     n_unique, n_final, tokens_final) — the stage survivor counts plus the
     final whitespace-token budget, what a mix planner consumes. A group
-    whose every doc is filtered still reports (zeros, via left joins)."""
+    whose every doc is filtered still reports (zeros, via left joins).
+    ``neardup`` selects the near-dup pair generator exactly as in
+    :func:`curation_stages`."""
     quality, uniq, final = curation_stages(
         docs,
         quality_threshold,
@@ -144,6 +186,10 @@ def curation_report(
         text_col,
         shingle_n,
         max_df_frac,
+        neardup,
+        num_hashes,
+        bands,
+        seed,
     )
     raw_c = docs.groupBy(group_col).agg(F.count("*").alias("n_raw"))
     q_c = quality.groupBy(group_col).agg(F.count("*").alias("_nq"))

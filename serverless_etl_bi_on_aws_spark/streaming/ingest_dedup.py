@@ -166,6 +166,10 @@ def apply_curation_batch(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ivf_index_path: str | None = None,
+    embedding_col: str = "embedding",
+    semantic_threshold: float = 0.9,
+    n_probe: int = 4,
 ) -> None:
     """The streaming twin of the q81 curation funnel: one micro-batch
     runs quality-gate -> batch-local exact dedup -> index probe ->
@@ -190,6 +194,22 @@ def apply_curation_batch(
         batch's own signatures may be in the index; appends
         marker-idempotent, replay duplicates purged by compaction).
 
+    With ``ivf_index_path`` set, the funnel gains its FOURTH rung
+    (round-10 verdict #4 — previously the embedding loop ran only as a
+    sibling stream): ``batch_df`` must carry ``embedding_col``
+    (nullable — unembedded docs pass the rung untouched, the same
+    conservative rule as the batch ``semantic_curation_stage``), the
+    lexical survivors are probed against the persisted IVF index
+    (``dedup_embeddings_against_index``'s online rule: drop iff cosine
+    >= ``semantic_threshold`` vs any indexed vector in the ``n_probe``
+    nearest clusters, or vs a smaller-id batch mate), and the gated
+    batch's (id, embedding) rows are appended to the IVF corpus after
+    the text signatures — both appends marker-idempotent per batch id,
+    so every crash point replays cleanly (pinned: the crash trio on a
+    planted paraphrase duplicate). The IVF index must be built with
+    ``id_col``/``embedding_col`` as its id/vec columns
+    (``build_ivf_index(..., id_col=..., vec_col=...)``).
+
     The gated/exact-deduped frame is a pure per-row/per-text function of
     ``batch_df``, so every replay reconstructs the identical probe input
     — the determinism the _SUCCESS/marker protocol requires."""
@@ -211,8 +231,38 @@ def apply_curation_batch(
         survivors = dedup_against_index(
             spark, gated, index_path, threshold=threshold, text_col=text_col
         )
+        if ivf_index_path is not None:
+            from serverless_etl_bi_on_aws_spark.operators.similarity import (
+                dedup_embeddings_against_index,
+            )
+
+            survivors = dedup_embeddings_against_index(
+                spark,
+                survivors,
+                ivf_index_path,
+                threshold=semantic_threshold,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col=embedding_col,
+            )
         survivors.write.mode("overwrite").parquet(out)
     update_index(gated, index_path, batch_id, text_col=text_col)
+    if ivf_index_path is not None:
+        from serverless_etl_bi_on_aws_spark.operators.similarity import (
+            update_ivf_index,
+        )
+
+        # index the GATED set's embeddings (the text index's discipline:
+        # everything past the quality gate is corpus), ids + vectors
+        # only — the corpus must not carry text payloads
+        update_ivf_index(
+            gated.select(id_col, embedding_col).filter(
+                F.col(embedding_col).isNotNull()
+            ),
+            ivf_index_path,
+            batch_id,
+            vec_col=embedding_col,
+        )
 
 
 def start_incremental_curation(
@@ -230,11 +280,16 @@ def start_incremental_curation(
     processing_time: str = "1 hour",
     fmt: str = "parquet",
     max_files_per_trigger: int | None = None,
+    ivf_index_path: str | None = None,
+    embedding_col: str = "embedding",
+    semantic_threshold: float = 0.9,
+    n_probe: int = 4,
 ) -> StreamingQuery:
     """Watch ``source_dir`` and keep ``clean_dir`` a continuously-CURATED
-    corpus (quality-gated, exact- and near-deduped) — the q81 funnel as
-    a running pipeline, same trigger/checkpoint/batch-id discipline as
-    :func:`start_incremental_dedup`."""
+    corpus (quality-gated, exact- and near-deduped — and, with
+    ``ivf_index_path``, semantically deduped as the fourth rung) — the
+    q81 funnel as a running pipeline, same trigger/checkpoint/batch-id
+    discipline as :func:`start_incremental_dedup`."""
     ckpt = checkpoint_instance_nonce(checkpoint_dir)
     reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
     if max_files_per_trigger is not None:
@@ -254,6 +309,10 @@ def start_incremental_curation(
             threshold=threshold,
             text_col=text_col,
             id_col=id_col,
+            ivf_index_path=ivf_index_path,
+            embedding_col=embedding_col,
+            semantic_threshold=semantic_threshold,
+            n_probe=n_probe,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

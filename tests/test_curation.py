@@ -96,6 +96,46 @@ def test_dominance_rule_is_order_independent(spark):
     assert f1.count() == f2.count()
 
 
+def test_minhash_neardup_strategy(spark):
+    """The neardup='minhash' knob (round-10 verdict #3 — the funnel's
+    100 TB near-dup shape): planted near-dups are caught through the
+    banded-LSH path (the q13 recall contract at these shingle overlaps),
+    the earlier rungs are UNCHANGED (quality/uniq identical to exact),
+    stage monotonicity holds, and the report composes. An unknown
+    strategy fails loudly."""
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup import neardup_jaccard_pairs
+
+    docs = _docs(spark)
+    qe, ue, fe = curation_stages(docs, neardup="exact")
+    qm, um, fm = curation_stages(docs, neardup="minhash")
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}  # noqa: E731
+    assert ids(qm) == ids(qe) and ids(um) == ids(ue)
+    # the planted near-dup pair (1,3) has Jaccard ~0.87 at 3-shingles —
+    # well up the S-curve: minhash catches it, and the funnel output
+    # matches the exact strategy on this corpus
+    assert ids(fm) == ids(fe) == {1, 4}
+    assert ids(fm) <= ids(um) <= ids(qm)  # monotone rungs
+
+    rep = {
+        r["source"]: r.asDict()
+        for r in curation_report(docs, neardup="minhash").collect()
+    }
+    assert rep["s1"]["n_final"] == 1 and rep["s2"]["n_final"] == 1
+
+    with pytest.raises(ValueError, match="neardup"):
+        curation_stages(docs, neardup="simhash")
+
+    # sanity on the planted pair's true overlap: the exact pair set the
+    # estimate must recall (the q13 contract's premise)
+    pairs = {
+        (r.id_1, r.id_2)
+        for r in neardup_jaccard_pairs(ue, threshold=0.35).collect()
+    }
+    assert (1, 3) in pairs
+
+
 def test_q81_plan_is_jvm_only_and_pruned(spark):
     """The funnel's hot path must stay inside whole-stage codegen: no
     Python eval stages anywhere (quality scoring and shingling are

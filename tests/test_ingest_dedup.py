@@ -612,6 +612,155 @@ def test_apply_curation_batch_replay_points(spark, tmp_path):
     assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
 
 
+def test_curation_semantic_rung_stream_and_replay(spark, tmp_path):
+    """The funnel's FOURTH rung wired into the continuous loop (round-10
+    verdict #4): with ivf_index_path set, a planted PARAPHRASE — zero
+    shared 3-grams with its original (the lexical probe cannot fire) but
+    a near-identical embedding — is dropped at the semantic rung; docs
+    without an embedding pass through; a quality-FILTERED doc's
+    embedding never reaches the IVF corpus (so a later doc sharing its
+    vector survives). Both via direct batch application (with the crash
+    trio on each index) and via the drained stream."""
+    import shutil
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import compact_index
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_curation_batch,
+        start_incremental_curation,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronomers catalogue distant variable stars using automated "
+        "telescopes during long winter observation campaigns across chile"
+    )
+    good2 = (
+        "market analysts reviewed quarterly earnings reports from twelve "
+        "industrial manufacturers before revising their annual growth "
+        "projections downward amid persistent supply chain disruptions"
+    )
+    para = (
+        "stargazers across south america track pulsating faraway suns "
+        "nightly employing robotic survey instruments throughout many "
+        "extended freezing seasons of patient sky watching"
+    )
+    good3 = (
+        "council members approved the municipal budget amendment after "
+        "reviewing infrastructure spending proposals submitted by "
+        "regional planning committees late last autumn"
+    )
+    good4 = (
+        "deep ocean research vessels deployed autonomous sensors measuring "
+        "thermal gradients along volcanic ridges throughout the southern "
+        "pacific expedition season"
+    )
+    low = "a a a a a a a a"
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e1_near = [1.0, 0.02, 0.0, 0.0]  # cosine ~0.9998 vs e1
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    e_low = [0.0, 0.0, 1.0, 0.0]  # doc 5's vector; doc 12 reuses it
+    sch = "doc_id bigint, text string, embedding array<float>"
+    b1 = spark.createDataFrame(
+        [(1, good, e1), (2, good2, e2), (5, low, e_low)], sch
+    )
+    b2 = spark.createDataFrame(
+        [(10, para, e1_near), (11, good3, None), (12, good4, e_low)], sch
+    )
+
+    def setup(root):
+        idx = str(root / "idx")
+        ivf = str(root / "ivf")
+        init_minhash_index(idx)
+        seeds = spark.createDataFrame(
+            [(9000, [0.0, 0.0, 0.0, 1.0]), (9001, [0.0, 0.5, 0.0, 1.0])],
+            "doc_id bigint, embedding array<float>",
+        )
+        build_ivf_index(seeds, ivf, n_clusters=2, seed=42, id_col="doc_id")
+        return idx, ivf
+
+    # --- direct batch application + crash trio ---
+    d = tmp_path / "direct"
+    d.mkdir()
+    idx, ivf = setup(d)
+    clean = str(d / "clean")
+    kw = dict(ivf_index_path=ivf, semantic_threshold=0.9, n_probe=2)
+    apply_curation_batch(spark, b1, idx, clean, "cb-0", **kw)
+    apply_curation_batch(spark, b2, idx, clean, "cb-1", **kw)
+
+    def ids(bid):
+        return {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(clean, f"batch={bid}"))
+            .select("doc_id").collect()
+        }
+
+    assert ids("cb-0") == {1, 2}  # 5 quality-filtered
+    # 10 dropped ONLY semantically; 11 unembedded passes; 12 reuses the
+    # FILTERED doc's vector and must survive (5 never reached the corpus)
+    assert ids("cb-1") == {11, 12}
+    n_sigs = spark.read.parquet(os.path.join(idx, "sigs")).count()
+    n_corp = spark.read.parquet(os.path.join(ivf, "corpus")).count()
+    assert n_sigs == 5  # gated docs: 1,2,10,11,12
+    assert n_corp == 6  # 2 seeds + e1,e2 (b1) + e1_near,e_low (b2); no doc-5 row
+
+    # (a) full replay: no-op everywhere
+    apply_curation_batch(spark, b2, idx, clean, "cb-1", **kw)
+    assert ids("cb-1") == {11, 12}
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+    assert spark.read.parquet(os.path.join(ivf, "corpus")).count() == n_corp
+    # (b) crash before the TEXT index marker: survivors gated, text sigs
+    # re-append (purged by compaction), IVF marker still holds
+    os.remove(os.path.join(idx, "_applied", "cb-1"))
+    apply_curation_batch(spark, b2, idx, clean, "cb-1", **kw)
+    assert ids("cb-1") == {11, 12}
+    assert spark.read.parquet(os.path.join(ivf, "corpus")).count() == n_corp
+    compact_index(spark, idx)
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+    # (c) crash before the IVF marker: survivors gated, corpus re-appends
+    # (purged by compaction)
+    os.remove(os.path.join(ivf, "_applied", "cb-1"))
+    apply_curation_batch(spark, b2, idx, clean, "cb-1", **kw)
+    assert ids("cb-1") == {11, 12}
+    assert spark.read.parquet(os.path.join(ivf, "corpus")).count() > n_corp
+    compact_ivf_index(spark, ivf)
+    assert spark.read.parquet(os.path.join(ivf, "corpus")).count() == n_corp
+
+    # --- the same two batches through the running stream ---
+    s = tmp_path / "stream"
+    s.mkdir()
+    idx2, ivf2 = setup(s)
+    land = s / "landing"
+    land.mkdir()
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("overwrite").parquet(str(s / f"f{i}"))
+        part = next(p for p in os.listdir(s / f"f{i}") if p.endswith(".parquet"))
+        os.rename(s / f"f{i}" / part, land / f"batch{i}.parquet")
+    q = start_incremental_curation(
+        spark,
+        str(land),
+        idx2,
+        str(s / "clean"),
+        schema=b1.schema,
+        checkpoint_dir=str(s / "ckpt"),
+        max_files_per_trigger=1,
+        ivf_index_path=ivf2,
+        semantic_threshold=0.9,
+        n_probe=2,
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(str(s / "clean")).select("doc_id").collect()
+    }
+    assert got == {1, 2, 11, 12}  # drained stream == the batch composition
+    shutil.rmtree(str(s / "f0"), ignore_errors=True)
+    shutil.rmtree(str(s / "f1"), ignore_errors=True)
+
+
 def test_apply_curation_batch_fully_filtered_batch(spark, tmp_path):
     """A non-empty batch that the quality gate empties completely (the
     stream's isEmpty check can't catch this case) must still commit an
