@@ -211,3 +211,47 @@ def writer_lease(root: str, owner: str = "writer", stale_after_s: float | None =
                 pass
 
     return _lease()
+
+
+def writer_lease_with_retry(
+    root: str,
+    owner: str = "writer",
+    wait_s: float = 60.0,
+    poll_s: float = 0.5,
+    stale_after_s: float | None = None,
+):
+    """:func:`writer_lease` with bounded retry-with-backoff — the
+    scheduler ergonomics the bare lease deliberately lacks (round-10
+    verdict #7): two LEGITIMATE maintenance jobs pointed at one index
+    (an hourly append and a compaction, say) should serialize, not have
+    the loser die on :class:`LeaseHeldError` and need operator babying.
+
+    Acquisition attempts repeat with exponential backoff (``poll_s``
+    doubling, capped at 10 s) until one succeeds or ``wait_s`` of
+    waiting is exhausted — then the LAST ``LeaseHeldError`` propagates,
+    so a genuinely wedged index still fails loudly with the holder's
+    identity in the message. The stale-lease break rule passes through
+    unchanged. Choose ``wait_s`` around the longest plausible batch the
+    peer could be running; the caller contract is otherwise identical
+    to ``writer_lease`` (use as a context manager around the mutating
+    half only — probes never need it)."""
+    import contextlib
+    import time
+
+    @contextlib.contextmanager
+    def _retrying():
+        deadline = time.monotonic() + float(wait_s)
+        delay = float(poll_s)
+        while True:
+            try:
+                with writer_lease(root, owner=owner, stale_after_s=stale_after_s):
+                    yield
+                return
+            except LeaseHeldError:
+                now = time.monotonic()
+                if now >= deadline:
+                    raise
+                time.sleep(min(delay, max(0.0, deadline - now)))
+                delay = min(delay * 2.0, 10.0)
+
+    return _retrying()

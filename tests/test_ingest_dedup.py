@@ -496,6 +496,62 @@ def test_writer_lease_blocks_concurrent_updates(spark, tmp_path):
     assert not os.path.exists(lock)  # released on exit
 
 
+def test_writer_lease_with_retry_waits_then_succeeds(tmp_path):
+    """Round-10 verdict #7 (lease ergonomics): a second legitimate
+    maintenance job serializes behind the holder instead of dying —
+    writer_lease_with_retry polls with backoff until the lease frees,
+    and still fails loudly (with the holder identity) when the wait
+    budget is exhausted or the index stays wedged."""
+    import threading
+    import time
+
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.util import (
+        LeaseHeldError,
+        writer_lease,
+        writer_lease_with_retry,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    order: list[str] = []
+
+    def holder():
+        with writer_lease(root, owner="job-a"):
+            order.append("a-in")
+            time.sleep(2.0)
+            order.append("a-out")
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.3)  # job-a holds the lease now
+    with writer_lease_with_retry(root, owner="job-b", wait_s=20.0, poll_s=0.2):
+        order.append("b-in")
+    t.join()
+    assert order == ["a-in", "a-out", "b-in"]  # serialized, no one died
+
+    # exhausted wait budget -> the loud failure survives, holder named
+    t2 = threading.Thread(target=holder)
+    t2.start()
+    time.sleep(0.3)
+    with pytest.raises(LeaseHeldError, match="job-a"):
+        with writer_lease_with_retry(root, owner="job-c", wait_s=0.5, poll_s=0.1):
+            pass
+    t2.join()
+
+    # stale-lease break passes through unchanged
+    from serverless_etl_bi_on_aws_spark.util import create_exclusive_marker
+
+    lock = os.path.join(root, "_writer.lock")
+    assert create_exclusive_marker(lock, {"owner": "dead-writer"})
+    past = time.time() - 7200
+    os.utime(lock, (past, past))
+    with writer_lease_with_retry(root, owner="job-d", wait_s=1.0, stale_after_s=3600):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+
 def test_streamed_curation_equals_batch_funnel_over_union(spark, tmp_path):
     """The CURATION loop (quality gate + exact dedup + index probe)
     drained over two landed files must equal the one-shot composition
