@@ -587,10 +587,18 @@ def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") ->
     ``video/x-msvideo`` payloads go through the REAL container parser
     (functions/avi.py): up to ``n_frames`` evenly-spaced actual frame
     payloads (PNG bytes under MPNG) come back, each decodable by the real
-    PNG codec. ``image/gif`` animations go through the REAL GIF decoder
-    (functions/gif.py): the sampled frames are raw grayscale canvases.
-    Other mimes keep the deterministic payload-slice stand-in (same batch
-    shape; a deployment swaps that branch for ffmpeg)."""
+    PNG codec. ``video/mp4`` goes through the real ISO-BMFF parser
+    (functions/mp4.py), ``image/gif`` through the real GIF decoder
+    (functions/gif.py).
+
+    Any OTHER mime refuses loudly at row level (round-10 verdict #8 —
+    previously a deterministic payload-slice stand-in rode here, and
+    fake slice bytes are indistinguishable from frames downstream):
+    the row still fans out to ``n_frames`` rows for a stable batch
+    shape, but every ``frame`` is NULL — the codec family's
+    corrupt/undecodable-media convention (audio fingerprints, pixel
+    stats), filterable and impossible to mistake for data. A deployment
+    with ffmpeg swaps the decoder dispatch, not the shape."""
     base = [f for f in df.schema.fields]
     out_schema = StructType(
         base
@@ -626,10 +634,12 @@ def sample_frames(df: DataFrame, n_frames: int = 4, media_col: str = "media") ->
                         r["frame"] = fr
                         rows.append(r)
                     continue
+                # undecodable (unknown mime or NULL payload): NULL frames,
+                # never fake bytes
                 for i in range(n_frames):
                     r = row.to_dict()
                     r["frame_idx"] = i
-                    r["frame"] = None if payload is None else payload[i::n_frames]
+                    r["frame"] = None
                     rows.append(r)
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 

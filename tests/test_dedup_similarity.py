@@ -129,6 +129,9 @@ def test_multimodal_pipeline_shapes(spark):
     frames = sample_frames(with_media, n_frames=3)
     assert frames.count() == 20 * 3
     assert set(r.frame_idx for r in frames.select("frame_idx").distinct().collect()) == {0, 1, 2}
+    # an undecodable mime refuses loudly: stable fan-out shape, but every
+    # frame is NULL (round-10 verdict #8 — no payload-slice stand-in)
+    assert frames.filter(F.col("frame").isNotNull()).count() == 0
 
 
 def test_pairwise_topk_multiblock_matches_singleblock(spark):
