@@ -106,6 +106,9 @@ LLM_TIER = {
     # curation funnel (quality -> exact dedup -> jaccard near-dup)
     "q80": "q80_semantic_dedup_verify",
     "q81": "q81_curation_funnel",
+    # round-11 addition: the funnel's MinHash strategy knob (exact twin
+    # runs as verifier, so this prices BOTH strategies at fixture scale)
+    "q82": "q82_minhash_curation_verify",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")

@@ -1711,6 +1711,70 @@ EXTRA_ORACLE_SQL["q80_semantic_dedup_verify"] = """
     ) ORDER BY metric
 """
 
+# q82: the exact side of the minhash-strategy verify — q81's funnel CTEs
+# aggregated to corpus / unique / final counts. The minhash-strategy
+# survivor count is engine-defined in general, but at the funnel's 0.35
+# threshold with 128 hashes / 32 bands the fixture's near-dup pairs sit
+# deep in the LSH S-curve (est-Jaccard recall ~= 1, false collisions
+# ~= 0) and the strategies agree EXACTLY — measured symdiff 0 at
+# sf0.001/0.01/0.1, local[8] == local[32] (est_jaccard is integer-exact
+# /128); the oracle therefore quotes the exact value and a literal-0
+# divergence count, so any signature/banding/threshold break flips the
+# driver's hash (see plans/queries.q82_minhash_curation_verify).
+EXTRA_ORACLE_SQL["q82_minhash_curation_verify"] = """
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' '))                       AS n_toks,
+               len(list_distinct(string_split(text, ' ')))        AS n_distinct,
+               len(replace(text, ' ', ''))                        AS tok_chars
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, source, text, n_toks FROM scored
+        WHERE 0.4 * LEAST(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+            + 0.3 * (CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE))
+            + 0.3 * LEAST((CAST(tok_chars AS DOUBLE) / CAST(n_toks AS DOUBLE)) / 8.0, 1.0)
+            >= 0.49999
+    ), uniq AS (
+        SELECT doc_id, source, text, n_toks FROM quality
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY text)
+    ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM uniq
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(1, len(t) - 1)]) AS s
+        FROM toks WHERE len(t) >= 3
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), dropped AS (
+        SELECT DISTINCT id_2 FROM inter
+        JOIN sizes s1 ON s1.doc_id = id_1
+        JOIN sizes s2 ON s2.doc_id = id_2
+        WHERE i * 1.0 / (s1.n + s2.n - i) >= 0.35
+    ), final AS (
+        SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id_2 FROM dropped)
+    )
+    SELECT * FROM (
+        SELECT 'corpus' AS metric,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+               TRUE AS strategies_agree
+        UNION ALL
+        SELECT 'exact_final', (SELECT CAST(COUNT(*) AS BIGINT) FROM final), TRUE
+        UNION ALL
+        SELECT 'minhash_final', (SELECT CAST(COUNT(*) AS BIGINT) FROM final), TRUE
+        UNION ALL
+        SELECT 'strategy_symdiff', CAST(0 AS BIGINT), TRUE
+        UNION ALL
+        SELECT 'unique_docs', (SELECT CAST(COUNT(*) AS BIGINT) FROM uniq), TRUE
+    ) ORDER BY metric
+"""
+
 # q81: the whole curation funnel in SQL — quality filter (q15's score
 # formula, threshold 0.49999: offset from the fixture's exact-0.5 score
 # mass, nearest score >= 1e-5 away at every sf), exact dedup (MIN doc_id

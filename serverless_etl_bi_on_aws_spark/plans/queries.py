@@ -3125,6 +3125,78 @@ def q81_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(docs)
 
 
+def q82_minhash_curation_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel's MinHash strategy knob under the driver's
+    value gate (round-10 verdict #3 made driver-visible): the funnel can
+    now run its near-dup rung as banded MinHash-LSH
+    (operators/curation.curation_stages(neardup="minhash") — candidates
+    meet only on band-bucket collisions, the 100 TB shape) instead of
+    the exact inverted-index join, and this query exports the two
+    strategies' AGREEMENT the q13 way — exact integers the oracle
+    recomputes in SQL plus a VALUE-checked divergence count:
+
+      * corpus / unique_docs / exact_final — exact SQL-recomputable
+        values (q81's funnel CTEs, aggregated);
+      * minhash_final — the minhash-strategy survivor count. Engine-
+        defined in general, but at the funnel's threshold (0.35, with
+        128 hashes / 32 bands) the fixture's near-dup pairs sit deep in
+        the S-curve where estimated-Jaccard recall ~= 1 and false
+        collisions ~= 0, so the strategies agree EXACTLY — measured
+        symdiff 0 at sf0.001 / 0.01 / 0.1, identical at local[8] and
+        local[32] (est_jaccard is integer-exact /128, no float noise).
+        The oracle therefore quotes the exact-strategy value;
+      * strategy_symdiff — VALUE-checked 0: |final_exact Δ
+        final_minhash|. A broken signature, banding, or threshold path
+        diverges the strategies and flips the driver's hash.
+
+    Scale shape: both funnels share the quality gate and the ONE text
+    shuffle (uniq is localCheckpoint'd inside curation_stages); the
+    exact twin is the verifier, priced only at fixture scale — the
+    minhash rung's own plan ships ids-only band exchanges (q13's
+    pinned discipline)."""
+    from serverless_etl_bi_on_aws_spark.operators.curation import curation_stages
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    _, uniq, f_exact = curation_stages(docs)
+    _, _, f_minhash = curation_stages(docs, neardup="minhash")
+    fe = f_exact.select("doc_id").localCheckpoint(eager=True)
+    fm = f_minhash.select("doc_id").localCheckpoint(eager=True)
+
+    nc = docs.agg(F.count("*").alias("_nc"))
+    nu = uniq.agg(F.count("*").alias("_nu"))
+    ne = fe.agg(F.count("*").alias("_ne"))
+    nm = fm.agg(F.count("*").alias("_nm"))
+    sym = (
+        fe.join(fm, "doc_id", "left_anti")
+        .unionByName(fm.join(fe, "doc_id", "left_anti"))
+        .agg(F.count("*").alias("_sym"))
+    )
+    base = (
+        nc.crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(sym))
+    )
+
+    def row(metric: str, n):
+        return base.select(
+            F.lit(metric).alias("metric"),
+            n.cast("bigint").alias("n"),
+            (F.col("_sym") == 0).alias("strategies_agree"),
+        )
+
+    return (
+        row("corpus", F.col("_nc"))
+        .unionByName(row("exact_final", F.col("_ne")))
+        .unionByName(row("minhash_final", F.col("_nm")))
+        .unionByName(row("strategy_symdiff", F.col("_sym")))
+        .unionByName(row("unique_docs", F.col("_nu")))
+        .orderBy("metric")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -3176,6 +3248,7 @@ QUERIES: dict[str, QueryFn] = {
     "q79_audio_fingerprint_dedup": q79_audio_fingerprint_dedup,
     "q80_semantic_dedup_verify": q80_semantic_dedup_verify,
     "q81_curation_funnel": q81_curation_funnel,
+    "q82_minhash_curation_verify": q82_minhash_curation_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
