@@ -3207,7 +3207,6 @@ QUERIES: dict[str, QueryFn] = {
     "q9_merge_upsert": q9_merge_upsert,
     "q10_top_customers_per_segment": q10_top_customers_per_segment,
     "q11_latest_event_per_user_type": q11_latest_event_per_user_type,
-    "q12_neardup_jaccard": q12_neardup_jaccard,
     "q13_sketch_neardup_verify": q13_sketch_neardup_verify,
     "q15_doc_quality_by_source": q15_doc_quality_by_source,
     "q18_ann_verify": q18_ann_verify,
@@ -3293,4 +3292,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q61_gif_frame_stats": q61_gif_frame_stats,  # rotated out r10: codec family stays via q49/q52/q77/q78; GIF LZW full-value oracle stays in the pytest union
     "q20_lang_id_naive_bayes": q20_lang_id_naive_bayes,  # rotated out r10 (ceded to q80): X5 text stays driver-visible via q7/q15/q53-q55/q63/q73/q75
     "q36_funnel_set_ops": q36_funnel_set_ops,  # rotated out r10 (ceded to q81): set ops stay driver-visible via q9's INTERSECT/EXCEPT merge audit (q68)
+    "q12_neardup_jaccard": q12_neardup_jaccard,  # rotated out r11 (ceded to q82): the shingle-Jaccard machinery stays driver-visible via q13_sketch_neardup_verify, q81, and q82 (whose oracle recomputes the same pairs)
 }
