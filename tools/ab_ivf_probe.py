@@ -1,0 +1,152 @@
+"""IVF probe slope decomposition: where BENCH_r10's graded 2.12 came
+from, and why the shipped probe is flat (round-10 verdict #1).
+
+The ivf_q44 tier graded slope_ratio 2.12 in round 10 — outside the ≤2
+contract — for a probe that scans only n_probe/n_clusters = 1/8 of the
+corpus through the same Arrow kernel whose FULL scan grades ~4.7. The
+pruning was real; the slope was manufactured by three compounding
+overheads, each measured here (recorded 2026-08-15, one warm local[32]
+session, 9 interleaved paired reps per cell, idle VM):
+
+  1. **The candidate dedup shuffled the candidates.** The probe guarded
+     against crash-replayed duplicate corpus rows with
+     ``dropDuplicates([id])`` BEFORE the rerank — an exchange of every
+     pruned row WITH its embedding (sf10: ~75k rows x 64 floats). The
+     fix moves the guard into the rerank kernel (``topk_cosine_arrow
+     (dedup_ids=True)``): np.unique within each Arrow batch plus a
+     dedup of the k-rows-per-batch pruned frame — exact for
+     identical-row duplicates (a distinct id's row survives its batch
+     cut whenever it belongs to the global top-k), zero wide exchange.
+  2. **The 8 MB big-tier split override poisoned the probe.** 8 MB
+     splits are deployment sizing for the scaling tier's 110 MB-1.1 GB
+     full scans; the probe's pruned scan is a few MB across small
+     per-cluster files, and force-splitting it tripled the task count
+     at sf10 — per-task Arrow IPC/Python dispatch masquerading as
+     marginal data cost. Measured (pre-fix probe, compacted index):
+     sf1/sf10 medians 0.546/0.493 s at the 128 MB session default vs
+     0.431/0.639 s at 8 MB vs 0.554/0.948 s at 1 MB — the SLOPE at
+     8 MB is entirely task-count overhead; at the default it is
+     already negative (bigger sf, fewer per-task stalls). The tier now
+     runs at the session default, which IS the probe's deployment
+     sizing (bench.py round-11 note).
+  3. **The raw build layout was uncompacted.** partitionBy writes one
+     file per upstream task per cluster (320 files at sf1, 800 at
+     sf10); a probe-serving index is kept compacted (the stated
+     maintenance discipline), and ``compact_ivf_index`` collapses both
+     to 32. The bench tier compacts at build.
+
+  Shipped result (all three fixes, this script's A/B): probe medians
+  0.414 s (sf1) / 0.407 s (sf10), paired slope -0.0004 s/sf
+  [IQR -0.0008, 0.0001] — flat within noise; BENCH_r11 grades ~0.002
+  s/sf on the full protocol, slope_ratio ~0.3 vs DuckDB's exact-scan
+  slope and ~0.08x the raw Arrow scan's slope.
+
+Run: PYTHONPATH=/root/repo python tools/ab_ivf_probe.py
+(builds/reuses the digest-keyed bench indexes; needs benchdata/sf1+sf10
+from bench.py's _ensure_benchdata)
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import time
+
+from pyspark.sql import functions as F
+
+
+def _paired(times: dict[str, list[float]]) -> dict:
+    slopes = sorted((b - a) / 9.0 for a, b in zip(times["1"], times["10"]))
+    med = statistics.median(slopes)
+    q = statistics.quantiles(slopes, n=4, method="inclusive")
+    return {
+        "med": {lbl: round(statistics.median(t), 4) for lbl, t in times.items()},
+        "slope": round(med, 4),
+        "iqr": [round(q[0], 4), round(q[2], 4)],
+        "flat": bool(q[0] <= 0.0 <= q[2] or med <= 0.0),
+    }
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from serverless_etl_bi_on_aws_spark.catalog import load_table
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_probe_topk,
+        topk_cosine_arrow,
+    )
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "100g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = {
+        "1": os.path.join(repo, "benchdata", "sf1"),
+        "10": os.path.join(repo, "benchdata", "sf10"),
+    }
+    paths, qvecs = {}, {}
+    for lbl, sf_dir in dirs.items():
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvecs[lbl] = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        ]
+        digest = fixture_digest(sf_dir, ("embeddings",))[:8]
+        path = artifact_dir(f"spark_graft_ivf44_{digest}")
+        if not os.path.exists(os.path.join(path, "_meta.json")):
+            build_ivf_index(
+                emb.filter(F.col("vec_id") != 0), path, n_clusters=32, seed=42
+            )
+            compact_ivf_index(spark, path)
+        paths[lbl] = path
+
+    def probe_shipped(lbl):
+        return ivf_probe_topk(spark, paths[lbl], qvecs[lbl], k=10, n_probe=4)
+
+    def probe_dropdup(lbl):
+        # the pre-round-11 formulation: candidate-wide dedup exchange
+        import serverless_etl_bi_on_aws_spark.operators.similarity as sim
+
+        centers = sim._load_centroids(spark, paths[lbl])
+
+        def dist2(c):
+            return sum((float(a) - float(b)) ** 2 for a, b in zip(c, qvecs[lbl]))
+
+        probe = [
+            int(r["cluster"])
+            for r in sorted(centers, key=lambda r: dist2(r["centroid"]))[:4]
+        ]
+        corpus = spark.read.parquet(os.path.join(paths[lbl], "corpus"))
+        cands = (
+            corpus.filter(F.col("_cluster").isin(probe))
+            .drop("_cluster")
+            .dropDuplicates(["vec_id"])
+        )
+        return topk_cosine_arrow(cands, qvecs[lbl], k=10)
+
+    variants = {"shipped(dedup_ids)": probe_shipped, "pre-r11(dropDuplicates)": probe_dropdup}
+    for split in ("128m", "8m"):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
+        for vname, fn in variants.items():
+            for lbl in dirs:
+                fn(lbl).collect()  # warm
+            times: dict[str, list[float]] = {lbl: [] for lbl in dirs}
+            for _ in range(9):
+                for lbl in dirs:
+                    t0 = time.perf_counter()
+                    fn(lbl).collect()
+                    times[lbl].append(time.perf_counter() - t0)
+            print(f"split={split:5s} {vname:24s} {_paired(times)}")
+
+
+if __name__ == "__main__":
+    main()
