@@ -504,6 +504,10 @@ def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str, reps: int = 13)
     sp_t: dict[tuple[str, str], list[float]] = {}
     du_t: dict[tuple[str, str], list[float]] = {}
     for _ in range(reps):
+        # GC between rep rounds (the _ivf_q44 discipline): a major
+        # collection landing mid-cell reads as a stall window and
+        # contaminates that rep's paired slope
+        spark._jvm.System.gc()
         for short, name in names.items():
             for lbl, d in points.items():
                 t0 = time.perf_counter()

@@ -150,6 +150,18 @@ def test_q81_plan_is_jvm_only_and_pruned(spark):
     assert "ReadSchema: struct<source:string>" in plan  # n_raw scan pruned
 
 
+def test_q82_plan_is_jvm_only(spark):
+    """Both strategy twins inside q82 must stay JVM-side: the minhash
+    rung is codegen'd min() aggregates + band-bucket joins (q13's pinned
+    discipline), never a Python stage."""
+    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+
+    df = QUERIES["q82_minhash_curation_verify"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEval", "BatchEval", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"unexpected Python stage: {marker}"
+
+
 def test_semantic_stage_composes_after_lexical(spark):
     """Fourth rung: paraphrase docs (lexically distinct, semantically
     near-identical embeddings) survive the lexical funnel but collapse

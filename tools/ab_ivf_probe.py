@@ -22,13 +22,15 @@ session, 9 interleaved paired reps per cell, idle VM):
      full scans; the probe's pruned scan is a few MB across small
      per-cluster files, and force-splitting it tripled the task count
      at sf10 — per-task Arrow IPC/Python dispatch masquerading as
-     marginal data cost. Measured (pre-fix probe, compacted index):
-     sf1/sf10 medians 0.546/0.493 s at the 128 MB session default vs
-     0.431/0.639 s at 8 MB vs 0.554/0.948 s at 1 MB — the SLOPE at
-     8 MB is entirely task-count overhead; at the default it is
-     already negative (bigger sf, fewer per-task stalls). The tier now
-     runs at the session default, which IS the probe's deployment
-     sizing (bench.py round-11 note).
+     marginal data cost. Measured (pre-fix probe, UNCOMPACTED raw
+     build, 320/800 files): sf1/sf10 medians 0.546/0.493 s at the
+     128 MB session default vs 0.431/0.639 s at 8 MB vs 0.554/0.948 s
+     at 1 MB — the SLOPE at 8 MB is task-count overhead. On the
+     compacted index (this script's A/B below) the 8 MB penalty
+     shrinks but stays positive (~0.0014 s/sf vs flat at the
+     default) — most of it was file count, the rest split count. The
+     tier now runs at the session default, which IS the probe's
+     deployment sizing (bench.py round-11 note).
   3. **The raw build layout was uncompacted.** partitionBy writes one
      file per upstream task per cluster (320 files at sf1, 800 at
      sf10); a probe-serving index is kept compacted (the stated
