@@ -931,6 +931,7 @@ def retrain_ivf_index(
     n_clusters: int | None = None,
     seed: int | None = None,
     fit_sample_rows: int | None = None,
+    lease_wait_s: float = 0.0,
 ) -> None:
     """Act on :func:`ivf_drift_status`'s recommendation: re-fit KMeans
     over the CURRENT corpus (build rows + every appended batch), rewrite
@@ -971,13 +972,21 @@ def retrain_ivf_index(
     import shutil
     import uuid
 
-    from serverless_etl_bi_on_aws_spark.util import read_marker, writer_lease
+    from serverless_etl_bi_on_aws_spark.util import (
+        read_marker,
+        writer_lease_with_retry,
+    )
 
     meta = read_marker(os.path.join(index_path, "_meta.json"))
     if meta is None:
         raise FileNotFoundError(f"no _meta.json at {index_path}; cannot retrain")
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    with writer_lease(index_path, owner="retrain_ivf_index"):
+    # lease_wait_s=0 degenerates to the bare fail-loud lease; a positive
+    # wait lets a scheduled maintenance job serialize behind an in-flight
+    # append instead of dying (round-10 verdict #7 ergonomics)
+    with writer_lease_with_retry(
+        index_path, owner="retrain_ivf_index", wait_s=lease_wait_s
+    ):
         corpus = (
             spark.read.parquet(os.path.join(index_path, "corpus"))
             .drop("_cluster")
@@ -1042,7 +1051,10 @@ def recover_ivf_index(index_path: str) -> dict:
 
 
 def compact_ivf_index(
-    spark, index_path: str, target_file_bytes: int = 128 << 20
+    spark,
+    index_path: str,
+    target_file_bytes: int = 128 << 20,
+    lease_wait_s: float = 0.0,
 ) -> dict[str, int]:
     """IVF corpus compaction — the incremental-index maintenance story
     (compact_index / compact_hash_index) applied to the fourth modality:
@@ -1078,9 +1090,12 @@ def compact_ivf_index(
     files: dict[str, int] = {}
     if not os.path.isdir(corpus_root):
         return files
-    from serverless_etl_bi_on_aws_spark.util import writer_lease
+    from serverless_etl_bi_on_aws_spark.util import writer_lease_with_retry
 
-    with writer_lease(index_path, owner="compact_ivf_index"):
+    # lease_wait_s=0 == the bare fail-loud lease (see retrain_ivf_index)
+    with writer_lease_with_retry(
+        index_path, owner="compact_ivf_index", wait_s=lease_wait_s
+    ):
         for part in sorted(os.listdir(corpus_root)):
             if not part.startswith("_cluster="):
                 continue
@@ -1092,6 +1107,62 @@ def compact_ivf_index(
                 dedupe_on=[id_col],
             )
     return files
+
+
+def run_ivf_maintenance(
+    spark,
+    index_path: str,
+    retrain_ratio: float = 2.0,
+    fit_sample_rows: int | None = None,
+    target_file_bytes: int = 128 << 20,
+    lease_wait_s: float = 60.0,
+    n_clusters: int | None = None,
+    seed: int | None = None,
+) -> dict:
+    """ONE maintenance cycle for a persisted IVF index — the janitor job
+    a scheduler runs between ingest batches, composing the maintenance
+    family in its operational order:
+
+      1. :func:`recover_ivf_index` — restore a half-swapped index left
+         by a crashed retrain (no-op when healthy);
+      2. :func:`compact_ivf_index` — bound small-file growth, purge
+         crash-replay duplicate rows;
+      3. :func:`ivf_drift_status` — the MEASURED retrain signal;
+      4. :func:`retrain_ivf_index` iff recommended — with
+         ``fit_sample_rows`` so the re-fit is sample-bounded (the
+         100 TB posture: a drift trigger must not cost a full-corpus
+         distributed ML fit).
+
+    Concurrency: each mutating step acquires the single-writer lease
+    with ``lease_wait_s`` of retry-with-backoff (the janitor serializes
+    behind an in-flight append instead of dying); probes are never
+    blocked. Between steps the lease is RELEASED on purpose — an hourly
+    ingest append that lands mid-cycle is correct (appends assign to
+    whatever centroids exist; the next cycle measures their drift).
+
+    Returns the cycle report: ``{recovered, compacted_files, drift,
+    retrained, post_drift?}`` — a scheduler logs it; ``retrained`` False
+    with a healthy ``drift`` is the common steady-state outcome."""
+    report: dict = {"recovered": recover_ivf_index(index_path)}
+    report["compacted_files"] = compact_ivf_index(
+        spark, index_path, target_file_bytes, lease_wait_s=lease_wait_s
+    )
+    st = ivf_drift_status(index_path, retrain_ratio=retrain_ratio)
+    report["drift"] = st
+    if st["retrain_recommended"]:
+        retrain_ivf_index(
+            spark,
+            index_path,
+            n_clusters=n_clusters,
+            seed=seed,
+            fit_sample_rows=fit_sample_rows,
+            lease_wait_s=lease_wait_s,
+        )
+        report["retrained"] = True
+        report["post_drift"] = ivf_drift_status(index_path, retrain_ratio=retrain_ratio)
+    else:
+        report["retrained"] = False
+    return report
 
 
 def dedup_embeddings_against_index(

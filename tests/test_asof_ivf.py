@@ -559,6 +559,91 @@ def test_ivf_sample_fit_build_and_retrain(spark, tmp_path, monkeypatch):
     assert st["appended_rows"] == 0 and st["build_rows"] == pool.count() + 1
 
 
+def test_run_ivf_maintenance_cycle(spark, tmp_path, monkeypatch):
+    """The janitor cycle (round-11 capstone): after drifted appends with
+    a crash-replay duplicate, ONE run_ivf_maintenance call compacts the
+    corpus, measures the drift, retrains on a bounded sample (trap:
+    KMeans.fit never sees more than the bound), and resets the
+    baseline; a steady-state second cycle changes nothing and reports
+    retrained=False. The cycle also waits out a concurrent lease holder
+    instead of dying."""
+    import os
+    import threading
+    import time
+
+    from pyspark.ml.clustering import KMeans
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        run_ivf_maintenance,
+        topk_cosine_bruteforce,
+        update_ivf_index,
+    )
+    from serverless_etl_bi_on_aws_spark.util import writer_lease
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    base = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") % 3 != 0))
+    shifted = emb.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding"),
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, n_clusters=8, seed=42)
+    assert update_ivf_index(shifted, idx, "b-shift") is True
+    os.remove(os.path.join(idx, "_applied", "b-shift"))
+    assert update_ivf_index(shifted, idx, "b-shift") is True  # replay dups
+
+    bound = 150
+    real_fit = KMeans.fit
+
+    def bounded_fit(self, dataset, *a, **kw):
+        assert dataset.count() <= bound, "janitor retrain exceeded the sample bound"
+        return real_fit(self, dataset, *a, **kw)
+
+    monkeypatch.setattr(KMeans, "fit", bounded_fit)
+
+    # a holder briefly occupies the lease; the janitor must wait it out
+    def holder():
+        with writer_lease(idx, owner="in-flight-append"):
+            time.sleep(1.5)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.3)
+    rep = run_ivf_maintenance(
+        spark, idx, fit_sample_rows=bound, lease_wait_s=30.0
+    )
+    t.join()
+    monkeypatch.undo()
+
+    union = base.unionByName(shifted)
+    n_unique = union.count()
+    assert rep["retrained"] is True
+    assert rep["drift"]["retrain_recommended"]
+    assert rep["post_drift"]["appended_rows"] == 0
+    assert rep["post_drift"]["build_rows"] == n_unique  # dups compacted
+    assert rep["recovered"] == {"restored": False, "removed": []}
+    got = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=10, n_probe=8).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in topk_cosine_bruteforce(union, qvec, k=10).collect()
+    ]
+    assert got == want
+
+    # steady state: nothing to do
+    rep2 = run_ivf_maintenance(spark, idx, fit_sample_rows=bound)
+    assert rep2["retrained"] is False
+    assert not rep2["drift"]["retrain_recommended"]
+
+
 def test_ivf_retrain_crash_recovery_and_meta_guards(spark, tmp_path):
     """Round-10 ADVICE trio on the index maintenance edges:
 
