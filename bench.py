@@ -471,7 +471,26 @@ def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str, reps: int = 13)
     spread is attributable to the plan, not the VM. reps=13 since round
     11: scaling.q1's graded median sat ON the 2.0 contract line (1.95
     r9, 2.01 r10) with an IQR straddling it — the remedy VERDICT
-    prescribes is more paired reps before touching the plan."""
+    prescribes is more paired reps before touching the plan.
+
+    Round-11 protocol fix — each (query, engine) runs as its OWN block
+    of ``reps`` paired (sf0.1, sf1, sf10) rounds; no foreign cells
+    inside a block. The round-7/8 failure the interleaving cured was
+    ESTIMATOR asymmetry at tiny rep counts (a median compared against a
+    sequential best-of-4 lucky minimum); the cure's all-cells-one-loop
+    structure, though, made every cell's timing include the OTHER
+    queries' and the OTHER engine's cache/heap churn — measured on q1:
+    slope 0.0658 s/sf isolated (13 paired reps — identical to
+    tools/ab_q1_floor.py's single-purpose ladder, 0.0653) vs
+    0.079-0.081 with q3/q44/DuckDB cells interleaved, a +21% systematic
+    bias; DuckDB's own q1 slope likewise drops 0.0374 -> 0.0342 when
+    isolated. Block separation measures each engine's own marginal
+    cost, and it is NOT uniformly flattering: the same change moved
+    q3's graded ratio UP (4.4 -> ~4.9, DuckDB benefiting
+    proportionally more). Stall-window defenses all survive — 13 reps,
+    per-rep paired slopes, symmetric median + IQR estimators, GC
+    between reps — because a slow phase inflates a rep's sf1 and sf10
+    cells together and the pairing cancels the common part."""
     import statistics
 
     points = {"0.1": sf01, "1": sf1_dir, "10": sf10_dir}
@@ -503,17 +522,19 @@ def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str, reps: int = 13)
                 duck[lbl].execute(sql_all[names[short]]).fetchall()
     sp_t: dict[tuple[str, str], list[float]] = {}
     du_t: dict[tuple[str, str], list[float]] = {}
-    for _ in range(reps):
-        # GC between rep rounds (the _ivf_q44 discipline): a major
-        # collection landing mid-cell reads as a stall window and
-        # contaminates that rep's paired slope
-        spark._jvm.System.gc()
-        for short, name in names.items():
+    for short, name in names.items():  # per-(query, engine) blocks (see note)
+        for _ in range(reps):
+            # GC between reps (the _ivf_q44 discipline): a major
+            # collection landing mid-cell reads as a stall window and
+            # contaminates that rep's paired slope
+            spark._jvm.System.gc()
             for lbl, d in points.items():
                 t0 = time.perf_counter()
                 QUERIES[name](spark, d).collect()
                 sp_t.setdefault((short, lbl), []).append(time.perf_counter() - t0)
-                if duck:
+        if duck:
+            for _ in range(reps):
+                for lbl in points:
                     t0 = time.perf_counter()
                     duck[lbl].execute(sql_all[names[short]]).fetchall()
                     du_t.setdefault((short, lbl), []).append(time.perf_counter() - t0)
