@@ -120,6 +120,7 @@ def semantic_curation_stage(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     assignments: DataFrame | None = None,
+    fit_sample_rows: int | None = None,
 ) -> DataFrame:
     """The funnel's optional FOURTH rung — semantic dedup over the
     surviving docs' embeddings (the SemDeDup stage modern pipelines run
@@ -137,7 +138,9 @@ def semantic_curation_stage(
     rule is the same cluster-pruned dominance as
     :func:`~serverless_etl_bi_on_aws_spark.operators.semantic_dedup.
     semantic_dedup`; pass ``assignments=`` (e.g. a persisted IVF
-    corpus's cluster column) to run zero KMeans fits."""
+    corpus's cluster column) to run zero KMeans fits, or
+    ``fit_sample_rows`` to bound the fit to a seeded sample (the
+    100 TB posture — identical semantics to ``cluster_assignments``)."""
     from serverless_etl_bi_on_aws_spark.operators.semantic_dedup import (
         semantic_neardup_pairs,
     )
@@ -153,6 +156,7 @@ def semantic_curation_stage(
         id_col=vec_id_col,
         vec_col=vec_col,
         assignments=assignments,
+        fit_sample_rows=fit_sample_rows,
     )
     dropped = pairs.select(F.col("id_2").alias("_drop")).distinct()
     return docs.join(dropped, docs[id_col] == dropped["_drop"], "left_anti")
