@@ -1,0 +1,267 @@
+"""Takedown / right-to-be-forgotten for curated training corpora.
+
+A training-data pipeline that can only ADD is half a pipeline: takedown
+requests (copyright, PII, consent withdrawal) require removing specific
+documents from every derived artifact — and the removal must carry the
+correct SEMANTICS, which is what separates *forget* from *dedup*: after
+a document is forgotten, a NEW submission of the same content must be
+ADMISSIBLE again (the index rows that would flag it as a duplicate of
+the removed doc are gone), whereas dedup's whole purpose is the
+opposite. The reference's own warehouse handles base-table deletes
+through the staging merge (README.md:67-70) and the denorm/rollup
+layouts inherit them through their staged-merge maintenance
+(operators/denorm.upsert_sales_denorm takes an order staged as deleted;
+the rollup is rebuilt-from-base derived state); this module covers the
+CURATION artifacts that merge never touches:
+
+  * the curated corpus (``clean_dir/batch=<id>/`` hive partitions
+    written by the ingest/curation loops),
+  * the persisted MinHash text index (``sigs/`` + ``bands/band=<b>/``),
+  * the persisted IVF embedding corpus (``corpus/_cluster=<c>/``).
+
+Scale shape: discovery of WHICH partitions hold the target ids is a
+column-pruned scan + semi-join emitting partition VALUES only (batch
+ids / band ids / cluster ids — maintenance-scale collects, like the
+centroid reads); each affected partition is rewritten in place through
+the shared write-new-then-swap primitive
+(:func:`operators.maintenance.rewrite_without_keys` — an anti-join, no
+driver routing of data), untouched partitions keep their files. Index
+rewrites run under the single-writer lease (with the retrying
+acquisition, so a takedown serializes behind an in-flight append).
+Commit markers (``_applied``) are deliberately NOT touched: forgetting
+content is not un-applying batches — a replayed batch must still no-op,
+and a re-submission of forgotten content arrives as a new batch with a
+new id.
+
+At 100 TB a takedown batch rewrites only the partitions the targets
+live in; batch many requests into one call (the ids ride a DataFrame)
+rather than rewriting per request.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from serverless_etl_bi_on_aws_spark.operators.maintenance import rewrite_without_keys
+from serverless_etl_bi_on_aws_spark.util import writer_lease_with_retry
+
+
+def _ids_df(spark: SparkSession, ids, col: str) -> DataFrame:
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).cast("bigint").alias(col))
+    if isinstance(ids, Sequence):
+        return spark.createDataFrame([(int(i),) for i in ids], f"{col} bigint")
+    raise TypeError("ids must be a DataFrame or a sequence of ints")
+
+
+def forget_from_clean_dir(
+    spark: SparkSession, clean_dir: str, ids, id_col: str = "doc_id"
+) -> dict:
+    """Remove the target docs from a batch-partitioned curated corpus:
+    one pruned scan finds the affected ``batch=`` partitions (semi-join,
+    partition values only), each is rewritten without the keys. Returns
+    ``{"rows_removed": n, "partitions_rewritten": [...]}``."""
+    key_df = _ids_df(spark, ids, id_col)
+    corpus = spark.read.parquet(clean_dir)
+    affected = sorted(
+        r[0]
+        for r in corpus.select(id_col, "batch")
+        .join(key_df, id_col, "left_semi")
+        .select("batch")
+        .distinct()
+        .collect()
+    )
+    removed = 0
+    for b in affected:
+        removed += rewrite_without_keys(
+            spark, os.path.join(clean_dir, f"batch={b}"), key_df, id_col
+        )
+    return {"rows_removed": removed, "partitions_rewritten": [str(b) for b in affected]}
+
+
+def forget_from_minhash_index(
+    spark: SparkSession, index_path: str, ids, threshold: float = 1.0
+) -> dict:
+    """Remove the target docs from a persisted MinHash index so a
+    future copy of the forgotten CONTENT is no longer flagged as its
+    duplicate. Removal is CONTENT-level, not id-level, because the
+    ingest loops index everything past the quality gate — a dropped
+    cross-batch copy leaves a SHADOW row with the identical signature,
+    and removing only the requested ids would leave that shadow
+    shielding the content forever (caught by the takedown pytest). The
+    sweep finds shadows through the index's own probe machinery: the
+    targets' band buckets nominate candidates, and every candidate
+    whose signature-estimated Jaccard vs a target is >= ``threshold``
+    is removed too. The 1.0 default removes exactly-identical content
+    (identical text -> identical signature -> est 1.0); lower it to
+    also sweep near-duplicate shadows under the same S-curve contract
+    as the dedup probe. Targets per call should be takedown-batch
+    sized (they broadcast into the sweep).
+
+    Runs under the retrying single-writer lease. Returns per-table
+    removed-row counts plus the swept shadow ids."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import est_jaccard
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import read_meta
+
+    meta = read_meta(index_path)
+    key_df = _ids_df(spark, ids, meta.id_col)
+    out: dict = {
+        "sigs_removed": 0,
+        "bands_removed": 0,
+        "band_partitions": [],
+        "shadow_ids": [],
+    }
+    with writer_lease_with_retry(
+        index_path, owner="forget_from_minhash_index", wait_s=60.0
+    ):
+        sigs_path = os.path.join(index_path, "sigs")
+        bands_root = os.path.join(index_path, "bands")
+        all_keys = key_df
+        if os.path.isdir(sigs_path) and os.path.isdir(bands_root):
+            sigs = spark.read.parquet(sigs_path)
+            bands = spark.read.parquet(bands_root)
+            tb = (
+                bands.join(key_df, meta.id_col, "left_semi")
+                .select("band", "bucket")
+                .distinct()
+            )
+            cand_sigs = sigs.join(
+                bands.join(tb, ["band", "bucket"], "left_semi")
+                .select(meta.id_col)
+                .distinct(),
+                meta.id_col,
+                "left_semi",
+            )
+            tsigs = sigs.join(key_df, meta.id_col, "left_semi").select(
+                F.col("sig").alias("_tsig")
+            )
+            shadows = (
+                cand_sigs.crossJoin(F.broadcast(tsigs))
+                .filter(est_jaccard("sig", "_tsig", meta.num_hashes) >= threshold)
+                .select(meta.id_col)
+                .join(key_df, meta.id_col, "left_anti")
+                .distinct()
+            )
+            out["shadow_ids"] = sorted(r[0] for r in shadows.collect())
+            # materialize BEFORE the rewrites swap the dirs this plan reads
+            all_keys = key_df.unionByName(shadows).distinct().localCheckpoint(
+                eager=True
+            )
+        if os.path.isdir(sigs_path):
+            out["sigs_removed"] = rewrite_without_keys(
+                spark, sigs_path, all_keys, meta.id_col
+            )
+        if os.path.isdir(bands_root):
+            bands = spark.read.parquet(bands_root)
+            affected = sorted(
+                r[0]
+                for r in bands.select(meta.id_col, "band")
+                .join(all_keys, meta.id_col, "left_semi")
+                .select("band")
+                .distinct()
+                .collect()
+            )
+            for b in affected:
+                out["bands_removed"] += rewrite_without_keys(
+                    spark, os.path.join(bands_root, f"band={b}"), all_keys, meta.id_col
+                )
+            out["band_partitions"] = [int(b) for b in affected]
+    return out
+
+
+def forget_from_ivf_index(
+    spark: SparkSession, index_path: str, ids, sweep_exact_twins: bool = True
+) -> dict:
+    """Remove the target vectors from a persisted IVF corpus, under the
+    retrying single-writer lease. Like the text index, removal is
+    CONTENT-level by default: the embedding ingest loop appends the
+    whole gated batch, so a dropped duplicate leaves a shadow row with
+    the byte-identical vector that would keep shielding the content;
+    ``sweep_exact_twins`` also removes every corpus row whose embedding
+    EQUALS a target's (identical float arrays — an exact copy assigns
+    to the same cluster, so the sweep join is cluster-pruned by
+    construction). Near-cosine shadows are a policy call: probe first
+    (``dedup_embeddings_against_index`` / ``ivf_probe_topk``) and pass
+    the ids you decide to take down.
+
+    Centroids, drift records, and ``_applied`` markers stay — removing
+    rows never moves centroids, and batch replays must remain no-ops.
+    Affected ``_cluster=`` partitions are discovered by a pruned
+    semi-join (partition values only) and rewritten in place."""
+    from serverless_etl_bi_on_aws_spark.util import read_marker
+
+    meta = read_marker(os.path.join(index_path, "_meta.json"))
+    if meta is None:
+        raise FileNotFoundError(
+            f"no _meta.json at {index_path}; rebuild with build_ivf_index"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    key_df = _ids_df(spark, ids, id_col)
+    out: dict = {"rows_removed": 0, "cluster_partitions": [], "shadow_ids": []}
+    with writer_lease_with_retry(
+        index_path, owner="forget_from_ivf_index", wait_s=60.0
+    ):
+        corpus_root = os.path.join(index_path, "corpus")
+        corpus = spark.read.parquet(corpus_root)
+        all_keys = key_df
+        if sweep_exact_twins:
+            tvecs = (
+                corpus.join(key_df, id_col, "left_semi")
+                .select(F.col(vec_col).alias("_tvec"), F.col("_cluster").alias("_tc"))
+                .distinct()
+            )
+            shadows = (
+                corpus.join(
+                    F.broadcast(tvecs),
+                    (F.col("_cluster") == F.col("_tc"))
+                    & (F.col(vec_col) == F.col("_tvec")),
+                )
+                .select(id_col)
+                .join(key_df, id_col, "left_anti")
+                .distinct()
+            )
+            out["shadow_ids"] = sorted(r[0] for r in shadows.collect())
+            all_keys = key_df.unionByName(shadows).distinct().localCheckpoint(
+                eager=True
+            )
+        affected = sorted(
+            r[0]
+            for r in corpus.select(id_col, "_cluster")
+            .join(all_keys, id_col, "left_semi")
+            .select("_cluster")
+            .distinct()
+            .collect()
+        )
+        for c in affected:
+            out["rows_removed"] += rewrite_without_keys(
+                spark, os.path.join(corpus_root, f"_cluster={c}"), all_keys, id_col
+            )
+        out["cluster_partitions"] = [int(c) for c in affected]
+    return out
+
+
+def forget_documents(
+    spark: SparkSession,
+    ids,
+    clean_dir: str | None = None,
+    text_index_path: str | None = None,
+    ivf_index_path: str | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """One takedown call across every curation artifact the ids appear
+    in (each target optional — pass what the pipeline maintains). The
+    composed semantic, pytest-pinned: after the call, (a) the docs are
+    gone from the curated corpus, (b) a NEW submission of the same
+    content is ADMITTED by the ingest loops (no stale index row shields
+    it), and (c) unrelated dedup behavior is unchanged."""
+    report: dict = {}
+    if clean_dir is not None:
+        report["clean_dir"] = forget_from_clean_dir(spark, clean_dir, ids, id_col)
+    if text_index_path is not None:
+        report["text_index"] = forget_from_minhash_index(spark, text_index_path, ids)
+    if ivf_index_path is not None:
+        report["ivf_index"] = forget_from_ivf_index(spark, ivf_index_path, ids)
+    return report

@@ -85,6 +85,29 @@ def compact_parquet(
     )
 
 
+def rewrite_without_keys(spark: SparkSession, path: str, keys, key_col: str) -> int:
+    """Write-new-then-swap rewrite of one parquet directory dropping
+    every row whose ``key_col`` appears in ``keys`` (a DataFrame whose
+    first column holds the keys) — the takedown primitive shared by
+    :mod:`operators.forget`. Same atomicity as :func:`compact_parquet`
+    (build the filtered copy aside, two renames); an anti-join does the
+    drop, so the data never routes through the driver. Returns the
+    number of rows removed (two maintenance-scale counts)."""
+    df = spark.read.parquet(path)
+    key_df = keys.select(F.col(keys.columns[0]).alias(key_col)).dropDuplicates()
+    kept = df.join(key_df, key_col, "left_anti")
+    before, after = df.count(), kept.count()
+    if before == after:
+        return 0
+    tmp = f"{path}.__new__{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before - after
+
+
 def file_column_stats(path: str, column: str) -> list[tuple[str, object, object]]:
     """Per-file (name, min, max) of ``column`` read straight from the
     parquet footers — the statistics the scanner's skipping decisions

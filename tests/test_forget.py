@@ -1,0 +1,145 @@
+"""Takedown semantics — operators/forget.py.
+
+The defining contract, distinct from dedup: after forgetting a doc,
+(a) it is gone from the curated corpus, (b) a NEW submission of the
+same content is ADMITTED by the ingest loop (no stale index row
+shields it), (c) unrelated dedup behavior is unchanged, and (d) index
+bookkeeping (markers, centroids, drift) survives — forgetting content
+is not un-applying batches."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.catalog import load_table
+from serverless_etl_bi_on_aws_spark.operators.dedup_index import init_minhash_index
+from serverless_etl_bi_on_aws_spark.operators.forget import (
+    forget_documents,
+    forget_from_ivf_index,
+)
+from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import apply_curation_batch
+
+from conftest import SF_CORRECT
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "astronomers catalogue distant variable stars using automated "
+    "telescopes during long winter observation campaigns across chile"
+)
+GOOD2 = (
+    "market analysts reviewed quarterly earnings reports from twelve "
+    "industrial manufacturers before revising their annual growth "
+    "projections downward amid persistent supply chain disruptions"
+)
+
+
+def _clean_ids(spark, clean):
+    return {
+        r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()
+    }
+
+
+def test_forget_text_then_resubmission_admitted(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    b1 = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD2)], "doc_id bigint, text string"
+    )
+    apply_curation_batch(spark, b1, idx, clean, "fb-0")
+    # cross-batch copy of doc 1 is a duplicate while 1 is indexed
+    b2 = spark.createDataFrame([(10, GOOD)], "doc_id bigint, text string")
+    apply_curation_batch(spark, b2, idx, clean, "fb-1")
+    assert _clean_ids(spark, clean) == {1, 2}
+
+    rep = forget_documents(spark, [1], clean_dir=clean, text_index_path=idx)
+    assert rep["clean_dir"]["rows_removed"] == 1
+    assert rep["clean_dir"]["partitions_rewritten"] == ["fb-0"]
+    # content-level removal: doc 10 (the DROPPED cross-batch copy) left
+    # a shadow signature that would keep shielding the content — the
+    # sweep removes it alongside the requested id
+    assert rep["text_index"]["shadow_ids"] == [10]
+    assert rep["text_index"]["sigs_removed"] == 2
+    assert rep["text_index"]["bands_removed"] > 0
+    assert _clean_ids(spark, clean) == {2}
+    sigs = spark.read.parquet(os.path.join(idx, "sigs"))
+    assert sigs.filter(F.col("doc_id").isin([1, 10])).count() == 0
+    bands = spark.read.parquet(os.path.join(idx, "bands"))
+    assert bands.filter(F.col("doc_id").isin([1, 10])).count() == 0
+
+    # the takedown semantic: a NEW copy of the forgotten content is
+    # admitted; unrelated dedup (a copy of the surviving doc 2) still
+    # drops; replay of an applied batch stays a marker no-op
+    b3 = spark.createDataFrame(
+        [(20, GOOD), (21, GOOD2)], "doc_id bigint, text string"
+    )
+    apply_curation_batch(spark, b3, idx, clean, "fb-2")
+    assert _clean_ids(spark, clean) == {2, 20}
+    n_sigs = spark.read.parquet(os.path.join(idx, "sigs")).count()
+    apply_curation_batch(spark, b3, idx, clean, "fb-2")  # replay no-op
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+
+    # a replay of the ORIGINAL batch (crash recovery) must NOT resurrect
+    # the forgotten doc: the _SUCCESS gate and _applied marker both hold
+    apply_curation_batch(spark, b1, idx, clean, "fb-0")
+    assert _clean_ids(spark, clean) == {2, 20}
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
+
+
+def test_forget_embedding_then_resubmission_admitted(spark, tmp_path):
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        dedup_embeddings_against_index,
+        ivf_drift_status,
+        ivf_probe_topk,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    pool = emb.filter(F.col("vec_id") != 0)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(pool, idx, n_clusters=4, seed=42)
+    target = pool.orderBy("vec_id").head()
+    tvec = [float(x) for x in target.embedding]
+
+    # append a SHADOW: an identical vector under another id (the shape
+    # the ingest loop creates when it indexes a gated-but-dropped copy)
+    shadow_df = spark.createDataFrame(
+        [(900_001, tvec)], "vec_id bigint, embedding array<float>"
+    )
+    assert update_ivf_index(shadow_df, idx, "shadow-b") is True
+
+    probe_df = spark.createDataFrame(
+        [(900_000, tvec)], "vec_id bigint, embedding array<float>"
+    )
+    # while indexed: the exact copy is a duplicate
+    assert (
+        dedup_embeddings_against_index(
+            spark, probe_df, idx, threshold=0.99, n_probe=4
+        ).count()
+        == 0
+    )
+
+    n0 = spark.read.parquet(os.path.join(idx, "corpus")).count()
+    rep = forget_from_ivf_index(spark, idx, [int(target.vec_id)])
+    # content-level: the shadow's identical vector is swept too
+    assert rep["shadow_ids"] == [900_001]
+    assert rep["rows_removed"] == 2 and len(rep["cluster_partitions"]) == 1
+    assert spark.read.parquet(os.path.join(idx, "corpus")).count() == n0 - 2
+
+    # takedown semantic: the same content is admissible again, the
+    # probe no longer surfaces the forgotten id, and the index keeps
+    # composing (drift status readable, appends still marker-gated)
+    assert (
+        dedup_embeddings_against_index(
+            spark, probe_df, idx, threshold=0.99, n_probe=4
+        ).count()
+        == 1
+    )
+    got = {r.vec_id for r in ivf_probe_topk(spark, idx, tvec, k=5, n_probe=4).collect()}
+    assert int(target.vec_id) not in got
+    assert ivf_drift_status(idx)["build_rows"] > 0
+    assert update_ivf_index(probe_df, idx, "fb-new") is True
+    assert update_ivf_index(probe_df, idx, "fb-new") is False  # replay no-op
