@@ -172,6 +172,75 @@ def forget_from_minhash_index(
     return out
 
 
+def forget_from_hash_index(
+    spark: SparkSession, index_path: str, ids, sweep_exact_twins: bool = True
+) -> dict:
+    """Remove the target docs from a persisted 64-bit hash index
+    (operators/hash_index — the dHash IMAGE and audio-fingerprint
+    backends), completing the takedown story across all four index
+    modalities. Content-level like its siblings: ``sweep_exact_twins``
+    also removes rows carrying the SAME hash value as a target
+    (an identical image/audio payload hashes identically, so the
+    gated-but-dropped shadow rows the loops index are exactly the
+    equal-hash rows); within-radius hamming shadows are the policy
+    composition — probe first, pass the ids. Runs under the retrying
+    single-writer lease; ``_applied`` markers stay."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import read_hash_meta
+
+    meta = read_hash_meta(index_path)
+    id_col, hash_col = meta["id_col"], meta["hash_col"]
+    key_df = _ids_df(spark, ids, id_col)
+    out: dict = {
+        "hashes_removed": 0,
+        "blocks_removed": 0,
+        "block_partitions": [],
+        "shadow_ids": [],
+    }
+    with writer_lease_with_retry(
+        index_path, owner="forget_from_hash_index", wait_s=60.0
+    ):
+        hashes_path = os.path.join(index_path, "hashes")
+        blocks_root = os.path.join(index_path, "blocks")
+        all_keys = key_df
+        if sweep_exact_twins and os.path.isdir(hashes_path):
+            hashes = spark.read.parquet(hashes_path)
+            thash = (
+                hashes.join(key_df, id_col, "left_semi")
+                .select(F.col(hash_col).alias("_th"))
+                .distinct()
+            )
+            shadows = (
+                hashes.join(F.broadcast(thash), F.col(hash_col) == F.col("_th"))
+                .select(id_col)
+                .join(key_df, id_col, "left_anti")
+                .distinct()
+            )
+            out["shadow_ids"] = sorted(r[0] for r in shadows.collect())
+            all_keys = key_df.unionByName(shadows).distinct().localCheckpoint(
+                eager=True
+            )
+        if os.path.isdir(hashes_path):
+            out["hashes_removed"] = rewrite_without_keys(
+                spark, hashes_path, all_keys, id_col
+            )
+        if os.path.isdir(blocks_root):
+            blocks = spark.read.parquet(blocks_root)
+            affected = sorted(
+                r[0]
+                for r in blocks.select(id_col, "block")
+                .join(all_keys, id_col, "left_semi")
+                .select("block")
+                .distinct()
+                .collect()
+            )
+            for b in affected:
+                out["blocks_removed"] += rewrite_without_keys(
+                    spark, os.path.join(blocks_root, f"block={b}"), all_keys, id_col
+                )
+            out["block_partitions"] = [int(b) for b in affected]
+    return out
+
+
 def forget_from_ivf_index(
     spark: SparkSession, index_path: str, ids, sweep_exact_twins: bool = True
 ) -> dict:
@@ -249,12 +318,14 @@ def forget_documents(
     clean_dir: str | None = None,
     text_index_path: str | None = None,
     ivf_index_path: str | None = None,
+    hash_index_paths: Sequence[str] = (),
     id_col: str = "doc_id",
 ) -> dict:
     """One takedown call across every curation artifact the ids appear
-    in (each target optional — pass what the pipeline maintains). The
-    composed semantic, pytest-pinned: after the call, (a) the docs are
-    gone from the curated corpus, (b) a NEW submission of the same
+    in (each target optional — pass what the pipeline maintains;
+    ``hash_index_paths`` takes the dHash / audio-fingerprint indexes).
+    The composed semantic, pytest-pinned: after the call, (a) the docs
+    are gone from the curated corpus, (b) a NEW submission of the same
     content is ADMITTED by the ingest loops (no stale index row shields
     it), and (c) unrelated dedup behavior is unchanged."""
     report: dict = {}
@@ -264,4 +335,8 @@ def forget_documents(
         report["text_index"] = forget_from_minhash_index(spark, text_index_path, ids)
     if ivf_index_path is not None:
         report["ivf_index"] = forget_from_ivf_index(spark, ivf_index_path, ids)
+    for p in hash_index_paths:
+        report.setdefault("hash_indexes", {})[p] = forget_from_hash_index(
+            spark, p, ids
+        )
     return report

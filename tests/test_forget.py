@@ -88,6 +88,54 @@ def test_forget_text_then_resubmission_admitted(spark, tmp_path):
     assert spark.read.parquet(os.path.join(idx, "sigs")).count() == n_sigs
 
 
+def test_forget_hash_index_then_resubmission_admitted(spark, tmp_path):
+    """The 64-bit hash backend (dHash image / audio fingerprint): a
+    cross-batch copy is dropped while indexed, the takedown sweeps the
+    id AND its equal-hash shadow, and the same hash is admissible
+    afterwards; an unrelated hash keeps deduping."""
+    from serverless_etl_bi_on_aws_spark.operators.forget import (
+        forget_from_hash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        dropped_ids_against_index,
+        init_hash_index,
+        update_hash_index,
+    )
+
+    idx = str(tmp_path / "hx")
+    init_hash_index(idx)
+    h_target, h_other = 0x0123456789ABCDEF, 0x0F0F0F0F0F0F0F0F
+    b1 = spark.createDataFrame(
+        [(1, h_target), (2, h_other)], "doc_id bigint, hash bigint"
+    )
+    assert update_hash_index(b1, idx, "hb-0") is True
+    # cross-batch copy: doc 10 shares doc 1's hash -> dropped, but its
+    # rows still enter the index (the everything-gated discipline)
+    b2 = spark.createDataFrame([(10, h_target)], "doc_id bigint, hash bigint")
+    dropped = {
+        r[0] for r in dropped_ids_against_index(spark, b2, idx, radius=2).collect()
+    }
+    assert dropped == {10}
+    assert update_hash_index(b2, idx, "hb-1") is True
+
+    rep = forget_from_hash_index(spark, idx, [1])
+    assert rep["shadow_ids"] == [10]
+    assert rep["hashes_removed"] == 2 and rep["blocks_removed"] > 0
+    hashes = spark.read.parquet(os.path.join(idx, "hashes"))
+    assert {r.doc_id for r in hashes.collect()} == {2}
+
+    # takedown semantic: the hash is admissible again; unrelated dedup
+    # unchanged; replay of an applied batch is still a marker no-op
+    b3 = spark.createDataFrame(
+        [(20, h_target), (21, h_other)], "doc_id bigint, hash bigint"
+    )
+    dropped3 = {
+        r[0] for r in dropped_ids_against_index(spark, b3, idx, radius=2).collect()
+    }
+    assert dropped3 == {21}
+    assert update_hash_index(b2, idx, "hb-1") is False  # marker holds
+
+
 def test_forget_embedding_then_resubmission_admitted(spark, tmp_path):
     from serverless_etl_bi_on_aws_spark.operators.similarity import (
         build_ivf_index,
