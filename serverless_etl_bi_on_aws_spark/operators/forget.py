@@ -64,6 +64,10 @@ def forget_from_clean_dir(
     one pruned scan finds the affected ``batch=`` partitions (semi-join,
     partition values only), each is rewritten without the keys. Returns
     ``{"rows_removed": n, "partitions_rewritten": [...]}``."""
+    if not os.path.isdir(clean_dir) or not any(
+        n.startswith("batch=") for n in os.listdir(clean_dir)
+    ):
+        return {"rows_removed": 0, "partitions_rewritten": []}
     key_df = _ids_df(spark, ids, id_col)
     corpus = spark.read.parquet(clean_dir)
     affected = sorted(
