@@ -1029,24 +1029,43 @@ def recover_ivf_index(index_path: str) -> dict:
     exists (crash in the rename gap), restore the complete old index,
     clear the dead writer's ``_writer.lock``, and remove any leftover
     ``.__retrain__<nonce>`` build. Idempotent; safe to run when nothing
-    is wrong (it then only sweeps orphaned siblings of a COMPLETED swap).
-    Returns {"restored": bool, "removed": [siblings...]}."""
+    is wrong (it then only sweeps orphaned siblings of a COMPLETED
+    swap — and only under the single-writer lease: a LIVE retrain's
+    in-progress ``.__retrain__`` build looks identical to a crashed
+    one's leftover, so when the lease is held the sweep is SKIPPED
+    rather than deleting a concurrent writer's work; the janitor cycle
+    runs this every pass, round-11 review). Returns
+    {"restored": bool, "removed": [siblings...]} (+ ``skipped`` when a
+    live writer held the lease)."""
     import glob
     import os
     import shutil
 
+    from serverless_etl_bi_on_aws_spark.util import LeaseHeldError, writer_lease
+
     out: dict = {"restored": False, "removed": []}
     olds = sorted(glob.glob(f"{index_path}.__old__*"))
     if not os.path.exists(index_path) and olds:
+        # no live writer can hold a lease on a missing directory; the
+        # lock inside the moved-aside dir belongs to the crashed writer
         os.rename(olds[-1], index_path)
         out["restored"] = True
         olds = olds[:-1]
         lock = os.path.join(index_path, "_writer.lock")
         if os.path.exists(lock):
             os.remove(lock)  # the crashed writer is dead; its lease is void
-    for stray in olds + sorted(glob.glob(f"{index_path}.__retrain__*")):
-        shutil.rmtree(stray, ignore_errors=True)
-        out["removed"].append(os.path.basename(stray))
+    strays = olds + sorted(glob.glob(f"{index_path}.__retrain__*"))
+    if not strays:
+        return out
+    if not os.path.isdir(index_path):
+        return out  # nothing to lease against; leave siblings untouched
+    try:
+        with writer_lease(index_path, owner="recover_ivf_index"):
+            for stray in strays:
+                shutil.rmtree(stray, ignore_errors=True)
+                out["removed"].append(os.path.basename(stray))
+    except LeaseHeldError:
+        out["skipped"] = "writer lease held; strays may belong to a live retrain"
     return out
 
 

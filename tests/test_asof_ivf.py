@@ -703,6 +703,21 @@ def test_ivf_retrain_crash_recovery_and_meta_guards(spark, tmp_path):
     # idempotent when nothing is wrong
     assert recover_ivf_index(idx) == {"restored": False, "removed": []}
 
+    # a LIVE writer's in-progress .__retrain__ build must not be swept
+    # as a stray (round-11 review: the janitor runs recovery every
+    # cycle, and a concurrent retrain's tmp looks identical to a
+    # crashed one's leftover — the lease disambiguates)
+    from serverless_etl_bi_on_aws_spark.util import writer_lease
+
+    pathlib.Path(f"{idx}.__retrain__live").mkdir()
+    with writer_lease(idx, owner="live-retrain"):
+        st_live = recover_ivf_index(idx)
+    assert st_live["removed"] == [] and "skipped" in st_live
+    assert os.path.isdir(f"{idx}.__retrain__live")
+    # lease released -> the stray is sweepable again
+    st_after = recover_ivf_index(idx)
+    assert st_after["removed"] == ["ivf.__retrain__live"]
+
     # (b) pre-meta index: loud refusal, nothing rewritten
     import pytest
 
