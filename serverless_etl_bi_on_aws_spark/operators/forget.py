@@ -49,12 +49,47 @@ from serverless_etl_bi_on_aws_spark.operators.maintenance import rewrite_without
 from serverless_etl_bi_on_aws_spark.util import writer_lease_with_retry
 
 
-def _ids_df(spark: SparkSession, ids, col: str) -> DataFrame:
+def _ids_df(spark: SparkSession, ids, col: str, target_type=None) -> DataFrame:
+    """Normalize the takedown keys to one column named ``col``, typed to
+    MATCH the target table's id column. The round-11 shape cast every
+    key to bigint unconditionally — against a string-typed id column the
+    cast yielded NULLs, every semi/anti join matched nothing, and the
+    takedown silently removed zero rows while reporting success
+    (round-11 ADVICE). Now the keys are cast to ``target_type`` (the
+    table's actual id dtype, passed by each forget_* entry point), and a
+    cast that NULLs any non-null key fails loudly instead of silently
+    forgetting nothing."""
     if isinstance(ids, DataFrame):
-        return ids.select(F.col(ids.columns[0]).cast("bigint").alias(col))
-    if isinstance(ids, Sequence):
-        return spark.createDataFrame([(int(i),) for i in ids], f"{col} bigint")
-    raise TypeError("ids must be a DataFrame or a sequence of ints")
+        df = ids.select(F.col(ids.columns[0]).alias(col))
+    elif isinstance(ids, Sequence) and not isinstance(ids, (str, bytes)):
+        if not ids:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            return spark.createDataFrame(
+                [], StructType([StructField(col, target_type or LongType())])
+            )
+        df = spark.createDataFrame([(i,) for i in ids], [col])
+    else:
+        raise TypeError("ids must be a DataFrame or a sequence of key values")
+    if target_type is None or df.schema[col].dataType == target_type:
+        return df
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a malformed
+    # key would THROW from whatever downstream job first evaluates it;
+    # try_cast yields NULL, which the check below turns into the loud,
+    # actionable refusal with the offending keys named.
+    cast = df.select(F.col(col).try_cast(target_type).alias(col))
+    nulled = df.filter(
+        F.col(col).isNotNull() & F.col(col).try_cast(target_type).isNull()
+    )
+    n_bad = nulled.count()  # takedown-batch sized — maintenance-scale job
+    if n_bad:
+        sample = [r[0] for r in nulled.limit(5).collect()]
+        raise ValueError(
+            f"{n_bad} takedown key(s) cannot be cast to the target id type "
+            f"{target_type.simpleString()} (e.g. {sample!r}); refusing a "
+            "takedown that would silently match nothing"
+        )
+    return cast
 
 
 def forget_from_clean_dir(
@@ -68,8 +103,8 @@ def forget_from_clean_dir(
         n.startswith("batch=") for n in os.listdir(clean_dir)
     ):
         return {"rows_removed": 0, "partitions_rewritten": []}
-    key_df = _ids_df(spark, ids, id_col)
     corpus = spark.read.parquet(clean_dir)
+    key_df = _ids_df(spark, ids, id_col, corpus.schema[id_col].dataType)
     affected = sorted(
         r[0]
         for r in corpus.select(id_col, "batch")
@@ -111,7 +146,13 @@ def forget_from_minhash_index(
     from serverless_etl_bi_on_aws_spark.operators.dedup_index import read_meta
 
     meta = read_meta(index_path)
-    key_df = _ids_df(spark, ids, meta.id_col)
+    _sigs = os.path.join(index_path, "sigs")
+    id_type = (
+        spark.read.parquet(_sigs).schema[meta.id_col].dataType
+        if os.path.isdir(_sigs)
+        else None
+    )
+    key_df = _ids_df(spark, ids, meta.id_col, id_type)
     out: dict = {
         "sigs_removed": 0,
         "bands_removed": 0,
@@ -193,7 +234,13 @@ def forget_from_hash_index(
 
     meta = read_hash_meta(index_path)
     id_col, hash_col = meta["id_col"], meta["hash_col"]
-    key_df = _ids_df(spark, ids, id_col)
+    _hashes = os.path.join(index_path, "hashes")
+    id_type = (
+        spark.read.parquet(_hashes).schema[id_col].dataType
+        if os.path.isdir(_hashes)
+        else None
+    )
+    key_df = _ids_df(spark, ids, id_col, id_type)
     out: dict = {
         "hashes_removed": 0,
         "blocks_removed": 0,
@@ -272,12 +319,14 @@ def forget_from_ivf_index(
             f"no _meta.json at {index_path}; rebuild with build_ivf_index"
         )
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    key_df = _ids_df(spark, ids, id_col)
+    corpus_root = os.path.join(index_path, "corpus")
+    key_df = _ids_df(
+        spark, ids, id_col, spark.read.parquet(corpus_root).schema[id_col].dataType
+    )
     out: dict = {"rows_removed": 0, "cluster_partitions": [], "shadow_ids": []}
     with writer_lease_with_retry(
         index_path, owner="forget_from_ivf_index", wait_s=60.0
     ):
-        corpus_root = os.path.join(index_path, "corpus")
         corpus = spark.read.parquet(corpus_root)
         all_keys = key_df
         if sweep_exact_twins:

@@ -953,8 +953,7 @@ def retrain_ivf_index(
          appended batch's vectors are IN the retrained corpus, so a
          replayed ``update_ivf_index`` of an old batch must stay a
          no-op; ``_drift`` records are NOT carried (they measured
-         distance to the OLD centroids) — and a copy of the held
-         ``_writer.lock`` so the lease survives the swap,
+         distance to the OLD centroids),
       3. swap via TWO whole-directory renames:
          ``index -> <index>.__old__<nonce>``, then ``tmp -> index``.
 
@@ -963,11 +962,14 @@ def retrain_ivf_index(
     the index across three dirs): each rename is atomic, so a probe
     observes the complete old index, the complete new index, or — in
     the two-rename gap, syscalls wide — a missing directory, which
-    fails LOUDLY and is retryable. A crash inside the gap leaves the
-    complete old index intact at ``.__old__<nonce>``;
-    :func:`recover_ivf_index` restores it (and tests pin that path).
-    If the destination was re-created concurrently during the gap the
-    second rename fails and the old index is restored before raising."""
+    fails LOUDLY and is retryable. The gap stays LEASE-PROTECTED
+    (round-11 ADVICE): the lock lives at the swap-surviving sibling
+    path (util.lease_lock_path), not inside the directory being
+    renamed, so a concurrent writer in the gap gets LeaseHeldError
+    instead of re-creating the index path as a lock-only skeleton.
+    A crash inside the gap leaves the complete old index intact at
+    ``.__old__<nonce>``; :func:`recover_ivf_index` restores it (and
+    tests pin that path)."""
     import os
     import shutil
     import uuid
@@ -1007,11 +1009,6 @@ def retrain_ivf_index(
         applied = os.path.join(index_path, "_applied")
         if os.path.isdir(applied):
             shutil.copytree(applied, os.path.join(tmp, "_applied"))
-        # the new dir arrives lease-held: copy the held lock in so no
-        # writer can slip between the swap and our release
-        lock = os.path.join(index_path, "_writer.lock")
-        if os.path.exists(lock):
-            shutil.copy2(lock, os.path.join(tmp, "_writer.lock"))
         old = f"{index_path}.__old__{nonce}"
         os.rename(index_path, old)
         try:
@@ -1023,47 +1020,88 @@ def retrain_ivf_index(
         shutil.rmtree(old, ignore_errors=True)
 
 
-def recover_ivf_index(index_path: str) -> dict:
+def recover_ivf_index(index_path: str, stale_after_s: float | None = None) -> dict:
     """Crash recovery for :func:`retrain_ivf_index`'s two-rename swap: if
-    the index directory is missing but a ``.__old__<nonce>`` sibling
-    exists (crash in the rename gap), restore the complete old index,
-    clear the dead writer's ``_writer.lock``, and remove any leftover
-    ``.__retrain__<nonce>`` build. Idempotent; safe to run when nothing
-    is wrong (it then only sweeps orphaned siblings of a COMPLETED
-    swap — and only under the single-writer lease: a LIVE retrain's
-    in-progress ``.__retrain__`` build looks identical to a crashed
-    one's leftover, so when the lease is held the sweep is SKIPPED
-    rather than deleting a concurrent writer's work; the janitor cycle
-    runs this every pass, round-11 review). Returns
-    {"restored": bool, "removed": [siblings...]} (+ ``skipped`` when a
-    live writer held the lease)."""
+    the canonical index is missing (or damaged) and a ``.__old__<nonce>``
+    sibling exists (crash in the rename gap), restore the complete old
+    index and remove any leftover ``.__retrain__<nonce>`` build.
+    Idempotent; safe to run when nothing is wrong (it then only sweeps
+    orphaned siblings of a COMPLETED swap).
+
+    Round-11 ADVICE hardening — all work happens UNDER the single-writer
+    lease, which now lives at the swap-surviving sibling path
+    (util.lease_lock_path), so a LIVE retrain mid-gap still holds it and
+    this janitor skips instead of racing the swap or deleting the
+    writer's in-progress build. A retrain that CRASHED mid-gap leaves
+    that lease behind; pass ``stale_after_s`` (writer_lease's stale-break
+    rule — choose it >> the longest plausible retrain) so the janitor can
+    break a dead writer's lease; with the default ``None`` a held lease
+    always reports ``skipped``. Further hardening, same review:
+
+      * restore picks the NEWEST ``.__old__`` by mtime (nonces are
+        random hex, so the previous lexicographic pick could restore a
+        stale snapshot when several leftovers accumulated);
+      * strays are swept ONLY when the canonical index is verified
+        COMPLETE (``_meta.json`` + ``corpus/`` present) — never delete
+        the only complete copies next to a skeleton;
+      * an EXISTING-but-incomplete canonical dir (external damage, or a
+        pre-fix writer's lock-only skeleton) is moved aside to
+        ``.__damaged__<nonce>`` — reported, never destroyed — before the
+        restore;
+      * the restore rename is guarded against a peer janitor having
+        already restored (re-checked under the lease; FileNotFoundError
+        re-verified rather than propagated).
+
+    Returns ``{"restored": bool, "removed": [siblings...]}`` plus
+    ``skipped`` when a live writer held the lease and ``damaged`` when
+    an incomplete canonical dir was moved aside."""
     import glob
     import os
     import shutil
+    import uuid
 
     from serverless_etl_bi_on_aws_spark.util import LeaseHeldError, writer_lease
 
+    def _complete(p: str) -> bool:
+        return os.path.isfile(os.path.join(p, "_meta.json")) and os.path.isdir(
+            os.path.join(p, "corpus")
+        )
+
+    def _olds() -> list[str]:
+        # newest LAST, by mtime (lexicographic nonce order is meaningless)
+        return sorted(glob.glob(f"{index_path}.__old__*"), key=os.path.getmtime)
+
     out: dict = {"restored": False, "removed": []}
-    olds = sorted(glob.glob(f"{index_path}.__old__*"))
-    if not os.path.exists(index_path) and olds:
-        # no live writer can hold a lease on a missing directory; the
-        # lock inside the moved-aside dir belongs to the crashed writer
-        os.rename(olds[-1], index_path)
-        out["restored"] = True
-        olds = olds[:-1]
-        lock = os.path.join(index_path, "_writer.lock")
-        if os.path.exists(lock):
-            os.remove(lock)  # the crashed writer is dead; its lease is void
-    strays = olds + sorted(glob.glob(f"{index_path}.__retrain__*"))
-    if not strays:
-        return out
-    if not os.path.isdir(index_path):
-        return out  # nothing to lease against; leave siblings untouched
+    if not _olds() and not glob.glob(f"{index_path}.__retrain__*"):
+        return out  # nothing to recover or sweep
     try:
-        with writer_lease(index_path, owner="recover_ivf_index"):
-            for stray in strays:
-                shutil.rmtree(stray, ignore_errors=True)
-                out["removed"].append(os.path.basename(stray))
+        with writer_lease(
+            index_path, owner="recover_ivf_index", stale_after_s=stale_after_s
+        ):
+            olds = _olds()  # re-list under the lease: a peer may have recovered
+            if olds and not _complete(index_path):
+                if os.path.isdir(index_path):
+                    damaged = f"{index_path}.__damaged__{uuid.uuid4().hex[:8]}"
+                    os.rename(index_path, damaged)
+                    out["damaged"] = os.path.basename(damaged)
+                newest = olds[-1]
+                try:
+                    os.rename(newest, index_path)
+                    out["restored"] = True
+                except FileNotFoundError:
+                    # a peer beat us to the restore between the glob and
+                    # the rename; fine iff the canonical index is back
+                    if not _complete(index_path):
+                        raise
+                # a pre-fix crashed writer's in-dir lock is void
+                legacy_lock = os.path.join(index_path, "_writer.lock")
+                if os.path.exists(legacy_lock):
+                    os.remove(legacy_lock)
+            if _complete(index_path):
+                strays = _olds() + sorted(glob.glob(f"{index_path}.__retrain__*"))
+                for stray in strays:
+                    shutil.rmtree(stray, ignore_errors=True)
+                    out["removed"].append(os.path.basename(stray))
     except LeaseHeldError:
         out["skipped"] = "writer lease held; strays may belong to a live retrain"
     return out
@@ -1137,6 +1175,7 @@ def run_ivf_maintenance(
     lease_wait_s: float = 60.0,
     n_clusters: int | None = None,
     seed: int | None = None,
+    recover_stale_after_s: float | None = None,
 ) -> dict:
     """ONE maintenance cycle for a persisted IVF index — the janitor job
     a scheduler runs between ingest batches, composing the maintenance
@@ -1161,8 +1200,16 @@ def run_ivf_maintenance(
 
     Returns the cycle report: ``{recovered, compacted_files, drift,
     retrained, post_drift?}`` — a scheduler logs it; ``retrained`` False
-    with a healthy ``drift`` is the common steady-state outcome."""
-    report: dict = {"recovered": recover_ivf_index(index_path)}
+    with a healthy ``drift`` is the common steady-state outcome.
+    ``recover_stale_after_s`` passes through to :func:`recover_ivf_index`
+    so the janitor can break a CRASHED retrain's leftover lease (the
+    sibling lock survives the writer's death by design); choose it >>
+    the longest plausible retrain, or leave ``None`` to never break."""
+    report: dict = {
+        "recovered": recover_ivf_index(
+            index_path, stale_after_s=recover_stale_after_s
+        )
+    }
     report["compacted_files"] = compact_ivf_index(
         spark, index_path, target_file_bytes, lease_wait_s=lease_wait_s
     )

@@ -170,7 +170,6 @@ def start_rollup_maintenance(
     it is derived state). At 100 TB close the window entirely with a
     transactional table format (Delta/Iceberg MERGE commits the data
     and the applied-file ids atomically)."""
-    import hashlib
     import os
 
     from pyspark.sql import functions as F
@@ -183,9 +182,7 @@ def start_rollup_maintenance(
 
     reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
     stream = getattr(reader, fmt)(source_dir)
-
-    def fid(path: str) -> str:
-        return hashlib.md5(path.encode()).hexdigest()[:16]
+    fid = _rollup_file_id
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -242,24 +239,47 @@ def start_rollup_maintenance(
     return writer.start()
 
 
+def _rollup_file_id(path: str) -> str:
+    import hashlib
+
+    return hashlib.md5(path.encode()).hexdigest()[:16]
+
+
 def rollup_integrity_status(rollup_path: str) -> dict:
     """Post-hoc detector for :func:`start_rollup_maintenance`'s crash
-    window: every stranded ``<rollup>.__journal__/<nonce>.json`` entry
-    is a batch whose additive merge may have committed without all its
+    window: a stranded ``<rollup>.__journal__/<nonce>.json`` entry is a
+    batch whose additive merge may have committed without all its
     per-file markers — on replay those files re-merge and double-count.
+
+    A journal entry whose files ALL carry ``_applied`` markers provably
+    committed fully — the crash hit the window between the batch's LAST
+    marker and the journal removal (or the replay's early not-todo
+    return skipped cleanup) — so it is dropped here rather than reported
+    as permanently dirty (round-11 ADVICE: that benign tail crash used
+    to flag the rollup suspect forever with no double count anywhere).
+
     Returns ``{"clean": bool, "suspect_files": [...]}``; remedy for a
     dirty rollup is a rebuild (it is derived state). Driver-side JSON
     reads only — no Spark job."""
     import glob
     import os
 
-    from serverless_etl_bi_on_aws_spark.util import read_marker
+    from serverless_etl_bi_on_aws_spark.util import marker_exists, read_marker
 
     suspect: list[str] = []
     for jf in sorted(glob.glob(os.path.join(f"{rollup_path}.__journal__", "*.json"))):
         rec = read_marker(jf)
-        if rec:
-            suspect.extend(rec.get("files", []))
+        files = rec.get("files", []) if rec else []
+        if files and all(
+            marker_exists(os.path.join(rollup_path, "_applied", _rollup_file_id(f)))
+            for f in files
+        ):
+            try:
+                os.remove(jf)  # every file marked: the batch fully committed
+            except FileNotFoundError:
+                pass
+            continue
+        suspect.extend(files)
     return {"clean": not suspect, "suspect_files": sorted(set(suspect))}
 
 

@@ -121,8 +121,23 @@ def marker_exists(path: str) -> bool:
 
 
 class LeaseHeldError(RuntimeError):
-    """Another writer holds the index's `_writer.lock`; the caller must
+    """Another writer holds the index's lease lock; the caller must
     fail loudly rather than interleave probe-then-append with it."""
+
+
+def lease_lock_path(root: str) -> str:
+    """Where :func:`writer_lease` hosts the lock for ``root``: a SIBLING
+    file ``<root>.__lock__``, not a file inside ``root``. Inside-the-dir
+    (rounds 10-11's ``_writer.lock``) had two failure modes the round-11
+    review caught: (a) a whole-directory swap (retrain_ivf_index's
+    rename) carries the lock AWAY with the old dir, so the swap gap is
+    unprotected — a concurrent writer could re-create the index path as
+    a lock-only skeleton and wedge both the swap's restore branch and
+    recovery; (b) acquiring a lease had the side effect of CREATING the
+    index directory (the lock write's makedirs). A sibling lock survives
+    any rename of ``root`` — the lease protects the PATH, through swaps
+    and even through windows where the directory is briefly absent."""
+    return os.path.normpath(root) + ".__lock__"
 
 
 def create_exclusive_marker(path: str, payload: dict | None = None) -> bool:
@@ -159,8 +174,10 @@ def writer_lease(root: str, owner: str = "writer", stale_after_s: float | None =
         with writer_lease(index_path, owner="hourly-crawl"):
             ...appends/compaction...
 
-    Acquisition is a create-exclusive ``_writer.lock`` marker
-    (:func:`create_exclusive_marker` — the documented object-store CAS
+    Acquisition is a create-exclusive marker at
+    :func:`lease_lock_path` — a SIBLING of ``root``, so the lease
+    survives whole-directory swaps of the index it protects
+    (:func:`create_exclusive_marker` is the documented object-store CAS
     swap point); release removes it on exit, success or raise. A second
     writer gets :class:`LeaseHeldError` immediately — fail-loud, never
     interleave.
@@ -178,7 +195,7 @@ def writer_lease(root: str, owner: str = "writer", stale_after_s: float | None =
 
     @contextlib.contextmanager
     def _lease():
-        lock = os.path.join(root, "_writer.lock")
+        lock = lease_lock_path(root)
         payload = {"owner": owner, "pid": os.getpid(), "acquired_unix": time.time()}
         if not create_exclusive_marker(lock, payload):
             held = read_marker(lock)
@@ -234,7 +251,16 @@ def writer_lease_with_retry(
     unchanged. Choose ``wait_s`` around the longest plausible batch the
     peer could be running; the caller contract is otherwise identical
     to ``writer_lease`` (use as a context manager around the mutating
-    half only — probes never need it)."""
+    half only — probes never need it).
+
+    Only ACQUISITION retries: the round-11 shape (`while: try: with
+    lease: yield / except LeaseHeldError: loop`) also caught a
+    LeaseHeldError raised from the CALLER'S BODY (thrown into the
+    generator at the yield), looped, and yielded a second time — which
+    contextlib converts to ``RuntimeError("generator didn't stop after
+    throw()")``, masking the real error (round-11 ADVICE). The lease is
+    now entered in a retry loop BEFORE the single yield; a body
+    exception propagates untouched (after the lock is released)."""
     import contextlib
     import time
 
@@ -243,15 +269,20 @@ def writer_lease_with_retry(
         deadline = time.monotonic() + float(wait_s)
         delay = float(poll_s)
         while True:
+            lease = writer_lease(root, owner=owner, stale_after_s=stale_after_s)
             try:
-                with writer_lease(root, owner=owner, stale_after_s=stale_after_s):
-                    yield
-                return
+                lease.__enter__()
             except LeaseHeldError:
                 now = time.monotonic()
                 if now >= deadline:
                     raise
                 time.sleep(min(delay, max(0.0, deadline - now)))
                 delay = min(delay * 2.0, 10.0)
+                continue
+            try:
+                yield
+            finally:
+                lease.__exit__(None, None, None)
+            return
 
     return _retrying()

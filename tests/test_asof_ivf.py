@@ -644,6 +644,91 @@ def test_run_ivf_maintenance_cycle(spark, tmp_path, monkeypatch):
     assert not rep2["drift"]["retrain_recommended"]
 
 
+
+def test_ivf_recover_round12_hardening(spark, tmp_path):
+    """Round-11 ADVICE hardening on recover_ivf_index, pinned:
+
+    (a) restore picks the NEWEST .__old__ by mtime, not the
+        lexicographically-last nonce (random hex is not time-ordered);
+    (b) an existing-but-incomplete canonical dir (skeleton) next to a
+        complete .__old__ is moved aside to .__damaged__ — never
+        rmtree'd — and the complete copy is restored; strays are only
+        swept once the canonical index is verified complete;
+    (c) the retrain swap gap stays lease-protected: with the sibling
+        lock held, a second writer gets LeaseHeldError even while the
+        index directory is briefly absent (pre-fix, acquiring a lease
+        on the missing path CREATED it as a lock-only skeleton)."""
+    import os
+    import pathlib
+    import shutil
+
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        recover_ivf_index,
+    )
+    from serverless_etl_bi_on_aws_spark.util import (
+        LeaseHeldError,
+        writer_lease,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").select("vec_id", "embedding")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_clusters=4, seed=42)
+    want = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=5, n_probe=4).collect()
+    ]
+
+    # (a) two leftovers: __old__zz is a DECOY (lexicographically last,
+    # but older and incomplete); __old__aa is the real newest snapshot
+    decoy = f"{idx}.__old__zz"
+    pathlib.Path(decoy).mkdir()
+    os.utime(decoy, (1_000_000_000, 1_000_000_000))
+    os.rename(idx, f"{idx}.__old__aa")  # fresh mtime: the newest
+    st = recover_ivf_index(idx)
+    assert st["restored"] is True
+    got = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=5, n_probe=4).collect()
+    ]
+    assert got == want  # the REAL snapshot came back, not the decoy
+    assert st["removed"] == ["ivf.__old__zz"]  # decoy swept after restore
+
+    # (b) skeleton canonical dir next to the complete copy: moved aside,
+    # restore proceeds, nothing complete is ever deleted
+    os.rename(idx, f"{idx}.__old__bb")
+    pathlib.Path(idx).mkdir()  # lock-only-skeleton analog: incomplete
+    st2 = recover_ivf_index(idx)
+    assert st2["restored"] is True and st2["damaged"].startswith("ivf.__damaged__")
+    assert os.path.isdir(f"{idx}{'.' + st2['damaged'].split('.', 1)[1]}")
+    got2 = [
+        (r.vec_id, round(r.cosine, 6))
+        for r in ivf_probe_topk(spark, idx, qvec, k=5, n_probe=4).collect()
+    ]
+    assert got2 == want
+    for leftover in list(pathlib.Path(str(tmp_path)).glob("ivf.__damaged__*")):
+        shutil.rmtree(leftover)
+
+    # (c) the swap gap is lease-protected: sibling lock survives the dir
+    # being renamed away, so a concurrent writer fails loudly and the
+    # index path is NOT re-created as a skeleton
+    with writer_lease(idx, owner="mid-swap-retrain"):
+        os.rename(idx, f"{idx}.__old__gap")
+        with pytest.raises(LeaseHeldError):
+            with writer_lease(idx, owner="hourly-append"):
+                pass
+        assert not os.path.exists(idx)  # no skeleton materialized
+        os.rename(f"{idx}.__old__gap", idx)
+
+
+
 def test_ivf_retrain_crash_recovery_and_meta_guards(spark, tmp_path):
     """Round-10 ADVICE trio on the index maintenance edges:
 
@@ -682,19 +767,36 @@ def test_ivf_retrain_crash_recovery_and_meta_guards(spark, tmp_path):
         for r in ivf_probe_topk(spark, idx, qvec, k=5, n_probe=4).collect()
     ]
 
-    # (a) simulate the crash: first rename done (index moved aside, dead
-    # writer's lock inside), second never happened, tmp build left over
+    # (a) simulate the crash: first rename done (index moved aside; a
+    # legacy pre-round-12 in-dir lock rides along), second never
+    # happened, tmp build left over. The crashed writer's SIBLING lease
+    # lock (round-11 ADVICE: it survives the swap by design) is still
+    # held — so the janitor must SKIP by default and only proceed when
+    # told the lease is provably stale.
     import pathlib
+    import time as _time
+
+    from serverless_etl_bi_on_aws_spark.util import (
+        create_exclusive_marker,
+        lease_lock_path,
+    )
 
     with open(os.path.join(idx, "_writer.lock"), "w") as f:
         f.write("{}")
     os.rename(idx, f"{idx}.__old__deadbeef")
     pathlib.Path(f"{idx}.__retrain__deadbeef").mkdir()
-    st = recover_ivf_index(idx)
+    assert create_exclusive_marker(lease_lock_path(idx), {"owner": "dead-retrain"})
+    st0 = recover_ivf_index(idx)
+    assert st0["restored"] is False and "skipped" in st0
+    assert os.path.isdir(f"{idx}.__old__deadbeef")  # nothing touched
+    past = _time.time() - 7200
+    os.utime(lease_lock_path(idx), (past, past))
+    st = recover_ivf_index(idx, stale_after_s=3600)
     assert st["restored"] is True
     assert "ivf.__retrain__deadbeef" in st["removed"]
     assert not os.path.exists(f"{idx}.__old__deadbeef")
     assert not os.path.exists(os.path.join(idx, "_writer.lock"))
+    assert not os.path.exists(lease_lock_path(idx))  # released on exit
     after = [
         (r.vec_id, round(r.cosine, 6))
         for r in ivf_probe_topk(spark, idx, qvec, k=5, n_probe=4).collect()

@@ -191,3 +191,44 @@ def test_forget_embedding_then_resubmission_admitted(spark, tmp_path):
     assert ivf_drift_status(idx)["build_rows"] > 0
     assert update_ivf_index(probe_df, idx, "fb-new") is True
     assert update_ivf_index(probe_df, idx, "fb-new") is False  # replay no-op
+
+
+def test_forget_clean_dir_string_ids_and_bad_cast_refusal(spark, tmp_path):
+    """Round-11 ADVICE: takedown keys are cast to the TARGET id column's
+    actual type. The old unconditional bigint cast nulled every key
+    against a string-typed corpus — every semi/anti join matched
+    nothing and the takedown reported success while removing zero rows.
+    Also pinned: a cast that WOULD null non-null keys (non-numeric
+    strings vs a bigint id) refuses loudly instead of silently matching
+    nothing."""
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.forget import forget_from_clean_dir
+
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame(
+        [
+            ("a-1", "keep me", "b0"),
+            ("a-2", "forget me", "b0"),
+            ("a-3", "keep too", "b1"),
+        ],
+        "doc_id string, text string, batch string",
+    ).write.partitionBy("batch").parquet(clean)
+    ids = spark.createDataFrame([("a-2",)], "doc_id string")
+    rep = forget_from_clean_dir(spark, clean, ids)
+    assert rep["rows_removed"] == 1
+    assert rep["partitions_rewritten"] == ["b0"]
+    assert {r.doc_id for r in spark.read.parquet(clean).collect()} == {"a-1", "a-3"}
+    # a plain sequence of string keys works too
+    rep2 = forget_from_clean_dir(spark, clean, ["a-3"])
+    assert rep2["rows_removed"] == 1
+
+    # bigint corpus + unparseable string keys -> loud refusal, not a
+    # silent zero-row takedown
+    clean2 = str(tmp_path / "clean2")
+    spark.createDataFrame(
+        [(1, "x", "b0")], "doc_id bigint, text string, batch string"
+    ).write.partitionBy("batch").parquet(clean2)
+    bad = spark.createDataFrame([("not-a-number",)], "doc_id string")
+    with pytest.raises(ValueError, match="cannot be cast"):
+        forget_from_clean_dir(spark, clean2, bad)

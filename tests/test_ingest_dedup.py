@@ -439,7 +439,7 @@ def test_apply_embedding_dedup_batch_loop(spark, tmp_path):
 def test_writer_lease_blocks_concurrent_updates(spark, tmp_path):
     """Round-9 verdict #6: two schedulers pointed at one index must not
     interleave probe-then-append. The mutating half of every index
-    (update/compact) acquires a create-exclusive `_writer.lock`; a
+    (update/compact) acquires a create-exclusive sibling lease lock; a
     second writer fails loudly with LeaseHeldError; replays of applied
     batches stay lease-free no-ops; a documented-stale lease can be
     broken with an explicit stale_after_s."""
@@ -483,8 +483,11 @@ def test_writer_lease_blocks_concurrent_updates(spark, tmp_path):
     assert update_hash_index(hashed, hx, "b0") is True
 
     # stale-lease rule: a dead writer's lock older than stale_after_s is
-    # broken; a fresh one is not
-    lock = os.path.join(idx, "_writer.lock")
+    # broken; a fresh one is not (the lock is a SIBLING of the index dir
+    # since round 12, so it survives whole-directory swaps)
+    from serverless_etl_bi_on_aws_spark.util import lease_lock_path
+
+    lock = lease_lock_path(idx)
     assert create_exclusive_marker(lock, {"owner": "dead-writer"})
     with pytest.raises(LeaseHeldError):
         with writer_lease(idx, owner="new", stale_after_s=3600):
@@ -541,15 +544,47 @@ def test_writer_lease_with_retry_waits_then_succeeds(tmp_path):
     t2.join()
 
     # stale-lease break passes through unchanged
-    from serverless_etl_bi_on_aws_spark.util import create_exclusive_marker
+    from serverless_etl_bi_on_aws_spark.util import (
+        create_exclusive_marker,
+        lease_lock_path,
+    )
 
-    lock = os.path.join(root, "_writer.lock")
+    lock = lease_lock_path(root)
     assert create_exclusive_marker(lock, {"owner": "dead-writer"})
     past = time.time() - 7200
     os.utime(lock, (past, past))
     with writer_lease_with_retry(root, owner="job-d", wait_s=1.0, stale_after_s=3600):
         assert os.path.exists(lock)
     assert not os.path.exists(lock)
+
+
+def test_writer_lease_with_retry_body_exception_passthrough(tmp_path):
+    """Round-11 ADVICE: a LeaseHeldError raised from the caller's BODY
+    (e.g. a nested lease on a second index) must propagate as itself —
+    the old shape caught it at the yield, looped, and yielded a second
+    time, which contextlib converts to RuntimeError("generator didn't
+    stop after throw()"), masking the real error and silently skipping
+    the intended acquisition-retry semantics."""
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.util import (
+        LeaseHeldError,
+        lease_lock_path,
+        writer_lease_with_retry,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    with pytest.raises(LeaseHeldError, match="inner-index"):
+        with writer_lease_with_retry(root, owner="outer", wait_s=0.5, poll_s=0.1):
+            raise LeaseHeldError("writer lease at inner-index held by peer")
+    # the lock was still released despite the body raise
+    assert not os.path.exists(lease_lock_path(root))
+    # ordinary body exceptions propagate unchanged too
+    with pytest.raises(ValueError, match="boom"):
+        with writer_lease_with_retry(root, owner="outer", wait_s=0.5):
+            raise ValueError("boom")
+    assert not os.path.exists(lease_lock_path(root))
 
 
 def test_streamed_curation_equals_batch_funnel_over_union(spark, tmp_path):

@@ -658,6 +658,53 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
     assert rollup_integrity_status(rollup) == {"clean": True, "suspect_files": []}
 
 
+def test_rollup_stranded_committed_journal_is_cleared(spark, tmp_path):
+    """Round-11 ADVICE: a crash AFTER a batch's last _applied marker but
+    BEFORE the journal removal strands an entry that no replay clears
+    (the early not-todo return exits before cleanup) — yet no double
+    count occurred. rollup_integrity_status must drop entries whose
+    files ALL carry markers (the batch provably committed fully) rather
+    than report the rollup permanently dirty; entries naming an
+    UNapplied file still report suspect."""
+    import glob as _glob
+    import os
+
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        rollup_integrity_status,
+        start_rollup_maintenance,
+    )
+    from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    land = tmp_path / "landing"
+    land.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    li.coalesce(1).write.mode("overwrite").parquet(str(land / "extract1"))
+    q = start_rollup_maintenance(spark, str(land / "*"), rollup, li.schema, ckpt)
+    q.awaitTermination(120)
+
+    # simulate the tail crash: a stranded journal entry naming exactly
+    # the files whose markers all committed (read back from the markers
+    # themselves so the path spelling matches input_file_name's)
+    applied_files = [
+        read_marker(p)["file"]
+        for p in _glob.glob(os.path.join(rollup, "_applied", "*"))
+    ]
+    assert applied_files
+    jdir = f"{rollup}.__journal__"
+    write_marker(os.path.join(jdir, "deadbeef.json"), {"files": applied_files})
+    assert rollup_integrity_status(rollup) == {"clean": True, "suspect_files": []}
+    assert not _glob.glob(os.path.join(jdir, "*.json"))  # entry dropped
+
+    # an entry naming an unapplied file is a REAL suspect and stays
+    write_marker(
+        os.path.join(jdir, "dead2.json"), {"files": ["file:///land/extractX"]}
+    )
+    st = rollup_integrity_status(rollup)
+    assert not st["clean"] and st["suspect_files"] == ["file:///land/extractX"]
+
+
 def test_rollup_crash_window_is_detectable(spark, tmp_path, monkeypatch):
     """The rollup maintenance crash window (round-10 ADVICE): a crash
     after the additive merge commits but before the per-file markers
