@@ -226,113 +226,187 @@ def _duckdb_warm(sf_dir: str, shorts: tuple[str, ...]) -> dict[str, float]:
         return {}
 
 
-def main() -> None:
+#: Tier execution order. Since round 12 EVERY tier runs in its OWN
+#: subprocess (fresh JVM, fresh Python workers, fresh DuckDB) — see
+#: main()'s protocol note. Order still matters only for benchdata reuse
+#: (the first big tier pays the sf1/sf10 build) and floor propagation.
+TIER_ORDER = (
+    "headline",
+    "llm",
+    "sf1",
+    "scaling",
+    "bucketed_q3",
+    "denorm_q3",
+    "rollup_q1",
+    "ivf_q44",
+    "skew",
+)
+
+#: tiers whose fixture scans are sized with the 8 MB deployment split
+#: (BIG_TIER_SPLIT_BYTES note above); the ivf tier deliberately stays on
+#: the session default (round-11 note on _ivf_q44).
+_SPLIT_OVERRIDE_TIERS = frozenset(
+    {"sf1", "scaling", "bucketed_q3", "denorm_q3", "rollup_q1"}
+)
+
+
+def _run_tier(name: str) -> dict | None:
+    """One tier's body, executed inside its OWN freshly-started process
+    (``python bench.py --tier <name> --out <file>``): builds its own
+    SparkSession, applies the tier's split sizing, returns the tier's
+    JSON-able result."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark(app_name="bench")
-
-    result: dict = {"unit": "sec", "sf": sf}
-
-    # --- headline tier (driver contract; session-default conf) ---
-    timings = {short: _time_best(spark, name, sf_dir) for short, name in HEADLINE.items()}
-    result["metric"] = "headline_q1_q7_total_warm"
-    result["value"] = round(sum(timings.values()), 4)
-    result["queries"] = timings
-
-    # Diagnostic tiers degrade independently — a tier failure records an
-    # error string instead of killing the driver-contract JSON line.
-    def tier(key, fn):
-        try:
-            out = fn()
-            if out is not None:
-                result[key] = out
-        except Exception as ex:  # noqa: BLE001
-            result[key] = {"error": f"{type(ex).__name__}: {ex}"[:200]}
-
-    tier("floor_sec", lambda: _floor(spark))
-
-    # --- LLM-operator tier at the driver sf ---
-    tier("llm", lambda: _llm_tier(spark, sf_dir))
-
+    spark = get_spark(app_name=f"bench_{name}")
+    if name in _SPLIT_OVERRIDE_TIERS:
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(BIG_TIER_SPLIT_BYTES)
+        )
+    if name == "headline":
+        timings = {
+            short: _time_best(spark, qname, sf_dir)
+            for short, qname in HEADLINE.items()
+        }
+        return {
+            "queries": timings,
+            "value": round(sum(timings.values()), 4),
+            "floor_sec": _floor(spark),
+        }
+    if name == "llm":
+        return _llm_tier(spark, sf_dir)
+    if name == "skew":
+        return _skew_ab(spark)
     sf1_dir = _ensure_benchdata("sf1", copies=10)
     sf10_dir = _ensure_benchdata("sf10", copies=100)
-    default_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(BIG_TIER_SPLIT_BYTES))
-    try:
-        # --- sf1 tier: amortize the floor against 10x data ---
-        if sf1_dir:
-            tier("sf1", lambda: _sf1_tier(spark, sf1_dir, result.get("floor_sec")))
-        # --- scaling tier: marginal cost per row, sf0.1 -> sf1 -> sf10 ---
-        if sf1_dir and sf10_dir:
-            sf01 = sf_dir if sf == 0.1 else "/root/testdata/sf0.1"
-            tier("scaling", lambda: _scaling_tier(spark, sf01, sf1_dir, sf10_dir))
-        # --- bucketed tier: q3, orderkey exchange paid once at ingest ---
-        if sf1_dir and sf10_dir:
-            def bucketed():
-                bq3 = _bucketed_q3(spark, {"1": sf1_dir, "10": sf10_dir})
-                scaling = result.get("scaling") or {}
-                du_slope = (scaling.get("q3") or {}).get("duckdb_slope_per_sf")
-                graded = bq3.get("graded_slope_per_sf")
-                if du_slope and graded is not None:
-                    bq3["slope_ratio"] = round(graded / du_slope, 2)
-                return bq3
+    if not (sf1_dir and sf10_dir):
+        return {"error": "benchdata build failed"}
+    if name == "sf1":
+        floor = float(os.environ.get("BENCH_FLOOR_SEC", "0")) or None
+        return _sf1_tier(spark, sf1_dir, floor)
+    dirs = {"1": sf1_dir, "10": sf10_dir}
+    if name == "scaling":
+        sf01 = sf_dir if sf == 0.1 else "/root/testdata/sf0.1"
+        return _scaling_tier(spark, sf01, sf1_dir, sf10_dir)
+    if name == "bucketed_q3":
+        return _bucketed_q3(spark, dirs)
+    if name == "denorm_q3":
+        return _denorm_q3(spark, dirs)
+    if name == "rollup_q1":
+        return _rollup_q1(spark, dirs)
+    if name == "ivf_q44":
+        return _ivf_q44(spark, dirs)
+    raise ValueError(f"unknown tier {name!r}")
 
-            tier("bucketed_q3", bucketed)
-        # --- denorm tier: q3 served from the pre-join denormalized fact,
-        # the reference's own warehouse layout (README.md:113) ---
-        if sf1_dir and sf10_dir:
-            def denorm():
-                dq3 = _denorm_q3(spark, {"1": sf1_dir, "10": sf10_dir})
-                scaling = result.get("scaling") or {}
-                du_slope = (scaling.get("q3") or {}).get("duckdb_slope_per_sf")
-                graded = dq3.get("graded_slope_per_sf")
-                if du_slope and graded is not None:
-                    dq3["slope_ratio"] = round(graded / du_slope, 2)
-                return dq3
 
-            tier("denorm_q3", denorm)
-        # --- rollup tier: q1 served from the materialized pricing rollup,
-        # the write-once layout for scan-bound aggregation ---
-        if sf1_dir and sf10_dir:
-            def rollup():
-                rq1 = _rollup_q1(spark, {"1": sf1_dir, "10": sf10_dir})
-                scaling = result.get("scaling") or {}
-                du_slope = (scaling.get("q1") or {}).get("duckdb_slope_per_sf")
-                graded = rq1.get("graded_slope_per_sf")
-                if du_slope and graded is not None:
-                    rq1["slope_ratio"] = round(graded / du_slope, 2)
-                return rq1
+def main() -> None:
+    """Protocol (round 12): every tier runs in its OWN subprocess — a
+    fresh JVM, fresh Python worker pool, fresh DuckDB connection, fresh
+    page-cache footprint per tier. Round 11's graded scaling tier ran
+    3.66x DuckDB on q1 (0.170 s/sf) in its in-process slot after ~30
+    queries of headline/LLM/sf1 history, while the identical tier
+    measured in isolation ran ~0.066 s/sf (tools/ab_q1_floor.py and
+    bench.py's own r11 note agree) — tier-order process state, not the
+    plan, was the difference (tools/ab_tier_order.py reproduces it
+    A/B). Subprocess isolation makes tier order structurally incapable
+    of contaminating a measurement; the per-tier JVM startup (~10 s x 9
+    tiers) is the price and is not timed.
 
-            tier("rollup_q1", rollup)
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", default_split)
+    The orchestrator holds NO SparkSession; it assembles the tiers'
+    JSON, computes the cross-tier slope ratios (layout tiers vs the
+    scaling tier's DuckDB denominators), writes bench_full.json, and
+    prints the ONE compact driver line. A tier subprocess failure (or
+    JVM crash) degrades to an error record for that tier only."""
+    if "--tier" in sys.argv:  # child mode: one tier, one process
+        name = sys.argv[sys.argv.index("--tier") + 1]
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        try:
+            res = _run_tier(name)
+        except Exception as ex:  # noqa: BLE001 - recorded, parent degrades
+            res = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+        with open(out_path, "w") as f:
+            json.dump(res, f)
+        return
 
-    # --- IVF tier: the vector scan served from the persisted IVF index —
-    # the deployment answer for the q44 workload class, as denorm_q3 is
-    # for q3. Runs OUTSIDE the big-tier split override (round 11): the
-    # 8 MB split is fixture sizing for the 110 MB-1.1 GB full scans; the
-    # pruned probe touches a few MB across small per-cluster files, and
-    # force-splitting those at 8 MB triples the task count at sf10 —
-    # per-task Arrow IPC and Python dispatch then masquerade as marginal
-    # data cost (measured: probe sf10 0.49 s at the 128 MB default vs
-    # 0.64 s at 8 MB, while sf1 moves the other way). The probe's
-    # deployment split IS the session default. ---
-    if sf1_dir and sf10_dir:
-        def ivf():
-            iq = _ivf_q44(spark, {"1": sf1_dir, "10": sf10_dir})
-            scaling = result.get("scaling") or {}
-            du_slope = (scaling.get("q44") or {}).get("duckdb_slope_per_sf")
-            sp_slope = (scaling.get("q44") or {}).get("spark_slope_per_sf")
-            graded = iq.get("graded_slope_per_sf")
-            if du_slope and graded is not None:
-                iq["slope_ratio"] = round(graded / du_slope, 2)
+    import subprocess
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    result: dict = {"unit": "sec", "sf": sf, "metric": "headline_q1_q7_total_warm"}
+    floor: float | None = None
+    for name in TIER_ORDER:
+        fd, out_path = tempfile.mkstemp(suffix=f"_bench_{name}.json")
+        os.close(fd)
+        err_path = out_path + ".err"
+        env = dict(os.environ)
+        if floor is not None:
+            env["BENCH_FLOOR_SEC"] = str(floor)
+        try:
+            with open(err_path, "w") as ef:
+                rc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--tier",
+                        name,
+                        "--out",
+                        out_path,
+                    ],
+                    stdout=ef,
+                    stderr=ef,
+                    env=env,
+                    timeout=3600,
+                ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        res: dict | None
+        try:
+            with open(out_path) as f:
+                res = json.load(f)
+        except (OSError, ValueError):
+            res = None
+        if rc != 0 or res is None:
+            try:
+                with open(err_path) as ef:
+                    tail = ef.read()[-200:].replace("\n", " ")
+            except OSError:
+                tail = ""
+            res = {"error": f"tier rc={rc}: {tail}"[:240]}
+        for p in (out_path, err_path):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        if name == "headline":
+            result["value"] = res.get("value")
+            result["queries"] = res.get("queries")
+            result["floor_sec"] = res.get("floor_sec")
+            floor = res.get("floor_sec")
+            if "error" in res:
+                result["queries"] = res
+        else:
+            result[name] = res
+
+    # cross-tier ratios: layout tiers against the scaling tier's DuckDB
+    # slope denominators (pure arithmetic — no Spark in the parent)
+    scaling = result.get("scaling") or {}
+    for tier_key, q in (
+        ("bucketed_q3", "q3"),
+        ("denorm_q3", "q3"),
+        ("rollup_q1", "q1"),
+        ("ivf_q44", "q44"),
+    ):
+        tres = result.get(tier_key)
+        if not isinstance(tres, dict):
+            continue
+        du_slope = (scaling.get(q) or {}).get("duckdb_slope_per_sf")
+        graded = tres.get("graded_slope_per_sf")
+        if du_slope and graded is not None:
+            tres["slope_ratio"] = round(graded / du_slope, 2)
+        if tier_key == "ivf_q44":
+            sp_slope = (scaling.get(q) or {}).get("spark_slope_per_sf")
             if sp_slope and graded is not None:
-                iq["vs_bruteforce"] = round(graded / sp_slope, 2)
-            return iq
-
-        tier("ivf_q44", ivf)
-
-    tier("skew", lambda: _skew_ab(spark))
+                tres["vs_bruteforce"] = round(graded / sp_slope, 2)
 
     # Full (verbose) record goes to a sidecar file; stdout gets ONE COMPACT
     # line. Round 7's graded artifact was parsed:null because the verbose

@@ -108,6 +108,65 @@ def rewrite_without_keys(spark: SparkSession, path: str, keys, key_col: str) -> 
     return before - after
 
 
+def rewrite_partitions_without_keys(
+    spark: SparkSession,
+    root: str,
+    part_col: str,
+    part_values,
+    keys,
+    key_col: str,
+) -> int:
+    """Takedown rewrite of MANY hive partitions of one table in ONE
+    Spark pass (round 12): the round-11 shape looped
+    :func:`rewrite_without_keys` per affected partition — one read, two
+    counts, and one write JOB per partition, so a takedown whose target
+    appears in all 32 MinHash band partitions paid 32 sequential job
+    launches (measured: the q83 verify ran 137 s, almost all of it this
+    loop). Here the affected partitions are filtered in one scan,
+    anti-joined once, and written ASIDE as one partitioned table; each
+    affected partition directory is then swap-renamed (a partition whose
+    rows were ALL removed simply disappears, like hive). Untouched
+    partitions keep their files. Same driver-side counts; returns rows
+    removed.
+
+    Crash exposure matches the sequential loop it replaces (some
+    partitions swapped, some not, mid-loop) — callers needing atomicity
+    across partitions run this against a snapshot stage clone
+    (operators/snapshot.mutate_snapshot), where a crash commits
+    nothing."""
+    vals = sorted(part_values)
+    if not vals:
+        return 0
+    df = spark.read.parquet(root)
+    key_df = keys.select(F.col(keys.columns[0]).alias(key_col)).dropDuplicates()
+    scoped = df.filter(F.col(part_col).isin(vals))
+    kept = scoped.join(key_df, key_col, "left_anti")
+    before, after = scoped.count(), kept.count()
+    if before == after:
+        return 0
+    nonce = uuid.uuid4().hex[:8]
+    tmp = f"{root}.__new__{nonce}"
+    kept.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+    for v in vals:
+        pdir = os.path.join(root, f"{part_col}={v}")
+        ndir = os.path.join(tmp, f"{part_col}={v}")
+        old = f"{pdir}.__old__{nonce}"
+        # the partitioned write leaves _SUCCESS at the tmp ROOT only;
+        # preserve a pre-existing per-partition commit sentinel (the
+        # curation loop's replay gate keys on it) across the swap
+        had_success = os.path.exists(os.path.join(pdir, "_SUCCESS"))
+        if os.path.isdir(pdir):
+            os.rename(pdir, old)
+        if os.path.isdir(ndir):
+            os.rename(ndir, pdir)
+            if had_success:
+                with open(os.path.join(pdir, "_SUCCESS"), "w"):
+                    pass
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return before - after
+
+
 def file_column_stats(path: str, column: str) -> list[tuple[str, object, object]]:
     """Per-file (name, min, max) of ``column`` read straight from the
     parquet footers — the statistics the scanner's skipping decisions

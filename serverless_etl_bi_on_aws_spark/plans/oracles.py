@@ -1837,3 +1837,45 @@ EXTRA_ORACLE_SQL["q81_curation_funnel"] = """
                FROM final GROUP BY source) f USING (source)
     ORDER BY r.source
 """
+
+# q83_forget_verify (round 12): the takedown story over a PLANTED corpus
+# whose every count is pure id arithmetic — doc k (k < 60) carries a
+# synthetic stride-13 token text (distinct docs share zero shingles), the
+# k % 10 == 0 docs are indexed twice (the dropped cross-batch copy is the
+# content shadow), and the embedding side mirrors it with byte-identical
+# IVF twins. Forgetting {0, 10, 20} therefore removes exactly 2 rows per
+# target from each index (target + shadow/twin), leaves zero matching
+# rows, re-admits the forgotten content under fresh ids, still dedups a
+# copy of a surviving doc, and a full janitor maintenance cycle preserves
+# the post-takedown IVF corpus count. The oracle recomputes every number
+# from the planted arithmetic over the fixture's dense ids.
+EXTRA_ORACLE_SQL["q83_forget_verify"] = """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id < 60),
+         t AS (SELECT COUNT(*) AS c FROM documents
+               WHERE doc_id IN (0, 10, 20)),
+         e AS (SELECT COUNT(*) AS c FROM embeddings WHERE vec_id < 60),
+         e10 AS (SELECT COUNT(*) AS c FROM embeddings
+                 WHERE vec_id < 60 AND vec_id % 10 = 0),
+         et AS (SELECT COUNT(*) AS c FROM embeddings
+                WHERE vec_id IN (0, 10, 20))
+    SELECT metric, value FROM (
+        SELECT 'corpus_before' AS metric, CAST(n.c AS BIGINT) AS value FROM n
+        UNION ALL
+        SELECT 'corpus_after', CAST(n.c - t.c AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'text_sigs_removed', CAST(2 * t.c AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'text_shadows_swept', CAST(t.c AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'shadow_rows_left', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'ivf_rows_removed', CAST(2 * et.c AS BIGINT) FROM et
+        UNION ALL
+        SELECT 'ivf_rows_after_maintenance',
+               CAST(e.c + e10.c - 2 * et.c AS BIGINT) FROM e, e10, et
+        UNION ALL
+        SELECT 'readmitted', CAST(t.c AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'unrelated_still_deduped', CAST(1 AS BIGINT)
+    ) ORDER BY metric
+"""

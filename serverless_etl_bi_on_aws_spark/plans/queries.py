@@ -3197,6 +3197,168 @@ def q82_minhash_curation_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q83_forget_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown / right-to-be-forgotten, value-gated end to end (round-11
+    verdict ask #2 — operators/forget.py + run_ivf_maintenance were the
+    largest body of code with no driver-recorded row). The reference's
+    warehouse handles base-table deletes via the staging merge
+    (README.md:67-70); this is the curation-artifact analog, exercised
+    as ONE atomic snapshot transition (operators/snapshot.py).
+
+    Planted corpus, q77-style — fully deterministic from the fixture's
+    dense ids, no organic text anywhere: doc k (k < 60) carries the
+    synthetic 12-token text ``w(13k) .. w(13k+11)`` (stride 13 > 12, so
+    distinct docs share ZERO shingles), and every k % 10 == 0 doc is
+    re-submitted verbatim as id k+100000 — the ingest loops index
+    everything past the gate, so those dropped copies are exactly the
+    SHADOW rows a naive id-level takedown would leave shielding the
+    content forever. The embedding side mirrors it: vec k (k < 60) into
+    an IVF index, with byte-identical twins k+100000 appended.
+
+    The verified story, every number recomputed by the oracle from the
+    planted arithmetic alone:
+      * forget ids {0, 10, 20} across corpus + text index + IVF index
+        via :func:`forget_documents_versioned` (manifest written last —
+        the q-consistency machinery itself in the loop);
+      * content-level sweep: each target's indexed shadow copy goes too
+        (text_sigs_removed = 2x targets, shadows_swept = targets; same
+        for the IVF exact twins); zero matching rows remain;
+      * re-admission: the forgotten texts resubmitted as fresh ids are
+        ADMITTED by the index probe (the defining forget-vs-dedup
+        semantic), while a copy of a SURVIVING doc still dedups;
+      * a full :func:`run_ivf_maintenance` janitor cycle (recover +
+        compact + drift [+ retrain]) over the post-takedown index, as a
+        second snapshot mutation, preserving the corpus row count.
+
+    Scale shape: discovery is semi-joins emitting partition values only;
+    every rewrite is partition-scoped write-new-then-swap behind the
+    family manifest; nothing here is fixture-sized at the driver beyond
+    the takedown batch itself (see forget.py's 100 TB notes)."""
+    import shutil
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        update_index,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.forget import (
+        forget_documents_versioned,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+        run_ivf_maintenance,
+        update_ivf_index,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        init_snapshot_family,
+        mutate_snapshot,
+        snapshot_paths,
+    )
+
+    toks = [
+        F.concat(F.lit("w"), (F.col("doc_id") * 13 + F.lit(i)).cast("string"))
+        for i in range(12)
+    ]
+    synth = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", F.concat_ws(" ", *toks).alias("text"))
+    )
+    copies = synth.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 60)
+    )
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    targets = [0, 10, 20]
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_q83_")
+    try:
+        import os as _os
+
+        corpus_src = _os.path.join(scratch, "corpus_src")
+        synth.withColumn("batch", F.lit("b0")).write.partitionBy("batch").parquet(
+            corpus_src
+        )
+        idx_src = _os.path.join(scratch, "idx_src")
+        build_minhash_index(synth, idx_src)
+        update_index(copies, idx_src, "b1")  # gated-but-dropped copies ARE indexed
+        ivf_src = _os.path.join(scratch, "ivf_src")
+        build_ivf_index(emb, ivf_src, n_clusters=4, seed=42)
+        update_ivf_index(twins, ivf_src, "b1")
+
+        family = _os.path.join(scratch, "family")
+        init_snapshot_family(
+            family,
+            {"corpus": corpus_src, "text_index": idx_src, "ivf_index": ivf_src},
+        )
+        before = snapshot_paths(family)
+        corpus_before = spark.read.parquet(before["corpus"]).count()
+
+        rep = forget_documents_versioned(spark, family, targets)
+        live = snapshot_paths(family)
+        corpus_after = spark.read.parquet(live["corpus"]).count()
+        sigs_removed = rep["text_index"]["sigs_removed"]
+        shadows_swept = len(rep["text_index"]["shadow_ids"])
+        ivf_removed = rep["ivf_index"]["rows_removed"]
+        gone = targets + [t + 100000 for t in targets]
+        shadow_rows_left = (
+            spark.read.parquet(_os.path.join(live["text_index"], "sigs"))
+            .filter(F.col("doc_id").isin(gone))
+            .count()
+            + spark.read.parquet(_os.path.join(live["ivf_index"], "corpus"))
+            .filter(F.col("vec_id").isin(gone))
+            .count()
+        )
+
+        # re-admission: the forgotten CONTENT under fresh ids is admitted;
+        # a copy of a surviving doc still dedups (one probe, both checks)
+        resub = synth.filter(F.col("doc_id").isin(targets)).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+        ctrl = synth.filter(F.col("doc_id") == 5).select(
+            F.lit(300005).alias("doc_id"), "text"
+        )
+        surv = dedup_against_index(
+            spark, resub.unionByName(ctrl), live["text_index"]
+        )
+        readmitted = surv.filter(F.col("doc_id") < 300000).count()
+        still_deduped = 1 - surv.filter(F.col("doc_id") == 300005).count()
+
+        # janitor cycle over the post-takedown IVF artifact, snapshotted
+        with mutate_snapshot(family, ["ivf_index"], owner="janitor") as staged:
+            run_ivf_maintenance(
+                spark, staged["ivf_index"], fit_sample_rows=60, lease_wait_s=5.0
+            )
+        ivf_after_maintenance = spark.read.parquet(
+            _os.path.join(snapshot_paths(family)["ivf_index"], "corpus")
+        ).count()
+
+        rows = [
+            ("corpus_before", int(corpus_before)),
+            ("corpus_after", int(corpus_after)),
+            ("text_sigs_removed", int(sigs_removed)),
+            ("text_shadows_swept", int(shadows_swept)),
+            ("shadow_rows_left", int(shadow_rows_left)),
+            ("ivf_rows_removed", int(ivf_removed)),
+            ("ivf_rows_after_maintenance", int(ivf_after_maintenance)),
+            ("readmitted", int(readmitted)),
+            ("unrelated_still_deduped", int(still_deduped)),
+        ]
+        return spark.createDataFrame(rows, "metric string, value bigint").orderBy(
+            "metric"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -3227,7 +3389,6 @@ QUERIES: dict[str, QueryFn] = {
     "q58_format_roundtrip": q58_format_roundtrip,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
-    "q62_sketch_rollup_users": q62_sketch_rollup_users,
     "q63_pii_scrub": q63_pii_scrub,
     "q64_span_dedup": q64_span_dedup,
     "q65_pq_verify": q65_pq_verify,
@@ -3248,6 +3409,7 @@ QUERIES: dict[str, QueryFn] = {
     "q80_semantic_dedup_verify": q80_semantic_dedup_verify,
     "q81_curation_funnel": q81_curation_funnel,
     "q82_minhash_curation_verify": q82_minhash_curation_verify,
+    "q83_forget_verify": q83_forget_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -3293,4 +3455,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q20_lang_id_naive_bayes": q20_lang_id_naive_bayes,  # rotated out r10 (ceded to q80): X5 text stays driver-visible via q7/q15/q53-q55/q63/q73/q75
     "q36_funnel_set_ops": q36_funnel_set_ops,  # rotated out r10 (ceded to q81): set ops stay driver-visible via q9's INTERSECT/EXCEPT merge audit (q68)
     "q12_neardup_jaccard": q12_neardup_jaccard,  # rotated out r11 (ceded to q82): the shingle-Jaccard machinery stays driver-visible via q13_sketch_neardup_verify, q81, and q82 (whose oracle recomputes the same pairs)
+    "q62_sketch_rollup_users": q62_sketch_rollup_users,  # rotated out r12 (ceded to q83): the mergeable-summary rollup family stays driver-visible via q67's histogram rollup; the exact-vs-sketch agreement contract stays in the pytest oracle union
 }

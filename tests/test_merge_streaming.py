@@ -596,6 +596,7 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
         pricing_summary_from_rollup,
     )
     from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        rollup_data_path,
         start_rollup_maintenance,
     )
 
@@ -619,10 +620,9 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
         q.awaitTermination(120)
 
     def rows():
-        cols = sorted(spark.read.parquet(rollup).columns)
-        return sorted(
-            tuple(r) for r in spark.read.parquet(rollup).select(*cols).collect()
-        )
+        live = spark.read.parquet(rollup_data_path(rollup))
+        cols = sorted(live.columns)
+        return sorted(tuple(r) for r in live.select(*cols).collect())
 
     b1.coalesce(1).write.mode("overwrite").parquet(str(land / "extract1"))
     drain()
@@ -644,7 +644,9 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
     assert rows() == want
 
     # and the maintained rollup serves q1 exactly
-    got = pricing_summary_from_rollup(spark.read.parquet(rollup), "2001-06-01")
+    got = pricing_summary_from_rollup(
+        spark.read.parquet(rollup_data_path(rollup)), "2001-06-01"
+    )
     want_q1 = QUERIES["q1_pricing_summary"](spark, SF_SMOKE)
     assert sorted(tuple(r) for r in got.collect()) == sorted(
         tuple(r) for r in want_q1.collect()
@@ -687,9 +689,11 @@ def test_rollup_stranded_committed_journal_is_cleared(spark, tmp_path):
     # simulate the tail crash: a stranded journal entry naming exactly
     # the files whose markers all committed (read back from the markers
     # themselves so the path spelling matches input_file_name's)
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import rollup_data_path
+
     applied_files = [
         read_marker(p)["file"]
-        for p in _glob.glob(os.path.join(rollup, "_applied", "*"))
+        for p in _glob.glob(os.path.join(rollup_data_path(rollup), "_applied", "*"))
     ]
     assert applied_files
     jdir = f"{rollup}.__journal__"
@@ -705,28 +709,61 @@ def test_rollup_stranded_committed_journal_is_cleared(spark, tmp_path):
     assert not st["clean"] and st["suspect_files"] == ["file:///land/extractX"]
 
 
-def test_rollup_crash_window_is_detectable(spark, tmp_path, monkeypatch):
-    """The rollup maintenance crash window (round-10 ADVICE): a crash
-    after the additive merge commits but before the per-file markers
-    land makes the replay double-count those files. The window cannot
-    be closed on plain parquet, but it must not be SILENT — the intent
-    journal written before the merge strands on crash and
-    rollup_integrity_status names the suspect files. Simulated by
-    failing the first _applied marker write, then replaying."""
+def test_rollup_crash_window_is_closed(spark, tmp_path, monkeypatch):
+    """Round-12 (verdict r11 ask #4): the rollup maintenance crash
+    window is CLOSED, not merely detected — each batch's merged
+    partitions and per-file markers commit together as one generation
+    behind an atomic pointer swap, so a crash at ANY point followed by
+    a replay double-counts nothing and rollup_integrity_status reports
+    clean across every simulated crash site.
+
+    Crash A: before the batch's first _applied marker (stage built,
+    nothing committed). Crash B: after the generation rename but before
+    the pointer swap (committed-but-unreferenced orphan)."""
+    import os
+
+    import serverless_etl_bi_on_aws_spark.operators.snapshot as snap
     import serverless_etl_bi_on_aws_spark.util as util
     from serverless_etl_bi_on_aws_spark.operators.rollup import build_pricing_rollup
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import resolve_generation
     from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        rollup_data_path,
         rollup_integrity_status,
         start_rollup_maintenance,
     )
 
     li = load_table(spark, SF_SMOKE, "lineitem")
+    years = sorted(
+        r[0] for r in li.select(F.year("l_shipdate")).distinct().collect()
+    )
+    split = years[len(years) // 2]
+    b1 = li.filter(F.year("l_shipdate") <= split)
+    b2 = li.filter(F.year("l_shipdate") > split)
     land = tmp_path / "landing"
     land.mkdir()
     rollup = str(tmp_path / "rollup")
     ckpt = str(tmp_path / "ckpt")
-    li.coalesce(1).write.mode("overwrite").parquet(str(land / "extract1"))
 
+    def drain():
+        q = start_rollup_maintenance(spark, str(land / "*"), rollup, li.schema, ckpt)
+        try:
+            q.awaitTermination(120)
+        except Exception:  # noqa: BLE001 - injected crashes surface here
+            pass
+
+    def rows():
+        live = spark.read.parquet(rollup_data_path(rollup))
+        cols = sorted(live.columns)
+        return sorted(tuple(r) for r in live.select(*cols).collect())
+
+    def want(df):
+        full = build_pricing_rollup(df)
+        cols = sorted(full.columns)
+        return sorted(tuple(r) for r in full.select(*cols).collect())
+
+    # ---- crash A: first _applied marker write fails (stage complete,
+    # commit never reached) -> nothing is live, replay is exact
+    b1.coalesce(1).write.mode("overwrite").parquet(str(land / "extract1"))
     real_write = util.write_marker
 
     def crash_on_marker(path, payload=None):
@@ -735,26 +772,43 @@ def test_rollup_crash_window_is_detectable(spark, tmp_path, monkeypatch):
         return real_write(path, payload)
 
     monkeypatch.setattr(util, "write_marker", crash_on_marker)
-    q = start_rollup_maintenance(spark, str(land / "*"), rollup, li.schema, ckpt)
-    try:
-        q.awaitTermination(120)
-    except Exception:  # noqa: BLE001 - the injected crash surfaces here
-        pass
+    drain()
     monkeypatch.undo()
-
-    # merged but unmarked: the journal is stranded and names the file
+    assert resolve_generation(rollup) is None  # pointer never moved
     st = rollup_integrity_status(rollup)
-    assert not st["clean"] and len(st["suspect_files"]) == 1
-    assert "extract1" in st["suspect_files"][0]
+    assert st["clean"] and st["suspect_files"] == []
+    drain()  # replay
+    assert rows() == want(b1)
+    assert rollup_integrity_status(rollup)["clean"]
 
-    # replay double-counts (the documented exposure) — and the journal
-    # still flags it afterwards, so the operator knows to rebuild
-    q = start_rollup_maintenance(spark, str(land / "*"), rollup, li.schema, ckpt)
-    q.awaitTermination(120)
-    cols = sorted(spark.read.parquet(rollup).columns)
-    got = sorted(tuple(r) for r in spark.read.parquet(rollup).select(*cols).collect())
-    want = sorted(
-        tuple(r) for r in build_pricing_rollup(li).select(*cols).collect()
-    )
-    assert got != want  # double-counted: detection, not prevention
-    assert not rollup_integrity_status(rollup)["clean"]
+    # ---- crash B: generation renamed into place but the pointer swap
+    # fails -> orphan generation, old one stays live; replay is exact
+    # and the orphan (which DOES contain the batch's merge) is swept,
+    # never double-counted
+    b2.coalesce(1).write.mode("overwrite").parquet(str(land / "extract2"))
+    real_snap_write = snap.write_marker
+
+    def crash_on_pointer(path, payload=None):
+        if path.endswith("_current.json"):
+            raise RuntimeError("simulated crash before pointer swap")
+        return real_snap_write(path, payload)
+
+    monkeypatch.setattr(snap, "write_marker", crash_on_pointer)
+    drain()
+    monkeypatch.undo()
+    assert rows() == want(b1)  # old generation still live
+    assert rollup_integrity_status(rollup)["clean"]
+    drain()  # replay
+    assert rows() == want(li)  # exact: no double count anywhere
+    assert rollup_integrity_status(rollup) == {"clean": True, "suspect_files": []}
+    # exactly the live + previous generations remain; orphan swept
+    gens = sorted(g for g in os.listdir(rollup) if g.startswith("gen-"))
+    assert len(gens) == 2
+
+    # ---- wiped checkpoint after the crashes ('reprocess' move): every
+    # file re-delivers; still exact
+    import shutil
+
+    shutil.rmtree(ckpt)
+    drain()
+    assert rows() == want(li)

@@ -1,0 +1,178 @@
+"""Generation store + multi-artifact snapshot manifest
+(operators/snapshot.py) — round-11 verdict missing #1 / ask #3.
+
+The contract under test: a reader that resolved artifact paths through
+the manifest keeps seeing a complete, immutable, mutually-CONSISTENT set
+across a concurrent takedown (fully-before), a fresh resolve sees the
+fully-after set, and a crash anywhere inside the mutation commits
+nothing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.catalog import load_table
+from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+    begin_generation,
+    commit_generation,
+    current_generation,
+    init_snapshot_family,
+    link_tree,
+    mutate_snapshot,
+    resolve_generation,
+    snapshot_paths,
+    stale_stages,
+)
+
+from conftest import SF_CORRECT
+
+
+def test_generation_store_basics(tmp_path):
+    """Pointer semantics without Spark: bootstrap commit, resolve,
+    previous-generation retention, orphan/stage sweep, and the
+    crashed-commit shapes (stray stage; committed-but-unreferenced
+    orphan) all behave."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    assert resolve_generation(root) is None
+
+    g1, s1 = begin_generation(root)
+    with open(os.path.join(s1, "data.txt"), "w") as f:
+        f.write("v1")
+    p1 = commit_generation(root, g1, s1)
+    assert resolve_generation(root) == p1
+    assert open(os.path.join(p1, "data.txt")).read() == "v1"
+
+    # crashed attempt: stage left behind -> reported, not live
+    g_crash, s_crash = begin_generation(root)
+    assert stale_stages(root) == [f".__stage__{g_crash}"]
+    assert resolve_generation(root) == p1
+
+    # orphan: renamed but pointer never swapped (same seq as the next
+    # real commit) -> must never be resolved, swept at next commit,
+    # and must never evict the previously-live generation
+    g_orph, s_orph = begin_generation(root)
+    os.rename(s_orph, os.path.join(root, g_orph))
+    assert resolve_generation(root) == p1
+
+    g2, s2 = begin_generation(root)
+    link_tree(p1, s2)
+    # REPLACE the name, never open a linked file for in-place write —
+    # the store's immutability contract (parquet/marker writers comply
+    # by construction; opening "w" here would mutate gen-1's inode)
+    os.remove(os.path.join(s2, "data.txt"))
+    with open(os.path.join(s2, "data.txt"), "w") as f:
+        f.write("v2")
+    p2 = commit_generation(root, g2, s2)
+    assert resolve_generation(root) == p2
+    assert open(os.path.join(p2, "data.txt")).read() == "v2"
+    # retention: live + previously-live remain; orphan and stage swept
+    left = sorted(e for e in os.listdir(root) if e.startswith("gen-"))
+    assert left == sorted([g1, g2])
+    assert stale_stages(root) == []
+    # hardlink isolation: the v1 file is untouched in gen-1
+    assert open(os.path.join(p1, "data.txt")).read() == "v1"
+
+    # third commit: gen-1 ages out, gen-2 retained
+    g3, s3 = begin_generation(root)
+    link_tree(p2, s3)
+    commit_generation(root, g3, s3)
+    left = sorted(e for e in os.listdir(root) if e.startswith("gen-"))
+    assert left == sorted([g2, g3])
+    assert current_generation(root) == g3
+
+
+def _counts(spark, paths: dict) -> dict:
+    return {
+        "corpus": spark.read.parquet(paths["corpus"]).count(),
+        "text_sigs": spark.read.parquet(
+            os.path.join(paths["text_index"], "sigs")
+        ).count(),
+        "ivf": spark.read.parquet(
+            os.path.join(paths["ivf_index"], "corpus")
+        ).count(),
+    }
+
+
+def test_snapshot_family_reader_sees_before_or_after(spark, tmp_path):
+    """The reader-consistency contract across the curation artifact
+    family, plus crash atomicity and the manifest CAS."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        build_minhash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.forget import (
+        forget_documents_versioned,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.similarity import build_ivf_index
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+        .withColumn("batch", (F.col("doc_id") % 2).cast("string"))
+    )
+    emb = (
+        load_table(spark, SF_CORRECT, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 40)
+    )
+    corpus_src = str(tmp_path / "corpus_src")
+    docs.write.partitionBy("batch").parquet(corpus_src)
+    idx_src = str(tmp_path / "idx_src")
+    build_minhash_index(docs.select("doc_id", "text"), idx_src)
+    ivf_src = str(tmp_path / "ivf_src")
+    build_ivf_index(emb, ivf_src, n_clusters=4, seed=42)
+
+    family = str(tmp_path / "family")
+    init_snapshot_family(
+        family,
+        {"corpus": corpus_src, "text_index": idx_src, "ivf_index": ivf_src},
+    )
+    reader = snapshot_paths(family)  # resolved BEFORE the takedown
+    before = _counts(spark, reader)
+    assert before == {"corpus": 40, "text_sigs": 40, "ivf": 40}
+
+    # the takedown commits a new consistent snapshot...
+    rep = forget_documents_versioned(spark, family, [1, 3], id_col="doc_id")
+    assert rep["clean_dir"]["rows_removed"] == 2
+    assert rep["text_index"]["sigs_removed"] == 2
+    assert rep["ivf_index"]["rows_removed"] == 2
+
+    # ...but the in-flight reader's resolved paths are UNTOUCHED — a
+    # complete fully-before view, not a corpus/index mix
+    assert _counts(spark, reader) == before
+
+    after_paths = snapshot_paths(family)
+    after = _counts(spark, after_paths)
+    assert after == {"corpus": 38, "text_sigs": 38, "ivf": 38}
+    assert (
+        spark.read.parquet(after_paths["corpus"])
+        .filter(F.col("doc_id").isin([1, 3]))
+        .count()
+        == 0
+    )
+
+    # crash inside the mutation: NOTHING commits — same manifest, same
+    # resolved paths, stages left as garbage for the next commit's sweep
+    with pytest.raises(RuntimeError, match="mid-mutation crash"):
+        with mutate_snapshot(family, ["corpus", "text_index"]):
+            raise RuntimeError("mid-mutation crash")
+    assert snapshot_paths(family) == after_paths
+    assert _counts(spark, snapshot_paths(family)) == after
+
+    # manifest CAS: a lease-bypassing concurrent committer cannot
+    # silently overwrite — the seq it wants already exists
+    from serverless_etl_bi_on_aws_spark.util import create_exclusive_marker
+
+    man_seq = 3  # init=1, forget=2, next=3
+    assert create_exclusive_marker(
+        os.path.join(family, "manifests", f"{man_seq:06d}.json"), {"seq": man_seq}
+    )
+    with pytest.raises(FileExistsError, match="concurrent mutator"):
+        with mutate_snapshot(family, ["corpus"]):
+            pass
+    # the failed transition left the live snapshot untouched
+    assert _counts(spark, snapshot_paths(family)) == after

@@ -8,6 +8,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from serverless_etl_bi_on_aws_spark.catalog import load_table
 from serverless_etl_bi_on_aws_spark.sources.csv_source import read_csv_contract
@@ -251,3 +252,81 @@ def test_ingest_media_dir_binaryfile(spark, tmp_path):
     media_rows = ingest_media_dir(spark, str(d), glob="*.png")
     decoded = decode_and_resize(media_rows, target_w=4, target_h=4).collect()
     assert len(decoded) == 1 and decoded[0]["out_w"] == 4
+
+
+def test_decoder_registry_plugin_for_refused_mime(spark):
+    """Round-11 verdict ask #6: the codec stages dispatch through ONE
+    registry (mime -> decode fn), so an ffmpeg-class decoder drops in
+    without touching the stages. Pinned: (a) a mime that refuses today
+    (NULL frames from sample_frames, tiling stand-in from
+    decode_and_resize) starts producing REAL frames/pixels once a
+    decoder is registered — and the plugin demonstrably received the
+    payload bytes; (b) unregistered mimes keep the refusal convention;
+    (c) builtin codec behavior is untouched (those tests run unchanged
+    elsewhere in this file)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        FRAME_DECODERS,
+        MEDIA_STRUCT,
+        decode_and_resize,
+        register_frame_decoder,
+        sample_frames,
+    )
+
+    def _webm_fake_frames(payload):
+        """Plugin decoder for the registry test — a NESTED function so
+        cloudpickle ships it BY VALUE inside the stage closure (a
+        test-module top-level function pickles by reference and the
+        executors cannot import the test module; real deployments
+        register functions from an importable package). 'Decodes' a
+        refused container mime into two tiny real PNG frames derived
+        from the payload, proving the raw payload reached the plugin."""
+        from serverless_etl_bi_on_aws_spark.functions.png import encode_png
+
+        k = payload[0] if payload else 0
+        px = bytes((k + i) % 256 for i in range(16))
+        return [encode_png(px, 4, 4), encode_png(px[::-1], 4, 4)], "image/png"
+
+    rows = [(1, (bytes([7, 7, 7]), "video/webm", None, None, None))]
+    schema_df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", MEDIA_STRUCT),
+            ]
+        ),
+    )
+    # BEFORE registration: the refusal convention — NULL frames
+    out0 = sample_frames(schema_df, n_frames=2).select("frame").collect()
+    assert [r.frame for r in out0] == [None, None]
+
+    register_frame_decoder("video/webm", _webm_fake_frames)
+    try:
+        out1 = sample_frames(schema_df, n_frames=2).select(
+            "frame_idx", "frame"
+        ).collect()
+        assert len(out1) == 2 and all(r.frame is not None for r in out1)
+        # the payload reached the plugin: frame 0 decodes to the
+        # payload-derived gradient via the REAL png codec
+        from serverless_etl_bi_on_aws_spark.functions.png import decode_png
+
+        w, h, px = decode_png(bytes(out1[0].frame))
+        assert (w, h) == (4, 4)
+        assert px == bytes((7 + i) % 256 for i in range(16))
+
+        # decode_and_resize serves the representative frame through the
+        # same registry (plugin frame -> registered PNG stills decoder)
+        dr = decode_and_resize(schema_df, target_w=4, target_h=4).select(
+            "pixels"
+        ).head()
+        assert bytes(dr.pixels) == px  # 4x4 -> 4x4 resize is identity
+    finally:
+        FRAME_DECODERS.pop("video/webm", None)
+
+    # unregistered mimes still refuse (NULL frames)
+    rows2 = [(2, (b"xyz", "video/ogg", None, None, None))]
+    df2 = spark.createDataFrame(rows2, schema_df.schema)
+    out2 = sample_frames(df2, n_frames=2).select("frame").collect()
+    assert [r.frame for r in out2] == [None, None]
