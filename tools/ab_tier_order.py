@@ -73,7 +73,7 @@ def main() -> None:
     floor = bench._floor(spark)
     llm = bench._llm_tier(spark, sf_dir)
     spark.conf.set(split_key, str(bench.BIG_TIER_SPLIT_BYTES))
-    sf1_tier = bench._sf1_tier(spark, sf1, floor)
+    sf1_tier = bench._sf1_tier(spark, sf1)
 
     # LATE: the graded slot
     late = bench._scaling_tier(spark, sf_dir, sf1, sf10)
