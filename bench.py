@@ -427,6 +427,7 @@ def main() -> None:
             result["value"] = res.get("value")
             result["queries"] = res.get("queries")
             result["floor_sec"] = res.get("floor_sec")
+            result["py_floor_sec"] = res.get("py_floor_sec")
             if "error" in res:
                 result["queries"] = res
         else:
