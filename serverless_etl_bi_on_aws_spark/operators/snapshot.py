@@ -249,18 +249,46 @@ def _commit_manifest(family_root: str, seq: int, gens: dict[str, str]) -> None:
         pass
 
 
-def snapshot_paths(family_root: str) -> dict[str, str]:
-    """READER entry point: the current manifest resolved to one concrete
-    path per artifact. Every returned path is an immutable committed
-    generation — safe to read for as long as the retention contract
-    allows (one further commit)."""
-    man = _manifest(family_root)
-    if not man["seq"]:
-        raise FileNotFoundError(f"no snapshot manifest at {family_root}")
+def snapshot_paths(family_root: str, seq: int | None = None) -> dict[str, str]:
+    """READER entry point: a manifest resolved to one concrete path per
+    artifact. Every returned path is an immutable committed generation —
+    safe to read for as long as the retention contract allows (one
+    further commit).
+
+    ``seq`` reads a RETAINED historical snapshot (time travel, the
+    Iceberg/Delta ``VERSION AS OF`` analog): retention keeps the current
+    and previous manifests with their generations, so depth is 2 by
+    contract — an aged-out seq fails loudly naming the retained range
+    rather than resolving to swept paths."""
+    if seq is None:
+        man = _manifest(family_root)
+        if not man["seq"]:
+            raise FileNotFoundError(f"no snapshot manifest at {family_root}")
+    else:
+        man = read_marker(
+            os.path.join(family_root, "manifests", f"{int(seq):06d}.json")
+        )
+        if man is None:
+            raise FileNotFoundError(
+                f"snapshot #{seq} at {family_root} is not retained "
+                f"(retained: {snapshot_history(family_root)}); retention "
+                "keeps the current and previous snapshots only"
+            )
     return {
         name: os.path.join(family_root, name, gen)
         for name, gen in man["artifacts"].items()
     }
+
+
+def snapshot_history(family_root: str) -> list[int]:
+    """Sequence numbers of the retained manifests, oldest first (depth 2
+    by the retention contract; the newest is the live snapshot)."""
+    out = []
+    for mf in glob.glob(os.path.join(family_root, "manifests", "*.json")):
+        stem = os.path.splitext(os.path.basename(mf))[0]
+        if stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
 
 
 @contextmanager

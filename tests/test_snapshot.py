@@ -23,6 +23,7 @@ from serverless_etl_bi_on_aws_spark.operators.snapshot import (
     link_tree,
     mutate_snapshot,
     resolve_generation,
+    snapshot_history,
     snapshot_paths,
     stale_stages,
 )
@@ -85,26 +86,12 @@ def test_generation_store_basics(tmp_path):
     assert current_generation(root) == g3
 
 
-def _counts(spark, paths: dict) -> dict:
-    return {
-        "corpus": spark.read.parquet(paths["corpus"]).count(),
-        "text_sigs": spark.read.parquet(
-            os.path.join(paths["text_index"], "sigs")
-        ).count(),
-        "ivf": spark.read.parquet(
-            os.path.join(paths["ivf_index"], "corpus")
-        ).count(),
-    }
-
-
-def test_snapshot_family_reader_sees_before_or_after(spark, tmp_path):
-    """The reader-consistency contract across the curation artifact
-    family, plus crash atomicity and the manifest CAS."""
+def _build_family(spark, tmp_path) -> str:
+    """Corpus (40 docs, 2 batches) + MinHash index + IVF index, brought
+    under one snapshot family — shared by the reader-consistency and
+    streaming-takedown tests."""
     from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
         build_minhash_index,
-    )
-    from serverless_etl_bi_on_aws_spark.operators.forget import (
-        forget_documents_versioned,
     )
     from serverless_etl_bi_on_aws_spark.operators.similarity import build_ivf_index
 
@@ -125,12 +112,34 @@ def test_snapshot_family_reader_sees_before_or_after(spark, tmp_path):
     build_minhash_index(docs.select("doc_id", "text"), idx_src)
     ivf_src = str(tmp_path / "ivf_src")
     build_ivf_index(emb, ivf_src, n_clusters=4, seed=42)
-
     family = str(tmp_path / "family")
     init_snapshot_family(
         family,
         {"corpus": corpus_src, "text_index": idx_src, "ivf_index": ivf_src},
     )
+    return family
+
+
+def _counts(spark, paths: dict) -> dict:
+    return {
+        "corpus": spark.read.parquet(paths["corpus"]).count(),
+        "text_sigs": spark.read.parquet(
+            os.path.join(paths["text_index"], "sigs")
+        ).count(),
+        "ivf": spark.read.parquet(
+            os.path.join(paths["ivf_index"], "corpus")
+        ).count(),
+    }
+
+
+def test_snapshot_family_reader_sees_before_or_after(spark, tmp_path):
+    """The reader-consistency contract across the curation artifact
+    family, plus crash atomicity and the manifest CAS."""
+    from serverless_etl_bi_on_aws_spark.operators.forget import (
+        forget_documents_versioned,
+    )
+
+    family = _build_family(spark, tmp_path)
     reader = snapshot_paths(family)  # resolved BEFORE the takedown
     before = _counts(spark, reader)
     assert before == {"corpus": 40, "text_sigs": 40, "ivf": 40}
@@ -176,3 +185,61 @@ def test_snapshot_family_reader_sees_before_or_after(spark, tmp_path):
             pass
     # the failed transition left the live snapshot untouched
     assert _counts(spark, snapshot_paths(family)) == after
+
+
+def test_takedown_stream_and_time_travel(spark, tmp_path):
+    """Round-12 streaming takedown queue (streaming/takedown.py): landed
+    request files drain into atomic snapshot transitions; replays (wiped
+    checkpoint re-delivering every past request) converge to the same
+    state because a takedown is idempotent on ids. Plus the time-travel
+    read: the previous snapshot stays resolvable (depth 2), an aged-out
+    seq fails loudly."""
+    import shutil
+
+    from serverless_etl_bi_on_aws_spark.streaming.takedown import (
+        start_takedown_stream,
+    )
+
+    family = _build_family(spark, tmp_path)
+    reqs = tmp_path / "requests"
+    reqs.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_takedown_stream(spark, str(reqs / "*"), family, ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(1,), (3,)], "doc_id bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(reqs / "req1"))
+    drain()
+    assert _counts(spark, snapshot_paths(family)) == {
+        "corpus": 38, "text_sigs": 38, "ivf": 38,
+    }
+
+    spark.createDataFrame([(5,)], "doc_id bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(reqs / "req2"))
+    drain()
+    after2 = snapshot_paths(family)
+    assert _counts(spark, after2) == {"corpus": 37, "text_sigs": 37, "ivf": 37}
+
+    # time travel: the PREVIOUS snapshot (post-req1, pre-req2) is still
+    # a complete readable tree; anything older is gone with its seq
+    hist = snapshot_history(family)
+    assert len(hist) == 2
+    prev = snapshot_paths(family, seq=hist[0])
+    assert _counts(spark, prev) == {"corpus": 38, "text_sigs": 38, "ivf": 38}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        snapshot_paths(family, seq=hist[0] - 1)
+
+    # wiped checkpoint: every request re-delivers (possibly re-batched);
+    # the takedown re-runs against already-forgotten ids and the state
+    # converges — no error, no drift
+    shutil.rmtree(ckpt)
+    drain()
+    assert _counts(spark, snapshot_paths(family)) == {
+        "corpus": 37, "text_sigs": 37, "ivf": 37,
+    }
