@@ -546,17 +546,17 @@ def _sf1_tier(spark, sf1_dir: str) -> dict:
     # poison every rep of one query (observed: q7 0.11s -> 1.46s); spread
     # over the tier's full wall time, a window costs one rep of several
     # queries and best-of-N absorbs it.
-    # TWO warm passes since the per-tier-subprocess protocol (round 12):
-    # this floor-dominated tier now runs in its own fresh JVM, and one
-    # warm pass leaves whole-stage-codegen C2 compilation still landing
-    # inside the first timed reps (the in-process r11 run inherited ~30
-    # queries of JIT warmth from earlier tiers; measured: one-warm-pass
-    # absolutes ran ~+0.07 s/query vs the old in-process numbers).
-    for _ in range(2):
+    # THREE warm passes + best-of-5 since the per-tier-subprocess
+    # protocol (round 12): this floor-dominated tier now runs in its own
+    # fresh JVM, and early passes still have whole-stage-codegen C2
+    # compilation landing inside them (the in-process r11 run inherited
+    # ~30 queries of JIT warmth from earlier tiers; measured: one-warm-
+    # pass absolutes ran ~+0.07 s/query vs the old in-process numbers).
+    for _ in range(3):
         for name in HEADLINE.values():
             QUERIES[name](spark, sf1_dir).collect()
     best: dict[str, float] = {s: float("inf") for s in HEADLINE}
-    for _ in range(3):
+    for _ in range(5):
         for s, name in HEADLINE.items():
             t0 = time.perf_counter()
             QUERIES[name](spark, sf1_dir).collect()
