@@ -93,6 +93,7 @@ def _build_family(spark, tmp_path) -> str:
     from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
         build_minhash_index,
     )
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import build_hash_index
     from serverless_etl_bi_on_aws_spark.operators.similarity import build_ivf_index
 
     docs = (
@@ -112,10 +113,23 @@ def _build_family(spark, tmp_path) -> str:
     build_minhash_index(docs.select("doc_id", "text"), idx_src)
     ivf_src = str(tmp_path / "ivf_src")
     build_ivf_index(emb, ivf_src, n_clusters=4, seed=42)
+    # a 4th modality: a 64-bit hash index (the dHash/audio-fingerprint
+    # backend), exercising forget_documents_versioned's hash_index*
+    # name routing under the manifest
+    hx_src = str(tmp_path / "hx_src")
+    build_hash_index(
+        docs.select("doc_id", (F.col("doc_id") * 2654435761).alias("hash")),
+        hx_src,
+    )
     family = str(tmp_path / "family")
     init_snapshot_family(
         family,
-        {"corpus": corpus_src, "text_index": idx_src, "ivf_index": ivf_src},
+        {
+            "corpus": corpus_src,
+            "text_index": idx_src,
+            "ivf_index": ivf_src,
+            "hash_index_img": hx_src,
+        },
     )
     return family
 
@@ -128,6 +142,9 @@ def _counts(spark, paths: dict) -> dict:
         ).count(),
         "ivf": spark.read.parquet(
             os.path.join(paths["ivf_index"], "corpus")
+        ).count(),
+        "hashes": spark.read.parquet(
+            os.path.join(paths["hash_index_img"], "hashes")
         ).count(),
     }
 
@@ -142,13 +159,15 @@ def test_snapshot_family_reader_sees_before_or_after(spark, tmp_path):
     family = _build_family(spark, tmp_path)
     reader = snapshot_paths(family)  # resolved BEFORE the takedown
     before = _counts(spark, reader)
-    assert before == {"corpus": 40, "text_sigs": 40, "ivf": 40}
+    assert before == {"corpus": 40, "text_sigs": 40, "ivf": 40, "hashes": 40}
 
     # the takedown commits a new consistent snapshot...
     rep = forget_documents_versioned(spark, family, [1, 3], id_col="doc_id")
     assert rep["clean_dir"]["rows_removed"] == 2
     assert rep["text_index"]["sigs_removed"] == 2
     assert rep["ivf_index"]["rows_removed"] == 2
+    (hx_rep,) = rep["hash_indexes"].values()
+    assert hx_rep["hashes_removed"] == 2
 
     # ...but the in-flight reader's resolved paths are UNTOUCHED — a
     # complete fully-before view, not a corpus/index mix
@@ -156,7 +175,7 @@ def test_snapshot_family_reader_sees_before_or_after(spark, tmp_path):
 
     after_paths = snapshot_paths(family)
     after = _counts(spark, after_paths)
-    assert after == {"corpus": 38, "text_sigs": 38, "ivf": 38}
+    assert after == {"corpus": 38, "text_sigs": 38, "ivf": 38, "hashes": 38}
     assert (
         spark.read.parquet(after_paths["corpus"])
         .filter(F.col("doc_id").isin([1, 3]))
@@ -214,7 +233,7 @@ def test_takedown_stream_and_time_travel(spark, tmp_path):
     ).parquet(str(reqs / "req1"))
     drain()
     assert _counts(spark, snapshot_paths(family)) == {
-        "corpus": 38, "text_sigs": 38, "ivf": 38,
+        "corpus": 38, "text_sigs": 38, "ivf": 38, "hashes": 38,
     }
 
     spark.createDataFrame([(5,)], "doc_id bigint").coalesce(1).write.mode(
@@ -222,14 +241,18 @@ def test_takedown_stream_and_time_travel(spark, tmp_path):
     ).parquet(str(reqs / "req2"))
     drain()
     after2 = snapshot_paths(family)
-    assert _counts(spark, after2) == {"corpus": 37, "text_sigs": 37, "ivf": 37}
+    assert _counts(spark, after2) == {
+        "corpus": 37, "text_sigs": 37, "ivf": 37, "hashes": 37,
+    }
 
     # time travel: the PREVIOUS snapshot (post-req1, pre-req2) is still
     # a complete readable tree; anything older is gone with its seq
     hist = snapshot_history(family)
     assert len(hist) == 2
     prev = snapshot_paths(family, seq=hist[0])
-    assert _counts(spark, prev) == {"corpus": 38, "text_sigs": 38, "ivf": 38}
+    assert _counts(spark, prev) == {
+        "corpus": 38, "text_sigs": 38, "ivf": 38, "hashes": 38,
+    }
     import pytest as _pytest
 
     with _pytest.raises(FileNotFoundError, match="not retained"):
@@ -241,5 +264,5 @@ def test_takedown_stream_and_time_travel(spark, tmp_path):
     shutil.rmtree(ckpt)
     drain()
     assert _counts(spark, snapshot_paths(family)) == {
-        "corpus": 37, "text_sigs": 37, "ivf": 37,
+        "corpus": 37, "text_sigs": 37, "ivf": 37, "hashes": 37,
     }
