@@ -34,10 +34,20 @@ copy / manifest reuse, exactly how Iceberg/Delta snapshots share
 unchanged data files; the pointer swap maps to the conditional-PUT
 commit documented on util.write_marker / create_exclusive_marker).
 
-Retention contract: commit keeps the previous generation on disk (the
-``keep`` parameter), so an in-flight reader that resolved just before a
-commit keeps reading a complete, immutable tree; readers must finish
-within one further commit. Concurrent MUTATORS must serialize via the
+Composition: EVERY in-place artifact mutator in the repo runs unchanged
+against a ``mutate_snapshot`` staged clone — the takedown
+(forget_documents_versioned), the IVF janitor (run_ivf_maintenance),
+and the INGEST loop itself (``with mutate_snapshot(family, [...]) as
+st: apply_curation_batch(spark, batch, st["text_index"],
+st["corpus"], bid)`` — pytest-pinned: each batch flips corpus + index
+atomically and the loop's replay markers ride the clones, so a
+re-applied batch stays a no-op in the next transition).
+
+Retention contract: commit keeps the previous generation on disk, so an
+in-flight reader that resolved just before a commit keeps reading a
+complete, immutable tree; readers must finish within one further
+commit (``snapshot_paths(seq=)`` reads the retained previous snapshot
+explicitly — time travel, depth 2). Concurrent MUTATORS must serialize via the
 writer lease (mutate_snapshot does; the rollup's single streaming query
 is its own serialization) — the versioned manifest is additionally
 committed create-exclusively, so even a lease-bypassing second writer

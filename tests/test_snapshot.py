@@ -266,3 +266,60 @@ def test_takedown_stream_and_time_travel(spark, tmp_path):
     assert _counts(spark, snapshot_paths(family)) == {
         "corpus": 37, "text_sigs": 37, "ivf": 37, "hashes": 37,
     }
+
+
+def test_ingest_batch_composes_with_snapshot(spark, tmp_path):
+    """The INGEST loop composes with the manifest the same way the
+    takedown does: one curation batch applied against mutate_snapshot's
+    staged clones flips corpus + text index atomically — an in-flight
+    reader keeps its consistent pre-batch view, a fresh resolve sees
+    both artifacts post-batch, and the loop's own replay gate
+    (_SUCCESS + _applied markers, carried through the hardlink clones)
+    still makes a re-applied batch a no-op in the NEXT transition."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        init_minhash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_curation_batch,
+    )
+
+    idx_src = str(tmp_path / "idx_src")
+    init_minhash_index(idx_src)
+    family = str(tmp_path / "family")
+    init_snapshot_family(family, {"corpus": None, "text_index": idx_src})
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 20)
+    )
+
+    def apply_under_snapshot(batch_df, batch_id):
+        with mutate_snapshot(family, ["corpus", "text_index"], owner="ingest") as st:
+            apply_curation_batch(spark, batch_df, st["text_index"], st["corpus"], batch_id)
+
+    reader = snapshot_paths(family)  # pre-batch view
+    apply_under_snapshot(docs.filter(F.col("doc_id") < 10), "b0")
+    # in-flight reader: still the empty pre-batch corpus generation
+    assert not any(
+        n.startswith("batch=") for n in os.listdir(reader["corpus"])
+    )
+    live = snapshot_paths(family)
+    n_corpus = spark.read.parquet(os.path.join(live["corpus"], "batch=b0")).count()
+    assert n_corpus > 0
+    n_sigs = spark.read.parquet(os.path.join(live["text_index"], "sigs")).count()
+    assert n_sigs >= n_corpus
+
+    # second batch; then REPLAY the first inside a further transition —
+    # the markers rode the clones, so the replay admits nothing new
+    apply_under_snapshot(docs.filter(F.col("doc_id") >= 10), "b1")
+    before = _counts_ct(spark, snapshot_paths(family))
+    apply_under_snapshot(docs.filter(F.col("doc_id") < 10), "b0")  # replay
+    assert _counts_ct(spark, snapshot_paths(family)) == before
+
+
+def _counts_ct(spark, paths):
+    return (
+        spark.read.parquet(paths["corpus"]).count(),
+        spark.read.parquet(os.path.join(paths["text_index"], "sigs")).count(),
+    )
