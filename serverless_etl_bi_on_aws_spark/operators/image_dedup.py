@@ -64,22 +64,25 @@ def with_dhash(
     absence, not a fake fingerprint, and never a failed task: one bad
     image must not kill a corpus-wide stage."""
     from serverless_etl_bi_on_aws_spark.functions.png import resize_nearest
-    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
-        REAL_DECODER_MIMES,
-        _decode_image,
-    )
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import IMAGE_DECODERS
 
     out_schema = StructType(df.schema.fields + [StructField(out_col, LongType(), True)])
+    # registry snapshot (round 12): same builtin membership as the old
+    # frozen REAL_DECODER_MIMES gate, but a registered plugin decoder
+    # (register_image_decoder) now feeds the dHash pipeline too, and the
+    # snapshot ships driver-side registrations to the executors
+    img_dec = dict(IMAGE_DECODERS)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes = []
             for m in pdf[media_col]:
-                if m is None or m["payload"] is None or m["mime"] not in REAL_DECODER_MIMES:
+                fn = img_dec.get(m["mime"]) if m is not None else None
+                if m is None or m["payload"] is None or fn is None:
                     hashes.append(None)
                     continue
                 try:
-                    w, h, px = _decode_image(bytes(m["payload"]), m["mime"])
+                    w, h, px = fn(bytes(m["payload"]))
                     hashes.append(dhash_bits(resize_nearest(px, w, h, _W, _H)))
                 except Exception:
                     hashes.append(None)  # corrupt payload with a real mime

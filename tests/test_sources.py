@@ -330,3 +330,27 @@ def test_decoder_registry_plugin_for_refused_mime(spark):
     df2 = spark.createDataFrame(rows2, schema_df.schema)
     out2 = sample_frames(df2, n_frames=2).select("frame").collect()
     assert [r.frame for r in out2] == [None, None]
+
+    # the dHash pipeline honors registered IMAGE decoders too: a webp
+    # plugin makes the mime hashable; unregistered stays NULL
+    from serverless_etl_bi_on_aws_spark.operators.image_dedup import with_dhash
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        IMAGE_DECODERS,
+        register_image_decoder,
+    )
+
+    def _webp_fake_still(payload):
+        k = payload[0] if payload else 0
+        return 9, 8, bytes((k * 7 + i * 13) % 256 for i in range(72))
+
+    rows3 = [
+        (3, (bytes([5]), "image/webp", None, None, None)),
+        (4, (bytes([5]), "image/tiff", None, None, None)),
+    ]
+    df3 = spark.createDataFrame(rows3, schema_df.schema)
+    register_image_decoder("image/webp", _webp_fake_still)
+    try:
+        got = {r.doc_id: r.dhash for r in with_dhash(df3).collect()}
+    finally:
+        IMAGE_DECODERS.pop("image/webp", None)
+    assert got[3] is not None and got[4] is None
