@@ -398,7 +398,11 @@ def forget_documents(
 
 
 def forget_documents_versioned(
-    spark: SparkSession, family_root: str, ids, id_col: str = "doc_id"
+    spark: SparkSession,
+    family_root: str,
+    ids,
+    id_col: str = "doc_id",
+    keep_n: int = 2,
 ) -> dict:
     """:func:`forget_documents` as ONE atomic snapshot transition over a
     curation family managed by operators/snapshot.py (round-11 verdict
@@ -423,7 +427,9 @@ def forget_documents_versioned(
     )
 
     names = sorted(snapshot_paths(family_root))
-    with mutate_snapshot(family_root, names, owner="forget_documents") as staged:
+    with mutate_snapshot(
+        family_root, names, owner="forget_documents", keep_n=keep_n
+    ) as staged:
         return forget_documents(
             spark,
             ids,

@@ -108,6 +108,55 @@ def rewrite_without_keys(spark: SparkSession, path: str, keys, key_col: str) -> 
     return before - after
 
 
+# The characters Spark/Hive escape (%XX, uppercase hex) when writing a
+# partition value into a directory name (ExternalCatalogUtils
+# .escapePathName): ASCII control chars plus the path/metachar set.
+# Directory names built from raw values would miss Spark's escaped
+# names for such values, and a swap loop keyed on the raw name would
+# silently drop the kept rows of that partition (round-12 ADVICE).
+_PART_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
+    chr(c) for c in range(0x01, 0x20)
+)
+
+
+def _escape_part_value(v: object) -> str:
+    return "".join(
+        f"%{ord(c):02X}" if c in _PART_ESCAPE_CHARS else c for c in str(v)
+    )
+
+
+def _unescape_part_value(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+def _hive_partition_dirs(base: str, part_col: str) -> dict[str, str]:
+    """Map decoded partition value -> actual directory NAME under
+    ``base`` for hive-style ``part_col=value`` dirs, so swap loops match
+    on the value Spark encoded rather than reconstructing (and possibly
+    mis-reconstructing) the escaped name."""
+    prefix = f"{part_col}="
+    try:
+        names = os.listdir(base)
+    except FileNotFoundError:
+        return {}
+    return {
+        _unescape_part_value(n[len(prefix):]): n
+        for n in names
+        if n.startswith(prefix) and os.path.isdir(os.path.join(base, n))
+    }
+
+
 def rewrite_partitions_without_keys(
     spark: SparkSession,
     root: str,
@@ -147,9 +196,19 @@ def rewrite_partitions_without_keys(
     nonce = uuid.uuid4().hex[:8]
     tmp = f"{root}.__new__{nonce}"
     kept.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+    # Match partition dirs by DECODED value, never by reconstructed
+    # name: Spark %XX-escapes metacharacters in partition values it
+    # writes, so a raw f"{part_col}={v}" misses e.g. "a:b" / "a=b" dirs
+    # — the kept rows would then never be installed and the tmp sweep
+    # below would silently delete them (round-12 ADVICE, data loss).
+    tmp_dirs = _hive_partition_dirs(tmp, part_col)
+    root_dirs = _hive_partition_dirs(root, part_col)
     for v in vals:
-        pdir = os.path.join(root, f"{part_col}={v}")
-        ndir = os.path.join(tmp, f"{part_col}={v}")
+        sv = str(v)
+        pdir = os.path.join(
+            root, root_dirs.get(sv, f"{part_col}={_escape_part_value(sv)}")
+        )
+        nname = tmp_dirs.pop(sv, None)
         old = f"{pdir}.__old__{nonce}"
         # the partitioned write leaves _SUCCESS at the tmp ROOT only;
         # preserve a pre-existing per-partition commit sentinel (the
@@ -157,12 +216,32 @@ def rewrite_partitions_without_keys(
         had_success = os.path.exists(os.path.join(pdir, "_SUCCESS"))
         if os.path.isdir(pdir):
             os.rename(pdir, old)
-        if os.path.isdir(ndir):
-            os.rename(ndir, pdir)
+        if nname is not None:
+            os.rename(os.path.join(tmp, nname), pdir)
             if had_success:
                 with open(os.path.join(pdir, "_SUCCESS"), "w"):
                     pass
+        elif had_success:
+            # every row of this partition was removed. Hive semantics
+            # would drop the dir, but the ingest/curation loops' replay
+            # gate keys on the per-batch _SUCCESS sentinel ("a replayed
+            # batch must still no-op") — a vanished dir would let a
+            # stream replay re-write, and so RE-ADMIT, a fully-taken-
+            # down batch (its index signatures were forgotten too, so
+            # nothing else shields it). Keep an empty _SUCCESS-gated dir.
+            os.makedirs(pdir, exist_ok=True)
+            with open(os.path.join(pdir, "_SUCCESS"), "w"):
+                pass
         shutil.rmtree(old, ignore_errors=True)
+    if tmp_dirs:
+        # kept-row output exists for a partition we could not match back
+        # to a requested value — installing nothing and sweeping tmp
+        # would lose those rows; fail loudly instead.
+        raise RuntimeError(
+            f"rewrite_partitions_without_keys: kept rows for partition "
+            f"value(s) {sorted(tmp_dirs)} were written to {tmp} but match "
+            f"no requested partition value; refusing to discard them"
+        )
     shutil.rmtree(tmp, ignore_errors=True)
     return before - after
 

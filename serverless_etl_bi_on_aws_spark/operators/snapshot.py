@@ -43,11 +43,15 @@ st["corpus"], bid)`` — pytest-pinned: each batch flips corpus + index
 atomically and the loop's replay markers ride the clones, so a
 re-applied batch stays a no-op in the next transition).
 
-Retention contract: commit keeps the previous generation on disk, so an
-in-flight reader that resolved just before a commit keeps reading a
-complete, immutable tree; readers must finish within one further
-commit (``snapshot_paths(seq=)`` reads the retained previous snapshot
-explicitly — time travel, depth 2). Concurrent MUTATORS must serialize via the
+Retention contract: commit keeps the ``keep_n`` newest snapshots on
+disk (default 2 — the previous generation survives one further commit),
+so an in-flight reader that resolved just before a commit keeps reading
+a complete, immutable tree; readers must finish within ``keep_n - 1``
+further commits (``snapshot_paths(seq=)`` reads a retained historical
+snapshot explicitly — time travel, depth ``keep_n``). Deployments whose
+committers are fast relative to their readers — the streaming takedown
+queue commits once per micro-batch — raise ``keep_n`` (and/or
+``min_age_s``) on the mutator. Concurrent MUTATORS must serialize via the
 writer lease (mutate_snapshot does; the rollup's single streaming query
 is its own serialization) — the versioned manifest is additionally
 committed create-exclusively, so even a lease-bypassing second writer
@@ -140,36 +144,78 @@ def begin_generation(root: str, base_seq: int | None = None) -> tuple[str, str]:
     return gen, stage
 
 
-def commit_generation(root: str, gen: str, stage: str) -> str:
+def commit_generation(
+    root: str, gen: str, stage: str, keep_n: int = 2, min_age_s: float = 0.0
+) -> str:
     """Commit a staged generation: one atomic rename into place, one
     atomic pointer swap — a crash before the swap leaves the old
     generation live and the stage/orphan as garbage for the next
     commit's sweep. Returns the committed generation path.
 
-    GC (best-effort, never fails the commit): everything except the new
-    generation and the one the pointer referenced until now is removed —
-    older generations, committed-but-never-referenced orphans from
-    crashed commits (same sequence number, different nonce), and
-    leftover ``.__stage__`` dirs. Keeping exactly the previously-LIVE
-    generation (by pointer identity, not by sequence-number sort, which
-    an equal-seq orphan could win) is the retention contract readers
-    rely on. Single-writer discipline is the caller's contract (lease
-    or single streaming query); the sweep assumes no concurrent stage
-    is live."""
+    GC (best-effort, never fails the commit): everything except the
+    newest ``keep_n`` POINTER-REFERENCED generations is removed — older
+    generations, committed-but-never-referenced orphans from crashed
+    commits (same sequence number, different nonce), and leftover
+    ``.__stage__`` dirs. Retention is by pointer identity (the pointer
+    marker carries the history of previously-live generations), not by
+    sequence-number sort, which an equal-seq orphan could win. The
+    default ``keep_n=2`` is the historical contract (readers must
+    finish within one further commit); raise it when long-running
+    readers overlap a fast committer (e.g. the streaming takedown
+    queue, one commit per micro-batch). ``min_age_s`` additionally
+    spares anything modified in the last that-many seconds (the
+    Iceberg/Delta min-age analog — a belt-and-braces guard for readers
+    that resolved just before the history aged their snapshot out).
+    Single-writer discipline is the caller's contract (lease or single
+    streaming query); the sweep assumes no concurrent stage is live.
+
+    Orphaned writer-lease files (``<path>.__lock__`` siblings left
+    inside the store root by crashed mutators that leased a staged
+    clone) are swept once the path they locked is gone — a lock whose
+    locked directory no longer exists cannot belong to a live lease
+    (round-12 ADVICE: these previously accumulated forever)."""
     final = os.path.join(root, gen)
-    prev = current_generation(root)
+    prev_rec = read_marker(os.path.join(root, GEN_POINTER)) or {}
+    prev = prev_rec.get("gen")
+    history = [g for g in ([prev] if prev else []) + list(prev_rec.get("history") or [])]
+    history = history[: max(keep_n - 1, 0)]
     os.rename(stage, final)
-    write_marker(os.path.join(root, GEN_POINTER), {"gen": gen})
+    write_marker(os.path.join(root, GEN_POINTER), {"gen": gen, "history": history})
     try:
-        keep_set = {gen} | ({prev} if prev else set())
-        for entry in os.listdir(root):
-            if (entry.startswith("gen-") and entry not in keep_set) or (
-                entry.startswith(".__stage__") and not entry.endswith(".__lock__")
-            ):
-                _remove_any(os.path.join(root, entry))
+        _sweep_store(root, {gen} | set(history), min_age_s=min_age_s)
     except OSError:
         pass
     return final
+
+
+def _sweep_store(root: str, keep_gens: set, min_age_s: float = 0.0) -> None:
+    """Remove non-retained generations, stage dirs, and orphaned lock
+    files under one generation store root (shared by the store commit
+    and the manifest commit; best-effort — callers swallow OSError)."""
+    import time
+
+    now = time.time()
+    for entry in os.listdir(root):
+        path = os.path.join(root, entry)
+        if entry.endswith(".__lock__"):
+            # a lease lock is a SIBLING of the path it locks
+            # (util.lease_lock_path); once that path is gone the lease
+            # can never be live again — sweep the orphan
+            if not os.path.exists(path[: -len(".__lock__")]):
+                _remove_any(path)
+            continue
+        if not (
+            (entry.startswith("gen-") and entry not in keep_gens)
+            or entry.startswith(".__stage__")
+        ):
+            continue
+        if min_age_s > 0:
+            try:
+                if now - os.path.getmtime(path) < min_age_s:
+                    continue
+            except OSError:
+                continue
+        _remove_any(path)
 
 
 def _remove_any(path: str) -> None:
@@ -223,7 +269,13 @@ def init_snapshot_family(family_root: str, artifacts: dict[str, str | None]) -> 
     return snapshot_paths(family_root)
 
 
-def _commit_manifest(family_root: str, seq: int, gens: dict[str, str]) -> None:
+def _commit_manifest(
+    family_root: str,
+    seq: int,
+    gens: dict[str, str],
+    keep_n: int = 2,
+    min_age_s: float = 0.0,
+) -> None:
     payload = {"seq": seq, "artifacts": gens}
     versioned = os.path.join(family_root, "manifests", f"{seq:06d}.json")
     if not create_exclusive_marker(versioned, payload):
@@ -232,11 +284,18 @@ def _commit_manifest(family_root: str, seq: int, gens: dict[str, str]) -> None:
             "concurrent mutator committed first — re-resolve and retry"
         )
     write_marker(os.path.join(family_root, MANIFEST_POINTER), payload)
-    # best-effort retention: current + previous manifest and their
-    # generations survive; anything older (or orphaned by a crash) goes
-    prev = read_marker(os.path.join(family_root, "manifests", f"{seq - 1:06d}.json"))
+    # best-effort retention: the newest ``keep_n`` manifests and every
+    # generation they reference survive; anything older (or orphaned by
+    # a crash) goes. keep_n=2 is the historical default contract;
+    # long-running readers against fast committers (streaming takedown
+    # queue) raise it — see mutate_snapshot(keep_n=).
     live: dict[str, set[str]] = {}
-    for rec in (payload, prev or {}):
+    retained = [payload]
+    for s in range(seq - 1, seq - keep_n, -1):
+        rec = read_marker(os.path.join(family_root, "manifests", f"{s:06d}.json"))
+        if rec:
+            retained.append(rec)
+    for rec in retained:
         for name, gen in (rec.get("artifacts") or {}).items():
             live.setdefault(name, set()).add(gen)
     try:
@@ -244,16 +303,10 @@ def _commit_manifest(family_root: str, seq: int, gens: dict[str, str]) -> None:
             root = os.path.join(family_root, name)
             if not os.path.isdir(root):
                 continue
-            for entry in os.listdir(root):
-                if (
-                    entry.startswith(("gen-", ".__stage__"))
-                    and entry not in keep_gens
-                    and not entry.endswith(".__lock__")
-                ):
-                    _remove_any(os.path.join(root, entry))
+            _sweep_store(root, keep_gens, min_age_s=min_age_s)
         for mf in glob.glob(os.path.join(family_root, "manifests", "*.json")):
             n = os.path.splitext(os.path.basename(mf))[0]
-            if n.isdigit() and int(n) < seq - 1:
+            if n.isdigit() and int(n) <= seq - keep_n:
                 os.remove(mf)
     except OSError:
         pass
@@ -266,10 +319,10 @@ def snapshot_paths(family_root: str, seq: int | None = None) -> dict[str, str]:
     further commit).
 
     ``seq`` reads a RETAINED historical snapshot (time travel, the
-    Iceberg/Delta ``VERSION AS OF`` analog): retention keeps the current
-    and previous manifests with their generations, so depth is 2 by
-    contract — an aged-out seq fails loudly naming the retained range
-    rather than resolving to swept paths."""
+    Iceberg/Delta ``VERSION AS OF`` analog): retention keeps the newest
+    ``keep_n`` manifests with their generations (mutate_snapshot's
+    retention knob; default depth 2) — an aged-out seq fails loudly
+    naming the retained range rather than resolving to swept paths."""
     if seq is None:
         man = _manifest(family_root)
         if not man["seq"]:
@@ -282,7 +335,8 @@ def snapshot_paths(family_root: str, seq: int | None = None) -> dict[str, str]:
             raise FileNotFoundError(
                 f"snapshot #{seq} at {family_root} is not retained "
                 f"(retained: {snapshot_history(family_root)}); retention "
-                "keeps the current and previous snapshots only"
+                "keeps the newest keep_n snapshots only (default 2 — "
+                "raise mutate_snapshot(keep_n=) for longer-lived readers)"
             )
     return {
         name: os.path.join(family_root, name, gen)
@@ -291,8 +345,9 @@ def snapshot_paths(family_root: str, seq: int | None = None) -> dict[str, str]:
 
 
 def snapshot_history(family_root: str) -> list[int]:
-    """Sequence numbers of the retained manifests, oldest first (depth 2
-    by the retention contract; the newest is the live snapshot)."""
+    """Sequence numbers of the retained manifests, oldest first (depth =
+    mutate_snapshot's keep_n, default 2; the newest is the live
+    snapshot)."""
     out = []
     for mf in glob.glob(os.path.join(family_root, "manifests", "*.json")):
         stem = os.path.splitext(os.path.basename(mf))[0]
@@ -307,6 +362,8 @@ def mutate_snapshot(
     names: list[str] | tuple[str, ...],
     owner: str = "mutator",
     wait_s: float = 60.0,
+    keep_n: int = 2,
+    min_age_s: float = 0.0,
 ):
     """Run a multi-artifact mutation as ONE snapshot transition. Yields
     ``{name: staged_path}`` — a private hardlink-clone of each named
@@ -317,6 +374,16 @@ def mutate_snapshot(
     current generations (mutated + carried) is written LAST — the one
     atomic step readers observe. On exception nothing commits; the
     stage dirs are swept by the next successful commit.
+
+    ``keep_n`` is the snapshot retention knob (Iceberg/Delta "keep N
+    snapshots" analog, default 2 = historical contract): the newest
+    ``keep_n`` manifests and every generation they name survive GC, so
+    a reader pinned at ``snapshot_paths(seq=N)`` stays valid for
+    ``keep_n - 1`` further commits. ``min_age_s`` additionally spares
+    generations modified within that window regardless of depth. Both
+    matter most for fast committers — the streaming takedown queue
+    commits once per micro-batch, and at the default depth a
+    long-running reader can outlive its snapshot in seconds.
 
     Serialized under the family-level writer lease (retrying, so a
     takedown queues behind a retrain instead of dying)."""
@@ -339,4 +406,6 @@ def mutate_snapshot(
         for name, (gen, stage) in staged.items():
             os.rename(stage, os.path.join(family_root, name, gen))
             gens[name] = gen
-        _commit_manifest(family_root, man["seq"] + 1, gens)
+        _commit_manifest(
+            family_root, man["seq"] + 1, gens, keep_n=keep_n, min_age_s=min_age_s
+        )

@@ -573,7 +573,13 @@ def decode_and_resize(
                 return None
             if fmime is None:
                 return None  # raw frames carry no dimensions to resize by
-            iw, ih, px = img_dec[fmime](frames[0])
+            fdec = img_dec.get(fmime)
+            if fdec is None:
+                # a plugin frame decoder whose frame mime has no
+                # registered image decoder must not kill the task — the
+                # module's per-item null convention holds for it too
+                return None
+            iw, ih, px = fdec(frames[0])
             return resize_nearest(px, iw, ih, w, h)
         # remaining mimes (no pixel semantics / no codec): deterministic
         # stand-in — tile the payload bytes to w*h "pixels"
@@ -627,7 +633,12 @@ def media_features(df: DataFrame, dim: int = 16, media_col: str = "media") -> Da
             frames, fmime = ffn(payload)
             if fmime is None:
                 return b"".join(frames)  # already raw pixels
-            fdec = img_dec[fmime]
+            fdec = img_dec.get(fmime)
+            if fdec is None:
+                # unregistered frame mime: undecoded frame bytes as the
+                # deterministic stand-in rather than a task-killing
+                # KeyError (per-item convention, see decode_and_resize)
+                return b"".join(frames)
             return b"".join(fdec(fr)[2] for fr in frames)
         return payload
 

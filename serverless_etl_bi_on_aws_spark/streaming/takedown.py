@@ -42,6 +42,7 @@ def start_takedown_stream(
     available_now: bool = True,
     processing_time: str = "1 hour",
     fmt: str = "parquet",
+    keep_n: int = 2,
 ) -> StreamingQuery:
     """Watch ``request_dir`` for takedown-request files and forget each
     micro-batch's ids from every artifact in the snapshot family.
@@ -49,7 +50,11 @@ def start_takedown_stream(
     request schema when requests carry more (extra columns are
     ignored — the first projection keeps ``id_col`` only).
     ``available_now=True`` = drain-then-stop (run from any scheduler);
-    False = stay up on a processing-time trigger."""
+    False = stay up on a processing-time trigger. ``keep_n`` is the
+    snapshot retention depth this queue commits with — it commits once
+    per micro-batch, so at the default depth 2 a reader can outlive its
+    snapshot in seconds; size keep_n to (reader duration / takedown
+    cadence) + 1 (see operators/snapshot.mutate_snapshot)."""
     from serverless_etl_bi_on_aws_spark.operators.forget import (
         forget_documents_versioned,
     )
@@ -63,7 +68,9 @@ def start_takedown_stream(
         ids = batch_df.select(id_col).dropDuplicates()
         if ids.isEmpty():
             return
-        forget_documents_versioned(spark, family_root, ids, id_col=id_col)
+        forget_documents_versioned(
+            spark, family_root, ids, id_col=id_col, keep_n=keep_n
+        )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -874,3 +874,51 @@ def test_apply_curation_batch_fully_filtered_batch(spark, tmp_path):
     assert spark.read.parquet(os.path.join(idx, "sigs")).count() == 0
     apply_curation_batch(spark, b, idx, clean, "e-0")  # replay: no-op
     assert spark.read.parquet(out).count() == 0
+
+
+def test_replay_after_full_takedown_does_not_readmit(spark, tmp_path):
+    """Round-12 ADVICE (medium), the real deployment scenario: a batch
+    is ingested, then EVERY row of it is taken down (clean partition
+    fully emptied, index signatures forgotten too — so the index shields
+    nothing). A streaming replay of that batch must still no-op: the
+    _SUCCESS replay gate has to survive the whole-partition takedown, or
+    the replay re-writes the batch and re-admits forgotten content."""
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import (
+        rewrite_partitions_without_keys,
+        rewrite_without_keys,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(100)
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    apply_dedup_batch(spark, docs, idx, clean, "bid-0")
+    part = os.path.join(clean, "batch=bid-0")
+    assert spark.read.parquet(part).count() > 0
+
+    # takedown of EVERY ingested row: clean partition + index signatures
+    # (materialize the id list first — the keys frame must not lazily
+    # re-scan the partition the rewrite is about to swap away)
+    ids = [r["doc_id"] for r in spark.read.parquet(part).select("doc_id").collect()]
+    keys = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    removed = rewrite_partitions_without_keys(
+        spark, clean, "batch", ["bid-0"], keys, "doc_id"
+    )
+    assert removed == len(ids)
+    rewrite_without_keys(spark, os.path.join(idx, "sigs"), keys, "doc_id")
+
+    def clean_rows():
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(clean).count()
+        except AnalysisException:
+            # zero data files anywhere under clean -> schema inference
+            # fails; that IS the fully-taken-down state
+            return 0
+
+    assert clean_rows() == 0
+
+    # stream replay of the same micro-batch: must NOT re-admit
+    apply_dedup_batch(spark, docs, idx, clean, "bid-0")
+    assert clean_rows() == 0, "replayed batch re-admitted taken-down content"

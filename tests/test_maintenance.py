@@ -73,3 +73,66 @@ def test_clustered_rewrite_makes_stats_skippable(spark, tmp_path):
     # (boundary keys can straddle one edge)
     assert n_candidate_files() <= 2
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_fully_emptied_partition_keeps_replay_gate(spark, tmp_path):
+    """Round-12 ADVICE (medium): a partition whose EVERY row is taken
+    down must not simply disappear — the ingest/curation replay gate
+    keys on the per-batch _SUCCESS sentinel, and a vanished dir lets a
+    stream replay re-write (re-admit) the forgotten batch. The rewrite
+    must leave an empty _SUCCESS-gated dir behind."""
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import (
+        rewrite_partitions_without_keys,
+    )
+
+    root = str(tmp_path / "clean")
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "b0" if i < 5 else "b1") for i in range(10)],
+        "doc_id long, text string, batch string",
+    )
+    df.write.mode("overwrite").partitionBy("batch").parquet(root)
+    for b in ("b0", "b1"):
+        with open(os.path.join(root, f"batch={b}", "_SUCCESS"), "w"):
+            pass
+    keys = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    removed = rewrite_partitions_without_keys(
+        spark, root, "batch", ["b0", "b1"], keys, "doc_id"
+    )
+    assert removed == 7
+    # b0 fully emptied: the dir and its _SUCCESS survive as the replay gate
+    b0 = os.path.join(root, "batch=b0")
+    assert os.path.exists(os.path.join(b0, "_SUCCESS"))
+    assert not any(f.endswith(".parquet") for f in os.listdir(b0))
+    # b1 partially emptied: swapped in place, sentinel preserved
+    assert os.path.exists(os.path.join(root, "batch=b1", "_SUCCESS"))
+    got = spark.read.parquet(root)
+    assert sorted(r["doc_id"] for r in got.collect()) == [7, 8, 9]
+    assert {r["batch"] for r in got.collect()} == {"b1"}
+
+
+def test_escaped_partition_values_survive_rewrite(spark, tmp_path):
+    """Round-12 ADVICE (low): Spark %XX-escapes metacharacters when it
+    writes partition dir names (':' -> %3A, '=' -> %3D). A swap loop
+    that reconstructs dir names from raw values misses those dirs and
+    silently DELETES the kept rows with the tmp sweep. Partition values
+    needing escaping must round-trip with their kept rows intact."""
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import (
+        rewrite_partitions_without_keys,
+    )
+
+    root = str(tmp_path / "esc")
+    rows = [
+        (1, "a:b"), (2, "a:b"), (3, "x=y"), (4, "x=y"), (5, "plain"), (6, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, band string")
+    df.write.mode("overwrite").partitionBy("band").parquet(root)
+    # sanity: Spark really did escape the dir names
+    names = set(os.listdir(root))
+    assert "band=a%3Ab" in names and "band=x%3Dy" in names
+    keys = spark.createDataFrame([(1,), (3,), (5,)], "doc_id long")
+    removed = rewrite_partitions_without_keys(
+        spark, root, "band", ["a:b", "x=y", "plain"], keys, "doc_id"
+    )
+    assert removed == 3
+    got = {(r["doc_id"], r["band"]) for r in spark.read.parquet(root).collect()}
+    assert got == {(2, "a:b"), (4, "x=y"), (6, "plain")}

@@ -323,3 +323,131 @@ def _counts_ct(spark, paths):
         spark.read.parquet(paths["corpus"]).count(),
         spark.read.parquet(os.path.join(paths["text_index"], "sigs")).count(),
     )
+
+
+def _tiny_family(tmp_path, name="fam") -> str:
+    """Manifest-layer fixture without Spark: one artifact holding one
+    file, mutated by REPLACING that file in the staged clone."""
+    src = tmp_path / f"{name}_src"
+    src.mkdir()
+    (src / "data.txt").write_text("v1")
+    family = str(tmp_path / name)
+    init_snapshot_family(family, {"a": str(src)})
+    return family
+
+
+def _bump(family: str, version: str, **kw) -> None:
+    with mutate_snapshot(family, ["a"], **kw) as st:
+        p = os.path.join(st["a"], "data.txt")
+        os.remove(p)  # REPLACE the name (hardlink immutability contract)
+        with open(p, "w") as f:
+            f.write(version)
+
+
+def test_snapshot_retention_keep_n(tmp_path):
+    """Round-12 verdict ask #4: retention is a knob, not hard-wired
+    depth 2. With keep_n=3 a reader pinned at seq N survives TWO further
+    commits (its generation dir intact, snapshot_paths(seq=N) still
+    resolving), ages out loudly on the third; default behavior is
+    unchanged (depth 2)."""
+    family = _tiny_family(tmp_path, "fam3")
+    _bump(family, "v2", keep_n=3)  # -> seq 2
+    pin_seq = 2
+    pinned = snapshot_paths(family, seq=pin_seq)
+
+    _bump(family, "v3", keep_n=3)  # -> seq 3
+    _bump(family, "v4", keep_n=3)  # -> seq 4
+    # two commits later: the pinned snapshot is still fully readable
+    assert snapshot_paths(family, seq=pin_seq) == pinned
+    assert open(os.path.join(pinned["a"], "data.txt")).read() == "v2"
+    assert snapshot_history(family) == [2, 3, 4]
+
+    _bump(family, "v5", keep_n=3)  # -> seq 5: seq 2 ages out
+    with pytest.raises(FileNotFoundError):
+        snapshot_paths(family, seq=pin_seq)
+    assert not os.path.isdir(pinned["a"])
+
+    # default depth unchanged: keep_n omitted -> current + previous only
+    fam2 = _tiny_family(tmp_path, "fam2")
+    _bump(fam2, "v2")  # seq 2
+    _bump(fam2, "v3")  # seq 3
+    assert snapshot_history(fam2) == [2, 3]
+    assert open(
+        os.path.join(snapshot_paths(fam2, seq=2)["a"], "data.txt")
+    ).read() == "v2"
+    with pytest.raises(FileNotFoundError):
+        snapshot_paths(fam2, seq=1)
+
+
+def test_store_retention_keep_n_and_min_age(tmp_path):
+    """commit_generation's own knob: keep_n=3 retains the two
+    previously-live generations by pointer identity; min_age_s spares a
+    young orphan the sweep would otherwise take."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    gens = []
+    for v in ("v1", "v2", "v3"):
+        g, s = begin_generation(root)
+        with open(os.path.join(s, "data.txt"), "w") as f:
+            f.write(v)
+        commit_generation(root, g, s, keep_n=3)
+        gens.append(g)
+    on_disk = sorted(e for e in os.listdir(root) if e.startswith("gen-"))
+    assert on_disk == sorted(gens), "keep_n=3 must retain all three"
+    # fourth commit: the oldest ages out, the newest three remain
+    g4, s4 = begin_generation(root)
+    with open(os.path.join(s4, "data.txt"), "w") as f:
+        f.write("v4")
+    commit_generation(root, g4, s4, keep_n=3)
+    on_disk = sorted(e for e in os.listdir(root) if e.startswith("gen-"))
+    assert on_disk == sorted(gens[1:] + [g4])
+
+    # min_age_s: a just-crashed stage (young mtime) survives the sweep
+    g_crash, s_crash = begin_generation(root)
+    g5, s5 = begin_generation(root)
+    with open(os.path.join(s5, "data.txt"), "w") as f:
+        f.write("v5")
+    commit_generation(root, g5, s5, keep_n=2, min_age_s=3600.0)
+    assert os.path.isdir(s_crash), "min_age_s must spare young entries"
+    # without the age guard the next commit sweeps it as usual
+    g6, s6 = begin_generation(root)
+    with open(os.path.join(s6, "data.txt"), "w") as f:
+        f.write("v6")
+    commit_generation(root, g6, s6)
+    assert not os.path.isdir(s_crash)
+
+
+def test_orphaned_lock_files_swept(tmp_path):
+    """Round-12 ADVICE (low): stage-lease lock files left inside
+    artifact roots by crashed mutators accumulated forever — both GC
+    sweeps deliberately exempted '*.__lock__'. A lock whose locked path
+    no longer exists cannot belong to a live lease and must be swept; a
+    lock whose locked path DOES exist (live lease) must survive."""
+    # store-level sweep (commit_generation)
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    g1, s1 = begin_generation(root)
+    with open(os.path.join(s1, "data.txt"), "w") as f:
+        f.write("v1")
+    commit_generation(root, g1, s1)
+    orphan = os.path.join(root, ".__stage__gen-000099-dead.__lock__")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    live = os.path.join(root, f"{g1}.__lock__")  # locked path exists
+    with open(live, "w") as f:
+        f.write("{}")
+    g2, s2 = begin_generation(root)
+    with open(os.path.join(s2, "data.txt"), "w") as f:
+        f.write("v2")
+    commit_generation(root, g2, s2)
+    assert not os.path.exists(orphan), "orphaned stage lock must be swept"
+    assert os.path.exists(live), "a lock on an existing path must survive"
+
+    # manifest-level sweep (_commit_manifest via mutate_snapshot)
+    family = _tiny_family(tmp_path, "famlk")
+    aroot = os.path.join(family, "a")
+    orphan2 = os.path.join(aroot, ".__stage__gen-000077-dead.__lock__")
+    with open(orphan2, "w") as f:
+        f.write("{}")
+    _bump(family, "v2")
+    assert not os.path.exists(orphan2), "manifest sweep must clear orphan locks"

@@ -354,3 +354,58 @@ def test_decoder_registry_plugin_for_refused_mime(spark):
     finally:
         IMAGE_DECODERS.pop("image/webp", None)
     assert got[3] is not None and got[4] is None
+
+
+def test_plugin_frame_mime_without_image_decoder_is_per_item_null(spark):
+    """Round-12 ADVICE (low): a plugin frame decoder whose frame_mime
+    has NO registered image decoder must follow the module's per-item
+    null convention — one bad/unservable item must not kill the whole
+    Arrow task with a KeyError. decode_and_resize yields NULL pixels for
+    that row; media_features falls back to the undecoded-frame-bytes
+    stand-in; sibling rows in the same batch stay fully served."""
+    from pyspark.sql import types as T
+
+    from serverless_etl_bi_on_aws_spark.sources.multimodal import (
+        FRAME_DECODERS,
+        MEDIA_STRUCT,
+        decode_and_resize,
+        media_features,
+        register_frame_decoder,
+    )
+
+    def _exotic_frames(payload):
+        # NESTED so cloudpickle ships it by value (see the registry test
+        # above); emits frames under a mime nothing can decode to pixels
+        return [bytes(payload), bytes(payload[::-1])], "image/x-exotic"
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", MEDIA_STRUCT),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, (bytes([9, 8, 7, 6]), "video/x-exoticbox", None, None, None)),
+            (2, (bytes(range(16)), "application/blob", None, None, None)),
+        ],
+        schema,
+    )
+    register_frame_decoder("video/x-exoticbox", _exotic_frames)
+    try:
+        rows = {
+            r.doc_id: r
+            for r in decode_and_resize(df, target_w=4, target_h=4).collect()
+        }
+        # the plugin row degrades to NULL pixels, not a task failure
+        assert rows[1].pixels is None
+        # the sibling row still gets its tiling stand-in
+        assert rows[2].pixels is not None and len(bytes(rows[2].pixels)) == 16
+
+        feats = {r.doc_id: r.features for r in media_features(df, dim=4).collect()}
+        # stand-in histogram over the undecoded frame bytes — non-null,
+        # normalized
+        assert feats[1] is not None and abs(sum(feats[1]) - 1.0) < 1e-6
+        assert feats[2] is not None
+    finally:
+        FRAME_DECODERS.pop("video/x-exoticbox", None)
