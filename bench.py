@@ -988,12 +988,15 @@ def _rollup_q1(spark, dirs: dict[str, str]) -> dict:
     recurring workload is ~the build amortized over its query count. The
     slope here is query-time-only, matching how bucketed_q3 is scored
     (its build cost is likewise reported, not added per query)."""
-    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+    from serverless_etl_bi_on_aws_spark.plans.queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
 
     import statistics
 
     out: dict = {"build_sec": {}, "q1_sec": {}, "q1_sec_median": {}}
-    fn = QUERIES["q47_pricing_summary_rollup"]
+    fn = {**QUERIES, **EXTRA_QUERIES}["q47_pricing_summary_rollup"]
     try:
         for lbl, sf_dir in dirs.items():
             from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest

@@ -1879,3 +1879,42 @@ EXTRA_ORACLE_SQL["q83_forget_verify"] = """
         SELECT 'unrelated_still_deduped', CAST(1 AS BIGINT)
     ) ORDER BY metric
 """
+
+# q84_takedown_stream_verify (round 13): the streaming takedown queue +
+# snapshot time travel over a PLANTED corpus (doc k < 40, stride-13
+# synthetic text). Two request files ({0,10} then {20}) drain at one
+# file per micro-batch = one atomic snapshot commit each, so the
+# manifest advances 1 -> 3 (and, after a checkpoint wipe re-delivers
+# both in ONE combined micro-batch, 3 -> 4 with identical counts —
+# takedowns are idempotent on
+# ids). keep_n=3 retention keeps the pre-takedown snapshot resolvable
+# (seq 1 reads the full corpus). The one-shot batch twin must land on
+# the same counts. Every number is id arithmetic over the fixture.
+EXTRA_ORACLE_SQL["q84_takedown_stream_verify"] = """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id < 40),
+         t AS (SELECT COUNT(*) AS c FROM documents
+               WHERE doc_id IN (0, 10, 20))
+    SELECT metric, value FROM (
+        SELECT 'corpus_before' AS metric, CAST(n.c AS BIGINT) AS value FROM n
+        UNION ALL
+        SELECT 'corpus_after_drain', CAST(n.c - t.c AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'sigs_after_drain', CAST(n.c - t.c AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'pre_takedown_corpus_via_seq1', CAST(n.c AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'snapshots_after_drain', CAST(3 AS BIGINT)
+        UNION ALL
+        SELECT 'twin_corpus_after', CAST(n.c - t.c AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'twin_sigs_after', CAST(n.c - t.c AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'stream_equals_twin', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'corpus_after_replay', CAST(n.c - t.c AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'sigs_after_replay', CAST(n.c - t.c AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'snapshots_after_replay', CAST(4 AS BIGINT)
+    ) ORDER BY metric
+"""

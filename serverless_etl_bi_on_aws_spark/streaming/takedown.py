@@ -43,6 +43,7 @@ def start_takedown_stream(
     processing_time: str = "1 hour",
     fmt: str = "parquet",
     keep_n: int = 2,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Watch ``request_dir`` for takedown-request files and forget each
     micro-batch's ids from every artifact in the snapshot family.
@@ -62,6 +63,10 @@ def start_takedown_stream(
     if schema is None:
         schema = StructType([StructField(id_col, LongType(), False)])
     reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
+    if max_files_per_trigger is not None:
+        # one request FILE per micro-batch = one snapshot commit per
+        # request — the cadence the retention knob (keep_n) is sized to
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = getattr(reader, fmt)(request_dir)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
