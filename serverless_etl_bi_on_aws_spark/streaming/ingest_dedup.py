@@ -325,6 +325,76 @@ def start_incremental_curation(
     return writer.start()
 
 
+def start_snapshot_curation_stream(
+    spark: SparkSession,
+    source_dir: str,
+    family_root: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    quality_threshold: float = 0.49999,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+    keep_n: int = 2,
+    lease_wait_s: float = 120.0,
+) -> StreamingQuery:
+    """:func:`start_incremental_curation` with every micro-batch
+    committed as ONE atomic snapshot transition over a family managed by
+    operators/snapshot.py (artifact names ``corpus`` + ``text_index``) —
+    the deployment shape where the ingest loop runs CONCURRENTLY with
+    the streaming takedown queue against the same family. Both mutators
+    serialize on the family writer lease (``lease_wait_s`` bounds how
+    long a batch queues behind the other stream's commit), and readers
+    resolving through ``snapshot_paths`` see each ingest batch and each
+    takedown as one consistent corpus+index flip — never a mix. The
+    loop's replay gates (per-batch ``_SUCCESS`` + index ``_applied``
+    markers) ride the hardlink clones, so at-least-once re-delivery
+    stays a no-op across transitions; a crash anywhere inside a batch
+    commits nothing (the stage is swept by the next successful commit)."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import mutate_snapshot
+
+    ckpt = checkpoint_instance_nonce(checkpoint_dir)
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = getattr(reader, fmt)(source_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        with mutate_snapshot(
+            family_root,
+            ["corpus", "text_index"],
+            owner="snapshot_curation_stream",
+            wait_s=lease_wait_s,
+            keep_n=keep_n,
+        ) as st:
+            apply_curation_batch(
+                spark,
+                batch_df,
+                st["text_index"],
+                st["corpus"],
+                f"{ckpt}-{epoch_id}",
+                quality_threshold=quality_threshold,
+                threshold=threshold,
+                text_col=text_col,
+                id_col=id_col,
+            )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def apply_image_dedup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
