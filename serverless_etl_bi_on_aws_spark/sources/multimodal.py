@@ -95,6 +95,14 @@ def register_image_decoder(mime: str, fn) -> None:
     IMAGE_DECODERS[mime] = fn
 
 
+def register_extension_mime(ext: str, mime: str) -> None:
+    """Register a file-extension -> mime mapping for
+    :func:`ingest_media_dir` (plugin codecs bring their own extensions;
+    ingest plans BUILT after registration serve it). The builtin table
+    is _EXT_MIME below."""
+    _EXT_MIME[ext.lower()] = mime
+
+
 def register_frame_decoder(mime: str, fn) -> None:
     """Register ``fn(payload) -> (frames, frame_mime)`` for a container
     mime; sample_frames and decode_and_resize's representative-frame path
