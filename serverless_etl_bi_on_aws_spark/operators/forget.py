@@ -55,6 +55,14 @@ from serverless_etl_bi_on_aws_spark.operators.maintenance import (
 )
 from serverless_etl_bi_on_aws_spark.util import writer_lease_with_retry
 
+#: Shadow sweeps report a COUNT plus a bounded id sample, never the full
+#: id list: a single takedown whose content was mass-replicated could
+#: match millions of shadow rows, and collecting them all would be the
+#: one unbounded driver-side collect on this surface (round-12 verdict
+#: performance watch-item). The full set still drives the rewrite — as a
+#: DataFrame, never through the driver.
+SHADOW_SAMPLE_ROWS = 100
+
 
 def _ids_df(spark: SparkSession, ids, col: str, target_type=None) -> DataFrame:
     """Normalize the takedown keys to one column named ``col``, typed to
@@ -162,7 +170,8 @@ def forget_from_minhash_index(
         "sigs_removed": 0,
         "bands_removed": 0,
         "band_partitions": [],
-        "shadow_ids": [],
+        "shadows_swept": 0,
+        "shadow_ids_sample": [],
     }
     with writer_lease_with_retry(
         index_path, owner="forget_from_minhash_index", wait_s=60.0
@@ -195,8 +204,13 @@ def forget_from_minhash_index(
                 .join(key_df, meta.id_col, "left_anti")
                 .distinct()
             )
-            out["shadow_ids"] = sorted(r[0] for r in shadows.collect())
-            # materialize BEFORE the rewrites swap the dirs this plan reads
+            # materialize BEFORE the rewrites swap the dirs this plan
+            # reads (and so count/sample/union evaluate the plan once)
+            shadows = shadows.localCheckpoint(eager=True)
+            out["shadows_swept"] = shadows.count()
+            out["shadow_ids_sample"] = sorted(
+                r[0] for r in shadows.limit(SHADOW_SAMPLE_ROWS).collect()
+            )
             all_keys = key_df.unionByName(shadows).distinct().localCheckpoint(
                 eager=True
             )
@@ -249,7 +263,8 @@ def forget_from_hash_index(
         "hashes_removed": 0,
         "blocks_removed": 0,
         "block_partitions": [],
-        "shadow_ids": [],
+        "shadows_swept": 0,
+        "shadow_ids_sample": [],
     }
     with writer_lease_with_retry(
         index_path, owner="forget_from_hash_index", wait_s=60.0
@@ -270,7 +285,11 @@ def forget_from_hash_index(
                 .join(key_df, id_col, "left_anti")
                 .distinct()
             )
-            out["shadow_ids"] = sorted(r[0] for r in shadows.collect())
+            shadows = shadows.localCheckpoint(eager=True)
+            out["shadows_swept"] = shadows.count()
+            out["shadow_ids_sample"] = sorted(
+                r[0] for r in shadows.limit(SHADOW_SAMPLE_ROWS).collect()
+            )
             all_keys = key_df.unionByName(shadows).distinct().localCheckpoint(
                 eager=True
             )
@@ -326,7 +345,12 @@ def forget_from_ivf_index(
     key_df = _ids_df(
         spark, ids, id_col, spark.read.parquet(corpus_root).schema[id_col].dataType
     )
-    out: dict = {"rows_removed": 0, "cluster_partitions": [], "shadow_ids": []}
+    out: dict = {
+        "rows_removed": 0,
+        "cluster_partitions": [],
+        "shadows_swept": 0,
+        "shadow_ids_sample": [],
+    }
     with writer_lease_with_retry(
         index_path, owner="forget_from_ivf_index", wait_s=60.0
     ):
@@ -348,7 +372,11 @@ def forget_from_ivf_index(
                 .join(key_df, id_col, "left_anti")
                 .distinct()
             )
-            out["shadow_ids"] = sorted(r[0] for r in shadows.collect())
+            shadows = shadows.localCheckpoint(eager=True)
+            out["shadows_swept"] = shadows.count()
+            out["shadow_ids_sample"] = sorted(
+                r[0] for r in shadows.limit(SHADOW_SAMPLE_ROWS).collect()
+            )
             all_keys = key_df.unionByName(shadows).distinct().localCheckpoint(
                 eager=True
             )

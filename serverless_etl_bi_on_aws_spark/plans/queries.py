@@ -3328,7 +3328,7 @@ def q83_forget_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         live = snapshot_paths(family)
         corpus_after = spark.read.parquet(live["corpus"]).count()
         sigs_removed = rep["text_index"]["sigs_removed"]
-        shadows_swept = len(rep["text_index"]["shadow_ids"])
+        shadows_swept = rep["text_index"]["shadows_swept"]
         ivf_removed = rep["ivf_index"]["rows_removed"]
         gone = targets + [t + 100000 for t in targets]
         shadow_rows_left = (

@@ -60,7 +60,8 @@ def test_forget_text_then_resubmission_admitted(spark, tmp_path):
     # content-level removal: doc 10 (the DROPPED cross-batch copy) left
     # a shadow signature that would keep shielding the content — the
     # sweep removes it alongside the requested id
-    assert rep["text_index"]["shadow_ids"] == [10]
+    assert rep["text_index"]["shadows_swept"] == 1
+    assert rep["text_index"]["shadow_ids_sample"] == [10]
     assert rep["text_index"]["sigs_removed"] == 2
     assert rep["text_index"]["bands_removed"] > 0
     assert _clean_ids(spark, clean) == {2}
@@ -119,7 +120,7 @@ def test_forget_hash_index_then_resubmission_admitted(spark, tmp_path):
     assert update_hash_index(b2, idx, "hb-1") is True
 
     rep = forget_from_hash_index(spark, idx, [1])
-    assert rep["shadow_ids"] == [10]
+    assert rep["shadows_swept"] == 1 and rep["shadow_ids_sample"] == [10]
     assert rep["hashes_removed"] == 2 and rep["blocks_removed"] > 0
     hashes = spark.read.parquet(os.path.join(idx, "hashes"))
     assert {r.doc_id for r in hashes.collect()} == {2}
@@ -173,7 +174,7 @@ def test_forget_embedding_then_resubmission_admitted(spark, tmp_path):
     n0 = spark.read.parquet(os.path.join(idx, "corpus")).count()
     rep = forget_from_ivf_index(spark, idx, [int(target.vec_id)])
     # content-level: the shadow's identical vector is swept too
-    assert rep["shadow_ids"] == [900_001]
+    assert rep["shadows_swept"] == 1 and rep["shadow_ids_sample"] == [900_001]
     assert rep["rows_removed"] == 2 and len(rep["cluster_partitions"]) == 1
     assert spark.read.parquet(os.path.join(idx, "corpus")).count() == n0 - 2
 
