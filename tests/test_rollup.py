@@ -16,7 +16,11 @@ from serverless_etl_bi_on_aws_spark.operators.rollup import (
     pricing_summary_from_rollup,
     upsert_pricing_rollup,
 )
-from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES, QUERIES
+
+#: q47 rotated to the off-driver tier in round 13 (ceded its slot to
+#: q84); this module keeps the identical value gate on it
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 SF = "/root/testdata/sf0.01"
 
@@ -29,8 +33,8 @@ def test_rollup_serves_q1_exactly(spark):
     """q47 (rollup-served) must be row-identical to q1 (raw scan): the
     exact scaled-long partials are associative, so splitting the sum
     between build and query time cannot move a cent."""
-    assert _rows(QUERIES["q47_pricing_summary_rollup"](spark, SF)) == _rows(
-        QUERIES["q1_pricing_summary"](spark, SF)
+    assert _rows(ALL_QUERIES["q47_pricing_summary_rollup"](spark, SF)) == _rows(
+        ALL_QUERIES["q1_pricing_summary"](spark, SF)
     )
 
 
