@@ -181,17 +181,6 @@ def _paired_slope_stats(times: dict[str, list[float]]) -> dict:
     }
 
 
-def _time_best(spark, name: str, sf_dir: str, runs: int = 3) -> float:
-    fn = QUERIES[name]
-    fn(spark, sf_dir).collect()  # warm-up: plan, JIT, IO cache
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
-
-
 def _floor(spark) -> float:
     """Fixed per-query cost: a fresh 5-row scan+aggregate through the full
     plan/launch/collect path. Everything a query does beyond this is real
@@ -325,10 +314,24 @@ def _run_tier(name: str) -> dict | None:
             "spark.sql.files.maxPartitionBytes", str(_TIER_SPLIT_BYTES[name])
         )
     if name == "headline":
-        timings = {
-            short: _time_best(spark, qname, sf_dir)
-            for short, qname in HEADLINE.items()
-        }
+        # INTERLEAVED reps, like the LLM/sf1 tiers (round 13): the old
+        # per-query _time_best loop ran each query's reps back-to-back,
+        # so one of this VM's multi-second stall phases poisoned every
+        # rep of whichever queries it covered (the r13 in-session run
+        # recorded q1 best-of-3 at 1.40 s — 2x its own sf1 absolute —
+        # because the whole sequential window sat in one phase; the
+        # isolated rerun read 0.68). Spreading reps over the tier's
+        # full wall time costs a phase one rep of several queries, and
+        # best-of-N absorbs that.
+        for qname in HEADLINE.values():
+            QUERIES[qname](spark, sf_dir).collect()  # warm pass
+        best: dict[str, float] = {s: float("inf") for s in HEADLINE}
+        for _ in range(4):
+            for short, qname in HEADLINE.items():
+                t0 = time.perf_counter()
+                QUERIES[qname](spark, sf_dir).collect()
+                best[short] = min(best[short], time.perf_counter() - t0)
+        timings = {s: round(v, 4) for s, v in best.items()}
         return {
             "queries": timings,
             "value": round(sum(timings.values()), 4),
