@@ -81,6 +81,38 @@ def curation_stages(
         .drop("_min_id")
         .localCheckpoint(eager=True)
     )
+    final = neardup_rung(
+        uniq,
+        jaccard_threshold=jaccard_threshold,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        max_df_frac=max_df_frac,
+        neardup=neardup,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+    )
+    return quality, uniq, final
+
+
+def neardup_rung(
+    uniq: DataFrame,
+    jaccard_threshold: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_df_frac: float | None = None,
+    neardup: str = "exact",
+    num_hashes: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """The funnel's third rung alone: near-dup pairs over an already
+    exact-deduped set, dominance rule applied. Exposed so a caller
+    comparing STRATEGIES (q82's exact-vs-minhash agreement gate) runs
+    both rungs off ONE checkpointed ``uniq`` instead of paying the
+    quality gate + text-shuffle window once per strategy."""
     if neardup == "exact":
         pairs = neardup_jaccard_pairs(
             uniq,
@@ -104,10 +136,9 @@ def curation_stages(
     else:
         raise ValueError(f"neardup must be 'exact' or 'minhash', got {neardup!r}")
     dropped = pairs.select(F.col("id_2").alias("_drop")).distinct()
-    final = uniq.join(dropped, uniq[id_col] == dropped["_drop"], "left_anti").drop(
+    return uniq.join(dropped, uniq[id_col] == dropped["_drop"], "left_anti").drop(
         "_drop"
     )
-    return quality, uniq, final
 
 
 def semantic_curation_stage(

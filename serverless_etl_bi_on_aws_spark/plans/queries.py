@@ -3176,13 +3176,20 @@ def q82_minhash_curation_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact twin is the verifier, priced only at fixture scale — the
     minhash rung's own plan ships ids-only band exchanges (q13's
     pinned discipline)."""
-    from serverless_etl_bi_on_aws_spark.operators.curation import curation_stages
+    from serverless_etl_bi_on_aws_spark.operators.curation import (
+        curation_stages,
+        neardup_rung,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    # ONE gate + exact-dedup text shuffle; both strategies' rungs run
+    # off the same checkpointed uniq (round 13 — the old shape ran the
+    # whole funnel twice, and the duplicated gate+window was ~25% of
+    # the query's wall time)
     _, uniq, f_exact = curation_stages(docs)
-    _, _, f_minhash = curation_stages(docs, neardup="minhash")
+    f_minhash = neardup_rung(uniq, neardup="minhash")
     fe = f_exact.select("doc_id").localCheckpoint(eager=True)
     fm = f_minhash.select("doc_id").localCheckpoint(eager=True)
 
