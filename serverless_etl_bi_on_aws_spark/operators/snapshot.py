@@ -356,6 +356,67 @@ def snapshot_history(family_root: str) -> list[int]:
     return sorted(out)
 
 
+def snapshot_status(family_root: str) -> dict:
+    """Operability audit of one snapshot family — what a janitor (or an
+    on-call human) needs before touching it: the live manifest seq, the
+    retained history, and per artifact the live generation, every
+    on-disk generation (live / retained / ORPHAN), leftover stage dirs
+    from crashed mutators, orphaned lock files (lock present, locked
+    path gone), and file/byte totals of the live generation. Read-only
+    and driver-side by construction: it walks directory listings and
+    the KB-sized markers, never data files' contents."""
+    man = _manifest(family_root)
+    if not man["seq"]:
+        raise FileNotFoundError(f"no snapshot manifest at {family_root}")
+    retained_seqs = snapshot_history(family_root)
+    retained_gens: dict[str, set[str]] = {}
+    for s in retained_seqs:
+        rec = read_marker(
+            os.path.join(family_root, "manifests", f"{s:06d}.json")
+        )
+        for name, gen in ((rec or {}).get("artifacts") or {}).items():
+            retained_gens.setdefault(name, set()).add(gen)
+    out: dict = {"seq": man["seq"], "retained_seqs": retained_seqs, "artifacts": {}}
+    for name, live_gen in man["artifacts"].items():
+        root = os.path.join(family_root, name)
+        gens, stages, orphan_locks = [], [], []
+        try:
+            entries = sorted(os.listdir(root))
+        except FileNotFoundError:
+            entries = []
+        for e in entries:
+            path = os.path.join(root, e)
+            if e.endswith(".__lock__"):
+                if not os.path.exists(path[: -len(".__lock__")]):
+                    orphan_locks.append(e)
+            elif e.startswith(".__stage__"):
+                stages.append(e)
+            elif e.startswith("gen-"):
+                gens.append(e)
+        live_path = os.path.join(root, live_gen)
+        n_files = total = 0
+        for dirpath, _dirs, files in os.walk(live_path):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n_files += 1
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        keep = retained_gens.get(name, {live_gen})
+        out["artifacts"][name] = {
+            "live": live_gen,
+            "generations": gens,
+            "orphan_generations": sorted(set(gens) - keep),
+            "stale_stages": stages,
+            "orphan_locks": orphan_locks,
+            "live_files": n_files,
+            "live_bytes": total,
+        }
+    return out
+
+
 @contextmanager
 def mutate_snapshot(
     family_root: str,

@@ -707,3 +707,80 @@ def test_mutator_crash_concurrent_with_live_takedown_stream(spark, tmp_path):
         assert snapshot_history(family) == sorted(snapshot_history(family))
     finally:
         qt.stop()
+
+
+def test_snapshot_status_audit(tmp_path):
+    """snapshot_status reports live/retained/orphan generations, crash
+    debris (stale stages, orphan locks), and live-generation sizes —
+    the pre-maintenance audit, read-only."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import snapshot_status
+
+    family = _tiny_family(tmp_path, "famst")
+    _bump(family, "v2", keep_n=3)
+    _bump(family, "v3", keep_n=3)
+    aroot = os.path.join(family, "a")
+    # plant crash debris: a stale stage, an orphan lock, an orphan gen
+    os.makedirs(os.path.join(aroot, ".__stage__gen-000009-dead"))
+    with open(os.path.join(aroot, ".__stage__gen-000008-x.__lock__"), "w"):
+        pass
+    os.makedirs(os.path.join(aroot, "gen-000009-orph"))
+
+    st = snapshot_status(family)
+    assert st["seq"] == 3 and st["retained_seqs"] == [1, 2, 3]
+    a = st["artifacts"]["a"]
+    assert a["live"].startswith("gen-000003-")
+    assert len(a["generations"]) == 4  # three retained + the orphan
+    assert a["orphan_generations"] == ["gen-000009-orph"]
+    assert a["stale_stages"] == [".__stage__gen-000009-dead"]
+    assert a["orphan_locks"] == [".__stage__gen-000008-x.__lock__"]
+    assert a["live_files"] == 1 and a["live_bytes"] == 2  # "v3"
+    # the next commit sweeps the debris and the status reflects it
+    _bump(family, "v4", keep_n=3)
+    a = snapshot_status(family)["artifacts"]["a"]
+    assert a["orphan_generations"] == []
+    assert a["stale_stages"] == [] and a["orphan_locks"] == []
+
+
+def test_compaction_composes_with_snapshot(spark, tmp_path):
+    """Layout maintenance through the manifest: compact_parquet runs
+    against a mutate_snapshot staged clone like every other in-place
+    mutator — an in-flight reader keeps the fragmented pre-compaction
+    generation, a fresh resolve reads the compacted one with identical
+    content, and a crash mid-compaction commits nothing."""
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import compact_parquet
+
+    docs = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    src = str(tmp_path / "corpus_src")
+    docs.repartition(16).write.parquet(src)
+    family = str(tmp_path / "family")
+    init_snapshot_family(family, {"corpus": src})
+
+    reader = snapshot_paths(family)  # resolved before the compaction
+
+    def n_files(p):
+        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+
+    assert n_files(reader["corpus"]) == 16
+    with mutate_snapshot(family, ["corpus"], owner="compactor") as st:
+        compact_parquet(spark, st["corpus"], target_file_bytes=1 << 30)
+    # in-flight reader: unchanged fragmented tree
+    assert n_files(reader["corpus"]) == 16
+    live = snapshot_paths(family)["corpus"]
+    assert n_files(live) < 16
+    assert (
+        spark.read.parquet(live).orderBy("doc_id").collect()
+        == spark.read.parquet(reader["corpus"]).orderBy("doc_id").collect()
+    )
+
+    # crash mid-compaction: nothing commits
+    seq0 = max(snapshot_history(family))
+    with pytest.raises(RuntimeError, match="compactor crash"):
+        with mutate_snapshot(family, ["corpus"], owner="compactor") as st:
+            compact_parquet(spark, st["corpus"], target_file_bytes=1)
+            raise RuntimeError("compactor crash")
+    assert max(snapshot_history(family)) == seq0
+    assert n_files(snapshot_paths(family)["corpus"]) == n_files(live)
