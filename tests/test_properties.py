@@ -289,3 +289,81 @@ def test_curation_funnel_monotone_and_conserving(spark, docs):
     for r in rep:
         assert r["n_raw"] >= r["n_quality"] >= r["n_unique"] >= r["n_final"] >= 0
         assert (r["n_final"] == 0) == (r["tokens_final"] == 0)
+
+
+# ---------------------------------------------------------------- ppm codec
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_exact(w, h, data):
+    """plugins/ppm_codec: encode -> decode is the identity on 8-bit
+    grayscale for ANY dimensions and pixel content (the plugin is a
+    real codec, so it gets codec-grade properties, like png/jpeg)."""
+    from serverless_etl_bi_on_aws_spark.plugins.ppm_codec import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h, max_size=w * h
+            )
+        )
+    )
+    dw, dh, out = decode_ppm(encode_ppm(px, w, h))
+    assert (dw, dh) == (w, h)
+    assert out == px
+
+
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    maxval=st.integers(min_value=256, max_value=65535),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_ppm_16bit_rescales_within_one(w, h, maxval, data):
+    """16-bit rasters (maxval > 255, big-endian per the netpbm spec)
+    rescale to 8-bit within +/-1 of the exact ratio."""
+    from serverless_etl_bi_on_aws_spark.plugins.ppm_codec import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+        )
+    )
+    dw, dh, out = decode_ppm(encode_ppm(px, w, h, maxval=maxval))
+    assert (dw, dh) == (w, h)
+    assert all(abs(a - b) <= 1 for a, b in zip(out, px))
+
+
+@given(junk=st.binary(max_size=64))
+@settings(max_examples=60, deadline=None)
+def test_ppm_garbage_refuses_loudly(junk):
+    """Arbitrary bytes (and truncated headers/rasters) raise ValueError
+    — never return wrong-sized pixels and never crash with anything a
+    per-item null convention upstream can't catch."""
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.plugins.ppm_codec import decode_ppm
+
+    if junk[:2] in (b"P6", b"P5"):
+        # a random blob that happens to start with the magic must still
+        # either decode consistently or refuse with ValueError
+        try:
+            w, h, out = decode_ppm(junk)
+            assert len(out) == w * h
+        except ValueError:
+            pass
+    else:
+        with _pytest.raises(ValueError):
+            decode_ppm(junk)
