@@ -535,18 +535,22 @@ def _compact_line(result: dict, budget: int = 1900) -> str:
     if len(line) <= budget:
         return line
     # stage 3 (last resort — never expected): driver-contract keys plus
-    # one scalar per diagnostic tier
+    # one scalar per diagnostic tier. Error strings are truncated hard:
+    # a tier failure records up to ~240 chars, and several failing
+    # tiers' untruncated errors alone could overflow the capture window
+    # that stages 1-2 were budgeted for.
     slim = {k: result[k] for k in ("metric", "value", "unit", "queries", "sf") if k in result}
     for k, v in result.items():
         if k in slim:
             continue
         if isinstance(v, dict):
             slim[k] = {
-                kk: vv for kk, vv in v.items()
+                kk: (vv[:60] if isinstance(vv, str) and len(vv) > 60 else vv)
+                for kk, vv in v.items()
                 if kk in ("slope_ratio", "slope_per_sf", "speedup", "total", "error")
             } or {"see": "bench_full.json"}
         else:
-            slim[k] = v
+            slim[k] = v[:60] if isinstance(v, str) and len(v) > 60 else v
     return json.dumps(_round3(slim), separators=(",", ":"))
 
 

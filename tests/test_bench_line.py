@@ -151,3 +151,22 @@ def test_real_round12_artifact_fits():
     if "scaling" in d:
         for q in d["scaling"]:
             assert "slope_ratio" in d["scaling"][q]
+
+
+def test_compact_line_survives_all_tiers_erroring():
+    """Degenerate worst case: every diagnostic tier failed and recorded
+    a ~240-char error string. Error strings are not in any drop set, so
+    without stage-3 truncation nine of them alone would overflow the
+    2,000-byte capture window — the one shape that must NEVER be
+    unparseable is the one reporting that everything broke."""
+    base = _worst_case_result()
+    err = "tier rc=-1: " + "x" * 228
+    result = {
+        k: ({"error": err} if isinstance(v, dict) and k not in ("queries",) else v)
+        for k, v in base.items()
+    }
+    line = bench._compact_line(result)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert d["queries"] == {k: round(v, 3) for k, v in base["queries"].items()}
+    assert "error" in d["scaling"] or "error" in d.get("llm", {})
