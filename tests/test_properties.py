@@ -367,3 +367,161 @@ def test_ppm_garbage_refuses_loudly(junk):
     else:
         with _pytest.raises(ValueError):
             decode_ppm(junk)
+
+
+# ------------------------------------------------ compressed audio (r13)
+
+
+def test_g711_decode_matches_independent_reference():
+    """Every one of the 256 mu-law and A-law codes expands to EXACTLY
+    the value an independent G.711 implementation (CPython's audioop)
+    produces — the decode tables are spec-exact, not approximate."""
+    import warnings
+
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import (
+        _ALAW_LUT,
+        _ULAW_LUT,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+        ref_u = np.frombuffer(
+            audioop.ulaw2lin(bytes(range(256)), 2), "<i2"
+        ).astype(np.int64)
+        ref_a = np.frombuffer(
+            audioop.alaw2lin(bytes(range(256)), 2), "<i2"
+        ).astype(np.int64)
+    assert (ref_u == _ULAW_LUT).all()
+    assert (ref_a == _ALAW_LUT).all()
+
+
+@given(
+    law=st.sampled_from(["ulaw", "alaw"]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_g711_roundtrip_within_segment_quantization(law, data):
+    """decode(encode(x)) is the nearest-code quantization of x: the
+    error is bounded by half the widest G.711 segment step (<= 512 for
+    mu-law, <= 128 for A-law at these amplitudes is not guaranteed, so
+    the bound used is the global half-step of each law)."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import (
+        _ALAW_LUT,
+        _ULAW_LUT,
+        decode_wav_pcm,
+        encode_wav_g711,
+    )
+
+    n = data.draw(st.integers(1, 200))
+    x = np.asarray(
+        data.draw(st.lists(st.integers(-32000, 32000), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    dec, rate, ch = decode_wav_pcm(encode_wav_g711(x, 8000, 1, law=law))
+    assert (rate, ch) == (8000, 1) and len(dec) == n
+    lut = _ULAW_LUT if law == "ulaw" else _ALAW_LUT
+    # nearest-code contract: no other code is strictly closer
+    vals = np.sort(lut)
+    for xi, di in zip(x, dec):
+        best = vals[np.argmin(np.abs(vals - xi))]
+        assert abs(di - xi) <= abs(best - xi) or di == best
+
+
+def test_ima_adpcm_recurrence_matches_independent_reference():
+    """The block decoder's nibble recurrence is bit-exact against
+    CPython audioop's Intel/DVI ADPCM for a random nibble stream and a
+    nonzero initial (predictor, index) state — audioop packs HIGH
+    nibble first while IMA-WAV packs LOW first, so the stream is
+    re-packed for the reference."""
+    import struct
+    import warnings
+
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import _decode_ima_adpcm
+
+    rng = np.random.default_rng(7)
+    nibs = rng.integers(0, 16, 200).tolist()
+    pred0, idx0 = -4321, 33
+    body = bytearray()
+    for i in range(0, 200, 2):
+        body.append(nibs[i] | (nibs[i + 1] << 4))
+    while len(body) % 4:
+        body.append(0)
+    block = struct.pack("<hBB", pred0, idx0, 0) + bytes(body)
+    mine = _decode_ima_adpcm(bytes(block), 1, len(block))
+    packed = bytearray()
+    for i in range(0, 200, 2):
+        packed.append((nibs[i] << 4) | nibs[i + 1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+        ref = np.frombuffer(
+            audioop.adpcm2lin(bytes(packed), 2, (pred0, idx0))[0], "<i2"
+        ).astype(np.int64)
+    assert mine[0] == pred0  # the header predictor IS the first sample
+    assert (mine[1:201] == ref[:200]).all()
+
+
+@given(
+    channels=st.integers(1, 2),
+    block_align=st.sampled_from([32, 128, 256, 1024]),
+    freq=st.integers(100, 900),
+)
+@settings(max_examples=20, deadline=None)
+def test_ima_adpcm_roundtrip_tracks_signal(channels, block_align, freq):
+    """Lossy-codec contract on a band-limited signal: decode(encode(x))
+    tracks x within a small multiple of the adapted step size (SNR
+    > 20 dB on a 12k-amplitude sine; exactness is pinned by the
+    recurrence test above). Covers mono and the stereo 4-byte-group
+    interleave, several block sizes, and the padded final block."""
+    import numpy as np
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import (
+        decode_wav_pcm,
+        encode_wav_ima_adpcm,
+    )
+
+    t = np.arange(997)  # deliberately not a multiple of any block size
+    sine = (12000 * np.sin(2 * np.pi * freq * t / 8000)).astype(np.int64)
+    if channels == 2:
+        x = np.empty(2 * sine.size, dtype=np.int64)
+        x[0::2], x[1::2] = sine, -sine
+    else:
+        x = sine
+    dec, rate, ch = decode_wav_pcm(
+        encode_wav_ima_adpcm(x, 8000, channels, block_align=block_align)
+    )
+    assert (rate, ch) == (8000, channels)
+    n = x.size
+    assert len(dec) >= n
+    err = dec[:n] - x[:n]
+    snr = 10 * np.log10(float((x[:n] ** 2).mean()) / max(float((err**2).mean()), 1.0))
+    assert snr > 20.0, f"SNR {snr:.1f} dB"
+
+
+def test_wav_unsupported_formats_still_refuse():
+    """MS-ADPCM (2), IEEE float (3), extensible (0xFFFE) keep the loud
+    ValueError contract — only formats decoded EXACTLY per spec pass."""
+    import struct
+
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import decode_wav_pcm
+
+    for tag in (2, 3, 0xFFFE):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 2, 16)
+        chunks = b"".join(
+            [b"fmt ", struct.pack("<I", len(fmt)), fmt,
+             b"data", struct.pack("<I", 4), b"\x00\x00\x00\x00"]
+        )
+        wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        with _pytest.raises(ValueError):
+            decode_wav_pcm(wav)
