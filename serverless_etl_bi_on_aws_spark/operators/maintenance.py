@@ -14,11 +14,12 @@ micro-batch of streaming/incremental.py is a new file):
     Passing ``cluster_by`` makes the rewrite a range-partitioned sort
     (``repartitionByRange`` + ``sortWithinPartitions``) so each output
     file owns a narrow, near-disjoint value range — a point or range
-    predicate then touches ~1 file instead of all of them (the single-
-    column core of what Delta's OPTIMIZE ZORDER does; true Z-order
-    interleaves bits of several columns onto one range key — same
-    rewrite shape, different ordering key; pytest checks the actual
-    parquet footer stats, not just the plan).
+    predicate then touches ~1 file instead of all of them. A LIST of
+    columns Z-ORDERS instead (:func:`zorder_key`: quantile-bucketize
+    each column, interleave the bits onto one Morton key — Delta's
+    OPTIMIZE ZORDER) so EVERY listed column's footer stats prune at
+    once; pytest checks the actual parquet footer stats, not just the
+    plan.
 
 Both rewrites are write-new-then-swap (same atomicity protocol as
 streaming/incremental.py). At 100 TB run them per partition (compact
@@ -45,28 +46,97 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def zorder_key(
+    spark: SparkSession,
+    df,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "_zkey",
+):
+    """Append a Z-order (Morton) key over ``cols``: each column is
+    quantile-bucketized to ``bits`` bits and the buckets' bits are
+    INTERLEAVED, so sorting by the key clusters rows that are close in
+    EVERY dimension — a range rewrite on the key leaves every listed
+    column's per-file min/max narrow at once (what Delta's OPTIMIZE
+    ZORDER does; single-column range clustering makes one column
+    skippable and leaves the others spanning every file).
+
+    Scale shape: one ``approxQuantile`` pass per call computes the
+    2^bits - 1 cut points per column (driver-side result is KBs), the
+    bucketization is a broadcast-splits map (pyspark.ml Bucketizer),
+    and the interleave is ``bits x len(cols)`` codegen'd shift/or
+    terms — no window over the whole table, no global sort beyond the
+    range exchange the rewrite pays anyway."""
+    from pyspark.ml.feature import Bucketizer
+
+    if not cols or bits < 1 or bits > 16:
+        raise ValueError("zorder_key needs 1+ columns and 1 <= bits <= 16")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    work = df
+    bucket_cols = []
+    for c in cols:
+        qs = df.stat.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+        splits = [float("-inf")]
+        for q in qs:
+            if q > splits[-1]:
+                splits.append(float(q))
+        splits.append(float("inf"))
+        bc = f"__zb_{c}"
+        work = Bucketizer(
+            splits=splits,
+            inputCol=c,
+            outputCol=bc,
+            handleInvalid="keep",
+        ).transform(work)
+        # handleInvalid="keep" parks NULLs in one extra trailing bucket;
+        # clamp so the interleave never overflows its bit budget
+        work = work.withColumn(
+            bc, F.least(F.col(bc).cast("long"), F.lit(n_buckets - 1))
+        )
+        bucket_cols.append(bc)
+    k = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, bc in enumerate(bucket_cols):
+            key = key + F.shiftleft(
+                F.shiftright(F.col(bc), b).bitwiseAND(F.lit(1)), b * k + i
+            )
+    return work.withColumn(out_col, key).drop(*bucket_cols)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 << 20,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
     dedupe_on: list[str] | None = None,
 ) -> int:
     """Rewrite the parquet directory at ``path`` into
     ``ceil(current_bytes / target_file_bytes)`` files; returns the new
-    file count. With ``cluster_by``, files are range-clustered on that
-    column (near-disjoint per-file min/max -> stats-based skipping).
-    With ``dedupe_on``, exact duplicates on those columns collapse to one
-    row — for append-only set-membership tables (the dedup-index bands/
-    sigs) whose at-least-once appends legally carry replay duplicates:
-    harmless to consumers, dead weight on disk until a compaction."""
+    file count. With ``cluster_by`` a COLUMN NAME, files are
+    range-clustered on that column (near-disjoint per-file min/max ->
+    stats-based skipping); with a LIST of columns, files are Z-ORDER
+    clustered (:func:`zorder_key` — every listed column's footer stats
+    become selective at once). With ``dedupe_on``, exact duplicates on
+    those columns collapse to one row — for append-only set-membership
+    tables (the dedup-index bands/sigs) whose at-least-once appends
+    legally carry replay duplicates: harmless to consumers, dead weight
+    on disk until a compaction."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
     df = spark.read.parquet(path)
     if dedupe_on is not None:
         df = df.dropDuplicates(dedupe_on)
-    if cluster_by is not None:
+    if isinstance(cluster_by, (list, tuple)):
+        keyed = zorder_key(spark, df, list(cluster_by))
+        out = (
+            keyed.repartitionByRange(n_files, F.col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey")
+        )
+    elif cluster_by is not None:
         out = df.repartitionByRange(n_files, F.col(cluster_by)).sortWithinPartitions(
             cluster_by
         )

@@ -136,3 +136,69 @@ def test_escaped_partition_values_survive_rewrite(spark, tmp_path):
     assert removed == 3
     got = {(r["doc_id"], r["band"]) for r in spark.read.parquet(root).collect()}
     assert got == {(2, "a:b"), (4, "x=y"), (6, "plain")}
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    """Z-order compaction (cluster_by=[a, b]) makes BOTH columns' footer
+    stats selective at once, where single-column range clustering makes
+    one column skippable and leaves the other spanning every file —
+    checked on the real parquet footers, not the plan."""
+    path = str(tmp_path / "orders_z")
+    orders = load_table(spark, SF_CORRECT, "orders")
+    # two independent-ish numeric dimensions
+    orders.select("o_orderkey", "o_custkey", "o_totalprice").repartition(
+        16
+    ).write.mode("overwrite").parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+    def candidates(column):
+        """Median candidate-file count over several point probes (a
+        single probe is noisy: the exact mid-range point sits ON the
+        Morton curve's major bit boundary, its worst case)."""
+        stats = file_column_stats(path, column)
+        assert stats and all(lo is not None for _, lo, _ in stats)
+        los = [lo for _, lo, _ in stats]
+        his = [hi for _, _, hi in stats]
+        gmin, gmax = min(los), max(his)
+        hits = sorted(
+            sum(1 for lo, hi in zip(los, his) if lo <= gmin + q * (gmax - gmin) <= hi)
+            for q in (0.1, 0.25, 0.4, 0.6, 0.75, 0.9)
+        )
+        return hits[len(hits) // 2], len(stats)
+
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import (
+        compact_parquet as _compact,
+    )
+
+    # single-column clustering on custkey: totalprice spans every file
+    _compact(spark, path, target_file_bytes=total // 12, cluster_by="o_custkey")
+    hit_ck, n = candidates("o_custkey")
+    hit_tp, _ = candidates("o_totalprice")
+    assert n >= 8 and hit_ck <= 2
+    assert hit_tp >= int(0.9 * n), "unclustered column should span ~every file"
+
+    # z-order on both: EACH column individually prunes to a fraction
+    # (Morton alternation makes one dimension ~2x coarser than the
+    # other, so the contract is "well under every file" per column,
+    # not the single-column clustering's near-perfect pruning)
+    _compact(
+        spark, path, target_file_bytes=total // 12,
+        cluster_by=["o_custkey", "o_totalprice"],
+    )
+    z_ck, nz = candidates("o_custkey")
+    z_tp, _ = candidates("o_totalprice")
+    assert nz >= 8
+    assert z_ck <= int(0.7 * nz), f"custkey candidates {z_ck}/{nz}"
+    assert z_tp <= int(0.7 * nz), f"totalprice candidates {z_tp}/{nz}"
+    assert min(z_ck, z_tp) <= int(0.45 * nz), "one dimension must prune hard"
+    # content preserved exactly
+    got = spark.read.parquet(path)
+    orig = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    assert got.count() == orig.count()
+    a = got.agg(F.sum("o_orderkey"), F.sum("o_custkey")).head()
+    b = orig.agg(F.sum("o_orderkey"), F.sum("o_custkey")).head()
+    assert a == b
