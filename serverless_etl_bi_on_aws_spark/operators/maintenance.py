@@ -111,6 +111,7 @@ def compact_parquet(
     target_file_bytes: int = 128 << 20,
     cluster_by: str | list[str] | None = None,
     dedupe_on: list[str] | None = None,
+    bloom_cols: dict[str, int] | None = None,
 ) -> int:
     """Rewrite the parquet directory at ``path`` into
     ``ceil(current_bytes / target_file_bytes)`` files; returns the new
@@ -122,7 +123,17 @@ def compact_parquet(
     those columns collapse to one row — for append-only set-membership
     tables (the dedup-index bands/sigs) whose at-least-once appends
     legally carry replay duplicates: harmless to consumers, dead weight
-    on disk until a compaction."""
+    on disk until a compaction.
+
+    ``bloom_cols`` ({column: expected distinct values}) writes a parquet
+    BLOOM FILTER per listed column — the point-lookup complement to
+    clustering: min/max stats prune only when values are clustered,
+    while a bloom answers "is key k possibly in this row group?" for
+    high-cardinality UNSORTED columns (the dedup indexes' id columns
+    are the motivating case: takedown semi-joins probe ids across every
+    band partition). Costs ~1.2 bytes/ndv of file size; readers use it
+    through the normal pushed filters (spark.sql.parquet.filterPushdown,
+    on by default)."""
     if target_file_bytes <= 0:
         raise ValueError("target_file_bytes must be positive")
     n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
@@ -143,7 +154,13 @@ def compact_parquet(
     else:
         out = df.repartition(n_files)
     tmp = f"{path}.__new__{uuid.uuid4().hex[:8]}"
-    out.write.mode("overwrite").parquet(tmp)
+    writer = out.write.mode("overwrite")
+    for col, ndv in (bloom_cols or {}).items():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        writer = writer.option(
+            f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv))
+        )
+    writer.parquet(tmp)
     old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)
