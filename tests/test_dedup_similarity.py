@@ -544,7 +544,9 @@ def test_wav_codec_roundtrip_and_refusals():
     fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
     bodyf = b"fmt " + struct.pack("<I", 16) + fmtf + b"data" + struct.pack("<I", 0)
     wavf = b"RIFF" + struct.pack("<I", 4 + len(bodyf)) + b"WAVE" + bodyf
-    with _pytest.raises(ValueError, match="PCM"):
+    # (r13: G.711/IMA-ADPCM decode now, so the refusal message is the
+    # generic unsupported-format one, not "only PCM")
+    with _pytest.raises(ValueError, match="unsupported audio format"):
         decode_wav_pcm(wavf)
     with _pytest.raises(ValueError):
         decode_wav_pcm(data[: len(data) // 2])
