@@ -68,15 +68,35 @@ def zorder_key(
     terms — no window over the whole table, no global sort beyond the
     range exchange the rewrite pays anyway."""
     from pyspark.ml.feature import Bucketizer
+    from pyspark.sql.types import DateType, NumericType, TimestampType
 
     if not cols or bits < 1 or bits > 16:
         raise ValueError("zorder_key needs 1+ columns and 1 <= bits <= 16")
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # date/timestamp columns cluster through their epoch double — the
+    # canonical z-order pair is (entity key, event date); anything else
+    # non-numeric refuses loudly rather than bucketizing garbage
     work = df
+    num_cols = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, NumericType):
+            num_cols[c] = c
+        elif isinstance(dt, (DateType, TimestampType)):
+            nc = f"__znum_{c}"
+            work = work.withColumn(
+                nc, F.col(c).cast("timestamp").cast("double")
+            )
+            num_cols[c] = nc
+        else:
+            raise ValueError(
+                f"zorder_key: column {c!r} has non-orderable-numeric type "
+                f"{dt.simpleString()}; cast it upstream"
+            )
     bucket_cols = []
     for c in cols:
-        qs = df.stat.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+        qs = work.stat.approxQuantile(num_cols[c], probs, 1.0 / (4 * n_buckets))
         splits = [float("-inf")]
         for q in qs:
             if q > splits[-1]:
@@ -85,7 +105,7 @@ def zorder_key(
         bc = f"__zb_{c}"
         work = Bucketizer(
             splits=splits,
-            inputCol=c,
+            inputCol=num_cols[c],
             outputCol=bc,
             handleInvalid="keep",
         ).transform(work)
@@ -102,7 +122,8 @@ def zorder_key(
             key = key + F.shiftleft(
                 F.shiftright(F.col(bc), b).bitwiseAND(F.lit(1)), b * k + i
             )
-    return work.withColumn(out_col, key).drop(*bucket_cols)
+    helpers = [nc for c, nc in num_cols.items() if nc != c]
+    return work.withColumn(out_col, key).drop(*bucket_cols, *helpers)
 
 
 def compact_parquet(
@@ -160,7 +181,21 @@ def compact_parquet(
         writer = writer.option(
             f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv))
         )
-    writer.parquet(tmp)
+    # Spark's default parquet timestamp encoding is INT96, which carries
+    # NO min/max statistics — a compaction that re-wrote timestamps as
+    # INT96 would silently destroy stats-based skipping on every time
+    # column, the exact thing this module exists to create. Rewrites
+    # always emit INT64 micros (what Iceberg/Delta write).
+    ts_conf = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_conf, None)
+    spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(tmp)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_conf)
+        else:
+            spark.conf.set(ts_conf, prev_ts)
     old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     os.rename(tmp, path)

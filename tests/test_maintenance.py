@@ -243,3 +243,51 @@ def test_bloom_filter_compaction(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 200000
     assert got.filter(F.col("h") == 954).count() == probe
+
+
+def test_zorder_on_key_and_timestamp(spark, tmp_path):
+    """The canonical z-order pair — (entity key, event time) — works
+    directly: timestamp columns cluster through their epoch double, the
+    helper columns never leak into the output, and both dimensions'
+    footer stats prune. Non-orderable types refuse loudly."""
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import (
+        compact_parquet as _compact,
+        zorder_key,
+    )
+
+    path = str(tmp_path / "orders_zt")
+    orders = load_table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    orders.repartition(16).write.mode("overwrite").parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    _compact(
+        spark, path, target_file_bytes=total // 12,
+        cluster_by=["o_custkey", "o_orderdate"],
+    )
+    got = spark.read.parquet(path)
+    assert set(got.columns) == {"o_orderkey", "o_custkey", "o_orderdate"}
+    assert got.count() == orders.count()
+    for col in ("o_custkey", "o_orderdate"):
+        stats = file_column_stats(path, col)
+        assert stats and all(lo is not None for _, lo, _ in stats)
+        # clustered at all: not every file spans the full range
+        los = [lo for _, lo, _ in stats]
+        his = [hi for _, _, hi in stats]
+        spans_all = sum(
+            1 for lo, hi in zip(los, his) if lo == min(los) and hi == max(his)
+        )
+        assert spans_all <= len(stats) // 2, f"{col} unclustered"
+
+    with _pytest.raises(ValueError, match="non-orderable-numeric"):
+        zorder_key(
+            spark,
+            load_table(spark, SF_CORRECT, "orders").select("o_orderkey", "o_orderstatus"),
+            ["o_orderstatus", "o_orderkey"],
+        )
