@@ -202,8 +202,16 @@ def _decode_ima_adpcm(raw: bytes, channels: int, block_align: int) -> np.ndarray
     block, so this vectorizes across (blocks x channels) and loops only
     over the within-block sample axis."""
     hdr = 4 * channels
-    if block_align <= hdr or block_align % 4:
-        raise ValueError(f"wav: invalid IMA ADPCM block align {block_align}")
+    if block_align <= hdr or (block_align - hdr) % (4 * channels):
+        # the data region must split into whole 4-byte-per-channel
+        # round-robin groups; a block_align that merely passes % 4 (e.g.
+        # 12 with 2 channels) would otherwise surface as an opaque numpy
+        # reshape error instead of a codec diagnostic (round-13 ADVICE)
+        raise ValueError(
+            f"wav: invalid IMA ADPCM block align {block_align} for "
+            f"{channels} channel(s): data region must be a multiple of "
+            f"{4 * channels} bytes after the {hdr}-byte header"
+        )
     if len(raw) < hdr:
         return np.zeros(0, dtype=np.int64)
     # pad a trailing partial block; remember how many data bytes are real
@@ -233,10 +241,17 @@ def _decode_ima_adpcm(raw: bytes, channels: int, block_align: int) -> np.ndarray
     # trim samples manufactured from the pad bytes of a partial tail
     tail_bytes = len(raw) - (n_blocks - 1) * block_align
     if tail_bytes < block_align:
-        tail_data = max(tail_bytes - hdr, 0)
-        tail_samples = (tail_data * 2) // channels + 1
         full = (n_blocks - 1) * (spb + 1) * channels
-        flat = flat[: full + tail_samples * channels]
+        if tail_bytes < hdr:
+            # the final block is truncated INSIDE its per-channel
+            # header: even the predictor (the block's first output
+            # sample) would be fabricated from zero padding — drop the
+            # block rather than emit invented samples (round-13 ADVICE)
+            flat = flat[:full]
+        else:
+            tail_data = tail_bytes - hdr
+            tail_samples = (tail_data * 2) // channels + 1
+            flat = flat[: full + tail_samples * channels]
     return flat
 
 

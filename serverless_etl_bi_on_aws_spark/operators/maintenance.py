@@ -72,11 +72,30 @@ def zorder_key(
 
     if not cols or bits < 1 or bits > 16:
         raise ValueError("zorder_key needs 1+ columns and 1 <= bits <= 16")
+    if bits * len(cols) > 64:
+        # the interleave targets one signed 64-bit key; a shiftleft
+        # position >= 64 wraps mod 64 under JVM long-shift semantics and
+        # would silently scramble the key (and so the clustering the
+        # rewrite exists to create) instead of overflowing loudly
+        raise ValueError(
+            f"zorder_key: bits * len(cols) = {bits * len(cols)} exceeds the "
+            f"64-bit key budget; use bits <= {64 // len(cols)} for "
+            f"{len(cols)} columns"
+        )
+    if out_col in df.columns:
+        raise ValueError(
+            f"zorder_key: output column {out_col!r} already exists in the "
+            f"input; pass a different out_col"
+        )
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # date/timestamp columns cluster through their epoch double — the
     # canonical z-order pair is (entity key, event date); anything else
     # non-numeric refuses loudly rather than bucketizing garbage
+    # working columns carry a nonce so an input that legitimately owns a
+    # column named __zb_*/__znum_* is never silently overwritten and
+    # dropped from the output (round-13 ADVICE)
+    nonce = uuid.uuid4().hex[:8]
     work = df
     num_cols = {}
     for c in cols:
@@ -84,7 +103,7 @@ def zorder_key(
         if isinstance(dt, NumericType):
             num_cols[c] = c
         elif isinstance(dt, (DateType, TimestampType)):
-            nc = f"__znum_{c}"
+            nc = f"__znum_{nonce}_{c}"
             work = work.withColumn(
                 nc, F.col(c).cast("timestamp").cast("double")
             )
@@ -102,7 +121,7 @@ def zorder_key(
             if q > splits[-1]:
                 splits.append(float(q))
         splits.append(float("inf"))
-        bc = f"__zb_{c}"
+        bc = f"__zb_{nonce}_{c}"
         work = Bucketizer(
             splits=splits,
             inputCol=num_cols[c],
@@ -162,11 +181,15 @@ def compact_parquet(
     if dedupe_on is not None:
         df = df.dropDuplicates(dedupe_on)
     if isinstance(cluster_by, (list, tuple)):
-        keyed = zorder_key(spark, df, list(cluster_by))
+        # nonce the key column so a table that already owns "_zkey"
+        # keeps it (round-13 ADVICE: fixed names silently dropped a
+        # colliding input column from the compacted output)
+        zk = f"_zkey_{uuid.uuid4().hex[:8]}"
+        keyed = zorder_key(spark, df, list(cluster_by), out_col=zk)
         out = (
-            keyed.repartitionByRange(n_files, F.col("_zkey"))
-            .sortWithinPartitions("_zkey")
-            .drop("_zkey")
+            keyed.repartitionByRange(n_files, F.col(zk))
+            .sortWithinPartitions(zk)
+            .drop(zk)
         )
     elif cluster_by is not None:
         out = df.repartitionByRange(n_files, F.col(cluster_by)).sortWithinPartitions(
@@ -240,6 +263,9 @@ _PART_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\\x7f{[]^') | frozenset(
     chr(c) for c in range(0x01, 0x20)
 )
 
+#: directory name Spark/Hive use for a NULL partition value
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
 
 def _escape_part_value(v: object) -> str:
     return "".join(
@@ -305,12 +331,24 @@ def rewrite_partitions_without_keys(
     across partitions run this against a snapshot stage clone
     (operators/snapshot.mutate_snapshot), where a crash commits
     nothing."""
-    vals = sorted(part_values)
-    if not vals:
+    # A None partition value is legal: Spark writes null partition rows
+    # under part_col=__HIVE_DEFAULT_PARTITION__. str(None) == "None"
+    # matches no such directory, so without mapping it the null
+    # partition's kept rows would sit unmatched in tmp and trip the
+    # leftover-tmp guard AFTER other partitions were already swapped
+    # (round-13 ADVICE: loud, but partially applied). Map None to the
+    # hive sentinel on both the filter and the swap sides.
+    raw_vals = list(part_values)
+    has_null = any(v is None for v in raw_vals)
+    vals = sorted(v for v in raw_vals if v is not None)
+    if not vals and not has_null:
         return 0
     df = spark.read.parquet(root)
     key_df = keys.select(F.col(keys.columns[0]).alias(key_col)).dropDuplicates()
-    scoped = df.filter(F.col(part_col).isin(vals))
+    cond = F.col(part_col).isin(vals) if vals else F.lit(False)
+    if has_null:
+        cond = cond | F.col(part_col).isNull()
+    scoped = df.filter(cond)
     kept = scoped.join(key_df, key_col, "left_anti")
     before, after = scoped.count(), kept.count()
     if before == after:
@@ -325,8 +363,8 @@ def rewrite_partitions_without_keys(
     # below would silently delete them (round-12 ADVICE, data loss).
     tmp_dirs = _hive_partition_dirs(tmp, part_col)
     root_dirs = _hive_partition_dirs(root, part_col)
-    for v in vals:
-        sv = str(v)
+    for v in vals + ([None] if has_null else []):
+        sv = _HIVE_NULL_PART if v is None else str(v)
         pdir = os.path.join(
             root, root_dirs.get(sv, f"{part_col}={_escape_part_value(sv)}")
         )

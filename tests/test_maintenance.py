@@ -291,3 +291,92 @@ def test_zorder_on_key_and_timestamp(spark, tmp_path):
             load_table(spark, SF_CORRECT, "orders").select("o_orderkey", "o_orderstatus"),
             ["o_orderstatus", "o_orderkey"],
         )
+
+
+def test_null_partition_value_rewrite(spark, tmp_path):
+    """Round-13 ADVICE (low): a NULL partition value is written by Spark
+    as part_col=__HIVE_DEFAULT_PARTITION__; str(None) == 'None' matches
+    no such dir, so before the fix the null partition was left
+    un-rewritten and the leftover-tmp guard raised AFTER other
+    partitions had already been swapped. None in part_values must map to
+    the hive sentinel on both the filter and the swap sides."""
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import (
+        rewrite_partitions_without_keys,
+    )
+
+    root = str(tmp_path / "nullpart")
+    rows = [(1, "b0"), (2, "b0"), (3, None), (4, None), (5, None), (6, "b1")]
+    df = spark.createDataFrame(rows, "doc_id long, band string")
+    df.write.mode("overwrite").partitionBy("band").parquet(root)
+    assert "band=__HIVE_DEFAULT_PARTITION__" in set(os.listdir(root))
+    keys = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    removed = rewrite_partitions_without_keys(
+        spark, root, "band", ["b0", None], keys, "doc_id"
+    )
+    assert removed == 2
+    got = {
+        (r["doc_id"], r["band"]) for r in spark.read.parquet(root).collect()
+    }
+    assert got == {(2, "b0"), (4, None), (5, None), (6, "b1")}
+    # a fully-emptied null partition keeps the replay gate like any other
+    ndir = os.path.join(root, "band=__HIVE_DEFAULT_PARTITION__")
+    with open(os.path.join(ndir, "_SUCCESS"), "w"):
+        pass
+    keys2 = spark.createDataFrame([(4,), (5,)], "doc_id long")
+    removed2 = rewrite_partitions_without_keys(
+        spark, root, "band", [None], keys2, "doc_id"
+    )
+    assert removed2 == 2
+    assert os.path.exists(os.path.join(ndir, "_SUCCESS"))
+    assert not any(f.endswith(".parquet") for f in os.listdir(ndir))
+    got2 = {(r["doc_id"], r["band"]) for r in spark.read.parquet(root).collect()}
+    assert got2 == {(2, "b0"), (6, "b1")}
+
+
+def test_zorder_bit_budget_guard(spark):
+    """Round-13 ADVICE (low): bits * len(cols) > 64 would wrap shiftleft
+    positions mod 64 under JVM long-shift semantics and silently
+    scramble the Morton key; the guard must refuse loudly."""
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import zorder_key
+
+    df = spark.range(10).selectExpr(
+        *[f"cast(id * {i + 1} as long) as c{i}" for i in range(5)]
+    )
+    with _pytest.raises(ValueError, match="64-bit key budget"):
+        zorder_key(spark, df, [f"c{i}" for i in range(5)], bits=16)
+    # 5 cols * 12 bits = 60 <= 64 stays legal
+    out = zorder_key(spark, df, [f"c{i}" for i in range(5)], bits=12)
+    assert out.count() == 10
+
+
+def test_zorder_working_columns_never_clobber_input(spark, tmp_path):
+    """Round-13 ADVICE (low): an input that legitimately owns a column
+    named _zkey / __zb_* / __znum_* must survive compaction with that
+    column intact (fixed working names silently overwrote and dropped
+    it before the fix), and zorder_key must refuse an out_col that
+    already exists."""
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import (
+        compact_parquet as _compact,
+        zorder_key,
+    )
+
+    path = str(tmp_path / "clobber")
+    df = spark.range(1000).selectExpr(
+        "id",
+        "cast(id * 7 % 97 as long) as k",
+        "cast(id * 3 as long) as _zkey",
+        "cast(id + 1 as long) as __zb_k",
+    )
+    df.write.mode("overwrite").parquet(path)
+    _compact(spark, path, target_file_bytes=1 << 30, cluster_by=["id", "k"])
+    got = spark.read.parquet(path)
+    assert set(got.columns) == {"id", "k", "_zkey", "__zb_k"}
+    a = got.agg(F.sum("_zkey"), F.sum("__zb_k")).head()
+    b = df.agg(F.sum("_zkey"), F.sum("__zb_k")).head()
+    assert a == b
+    with _pytest.raises(ValueError, match="already exists"):
+        zorder_key(spark, df, ["id", "k"], out_col="_zkey")

@@ -525,3 +525,38 @@ def test_wav_unsupported_formats_still_refuse():
         wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
         with _pytest.raises(ValueError):
             decode_wav_pcm(wav)
+
+
+def test_ima_adpcm_block_align_and_truncated_header_guards():
+    """Round-13 ADVICE (low): (a) a block_align whose data region does
+    not split into whole 4-byte-per-channel groups (e.g. 12 with 2
+    channels passes % 4) must raise the codec's own diagnostic, not an
+    opaque numpy reshape error; (b) a final block truncated INSIDE its
+    per-channel header must be dropped, not fabricate one sample per
+    channel from zero padding."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.functions.wav import _decode_ima_adpcm
+
+    # (a) stereo block_align=12: hdr=8, data region 4 not a multiple of 8
+    with _pytest.raises(ValueError, match="block align"):
+        _decode_ima_adpcm(b"\x00" * 24, 2, 12)
+    # mono block_align must still work at any multiple of 4 above hdr
+    blk = struct.pack("<hBB", 100, 0, 0) + b"\x00" * 8
+    assert _decode_ima_adpcm(blk, 1, 12).size == 17
+
+    # (b) two mono blocks, the second truncated to 2 bytes (< 4-byte hdr)
+    full = struct.pack("<hBB", 500, 10, 0) + bytes(range(8))
+    truncated = full + b"\x01\x02"
+    whole = _decode_ima_adpcm(full, 1, 12)
+    got = _decode_ima_adpcm(truncated, 1, 12)
+    assert np.array_equal(got, whole), (
+        "a tail shorter than the header must contribute zero samples"
+    )
+    # a tail with a COMPLETE header still yields its predictor sample
+    with_hdr = full + struct.pack("<hBB", -7, 0, 0)
+    got2 = _decode_ima_adpcm(with_hdr, 1, 12)
+    assert got2.size == whole.size + 1 and got2[-1] == -7
