@@ -1918,3 +1918,47 @@ EXTRA_ORACLE_SQL["q84_takedown_stream_verify"] = """
         SELECT 'snapshots_after_replay', CAST(4 AS BIGINT)
     ) ORDER BY metric
 """
+
+# q85_maintenance_verify (round 14): the z-order + bloom maintenance path
+# over a PLANTED fact slice — every order carries CRT-independent cluster
+# dimensions (x = o_orderkey % 97, y = o_orderkey % 89) and the exact
+# money scaling (cents = floor(o_totalprice*100+0.5)). Row counts, exact
+# cents/xy sums, and the bloom'd point lookup (the fixture's min
+# orderkey) are pure fixture arithmetic the oracle recomputes below; the
+# layout-dependent numbers — per-file footer min/max candidate counts
+# and the bloom's on-disk footprint — enter as measured-margin booleans
+# against planted thresholds (<= 70% of files per clustered column,
+# <= 45% for the better one, >= 50 KB growth; the q13/q18 precedent).
+EXTRA_ORACLE_SQL["q85_maintenance_verify"] = """
+    WITH o AS (SELECT COUNT(*) AS c,
+                      SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents,
+                      SUM((o_orderkey % 97) * 1000 + (o_orderkey % 89)) AS xy
+               FROM orders),
+         p AS (SELECT COUNT(*) AS c FROM orders
+               WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders))
+    SELECT metric, value FROM (
+        SELECT 'bloom_growth_ge_50k' AS metric, CAST(1 AS BIGINT) AS value
+        UNION ALL
+        SELECT 'bloom_lookup_rows', CAST(p.c AS BIGINT) FROM p
+        UNION ALL
+        SELECT 'cents_sum_after_bloom', CAST(o.cents AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'cents_sum_after_zorder', CAST(o.cents AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'n_files_12_to_20', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'prune_best_le_45pct', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'prune_x_le_70pct', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'prune_y_le_70pct', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'rows_after_bloom', CAST(o.c AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'rows_after_zorder', CAST(o.c AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'prunes_nothing_before', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'xy_sum_after_zorder', CAST(o.xy AS BIGINT) FROM o
+    ) ORDER BY metric
+"""

@@ -3557,6 +3557,158 @@ def q84_takedown_stream_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q85_maintenance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order + bloom table maintenance, value-gated end to end
+    (round-13 verdict ask #2 — ``compact_parquet(cluster_by=[...],
+    bloom_cols=...)`` landed r13 with pytest footer audits only; the
+    landing-round invariant says a warehouse's maintenance path deserves
+    the same driver value gate as its query path). The reference's
+    warehouse compacts/partition-organizes its parquet lake as a
+    maintenance step of the ETL (README.md:59-63); this is the
+    clustered-rewrite analog.
+
+    Planted fact slice, fully deterministic from the fixture: every
+    order carries two independent cluster dimensions derived by CRT
+    (``x = o_orderkey % 97``, ``y = o_orderkey % 89`` — jointly uniform
+    over the 97x89 cycle) plus the exact money scaling
+    (``cents = floor(o_totalprice*100 + 0.5)``). The slice is written
+    fragmented (16 unclustered files), then rewritten twice by
+    :func:`operators.maintenance.compact_parquet`: once Z-order
+    clustered on (x, y), once more with a split-block bloom filter on
+    o_orderkey.
+
+    The verified story, every value either recomputed by the oracle
+    from the planted arithmetic alone (row counts, exact sums, the
+    bloom'd point-lookup) or a measured-margin boolean against planted
+    thresholds (the q13/q18 precedent for layout-dependent numbers —
+    per-file min/max candidate counts read straight from the REAL
+    parquet footers via pyarrow, the same statistics the scanner's
+    skipping decisions use):
+
+      * content equality: rows and the exact cents/xy sums survive BOTH
+        rewrites bit-for-bit (a double SUM would vary with summation
+        order across layouts — see q1's money notes);
+      * negative control: before clustering a median point probe on x
+        touches >= 90% of the fragmented files (stats prune nothing);
+      * after the Z-order rewrite, a median point probe on EACH of x
+        and y individually touches <= 70% of files, and the better
+        dimension <= 45% (Morton alternation makes one dimension ~2x
+        coarser) — footer arithmetic replayed per file, per column;
+      * the bloom rewrite grows the directory by >= 50 KB (pyarrow in
+        this container does not surface bloom offsets, so the filter's
+        on-disk footprint for the declared NDV is the observable) and a
+        point lookup through the pushed-filter path returns exactly the
+        fixture's row.
+
+    Scale shape: both rewrites are write-new-then-swap with one range
+    exchange each (zorder_key: one approxQuantile pass per column,
+    broadcast Bucketizer splits, codegen'd Morton interleave — no
+    window, no global sort); the footer audit is driver-side by design
+    (footers are KB-sized and file counts are maintenance-scale)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.operators.maintenance import (
+        compact_parquet,
+        file_column_stats,
+    )
+
+    synth = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 97).alias("x"),
+        (F.col("o_orderkey") % 89).alias("y"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+    def _dir_bytes(path: str) -> int:
+        return sum(
+            _os.path.getsize(_os.path.join(path, f))
+            for f in _os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    def _candidates(path: str, column: str) -> tuple[int, int]:
+        """Median candidate-file count for point probes at planted
+        quantile positions of ``column``'s global range, from the REAL
+        footer min/max — several probes because a single one can sit ON
+        the Morton curve's major bit boundary (its worst case)."""
+        stats = file_column_stats(path, column)
+        los = [lo for _, lo, _ in stats if lo is not None]
+        his = [hi for _, _, hi in stats if hi is not None]
+        gmin, gmax = min(los), max(his)
+        hits = sorted(
+            sum(
+                1
+                for lo, hi in zip(los, his)
+                if lo <= gmin + q * (gmax - gmin) <= hi
+            )
+            for q in (0.1, 0.25, 0.4, 0.6, 0.75, 0.9)
+        )
+        return hits[len(hits) // 2], len(stats)
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_q85_")
+    try:
+        path = _os.path.join(scratch, "fact")
+        synth.repartition(16).write.parquet(path)
+        # negative control: before clustering a median point probe on x
+        # touches >= 90% of the fragmented files (stats prune nothing).
+        # Interior-quantile probes, not exact-extreme spans: a small
+        # fragment can miss the range's endpoints without ever pruning.
+        pre_x, pre_n = _candidates(path, "x")
+        prunes_nothing_before = pre_x >= int(0.9 * pre_n)
+
+        # a power-of-4 file count aligns the range boundaries with the
+        # Morton curve's natural 4x4 block grid — 12/13 ragged files
+        # measured ~50% per-dimension candidates vs ~40% at 16
+        target = max(_dir_bytes(path) // 16, 1)
+        n_files = compact_parquet(
+            spark, path, target_file_bytes=target, cluster_by=["x", "y"]
+        )
+        hit_x, nf = _candidates(path, "x")
+        hit_y, _ = _candidates(path, "y")
+        plain_bytes = _dir_bytes(path)
+        after = spark.read.parquet(path)
+        rows_after, cents_after, xy_after = after.agg(
+            F.count("*"), F.sum("cents"), F.sum(F.col("x") * 1000 + F.col("y"))
+        ).head()
+
+        # second rewrite: same clustering + a bloom sized for a planted
+        # constant NDV (fixed, so the footprint margin holds at any sf)
+        compact_parquet(
+            spark,
+            path,
+            target_file_bytes=target,
+            cluster_by=["x", "y"],
+            bloom_cols={"o_orderkey": 100000},
+        )
+        bloom_growth = _dir_bytes(path) - plain_bytes
+        relu = spark.read.parquet(path)
+        rows_bloom, cents_bloom = relu.agg(F.count("*"), F.sum("cents")).head()
+        probe_key = synth.agg(F.min("o_orderkey")).head()[0]
+        lookup_rows = relu.filter(F.col("o_orderkey") == probe_key).count()
+
+        rows = [
+            ("bloom_growth_ge_50k", int(bloom_growth >= 50_000)),
+            ("bloom_lookup_rows", int(lookup_rows)),
+            ("cents_sum_after_bloom", int(cents_bloom)),
+            ("cents_sum_after_zorder", int(cents_after)),
+            ("n_files_12_to_20", int(12 <= n_files <= 20)),
+            ("prune_best_le_45pct", int(min(hit_x, hit_y) <= int(0.45 * nf))),
+            ("prune_x_le_70pct", int(hit_x <= int(0.7 * nf))),
+            ("prune_y_le_70pct", int(hit_y <= int(0.7 * nf))),
+            ("rows_after_bloom", int(rows_bloom)),
+            ("rows_after_zorder", int(rows_after)),
+            ("prunes_nothing_before", int(prunes_nothing_before)),
+            ("xy_sum_after_zorder", int(xy_after)),
+        ]
+        return spark.createDataFrame(rows, "metric string, value bigint").orderBy(
+            "metric"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -3577,7 +3729,6 @@ QUERIES: dict[str, QueryFn] = {
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q49_media_pixel_stats_jpeg": q49_media_pixel_stats_jpeg,
     "q50_dedup_survivors_cc": q50_dedup_survivors_cc,
-    "q52_video_frame_stats": q52_video_frame_stats,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,
     "q54_contamination_check": q54_contamination_check,
     "q55_repetition_stats": q55_repetition_stats,
@@ -3608,6 +3759,7 @@ QUERIES: dict[str, QueryFn] = {
     "q82_minhash_curation_verify": q82_minhash_curation_verify,
     "q83_forget_verify": q83_forget_verify,
     "q84_takedown_stream_verify": q84_takedown_stream_verify,
+    "q85_maintenance_verify": q85_maintenance_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -3655,4 +3807,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q12_neardup_jaccard": q12_neardup_jaccard,  # rotated out r11 (ceded to q82): the shingle-Jaccard machinery stays driver-visible via q13_sketch_neardup_verify, q81, and q82 (whose oracle recomputes the same pairs)
     "q62_sketch_rollup_users": q62_sketch_rollup_users,  # rotated out r12 (ceded to q83): the mergeable-summary rollup family stays driver-visible via q67's histogram rollup; the exact-vs-sketch agreement contract stays in the pytest oracle union
     "q47_pricing_summary_rollup": q47_pricing_summary_rollup,  # rotated out r13 (ceded to q84): the rollup/materialized-agg family stays driver-visible via q74 grouping sets, q57 gapfilled rollup, and q67 histogram rollup; bench.py's rollup_q1 deployment tier times this exact function every round
+    "q52_video_frame_stats": q52_video_frame_stats,  # rotated out r14 (ceded to q85): X4 media stays driver-visible via q49 (JPEG), q77 (image phash), q78 (MP4+MJPEG), q79 (audio); the AVI container's full-value oracle stays in the pytest union and bench.py's llm tier still times it every round
 }
