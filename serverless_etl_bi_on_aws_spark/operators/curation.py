@@ -44,6 +44,9 @@ def curation_stages(
     num_hashes: int = 128,
     bands: int = 32,
     seed: int = 42,
+    html_col: str | None = None,
+    html_min_words: int = 3,
+    html_max_link_density: float = 0.34,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns the three surviving sets ``(quality, uniq, final)``:
 
@@ -70,9 +73,28 @@ def curation_stages(
       recall booleans); ``num_hashes``/``bands``/``seed`` tune the
       S-curve exactly as in q13.
 
+    ``html_col`` prepends the real-world rung (round 14): the raw-crawl
+    input is MARKUP, not text — ``functions/html.extract_main_text``
+    (tag/script/style subtree drop + block link-density boilerplate
+    rule, one map-only Arrow stage) derives ``text_col`` from it before
+    the quality gate, so the funnel scores and dedups the MAIN text, not
+    the navigation chrome. q86 value-gates the extraction itself; the
+    funnel integration is pytest-pinned.
+
     The uniq set is localCheckpoint'd: it feeds BOTH the pair join's two
     fan-outs and the downstream aggregates, and re-deriving a window over
     the quality filter per consumer re-pays the text shuffle each time."""
+    if html_col is not None:
+        from serverless_etl_bi_on_aws_spark.functions.html import extract_main_text
+
+        docs = docs.withColumn(
+            text_col,
+            extract_main_text(
+                html_col,
+                min_words=html_min_words,
+                max_link_density=html_max_link_density,
+            ).getField("text"),
+        )
     quality = docs.filter(quality_score(text_col) >= F.lit(quality_threshold))
     w = Window.partitionBy(text_col)
     uniq = (

@@ -1962,3 +1962,34 @@ EXTRA_ORACLE_SQL["q85_maintenance_verify"] = """
         SELECT 'xy_sum_after_zorder', CAST(o.xy AS BIGINT) FROM o
     ) ORDER BY metric
 """
+
+# q86_html_extract_verify (round 14): HTML boilerplate extraction over
+# PLANTED markup — each doc k < 300 carries script/style/comment
+# subtrees, a 100%-link nav div, an under-min-words list link, a
+# link-dense footer, an &amp; entity, inline <b> tags, and two (three
+# for k % 5 == 0) content paragraphs with stride-13 tokens. The oracle
+# re-assembles the EXACT expected clean text (paragraphs joined with
+# newline, entity decoded, inline tags absorbed) and the kept/dropped
+# block counts from doc_id arithmetic alone — the extractor's output is
+# string-identical or the hash fails.
+EXTRA_ORACLE_SQL["q86_html_extract_verify"] = """
+    WITH d AS (SELECT doc_id, 13 * doc_id AS b FROM documents
+               WHERE doc_id < 300)
+    SELECT doc_id,
+           'alpha w' || CAST(b AS VARCHAR) ||
+           ' w' || CAST(b + 1 AS VARCHAR) ||
+           ' w' || CAST(b + 2 AS VARCHAR) ||
+           ' w' || CAST(b + 3 AS VARCHAR) ||
+           ' content & more' || chr(10) ||
+           'beta w' || CAST(b + 4 AS VARCHAR) ||
+           ' w' || CAST(b + 5 AS VARCHAR) || ' closing words here' ||
+           CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'gamma extra w' || CAST(b + 6 AS VARCHAR) ||
+                     ' w' || CAST(b + 7 AS VARCHAR) || ' paragraph tail'
+                ELSE '' END AS clean_text,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 2 END AS BIGINT)
+               AS blocks_kept,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 3 END AS BIGINT)
+               AS blocks_dropped
+    FROM d ORDER BY doc_id
+"""

@@ -198,7 +198,8 @@ def test_gapfilled_rollup_zero_fills(spark, tmp_path):
     import datetime
     import os
 
-    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+    # q57 rotated to the EXTRA tier in round 14 (slot ceded to q86)
+    from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES, QUERIES
 
     h6 = datetime.timedelta(hours=6)
     t0 = datetime.datetime(2001, 1, 1, 0, 0, 0)
@@ -215,7 +216,7 @@ def test_gapfilled_rollup_zero_fills(spark, tmp_path):
         "value double, props string",
     ).write.parquet(f"{sf}/events.parquet")
     got = {(r.bucket_us, r.event_type): (r.n_events, r.sum_value)
-           for r in QUERIES["q57_gapfilled_rollup"](spark, sf).collect()}
+           for r in {**QUERIES, **EXTRA_QUERIES}["q57_gapfilled_rollup"](spark, sf).collect()}
     step = 21_600_000_000
     base = int(t0.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
     assert len(got) == 4 * 2  # 4 buckets x 2 types
