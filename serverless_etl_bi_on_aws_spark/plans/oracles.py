@@ -1993,3 +1993,29 @@ EXTRA_ORACLE_SQL["q86_html_extract_verify"] = """
                AS blocks_dropped
     FROM d ORDER BY doc_id
 """
+
+# q87_langid_verify (round 14): char-n-gram language-ID over the PLANTED
+# multilingual corpus (operators/lang_id.PLANTED_SENTENCES keyed by the
+# fixture's lang column and doc_id; the fixture's own text is
+# language-independent by construction, so the signal is planted). The
+# model fits on doc_id % 4 != 0 and scores the disjoint % 4 == 0 split:
+# eval-split sizes are fixture arithmetic the oracle recomputes; overall
+# held-out accuracy >= 98% and per-language recall >= 90% are
+# measured-margin booleans on a margin-separated corpus (q13 precedent).
+EXTRA_ORACLE_SQL["q87_langid_verify"] = """
+    WITH e AS (SELECT lang, COUNT(*) AS n FROM documents
+               WHERE doc_id < 400 AND doc_id % 4 = 0
+                 AND lang IN ('de', 'en', 'es', 'fr', 'zh')
+               GROUP BY lang)
+    SELECT metric, value FROM (
+        SELECT 'accuracy_ge_98pct' AS metric, CAST(1 AS BIGINT) AS value
+        UNION ALL
+        SELECT 'eval_rows', CAST(SUM(n) AS BIGINT) FROM e
+        UNION ALL
+        SELECT 'n_langs', CAST(COUNT(*) AS BIGINT) FROM e
+        UNION ALL
+        SELECT 'eval_n_' || lang, CAST(n AS BIGINT) FROM e
+        UNION ALL
+        SELECT 'recall_ge_90pct_' || lang, CAST(1 AS BIGINT) FROM e
+    ) ORDER BY metric
+"""
