@@ -270,3 +270,66 @@ def curation_report(
         )
         .orderBy(group_col)
     )
+
+
+def drop_frequent_paragraphs(
+    docs: DataFrame,
+    min_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency paragraph boilerplate removal (round 14) — the
+    CCNet/RefinedWeb line-dedup rule: a paragraph appearing in >=
+    ``min_df`` DISTINCT documents is boilerplate (subscribe banners,
+    copyright footers, cookie notices) no matter what any single page
+    looks like, and is dropped from EVERY document; surviving paragraphs
+    are re-joined in their original order. The corpus-level complement
+    of functions/html.py's per-page link-density rule — chrome that
+    survives per-page extraction (plain-text banners carry no links)
+    still falls to corpus frequency.
+
+    Returns ``(id_col, text_col, paras_kept, paras_dropped)`` — one row
+    per input document (a document whose every paragraph is boilerplate
+    survives with empty text and its counts, so downstream quality
+    gates see it rather than it silently vanishing).
+
+    Scale shape: posexplode (map-only) -> ONE shuffle keyed by the
+    paragraph text for the distinct-document frequency -> one shuffle
+    join back -> per-document re-assembly grouped by id. Nothing is
+    all-pairs, nothing collects. At 100 TB key the frequency/join
+    stages on ``xxhash64(para)`` instead of the raw string (64-bit
+    collisions are negligible at any corpus size and the exchange ships
+    8-byte keys); the string form here keeps the operator bit-exactly
+    SQL-expressible for the q88 oracle."""
+    paras = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    )
+    freq = paras.groupBy("_para").agg(
+        F.countDistinct(id_col).alias("_df")
+    )
+    flagged = paras.join(freq, "_para").withColumn(
+        "_drop", F.col("_df") >= F.lit(min_df)
+    )
+    kept_text = F.concat_ws(
+        sep,
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        ~F.col("_drop"), F.struct("_pos", "_para")
+                    )
+                )
+            ),
+            lambda x: x["_para"],
+        ),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            kept_text.alias(text_col),
+            F.sum((~F.col("_drop")).cast("long")).alias("paras_kept"),
+            F.sum(F.col("_drop").cast("long")).alias("paras_dropped"),
+        )
+    )

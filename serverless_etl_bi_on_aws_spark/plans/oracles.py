@@ -2019,3 +2019,45 @@ EXTRA_ORACLE_SQL["q87_langid_verify"] = """
         SELECT 'recall_ge_90pct_' || lang, CAST(1 AS BIGINT) FROM e
     ) ORDER BY metric
 """
+
+# q88_paragraph_boilerplate_verify (round 14): corpus-frequency paragraph
+# boilerplate removal over PLANTED four-paragraph docs (global banner /
+# unique stride-13 content / per-source banner keyed by doc_id % 3 /
+# pair paragraph keyed by doc_id // 2). The oracle re-assembles the
+# expected clean text IN ORDER and the kept/dropped counts — and
+# recomputes every paragraph's document frequency from the same
+# arithmetic (COUNTs over the fixture) instead of hardcoding verdicts,
+# so the contract holds at any fixture scale. array_to_string skips
+# NULL elements exactly like Spark's concat_ws.
+EXTRA_ORACLE_SQL["q88_paragraph_boilerplate_verify"] = """
+    WITH d AS (SELECT doc_id, 13 * doc_id AS b FROM documents
+               WHERE doc_id < 300),
+         n_all AS (SELECT COUNT(*) AS df FROM d),
+         n3 AS (SELECT doc_id % 3 AS s, COUNT(*) AS df FROM d GROUP BY 1),
+         np AS (SELECT doc_id // 2 AS p, COUNT(*) AS df FROM d GROUP BY 1)
+    SELECT d.doc_id,
+           array_to_string([
+               CASE WHEN n_all.df < 10
+                    THEN 'subscribe to our newsletter for weekly updates' END,
+               'unique content paragraph w' || CAST(d.b AS VARCHAR) ||
+                   ' w' || CAST(d.b + 1 AS VARCHAR) ||
+                   ' about topic ' || CAST(d.doc_id AS VARCHAR),
+               CASE WHEN n3.df < 10
+                    THEN 'all rights reserved by source ' ||
+                         CAST(d.doc_id % 3 AS VARCHAR) END,
+               CASE WHEN np.df < 10
+                    THEN 'shared pair paragraph number ' ||
+                         CAST(d.doc_id // 2 AS VARCHAR) END
+           ], chr(10)) AS clean_text,
+           CAST(1 + (CASE WHEN n_all.df < 10 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n3.df < 10 THEN 1 ELSE 0 END)
+                  + (CASE WHEN np.df < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS paras_kept,
+           CAST((CASE WHEN n_all.df >= 10 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n3.df >= 10 THEN 1 ELSE 0 END)
+                  + (CASE WHEN np.df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS paras_dropped
+    FROM d, n_all, n3, np
+    WHERE n3.s = d.doc_id % 3 AND np.p = d.doc_id // 2
+    ORDER BY d.doc_id
+"""

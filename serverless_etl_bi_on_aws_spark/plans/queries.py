@@ -3856,6 +3856,66 @@ def q87_langid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q88_paragraph_boilerplate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency paragraph boilerplate removal, value-gated
+    (round 14 — the CCNet/RefinedWeb line-dedup rule,
+    :func:`operators.curation.drop_frequent_paragraphs`): a paragraph
+    appearing in >= min_df distinct documents is boilerplate no matter
+    what any single page looks like — the corpus-level complement of
+    q86's per-page link-density rule (plain-text banners carry no links
+    and survive HTML extraction; corpus frequency catches them).
+
+    Planted corpus, doc k < 300, four paragraphs each in fixed order:
+    a GLOBAL banner (df = corpus size), a unique content paragraph
+    (stride-13 tokens, df = 1), a per-source banner keyed by k % 3
+    (df ~ corpus/3), and a pair-shared paragraph keyed by k // 2
+    (df <= 2). At min_df = 10 the two banners drop from every document
+    and the content + pair paragraphs survive IN ORDER. The oracle
+    re-assembles the expected clean text and kept/dropped counts from
+    doc_id arithmetic — and recomputes each paragraph's document
+    frequency from the SAME arithmetic rather than hardcoding the
+    verdicts, so the contract holds at any fixture scale.
+
+    Scale shape: posexplode -> one shuffle on the paragraph text for
+    the distinct-doc frequency -> join back -> per-doc re-assembly;
+    nothing all-pairs, nothing collected (see the operator's 100 TB
+    note on hashing the join key)."""
+    from serverless_etl_bi_on_aws_spark.operators.curation import (
+        drop_frequent_paragraphs,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+    )
+    b = F.col("doc_id") * 13
+    p1 = F.lit("subscribe to our newsletter for weekly updates")
+    p2 = F.concat(
+        F.lit("unique content paragraph w"), b.cast("string"),
+        F.lit(" w"), (b + 1).cast("string"),
+        F.lit(" about topic "), F.col("doc_id").cast("string"),
+    )
+    p3 = F.concat(
+        F.lit("all rights reserved by source "),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    p4 = F.concat(
+        F.lit("shared pair paragraph number "),
+        F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+    )
+    docs = d.select(
+        "doc_id", F.concat_ws("\n", p1, p2, p3, p4).alias("text")
+    )
+    out = drop_frequent_paragraphs(docs, min_df=10)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        "paras_kept",
+        "paras_dropped",
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -3878,7 +3938,6 @@ QUERIES: dict[str, QueryFn] = {
     "q50_dedup_survivors_cc": q50_dedup_survivors_cc,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,
     "q54_contamination_check": q54_contamination_check,
-    "q55_repetition_stats": q55_repetition_stats,
     "q56_domain_mix_rebalance": q56_domain_mix_rebalance,
     "q58_format_roundtrip": q58_format_roundtrip,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
@@ -3907,6 +3966,7 @@ QUERIES: dict[str, QueryFn] = {
     "q85_maintenance_verify": q85_maintenance_verify,
     "q86_html_extract_verify": q86_html_extract_verify,
     "q87_langid_verify": q87_langid_verify,
+    "q88_paragraph_boilerplate_verify": q88_paragraph_boilerplate_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -3954,6 +4014,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q12_neardup_jaccard": q12_neardup_jaccard,  # rotated out r11 (ceded to q82): the shingle-Jaccard machinery stays driver-visible via q13_sketch_neardup_verify, q81, and q82 (whose oracle recomputes the same pairs)
     "q62_sketch_rollup_users": q62_sketch_rollup_users,  # rotated out r12 (ceded to q83): the mergeable-summary rollup family stays driver-visible via q67's histogram rollup; the exact-vs-sketch agreement contract stays in the pytest oracle union
     "q47_pricing_summary_rollup": q47_pricing_summary_rollup,  # rotated out r13 (ceded to q84): the rollup/materialized-agg family stays driver-visible via q74 grouping sets, q57 gapfilled rollup, and q67 histogram rollup; bench.py's rollup_q1 deployment tier times this exact function every round
+    "q55_repetition_stats": q55_repetition_stats,  # rotated out r14 (ceded to q88): X5 text stays driver-visible via q7/q15/q53/q54/q63/q73/q75/q86/q87; bench.py's llm tier still times q55 every round and its repetition contract stays pytest-pinned (test_chunking)
     "q72_temporal_dim_join": q72_temporal_dim_join,  # rotated out r14 (ceded to q87): the temporal/SCD read side stays driver-visible via q69_scd2_order_history (the write+read SCD2 face); the as-of family oracle stays in the pytest union (q30)
     "q57_gapfilled_rollup": q57_gapfilled_rollup,  # rotated out r14 (ceded to q86): the gap-fill/rollup family stays driver-visible via q48 (streaming rollup twin), q67 (histogram rollup), q74 (grouping sets); the zero-fill contract stays pytest-pinned (test_chunking) and in the pytest oracle union
     "q52_video_frame_stats": q52_video_frame_stats,  # rotated out r14 (ceded to q85): X4 media stays driver-visible via q49 (JPEG), q77 (image phash), q78 (MP4+MJPEG), q79 (audio); the AVI container's full-value oracle stays in the pytest union and bench.py's llm tier still times it every round

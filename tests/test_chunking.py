@@ -123,7 +123,8 @@ def test_repetition_stats_crafted(spark, tmp_path):
     floor; a 1-token doc is absent."""
     import os
 
-    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+    # q55 rotated to the EXTRA tier in round 14 (slot ceded to q88)
+    from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES, QUERIES
 
     rows = [
         (0, "spam spam spam spam spam spam spam spam", "en", "s", 0),
@@ -135,7 +136,7 @@ def test_repetition_stats_crafted(spark, tmp_path):
     spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).write.parquet(f"{sf}/documents.parquet")
-    got = {r.doc_id: r for r in QUERIES["q55_repetition_stats"](spark, sf).collect()}
+    got = {r.doc_id: r for r in {**QUERIES, **EXTRA_QUERIES}["q55_repetition_stats"](spark, sf).collect()}
     assert got[0].n_tokens == 8 and got[0].max_token_count == 8
     assert got[0].top_token_frac == 1.0
     # 7 total 2-grams, all 'spam spam' -> 1 distinct -> dup frac 6/7

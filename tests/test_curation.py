@@ -201,3 +201,40 @@ def test_semantic_stage_composes_after_lexical(spark):
     # the k<<n deployment rule in miniature
     curated = semantic_curation_stage(final, emb, threshold=0.9, n_clusters=1)
     assert {r.doc_id for r in curated.select("doc_id").collect()} == {1, 4}
+
+
+def test_drop_frequent_paragraphs_semantics(spark):
+    """Corpus-frequency boilerplate (round 14): paragraphs in >= min_df
+    DISTINCT docs drop everywhere; survivors keep their original order;
+    a repeated paragraph WITHIN one doc counts that doc once (and both
+    copies drop/survive together); an all-boilerplate doc survives with
+    empty text and its counts."""
+    from serverless_etl_bi_on_aws_spark.operators.curation import (
+        drop_frequent_paragraphs,
+    )
+
+    banner = "follow us on social media"
+    rows = [
+        (1, f"{banner}\nalpha one\n{banner}\nbeta two"),
+        (2, f"{banner}\ngamma three"),
+        (3, f"delta four\n{banner}"),
+        (4, banner),  # all boilerplate
+        (5, "epsilon five\nepsilon five"),  # self-duplicate, df=1 -> kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in drop_frequent_paragraphs(docs, min_df=3).collect()
+    }
+    assert out[1]["text"] == "alpha one\nbeta two"
+    assert (out[1]["paras_kept"], out[1]["paras_dropped"]) == (2, 2)
+    assert out[2]["text"] == "gamma three"
+    assert out[3]["text"] == "delta four"
+    assert out[4]["text"] == "" and out[4]["paras_dropped"] == 1
+    assert out[5]["text"] == "epsilon five\nepsilon five"
+    # min_df boundary: at 4 the banner (df=4) still drops; at 5 it stays
+    out5 = {
+        r["doc_id"]: r["text"]
+        for r in drop_frequent_paragraphs(docs, min_df=5).collect()
+    }
+    assert out5[4] == banner
