@@ -170,6 +170,7 @@ def apply_curation_batch(
     embedding_col: str = "embedding",
     semantic_threshold: float = 0.9,
     n_probe: int = 4,
+    html_col: str | None = None,
 ) -> None:
     """The streaming twin of the q81 curation funnel: one micro-batch
     runs quality-gate -> batch-local exact dedup -> index probe ->
@@ -217,6 +218,17 @@ def apply_curation_batch(
 
     from serverless_etl_bi_on_aws_spark.functions.text import quality_score
 
+    if html_col is not None:
+        # raw-crawl rung (round 14): derive the text from markup BEFORE
+        # the quality gate — a pure per-row function of batch_df, so the
+        # replay-determinism the _SUCCESS/marker protocol requires holds
+        from serverless_etl_bi_on_aws_spark.functions.html import (
+            extract_main_text,
+        )
+
+        batch_df = batch_df.withColumn(
+            text_col, extract_main_text(html_col).getField("text")
+        )
     gated = batch_df.filter(
         quality_score(text_col) >= F.lit(float(quality_threshold))
     )
@@ -284,6 +296,7 @@ def start_incremental_curation(
     embedding_col: str = "embedding",
     semantic_threshold: float = 0.9,
     n_probe: int = 4,
+    html_col: str | None = None,
 ) -> StreamingQuery:
     """Watch ``source_dir`` and keep ``clean_dir`` a continuously-CURATED
     corpus (quality-gated, exact- and near-deduped — and, with
@@ -313,6 +326,7 @@ def start_incremental_curation(
             embedding_col=embedding_col,
             semantic_threshold=semantic_threshold,
             n_probe=n_probe,
+            html_col=html_col,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
@@ -341,6 +355,7 @@ def start_snapshot_curation_stream(
     max_files_per_trigger: int | None = None,
     keep_n: int = 2,
     lease_wait_s: float = 120.0,
+    html_col: str | None = None,
 ) -> StreamingQuery:
     """:func:`start_incremental_curation` with every micro-batch
     committed as ONE atomic snapshot transition over a family managed by
@@ -383,6 +398,7 @@ def start_snapshot_curation_stream(
                 threshold=threshold,
                 text_col=text_col,
                 id_col=id_col,
+                html_col=html_col,
             )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

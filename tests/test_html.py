@@ -113,3 +113,62 @@ def test_curation_funnel_html_rung(spark):
         docs.withColumnRenamed("html", "text"), quality_threshold=0.0
     )
     assert {r["doc_id"] for r in raw_uniq.select("doc_id").collect()} == {1, 2, 3}
+
+
+def test_streaming_curation_html_rung(spark, tmp_path):
+    """The streaming ingest loop accepts raw MARKUP (round 14,
+    html_col=): extraction runs per micro-batch BEFORE the quality gate,
+    so (a) a chrome-only page dies at the gate, (b) a cross-batch page
+    sharing an article under different chrome is dropped by the index
+    probe (content-true dedup), (c) different articles under identical
+    chrome are NOT near-dups, and (d) the curated corpus stores the
+    extracted text, not markup."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        init_minhash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        start_incremental_curation,
+    )
+
+    def article(tag):
+        words = " ".join(f"{tag}word{i} detail{i}" for i in range(20))
+        return f"<p>Genuine {tag} article body with many distinct words {words}</p>"
+
+    chrome_a = '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>'
+    chrome_b = '<footer><a href="/x">Terms</a> <a href="/y">Privacy</a> <a href="/z">Jobs</a></footer>'
+    b1 = [
+        (1, f"<html><body>{chrome_a}{article('alpha')}</body></html>"),
+        (3, f"<html><body>{chrome_a}{chrome_b}</body></html>"),  # chrome only
+    ]
+    b2 = [
+        (2, f"<html><body>{chrome_b}{article('alpha')}</body></html>"),  # dup of 1
+        (4, f"<html><body>{chrome_a}{article('beta')}</body></html>"),  # new
+    ]
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = "doc_id long, html string"
+    for i, rows in enumerate((b1, b2)):
+        src = tmp_path / f"f{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+        part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
+        os.rename(src / part, land / f"batch{i}.parquet")
+
+    idx = str(tmp_path / "idx")
+    init_minhash_index(idx)
+    q = start_incremental_curation(
+        spark,
+        str(land),
+        idx,
+        str(tmp_path / "clean"),
+        schema=spark.createDataFrame([], schema).schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+        html_col="html",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "clean"))
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {1, 4}
+    texts = {r["doc_id"]: r["text"] for r in got.select("doc_id", "text").collect()}
+    assert "<" not in texts[1] and texts[1].startswith("Genuine alpha article")
