@@ -2061,3 +2061,21 @@ EXTRA_ORACLE_SQL["q88_paragraph_boilerplate_verify"] = """
     WHERE n3.s = d.doc_id % 3 AND np.p = d.doc_id // 2
     ORDER BY d.doc_id
 """
+
+# q89_url_dedup_verify (round 14): URL canonicalization + url-level
+# dedup over PLANTED messy surface forms (case, www., default ports, a
+# real :8080 port that must survive, trailing slashes, interleaved
+# tracking params, fragments; every k % 5 == 0 doc re-submitted as
+# id k+100000 under a different surface form of the same page). The
+# survivors are exactly the base docs, and their CANONICAL urls are
+# re-assembled by the oracle from doc_id arithmetic alone and compared
+# string-for-string.
+EXTRA_ORACLE_SQL["q89_url_dedup_verify"] = """
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) ||
+           '://site' || CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+           (CASE WHEN doc_id % 9 = 0 THEN ':8080' ELSE '' END) ||
+           '/articles/item' || CAST(doc_id // 3 AS VARCHAR) ||
+           '?a=' || CAST(doc_id % 4 AS VARCHAR) || '&b=2' AS canon_url
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+"""

@@ -3916,6 +3916,94 @@ def q88_paragraph_boilerplate_verify(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("doc_id")
 
 
+def q89_url_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup, value-gated (round 14 —
+    the crawl front door: the same page arrives under many surface
+    forms, and a corpus deduping on the RAW url keeps them all).
+
+    Planted corpus: doc k < 300 carries a deterministic MESSY url —
+    scheme/host case varied by k, ``www.`` on k % 3 == 0, an explicit
+    default port ``:443`` on odd k (must strip), a REAL port ``:8080``
+    on k % 9 == 0 (must keep), a trailing slash on k % 3 == 0,
+    tracking params (``utm_source`` / ``fbclid``) interleaved with the
+    real params in scrambled order, and a fragment on k % 6 == 0.
+    Every k % 5 == 0 doc is re-submitted as id k + 100000 under a
+    DIFFERENT surface form of the SAME page (other case pattern, ``:80``
+    instead of none, doubled trailing slash, different tracking params,
+    ``#top``). :func:`operators.dedup.dedup_by_canonical_url` (pure
+    codegen'd JVM expressions — ``try_parse_url`` + array filter/sort,
+    no UDF) must collapse every twin onto its base doc and emit the
+    canonical form ``scheme://site{k%7}.com[:8080]/articles/
+    item{k//3}?a={k%4}&b=2`` — which the oracle re-assembles from
+    doc_id arithmetic alone and value-compares STRING-FOR-STRING.
+
+    Scale shape: canonicalization is map-only; the survivor rule is one
+    window shuffle on the canonical url."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        dedup_by_canonical_url,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+    )
+    k = F.col("doc_id")
+    site = (k % 7).cast("string")
+    item = F.floor(k / 3).cast("long").cast("string")
+    a_val = (k % 4).cast("string")
+    scheme = F.when(k % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https"))
+    host = F.when(
+        k % 3 == 0, F.concat(F.lit("WWW.Site"), site, F.lit(".COM"))
+    ).otherwise(F.concat(F.lit("site"), site, F.lit(".com")))
+    port = F.when(k % 9 == 0, F.lit(":8080")).otherwise(
+        F.when(k % 2 == 1, F.lit(":443")).otherwise(F.lit(""))
+    )
+    slash = F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(
+        k % 2 == 0,
+        F.concat(F.lit("?b=2&utm_source=feed&a="), a_val),
+    ).otherwise(
+        F.concat(F.lit("?a="), a_val, F.lit("&fbclid=click"), k.cast("string"), F.lit("&b=2"))
+    )
+    frag = F.when(k % 6 == 0, F.concat(F.lit("#sec"), k.cast("string"))).otherwise(
+        F.lit("")
+    )
+    base_url = F.concat(
+        scheme, F.lit("://"), host, port,
+        F.lit("/articles/item"), item, slash, query, frag,
+    )
+    base = d.select("doc_id", base_url.alias("url"))
+
+    # messy twins: same page, different surface form
+    t = base.filter(k % 5 == 0).select((k + 100000).alias("doc_id"), k.alias("_k"))
+    tk = F.col("_k")
+    t_scheme = F.when(tk % 2 == 0, F.lit("Http")).otherwise(F.lit("HTTPS"))
+    t_site = (tk % 7).cast("string")
+    t_host = F.when(
+        tk % 3 == 0,
+        F.concat(F.lit("Site"), t_site, F.lit(".com")),
+    ).otherwise(F.concat(F.lit("www.SITE"), t_site, F.lit(".COM")))
+    t_port = F.when(tk % 9 == 0, F.lit(":8080")).otherwise(
+        F.when(tk % 2 == 0, F.lit(":80")).otherwise(F.lit(""))
+    )
+    t_item = F.floor(tk / 3).cast("long").cast("string")
+    t_query = F.concat(
+        F.lit("?utm_medium=email&b=2&a="), (tk % 4).cast("string"),
+        F.lit("&gclid=g"), tk.cast("string"),
+    )
+    twins = t.select(
+        "doc_id",
+        F.concat(
+            t_scheme, F.lit("://"), t_host, t_port,
+            F.lit("/articles/item"), t_item, F.lit("//"), t_query, F.lit("#top"),
+        ).alias("url"),
+    )
+    all_docs = base.unionByName(twins)
+    surv = dedup_by_canonical_url(all_docs)
+    return surv.select("doc_id", "canon_url").orderBy("doc_id")
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -3930,7 +4018,6 @@ QUERIES: dict[str, QueryFn] = {
     "q15_doc_quality_by_source": q15_doc_quality_by_source,
     "q18_ann_verify": q18_ann_verify,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
-    "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
@@ -3967,6 +4054,7 @@ QUERIES: dict[str, QueryFn] = {
     "q86_html_extract_verify": q86_html_extract_verify,
     "q87_langid_verify": q87_langid_verify,
     "q88_paragraph_boilerplate_verify": q88_paragraph_boilerplate_verify,
+    "q89_url_dedup_verify": q89_url_dedup_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -4014,6 +4102,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q12_neardup_jaccard": q12_neardup_jaccard,  # rotated out r11 (ceded to q82): the shingle-Jaccard machinery stays driver-visible via q13_sketch_neardup_verify, q81, and q82 (whose oracle recomputes the same pairs)
     "q62_sketch_rollup_users": q62_sketch_rollup_users,  # rotated out r12 (ceded to q83): the mergeable-summary rollup family stays driver-visible via q67's histogram rollup; the exact-vs-sketch agreement contract stays in the pytest oracle union
     "q47_pricing_summary_rollup": q47_pricing_summary_rollup,  # rotated out r13 (ceded to q84): the rollup/materialized-agg family stays driver-visible via q74 grouping sets, q57 gapfilled rollup, and q67 histogram rollup; bench.py's rollup_q1 deployment tier times this exact function every round
+    "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,  # rotated out r14 (ceded to q89): X3 cosine pairs stay driver-visible via q44 (top-k), q65 (PQ), q18_ann_verify, q80 (semantic dedup); bench.py's llm tier still times q43 and its zero-norm/threshold contracts stay pytest-pinned (test_dedup_similarity)
     "q55_repetition_stats": q55_repetition_stats,  # rotated out r14 (ceded to q88): X5 text stays driver-visible via q7/q15/q53/q54/q63/q73/q75/q86/q87; bench.py's llm tier still times q55 every round and its repetition contract stays pytest-pinned (test_chunking)
     "q72_temporal_dim_join": q72_temporal_dim_join,  # rotated out r14 (ceded to q87): the temporal/SCD read side stays driver-visible via q69_scd2_order_history (the write+read SCD2 face); the as-of family oracle stays in the pytest union (q30)
     "q57_gapfilled_rollup": q57_gapfilled_rollup,  # rotated out r14 (ceded to q86): the gap-fill/rollup family stays driver-visible via q48 (streaming rollup twin), q67 (histogram rollup), q74 (grouping sets); the zero-fill contract stays pytest-pinned (test_chunking) and in the pytest oracle union

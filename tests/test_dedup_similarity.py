@@ -1185,3 +1185,52 @@ def test_video_scene_cuts_real_mp4(spark):
     got = {r.doc_id: r for r in video_scene_cuts(df).collect()}
     assert got[0].n_frames == 5 and got[0].n_cuts == 1 and got[0].cut_indices == [3]
     assert got[1].n_frames == 6 and got[1].n_cuts == 0
+
+
+def test_canonicalize_url_rules(spark):
+    """URL canonicalization (round 14): case/www./default-port/trailing-
+    slash/tracking/fragment/order rules, real ports kept, malformed
+    urls NULL (try_parse_url — Spark 4's parse_url throws), and the
+    whole expression stays JVM-side (no Exchange, no Python stage)."""
+    from serverless_etl_bi_on_aws_spark.functions.url import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/Sub/?b=2&utm_source=x&a=1#f",
+         "https://example.com/Path/Sub?a=1&b=2"),
+        ("http://example.com:8080/x?a=1", "http://example.com:8080/x"
+         "?a=1"),
+        ("Http://Example.com:80/", "http://example.com/"),
+        ("https://example.com", "https://example.com/"),
+        ("http://site.org/x/?fbclid=abc&gclid=1&msclkid=2", "http://site.org/x"),
+        ("http://a.com/?utm_source=1&utm_medium=2", "http://a.com/"),
+        ("http://a.com/CaseSensitivePath", "http://a.com/CaseSensitivePath"),
+        ("not a url", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    out = df.select("url", canonicalize_url("url"))
+    got = {r["url"]: r["canon_url"] for r in out.collect()}
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_dedup_by_canonical_url_survivors(spark):
+    """Min-id survivor per canonical form; malformed urls are never an
+    implicit dedup group (ALL survive with NULL canon)."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        dedup_by_canonical_url,
+    )
+
+    rows = [
+        (1, "http://A.com/x?utm_source=1"),
+        (2, "HTTP://a.com/x/"),          # same page as 1
+        (3, "http://a.com/x?real=1"),    # different (real param)
+        (4, "::not-a-url::"),
+        (5, "also definitely not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canon_url"] for r in dedup_by_canonical_url(df).collect()}
+    assert set(got) == {1, 3, 4, 5}
+    assert got[1] == "http://a.com/x" and got[3] == "http://a.com/x?real=1"
+    assert got[4] is None and got[5] is None
