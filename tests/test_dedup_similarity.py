@@ -1234,3 +1234,39 @@ def test_dedup_by_canonical_url_survivors(spark):
     assert set(got) == {1, 3, 4, 5}
     assert got[1] == "http://a.com/x" and got[3] == "http://a.com/x?real=1"
     assert got[4] is None and got[5] is None
+
+
+def test_canonicalize_url_idempotent(spark):
+    """The canonical form is a FIXED POINT: canon(canon(u)) == canon(u)
+    for a seeded zoo of generated surface forms (schemes x hosts x
+    ports x paths x params x fragments, including already-canonical
+    urls) — one batch, two applications, column-compared."""
+    import random
+
+    from serverless_etl_bi_on_aws_spark.functions.url import canonicalize_url
+
+    rng = random.Random(1414)
+    schemes = ["http", "HTTP", "https", "HTTPS", "Http"]
+    hosts = ["example.com", "WWW.Example.COM", "www.site.org", "A.B.co", "x.io"]
+    ports = ["", ":80", ":443", ":8080", ":8443"]
+    paths = ["", "/", "/a/b", "/a/b/", "/A/B//", "/x%20y"]
+    params = ["", "a=1", "b=2", "utm_source=t", "fbclid=z", "a=1&b=2&utm_x=1"]
+    frags = ["", "#f", "#sec2"]
+    urls = []
+    for _ in range(200):
+        u = (
+            rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+            + rng.choice(paths)
+            + (("?" + rng.choice(params)) if rng.random() < 0.8 else "")
+            + rng.choice(frags)
+        )
+        urls.append((u,))
+    df = spark.createDataFrame(urls, "url string")
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select(F.col("c1"), canonicalize_url("c1", out_col="c2"))
+    bad = twice.filter(
+        F.col("c1").isNotNull() & (F.col("c1") != F.col("c2"))
+    ).collect()
+    assert not bad, bad[:5]
+    # and no generated url with a real host canonicalizes to NULL
+    assert once.filter(F.col("c1").isNull()).count() == 0
