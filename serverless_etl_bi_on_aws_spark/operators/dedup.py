@@ -337,6 +337,13 @@ def hash_block_expr(hash_col: str, n_blocks: int):
     index blocking) so index and probe block identically BY CONSTRUCTION
     — two copies of this expression drifting apart would silently lose
     corpus-vs-new candidate recall (round-9 ADVICE)."""
+    if n_blocks == 1:
+        # radius-0 exact-equality indexes (the url family): one block is
+        # the whole fingerprint. Special-cased because the general mask
+        # (1 << 64) - 1 overflows the Java long behind F.lit.
+        return F.array(
+            F.struct(F.lit(0).alias("block"), F.col(hash_col).alias("key"))
+        )
     width = 64 // n_blocks
     mask = (1 << width) - 1
     return F.array(
@@ -513,4 +520,99 @@ def dedup_by_canonical_url(
         withc.withColumn("_min_id", F.min(id_col).over(w))
         .filter(F.col(canon_col).isNull() | (F.col(id_col) == F.col("_min_id")))
         .drop("_min_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental URL dedup against a PERSISTED index (round 14) — the fifth
+# member of the incremental family (text MinHash / image dHash / audio
+# envelope / embedding IVF), as thin wrappers over the modality-agnostic
+# operators/hash_index.py core. The fingerprint is xxhash64 of the
+# CANONICAL url (functions/url.canonicalize_url) at radius 0: url
+# identity is exact, so the probe is a single-key equi-join (n_blocks=1
+# — one 64-bit block, no pigeonhole fan-out) and the only caveat is the
+# negligible 2^-64 hash-collision odds every radius-0 member of the
+# family shares. Rows whose url fails to parse hash to NULL: they always
+# survive and are never indexed (the image family's undecodable-media
+# rule). Crash ordering, idempotent per-batch markers, and compaction
+# come from the shared core unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _url_hashed(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    from serverless_etl_bi_on_aws_spark.functions.url import canonicalize_url
+
+    return (
+        df.withColumn("_canon", canonicalize_url(url_col))
+        .filter(F.col("_canon").isNotNull())
+        .select(id_col, F.xxhash64("_canon").alias("url_hash"))
+    )
+
+
+def init_url_index(index_path: str, id_col: str = "doc_id") -> None:
+    """Create an EMPTY url index (meta only) — a streaming crawl-ingest
+    loop starts here."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import init_hash_index
+
+    init_hash_index(index_path, id_col=id_col, hash_col="url_hash", n_blocks=1)
+
+
+def build_url_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> None:
+    """One-time build over the starting corpus; refuses to clobber an
+    existing index (appends belong to :func:`update_url_index`)."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import build_hash_index
+
+    build_hash_index(
+        _url_hashed(df, id_col, url_col),
+        index_path,
+        id_col=id_col,
+        hash_col="url_hash",
+        n_blocks=1,
+    )
+
+
+def dedup_urls_against_index(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """Survivors of ``new_df`` under the online rule: drop a new row iff
+    its CANONICAL url equals any indexed url's or a smaller-id batch
+    mate's. Unparseable urls always survive. Composes with
+    :func:`update_url_index` exactly like the text/image loops."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        dropped_ids_against_index,
+        read_hash_meta,
+    )
+
+    id_col = read_hash_meta(index_path)["id_col"]
+    hashed = _url_hashed(new_df, id_col, url_col).localCheckpoint(eager=True)
+    dropped = dropped_ids_against_index(spark, hashed, index_path, radius=0)
+    return new_df.join(
+        dropped.select(F.col("_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def update_url_index(
+    new_df: DataFrame,
+    index_path: str,
+    batch_id: str,
+    url_col: str = "url",
+) -> bool:
+    """Append one batch's canonical-url hashes — ALL parseable urls,
+    duplicates included (chain equivalence). Idempotent per batch id."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        read_hash_meta,
+        update_hash_index,
+    )
+
+    id_col = read_hash_meta(index_path)["id_col"]
+    return update_hash_index(
+        _url_hashed(new_df, id_col, url_col), index_path, batch_id
     )

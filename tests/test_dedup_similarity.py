@@ -1270,3 +1270,55 @@ def test_canonicalize_url_idempotent(spark):
     assert not bad, bad[:5]
     # and no generated url with a real host canonicalizes to NULL
     assert once.filter(F.col("c1").isNull()).count() == 0
+
+
+def test_incremental_url_dedup_loop(spark, tmp_path):
+    """The incremental family's fifth member (round 14): build a url
+    index, probe two batches — cross-batch surface-form duplicates drop,
+    new pages survive, within-batch twins keep the min id, unparseable
+    urls always survive and are never indexed — and a replayed update is
+    a no-op (idempotent per batch id)."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        build_url_index,
+        dedup_urls_against_index,
+        update_url_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?utm_source=1"),
+            (2, "https://B.org/page/"),
+        ],
+        "doc_id long, url string",
+    )
+    idx = str(tmp_path / "urlidx")
+    build_url_index(corpus, idx)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "HTTP://www.A.com/x/"),        # dup of indexed 1
+            (11, "https://b.org/page?fbclid=q"),  # dup of indexed 2
+            (12, "https://c.net/new"),            # new page
+            (13, "https://C.NET/new#frag"),       # within-batch twin of 12
+            (14, "::broken::"),                   # unparseable, survives
+        ],
+        "doc_id long, url string",
+    )
+    surv = dedup_urls_against_index(spark, batch, idx)
+    assert {r["doc_id"] for r in surv.select("doc_id").collect()} == {12, 14}
+
+    assert update_url_index(batch, idx, "b1") is True
+    n_hashes = spark.read.parquet(os.path.join(idx, "hashes")).count()
+    assert n_hashes == 2 + 4  # corpus + batch's parseable rows, NOT doc 14
+    assert update_url_index(batch, idx, "b1") is False  # replay no-op
+    assert spark.read.parquet(os.path.join(idx, "hashes")).count() == n_hashes
+
+    # the indexed batch now shields a later re-submission
+    batch2 = spark.createDataFrame(
+        [(20, "https://c.net/new/"), (21, "http://fresh.io/p")],
+        "doc_id long, url string",
+    )
+    surv2 = dedup_urls_against_index(spark, batch2, idx)
+    assert {r["doc_id"] for r in surv2.select("doc_id").collect()} == {21}
