@@ -302,9 +302,17 @@ def drop_frequent_paragraphs(
     collisions are negligible at any corpus size and the exchange ships
     8-byte keys); the string form here keeps the operator bit-exactly
     SQL-expressible for the q88 oracle."""
+    # ``sep`` is a LITERAL separator on both sides: F.split takes a regex,
+    # so it is escaped here — otherwise a caller's "|" or "." separator
+    # would silently split on every character while concat_ws re-joined
+    # with the literal (the round-13-ADVICE class of silent mismatch)
+    import re as _re
+
     paras = docs.select(
         id_col,
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "_pos", "_para"
+        ),
     )
     freq = paras.groupBy("_para").agg(
         F.countDistinct(id_col).alias("_df")
