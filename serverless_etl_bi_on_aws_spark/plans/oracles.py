@@ -2079,3 +2079,29 @@ EXTRA_ORACLE_SQL["q89_url_dedup_verify"] = """
            '?a=' || CAST(doc_id % 4 AS VARCHAR) || '&b=2' AS canon_url
     FROM documents WHERE doc_id < 300 ORDER BY doc_id
 """
+
+# q90_snapshot_sql_verify (round 14): the snapshot families' SQL surface
+# over a PLANTED corpus (doc k < 80). Counts/sums are fixture
+# arithmetic; the consistency verdicts (a pre-registered view counts the
+# FULL corpus after the takedown commit; re-register counts fully-after;
+# seq=1 time-travels; an aged-out seq raises) are the contract booleans/
+# counts the oracle recomputes below.
+EXTRA_ORACLE_SQL["q90_snapshot_sql_verify"] = """
+    WITH n AS (SELECT COUNT(*) AS c, SUM(doc_id) AS s FROM documents
+               WHERE doc_id < 80),
+         t AS (SELECT COUNT(*) AS c, COALESCE(SUM(doc_id), 0) AS s
+               FROM documents WHERE doc_id IN (0, 10, 20))
+    SELECT metric, value FROM (
+        SELECT 'aged_out_seq_raises' AS metric, CAST(1 AS BIGINT) AS value
+        UNION ALL
+        SELECT 'pinned_count_after_takedown', CAST(n.c AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'post_count', CAST(n.c - t.c AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'post_id_sum', CAST(n.s - t.s AS BIGINT) FROM n, t
+        UNION ALL
+        SELECT 'pre_count', CAST(n.c AS BIGINT) FROM n
+        UNION ALL
+        SELECT 'seq1_count', CAST(n.c AS BIGINT) FROM n
+    ) ORDER BY metric
+"""

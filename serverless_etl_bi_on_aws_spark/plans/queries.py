@@ -4004,6 +4004,109 @@ def q89_url_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select("doc_id", "canon_url").orderBy("doc_id")
 
 
+def q90_snapshot_sql_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot families' SQL/catalog surface, value-gated (round 14
+    — ``register_family_views`` landed this round with pytest gating;
+    this drives the SQL-ONLY consumer contract through the driver too,
+    per the landing-round invariant). The reference's BI layer reads the
+    warehouse through SQL views (README.md:97-99); this is the
+    consistency story that consumer gets against a mutating corpus.
+
+    Planted corpus (doc k < 80, stride-13 text) under one snapshot
+    family. The story, every number fixture arithmetic:
+
+      * register views, COUNT through ``spark.sql`` (= corpus size);
+      * a takedown of ids {0, 10, 20} commits as one snapshot
+        transition (``keep_n=3``) — the PRE-registered view still
+        counts the FULL corpus (fully-before: its concrete generation
+        dir is immutable while retained);
+      * RE-registering resolves fully-after (count and an exact doc_id
+        sum through SQL both reflect the takedown);
+      * ``seq=1`` registers the pre-takedown snapshot (time travel
+        through SQL, count = full corpus);
+      * two further commits at the default retention age seq 1 out —
+        registration then FAILS LOUDLY (boolean; never silently
+        resolving swept paths).
+
+    Scale shape: registration is manifest reads + catalog entries
+    (KB-scale, driver-side by design); every count/sum is a distributed
+    scan over the registered view."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        init_snapshot_family,
+        mutate_snapshot,
+        register_family_views,
+    )
+
+    toks = [
+        F.concat(F.lit("w"), (F.col("doc_id") * 13 + F.lit(i)).cast("string"))
+        for i in range(12)
+    ]
+    synth = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id", F.concat_ws(" ", *toks).alias("text"))
+    )
+    targets = [0, 10, 20]
+    scratch = tempfile.mkdtemp(prefix="spark_graft_q90_")
+    try:
+        src = _os.path.join(scratch, "corpus_src")
+        synth.write.parquet(src)
+        family = _os.path.join(scratch, "family")
+        init_snapshot_family(family, {"corpus": src})
+
+        pre = register_family_views(spark, family, prefix="q90pre")
+        pre_count = spark.sql(
+            f"SELECT COUNT(*) FROM {pre['corpus']}"
+        ).head()[0]
+
+        with mutate_snapshot(family, ["corpus"], owner="q90", keep_n=3) as st:
+            kept = spark.read.parquet(st["corpus"]).filter(
+                ~F.col("doc_id").isin(targets)
+            ).collect()
+            spark.createDataFrame(
+                kept, "doc_id long, text string"
+            ).write.mode("overwrite").parquet(st["corpus"])
+
+        pinned_after = spark.sql(
+            f"SELECT COUNT(*) FROM {pre['corpus']}"
+        ).head()[0]
+        post = register_family_views(spark, family, prefix="q90post")
+        post_count, post_id_sum = spark.sql(
+            f"SELECT COUNT(*), SUM(doc_id) FROM {post['corpus']}"
+        ).head()
+        tt = register_family_views(spark, family, prefix="q90seq1", seq=1)
+        seq1_count = spark.sql(f"SELECT COUNT(*) FROM {tt['corpus']}").head()[0]
+
+        # age seq 1 out: two no-op commits at the default retention
+        for _ in range(2):
+            with mutate_snapshot(family, ["corpus"], owner="q90"):
+                pass
+        try:
+            register_family_views(spark, family, prefix="q90gone", seq=1)
+            aged_out_raises = 0
+        except FileNotFoundError:
+            aged_out_raises = 1
+
+        rows = [
+            ("aged_out_seq_raises", int(aged_out_raises)),
+            ("pinned_count_after_takedown", int(pinned_after)),
+            ("post_count", int(post_count)),
+            ("post_id_sum", int(post_id_sum)),
+            ("pre_count", int(pre_count)),
+            ("seq1_count", int(seq1_count)),
+        ]
+        return spark.createDataFrame(rows, "metric string, value bigint").orderBy(
+            "metric"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4015,7 +4118,6 @@ QUERIES: dict[str, QueryFn] = {
     "q10_top_customers_per_segment": q10_top_customers_per_segment,
     "q11_latest_event_per_user_type": q11_latest_event_per_user_type,
     "q13_sketch_neardup_verify": q13_sketch_neardup_verify,
-    "q15_doc_quality_by_source": q15_doc_quality_by_source,
     "q18_ann_verify": q18_ann_verify,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
@@ -4055,6 +4157,7 @@ QUERIES: dict[str, QueryFn] = {
     "q87_langid_verify": q87_langid_verify,
     "q88_paragraph_boilerplate_verify": q88_paragraph_boilerplate_verify,
     "q89_url_dedup_verify": q89_url_dedup_verify,
+    "q90_snapshot_sql_verify": q90_snapshot_sql_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -4102,6 +4205,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q12_neardup_jaccard": q12_neardup_jaccard,  # rotated out r11 (ceded to q82): the shingle-Jaccard machinery stays driver-visible via q13_sketch_neardup_verify, q81, and q82 (whose oracle recomputes the same pairs)
     "q62_sketch_rollup_users": q62_sketch_rollup_users,  # rotated out r12 (ceded to q83): the mergeable-summary rollup family stays driver-visible via q67's histogram rollup; the exact-vs-sketch agreement contract stays in the pytest oracle union
     "q47_pricing_summary_rollup": q47_pricing_summary_rollup,  # rotated out r13 (ceded to q84): the rollup/materialized-agg family stays driver-visible via q74 grouping sets, q57 gapfilled rollup, and q67 histogram rollup; bench.py's rollup_q1 deployment tier times this exact function every round
+    "q15_doc_quality_by_source": q15_doc_quality_by_source,  # rotated out r14 (ceded to q90): X5 quality scoring stays driver-visible via q7 (text stats), q81 (the funnel's quality gate), q75 (LM score); the per-source aggregate oracle stays in the pytest union
     "q43_neardup_embedding_cosine": q43_neardup_embedding_cosine,  # rotated out r14 (ceded to q89): X3 cosine pairs stay driver-visible via q44 (top-k), q65 (PQ), q18_ann_verify, q80 (semantic dedup); bench.py's llm tier still times q43 and its zero-norm/threshold contracts stay pytest-pinned (test_dedup_similarity)
     "q55_repetition_stats": q55_repetition_stats,  # rotated out r14 (ceded to q88): X5 text stays driver-visible via q7/q15/q53/q54/q63/q73/q75/q86/q87; bench.py's llm tier still times q55 every round and its repetition contract stays pytest-pinned (test_chunking)
     "q72_temporal_dim_join": q72_temporal_dim_join,  # rotated out r14 (ceded to q87): the temporal/SCD read side stays driver-visible via q69_scd2_order_history (the write+read SCD2 face); the as-of family oracle stays in the pytest union (q30)
