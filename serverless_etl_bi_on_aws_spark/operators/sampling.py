@@ -29,6 +29,21 @@ def split_bucket(id_col: str | Column, n_buckets: int = 100) -> Column:
     return F.pmod(col * F.lit(_MIX), F.lit(n_buckets))
 
 
+def _split_expr(bucket: Column, cut_points: Mapping[str, int] | None) -> Column:
+    """CASE expression mapping a [0, 100) bucket to split names: each cut is
+    an exclusive upper percentile bound, checked ascending; the remainder is
+    "test"."""
+    cuts = dict(cut_points) if cut_points is not None else {"train": 80, "val": 90}
+    expr: Column | None = None
+    for name, bound in sorted(cuts.items(), key=lambda kv: kv[1]):
+        expr = (
+            F.when(bucket < bound, name)
+            if expr is None
+            else expr.when(bucket < bound, name)
+        )
+    return F.lit("test") if expr is None else expr.otherwise("test")
+
+
 def deterministic_split(
     df: DataFrame,
     id_col: str,
@@ -39,17 +54,59 @@ def deterministic_split(
     ``cut_points`` maps split name -> exclusive upper percentile bound,
     checked in ascending order; the last split takes the remainder.
     """
-    cuts = dict(cut_points) if cut_points is not None else {"train": 80, "val": 90}
-    bucket = split_bucket(id_col)
-    expr: Column | None = None
-    for name, bound in sorted(cuts.items(), key=lambda kv: kv[1]):
-        expr = (
-            F.when(bucket < bound, name)
-            if expr is None
-            else expr.when(bucket < bound, name)
-        )
-    expr = F.lit("test") if expr is None else expr.otherwise("test")
-    return df.withColumn("split", expr)
+    return df.withColumn("split", _split_expr(split_bucket(id_col), cut_points))
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    cut_points: Mapping[str, int] | None = None,
+    id1_col: str = "id_1",
+    id2_col: str = "id_2",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every near-dup CLUSTER lands
+    wholly in one split.
+
+    :func:`deterministic_split` hashes the ROW id, so two near-duplicate
+    documents (same article under different chrome, a paraphrase, a crop of
+    the same image) can straddle train and test — the classic train/test
+    contamination path that inflates eval numbers. The fix corpus pipelines
+    ship is to split on the DEDUP-CLUSTER key instead: connected components
+    over the near-dup pair graph (operators/components.py) give every row a
+    cluster label (the minimum reachable id; rows in no pair are their own
+    singleton cluster), and the multiplicative-hash bucket is computed on
+    that label — so all members of a transitive near-dup cluster share one
+    bucket, hence one split, by construction.
+
+    Adds two columns: ``split_key`` (the cluster label the hash ran on,
+    bigint) and ``split``. Rows in no pair get ``split_key = id``, making
+    the assignment IDENTICAL to :func:`deterministic_split` outside the
+    clustered minority — upgrading an existing id-hash split to the
+    cluster-safe one only moves rows that were contaminated.
+
+    Scale shape: components is iterative join/groupBy on the PAIR graph
+    only (near-dup pairs are a small fraction of the corpus); the join back
+    onto ``df`` is one equi-join on the id (labels frame is pair-node-sized,
+    typically broadcastable — AQE decides), then the same narrow map-only
+    hash projection as deterministic_split. Deterministic across runs,
+    partitionings, executor counts, and engines (the DuckDB oracle
+    recomputes components via recursive CTE and applies the same integer
+    hash)."""
+    from serverless_etl_bi_on_aws_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs, id1_col, id2_col).select(
+        F.col("id").alias("__cs_id"), F.col("comp").alias("__cs_comp")
+    )
+    labeled = df.join(comp, df[id_col] == F.col("__cs_id"), "left").drop("__cs_id")
+    key = F.coalesce(F.col("__cs_comp"), F.col(id_col).cast("bigint"))
+    return (
+        labeled.withColumn("split_key", key)
+        .withColumn("split", _split_expr(split_bucket(key), cut_points))
+        .drop("__cs_comp")
+    )
 
 
 def weighted_mix_sample(

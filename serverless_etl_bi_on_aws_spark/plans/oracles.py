@@ -690,6 +690,47 @@ ORACLE_SQL["q50_dedup_survivors_cc"] = """
     ORDER BY e.vec_id
 """
 
+# q91: leakage-safe splits are fully SQL-expressible — the recursive CTE
+# recomputes the q50 components over the same cosine pair graph, every
+# row's split key is COALESCE(component, own id), and the split is the
+# q37 Knuth multiplicative hash applied to that KEY (not the row id), so
+# all members of a near-dup cluster provably share one split. A wrong
+# Spark-side label, a dropped singleton, or a hash drift flips the hash.
+ORACLE_SQL["q91_cluster_safe_split_verify"] = """
+    WITH RECURSIVE normed AS (
+        -- zero-norm guard: see q43's oracle note (NaN cosine knife-edge)
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ),
+    edges AS (
+        SELECT id_1 AS s, id_2 AS d FROM pairs
+        UNION ALL
+        SELECT id_2, id_1 FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.r FROM edges e JOIN reach r ON e.s = r.id
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    keyed AS (
+        SELECT e.vec_id,
+               CAST(COALESCE(c.comp, e.vec_id) AS BIGINT) AS split_key
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+    )
+    SELECT vec_id, split_key,
+           CASE WHEN (split_key * 2654435761) % 100 < 80 THEN 'train'
+                WHEN (split_key * 2654435761) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+    ORDER BY vec_id
+"""
+
 # q49: JPEG is lossy, so the decoded pixels are codec-defined — but the
 # gradient's ANALYTIC mean is engine-independent (recomputed here via
 # generate_series over the full w x h grid) and the decoded mean must sit
@@ -1006,6 +1047,66 @@ ORACLE_SQL["q58_format_roundtrip"] = """
         SELECT 'orc', event_type, CAST(COUNT(*) AS BIGINT)
         FROM events GROUP BY event_type
     ) ORDER BY fmt, key
+"""
+
+# q92: the XML roundtrip must reproduce the parquet truth exactly — good
+# rows = events count, exactly the 3 planted malformed row elements in
+# quarantine, exact user_id and scaled-long value sums over the good rows,
+# and every markup-hostile planted name ('x<&>" ' || user_id) must survive
+# the writer's entity escaping and the reader's decoding byte-for-byte
+# (hostile_names_roundtrip = good_rows).
+ORACLE_SQL["q92_xml_roundtrip"] = """
+    SELECT metric, value FROM (
+        SELECT 'event_id_sum' AS metric,
+               CAST(SUM(event_id) AS BIGINT) AS value FROM events
+        UNION ALL
+        SELECT 'good_rows', CAST(COUNT(*) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'hostile_names_roundtrip', CAST(COUNT(*) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'quarantined', CAST(3 AS BIGINT)
+        UNION ALL
+        SELECT 'ts_us_max', CAST(MAX(epoch_us(ts)) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'ts_us_min', CAST(MIN(epoch_us(ts)) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'user_id_sum', CAST(SUM(user_id) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'value_scaled_sum',
+               CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        FROM events
+    ) ORDER BY metric
+"""
+
+# q93: the VARIANT parse/extract path is value-checked without any JSON
+# on the oracle side — every planted field is doc_id arithmetic, so the
+# oracle regenerates the expected extractions directly: device grouping
+# (a sentinel for the malformed 1/97), battery present 2/3, nested screen 1/2,
+# the type-flipping v (int 3/5, string 2/5), and the dead-letter count.
+ORACLE_SQL["q93_variant_props"] = """
+    WITH base AS (
+        SELECT CASE WHEN event_id % 97 = 0 THEN '(malformed)'
+                    ELSE 'd' || CAST(user_id % 3 AS VARCHAR) END AS device,
+               (event_id % 97 = 0) AS bad,
+               event_id
+        FROM events
+    )
+    SELECT device,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN NOT bad AND event_id % 3 <> 0
+                         THEN event_id % 100 END), 0) AS BIGINT) AS battery_sum,
+           CAST(COUNT(CASE WHEN NOT bad AND event_id % 3 = 0
+                           THEN 1 END) AS BIGINT) AS no_battery_rows,
+           CAST(COALESCE(SUM(CASE WHEN NOT bad AND event_id % 2 = 0
+                         THEN event_id % 640 END), 0) AS BIGINT) AS screen_w_sum,
+           CAST(COALESCE(SUM(CASE WHEN NOT bad AND event_id % 5 < 3
+                         THEN event_id % 50 END), 0) AS BIGINT) AS v_int_sum,
+           CAST(COUNT(CASE WHEN NOT bad AND event_id % 5 >= 3
+                           THEN 1 END) AS BIGINT) AS v_str_rows,
+           CAST(COUNT(CASE WHEN bad THEN 1 END) AS BIGINT) AS quarantined
+    FROM base
+    GROUP BY device
+    ORDER BY device
 """
 
 # q59: the drained stream-static enrichment must equal the batch twin —

@@ -4107,6 +4107,258 @@ def q90_snapshot_sql_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q91_cluster_safe_split_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (round 14): near-dup
+    CLUSTERS land wholly in one split. An id-hash split (q37's
+    deterministic_split) lets two near-duplicates straddle train and
+    test — the train/test contamination path that inflates eval numbers
+    on a 100 TB corpus; operators/sampling.cluster_safe_split hashes the
+    connected-component label of the q43/q50 cosine pair graph instead,
+    so every transitive near-dup cluster shares one bucket by
+    construction, and rows in no pair keep their q37 assignment exactly
+    (split_key = own id).
+
+    Full value oracle: the DuckDB twin recomputes the pair graph, the
+    components (recursive CTE — the q50 discipline), and the same
+    Knuth multiplicative hash, so a wrong label, a dropped singleton, or
+    a bucket-formula drift flips the row hash. The leakage CONTRACT
+    (no cluster straddles; non-clustered rows match deterministic_split;
+    repartition invariance; a planted chain that the id-hash split
+    provably straddles) is pytest-pinned in test_dedup_similarity.
+
+    Scale shape: components iterate over the PAIR graph only (pairs are
+    a small fraction of the corpus); one equi-join hangs the label onto
+    the scan (label frame is pair-node-sized — AQE broadcasts it); the
+    split itself is the same narrow map-only hash projection as q37. No
+    new data-sized shuffle beyond what near-dup detection already paid."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import cluster_safe_split
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        neardup_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_cosine_pairs(emb, threshold=0.4, block_rows=256)
+    return (
+        cluster_safe_split(emb.select("vec_id"), "vec_id", pairs)
+        .select("vec_id", "split_key", "split")
+        .orderBy("vec_id")
+    )
+
+
+def q92_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML feed format under the driver's value gate (round 14 —
+    sources/formats.read_xml/write_xml landed this round; Spark 4's
+    in-tree StAX datasource, the third third-party-feed format after CSV
+    and JSON lines, same PERMISSIVE+quarantine contract as q58).
+
+    Build (digest-keyed, write-once): events exported as XML (ts as epoch
+    micros) with a planted markup-HOSTILE name column
+    ('x<&>" ' || user_id — every character the writer must entity-escape
+    and the reader must decode), plus one hand-written file holding THREE
+    malformed row elements (two well-formed but wrong-typed — one of
+    which parses its good fields yet still quarantines, the JSON-source
+    semantics — and one row truncated mid-element).
+
+    The roundtrip must prove, all metrics oracle-recomputed from the
+    parquet truth: good rows = events count; exactly 3 quarantined;
+    exact user_id and scaled-long value sums over the good rows (a
+    dropped or double-parsed row shifts a long); and EVERY good row's
+    hostile name string survived escape->parse byte-for-byte.
+
+    Scale shape: full scans by design (value fidelity is the point); the
+    one aggregate keeps a data column beside the corrupt column (XML
+    inherits JSON's corrupt-only-projection restriction). At 100 TB the
+    XML feed is read ONCE into partitioned parquet — this query IS that
+    pass plus its audit.
+
+    Trap (pinned by this oracle): corrupt detection is PROJECTION-
+    dependent — a wrong-typed field in a column the scan prunes away is
+    never parsed, so its row silently counts as good (measured: dropping
+    event_id from this aggregate moved good_rows 10000 -> 10001 and
+    quarantined 3 -> 2 at sf0.01). A quarantine AUDIT must therefore
+    reference every schema column, as this aggregate does; the same
+    holds for the JSON source."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.sources.formats import (
+        CORRUPT_COL,
+        read_xml,
+        write_xml,
+    )
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
+
+    digest = fixture_digest(sf_dir, ("events",), version="xml1")[:8]
+    xdir = os.path.join(artifact_dir(f"spark_graft_xml_{digest}"), "events_xml")
+    marker = os.path.join(xdir, "_BUILT")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        write_xml(
+            ev.select(
+                "event_id",
+                "user_id",
+                F.concat(F.lit('x<&>" '), F.col("user_id")).alias("name"),
+                F.unix_micros("ts").alias("ts_us"),
+                "value",
+            ),
+            xdir,
+        )
+        with open(os.path.join(xdir, "zz_malformed.xml"), "w") as f:
+            f.write("<rows>\n")
+            f.write(
+                "<row><event_id>not-a-number</event_id>"
+                "<user_id>1</user_id><name>t</name>"
+                "<ts_us>0</ts_us><value>1.0</value></row>\n"
+            )
+            f.write(
+                "<row><event_id>900001</event_id><user_id>2</user_id>"
+                "<name>u</name><ts_us>0</ts_us><value>not-a-double</value></row>\n"
+            )
+            f.write("<row><event_id>900002</event_id><name>trunc\n")
+            f.write("</rows>\n")
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    schema = (
+        "event_id BIGINT, user_id BIGINT, name STRING, ts_us BIGINT, value DOUBLE"
+    )
+    xml = read_xml(spark, xdir, schema=schema, keep_corrupt=True)
+    good = F.col(CORRUPT_COL).isNull()
+    agg = xml.agg(
+        F.count(F.when(good, 1)).alias("_good"),
+        F.count(CORRUPT_COL).alias("_quar"),
+        F.sum(F.when(good, F.col("event_id"))).alias("_eid_sum"),
+        F.sum(F.when(good, F.col("user_id"))).alias("_uid_sum"),
+        F.min(F.when(good, F.col("ts_us"))).alias("_ts_min"),
+        F.max(F.when(good, F.col("ts_us"))).alias("_ts_max"),
+        F.sum(
+            F.when(good, F.floor(F.col("value") * 10000 + 0.5).cast("bigint"))
+        ).alias("_val_sum"),
+        F.count(
+            F.when(
+                good
+                & (F.col("name") == F.concat(F.lit('x<&>" '), F.col("user_id"))),
+                1,
+            )
+        ).alias("_name_ok"),
+    )
+    return (
+        agg.select(
+            F.explode(
+                F.create_map(
+                    F.lit("event_id_sum"), F.col("_eid_sum"),
+                    F.lit("good_rows"), F.col("_good"),
+                    F.lit("hostile_names_roundtrip"), F.col("_name_ok"),
+                    F.lit("quarantined"), F.col("_quar"),
+                    F.lit("ts_us_max"), F.col("_ts_max"),
+                    F.lit("ts_us_min"), F.col("_ts_min"),
+                    F.lit("user_id_sum"), F.col("_uid_sum"),
+                    F.lit("value_scaled_sum"), F.col("_val_sum"),
+                )
+            ).alias("metric", "value")
+        )
+        .orderBy("metric")
+    )
+
+
+def q93_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured event properties through Spark 4's VARIANT type
+    (round 14 — functions/semistructured.py): the reference's third-party
+    event feed (README.md:160-161) carries a properties blob whose fields
+    appear/disappear per SDK version and change TYPE across producers —
+    the case ``from_json``'s fixed schema silently nulls.
+
+    Planted heterogeneity, every branch doc_id arithmetic: device always
+    present; battery only when event_id%3 != 0; a NESTED screen object
+    only when event_id%2 = 0; a field v whose type FLIPS (int when
+    event_id%5 < 3, else string); and a malformed/truncated blob when
+    event_id%97 = 0 (those rows parse to NULL variant, quarantine via the
+    dead-letter column, and group under NULL device). The aggregate walks
+    every contract edge — typed extraction, missing-path NULL,
+    present-but-drifted type counting via the narrow-type probe, nested
+    paths — and the oracle recomputes every cell from the SAME arithmetic
+    without any JSON at all, so a parse or extraction defect anywhere
+    flips a value. (Malformed rows group under a sentinel device and
+    zero-coalesced sums — the compare harness sorts row tuples, and
+    NULL cells don't order against values.)
+
+    Scale shape: parse-once into the binary variant encoding, then pure
+    JVM columnar extraction — no Python, no re-parse per path; one
+    map-side-combined groupBy on a 4-value key. At 100 TB the variant
+    column persists to parquet at ingest and this query is the read
+    side."""
+    from serverless_etl_bi_on_aws_spark.functions.semistructured import (
+        json_to_variant,
+        variant_field,
+        variant_has_type,
+    )
+
+    eid, uid = F.col("event_id"), F.col("user_id")
+    js = F.when(eid % 97 == 0, F.lit('{"device":"d')).otherwise(
+        F.concat(
+            F.lit('{"device":"d'),
+            (uid % 3).cast("string"),
+            F.lit('"'),
+            F.when(
+                eid % 3 != 0,
+                F.concat(F.lit(',"battery":'), (eid % 100).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                eid % 2 == 0,
+                F.concat(
+                    F.lit(',"screen":{"w":'),
+                    (eid % 640).cast("string"),
+                    F.lit(',"h":'),
+                    (eid % 480).cast("string"),
+                    F.lit("}"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                eid % 5 < 3, F.concat(F.lit(',"v":'), (eid % 50).cast("string"))
+            ).otherwise(
+                F.concat(F.lit(',"v":"s'), (eid % 50).cast("string"), F.lit('"'))
+            ),
+            F.lit("}"),
+        )
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .withColumn("js", js)
+    )
+    pv = json_to_variant(ev, "js", out_col="props", quarantine_col="raw_bad")
+    return (
+        pv.groupBy(
+            F.coalesce(
+                variant_field("props", "$.device", "string"), F.lit("(malformed)")
+            ).alias("device")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                F.sum(variant_field("props", "$.battery", "bigint")), F.lit(0)
+            ).alias("battery_sum"),
+            F.count(
+                F.when(
+                    variant_field("props", "$.battery", "bigint").isNull()
+                    & F.col("props").isNotNull(),
+                    1,
+                )
+            ).alias("no_battery_rows"),
+            F.coalesce(
+                F.sum(variant_field("props", "$.screen.w", "bigint")), F.lit(0)
+            ).alias("screen_w_sum"),
+            F.coalesce(
+                F.sum(variant_field("props", "$.v", "bigint")), F.lit(0)
+            ).alias("v_int_sum"),
+            F.count(
+                F.when(~variant_has_type("props", "$.v", "bigint"), 1)
+            ).alias("v_str_rows"),
+            F.count("raw_bad").alias("quarantined"),
+        )
+        .orderBy("device")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4124,7 +4376,6 @@ QUERIES: dict[str, QueryFn] = {
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q49_media_pixel_stats_jpeg": q49_media_pixel_stats_jpeg,
-    "q50_dedup_survivors_cc": q50_dedup_survivors_cc,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,
     "q54_contamination_check": q54_contamination_check,
     "q56_domain_mix_rebalance": q56_domain_mix_rebalance,
@@ -4138,9 +4389,7 @@ QUERIES: dict[str, QueryFn] = {
     "q67_histogram_rollup": q67_histogram_rollup,
     "q68_merge_audit_diff": q68_merge_audit_diff,
     "q69_scd2_order_history": q69_scd2_order_history,
-    "q70_window_suite": q70_window_suite,
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,
-    "q73_unicode_normalize": q73_unicode_normalize,
     "q74_grouping_sets": q74_grouping_sets,
     "q75_lm_quality_score": q75_lm_quality_score,
     "q76_incremental_dedup_verify": q76_incremental_dedup_verify,
@@ -4158,6 +4407,9 @@ QUERIES: dict[str, QueryFn] = {
     "q88_paragraph_boilerplate_verify": q88_paragraph_boilerplate_verify,
     "q89_url_dedup_verify": q89_url_dedup_verify,
     "q90_snapshot_sql_verify": q90_snapshot_sql_verify,
+    "q91_cluster_safe_split_verify": q91_cluster_safe_split_verify,
+    "q92_xml_roundtrip": q92_xml_roundtrip,
+    "q93_variant_props": q93_variant_props,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -4211,4 +4463,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q72_temporal_dim_join": q72_temporal_dim_join,  # rotated out r14 (ceded to q87): the temporal/SCD read side stays driver-visible via q69_scd2_order_history (the write+read SCD2 face); the as-of family oracle stays in the pytest union (q30)
     "q57_gapfilled_rollup": q57_gapfilled_rollup,  # rotated out r14 (ceded to q86): the gap-fill/rollup family stays driver-visible via q48 (streaming rollup twin), q67 (histogram rollup), q74 (grouping sets); the zero-fill contract stays pytest-pinned (test_chunking) and in the pytest oracle union
     "q52_video_frame_stats": q52_video_frame_stats,  # rotated out r14 (ceded to q85): X4 media stays driver-visible via q49 (JPEG), q77 (image phash), q78 (MP4+MJPEG), q79 (audio); the AVI container's full-value oracle stays in the pytest union and bench.py's llm tier still times it every round
+    "q50_dedup_survivors_cc": q50_dedup_survivors_cc,  # rotated out r14 (ceded to q91): the CC machinery stays driver-visible via q91, whose oracle recomputes the SAME recursive-CTE components over the SAME pair graph before hashing them; the survivor contract stays pytest-pinned (test_dedup_similarity) and in the pytest oracle union
+    "q73_unicode_normalize": q73_unicode_normalize,  # rotated out r14 (ceded to q92): X5 text normalization stays driver-visible via q7/q53/q54/q63/q75/q86/q87/q88; the NFC/width-fold contract stays pytest-pinned and in the pytest oracle union
+    "q70_window_suite": q70_window_suite,  # rotated out r14 (ceded to q93): the window-frame family stays driver-visible via q10 (rank top-k), q11 (latest-by-key), q74 (grouping sets), q69 (SCD2 windows); the full frame suite stays in the pytest oracle union
 }

@@ -1322,3 +1322,45 @@ def test_incremental_url_dedup_loop(spark, tmp_path):
     )
     surv2 = dedup_urls_against_index(spark, batch2, idx)
     assert {r["doc_id"] for r in surv2.select("doc_id").collect()} == {21}
+
+
+def test_cluster_safe_split_contract(spark):
+    """q91's leakage contract: a transitive near-dup cluster can NEVER
+    straddle splits, non-clustered rows keep the id-hash assignment
+    exactly, and the result is partition-layout invariant. The planted
+    chain 3-5-13 is chosen so the row-id hash provably contaminates:
+    buckets (id*2654435761)%100 are 83/5/93 — val, train, AND test."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        cluster_safe_split,
+        deterministic_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in (3, 4, 5, 8, 13)], "doc_id bigint")
+    pairs = spark.createDataFrame([(3, 5), (5, 13)], "id_1 bigint, id_2 bigint")
+
+    naive = {r.doc_id: r.split for r in deterministic_split(df, "doc_id").collect()}
+    assert {naive[3], naive[5], naive[13]} == {"test", "train", "val"}  # straddles
+
+    by_id = {r.doc_id: r for r in cluster_safe_split(df, "doc_id", pairs).collect()}
+    # the whole cluster rides the component label (min id = 3): one split
+    assert [by_id[i].split_key for i in (3, 5, 13)] == [3, 3, 3]
+    assert {by_id[i].split for i in (3, 5, 13)} == {naive[3]}
+    # singletons (4, 8) keep the id-hash assignment and key their own id
+    for i in (4, 8):
+        assert by_id[i].split == naive[i]
+        assert by_id[i].split_key == i
+
+    # partition-layout invariance: same assignment from any layout
+    re_run = cluster_safe_split(df.repartition(7), "doc_id", pairs).collect()
+    assert sorted((r.doc_id, r.split_key, r.split) for r in re_run) == sorted(
+        (r.doc_id, r.split_key, r.split) for r in by_id.values()
+    )
+
+    # custom cut points flow through to the cluster key identically
+    custom = cluster_safe_split(
+        df, "doc_id", pairs, cut_points={"fit": 50, "holdout": 75}
+    ).collect()
+    for r in custom:
+        b = (r.split_key * 2654435761) % 100
+        want = "fit" if b < 50 else ("holdout" if b < 75 else "test")
+        assert r.split == want

@@ -492,3 +492,116 @@ def test_ppm_plugin_real_codec_through_public_registry(spark, tmp_path):
         assert fn.__module__ == "serverless_etl_bi_on_aws_spark.plugins.ppm_codec"
     finally:
         ppm_codec.unregister()
+
+
+def test_xml_contract(spark, tmp_path):
+    """q92's source-level contract: entity escaping roundtrips hostile
+    strings byte-for-byte; malformed / wrong-typed row elements quarantine
+    under PERMISSIVE; keep_corrupt=False drops them; and corrupt detection
+    is PROJECTION-dependent (a pruned wrong-typed column goes unseen), so
+    audits must reference every schema column."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.sources.formats import (
+        CORRUPT_COL,
+        read_xml,
+        write_xml,
+    )
+
+    hostile = 'a<&>"\' &amp; </row> ]]> b'
+    src = spark.createDataFrame(
+        [(1, hostile, 10), (2, "plain", 20)], "k bigint, name string, v bigint"
+    )
+    path = str(tmp_path / "feed_xml")
+    write_xml(src, path)
+    with open(f"{path}/zz_bad.xml", "w") as f:
+        f.write("<rows>\n")
+        f.write("<row><k>not-a-number</k><name>t</name><v>1</v></row>\n")
+        f.write("<row><k>9</k><name>trunc\n")
+        f.write("</rows>\n")
+
+    schema = "k BIGINT, name STRING, v BIGINT"
+    kept = read_xml(spark, path, schema=schema)  # quarantine dropped
+    rows = {r.k: r for r in kept.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].name == hostile  # writer escaped, reader decoded
+
+    full = read_xml(spark, path, schema=schema, keep_corrupt=True)
+    agg = full.agg(
+        F.count(F.when(F.col(CORRUPT_COL).isNull(), 1)).alias("good"),
+        F.count(CORRUPT_COL).alias("quar"),
+        F.sum(F.when(F.col(CORRUPT_COL).isNull(), F.col("k"))).alias("ksum"),
+        F.max(F.when(F.col(CORRUPT_COL).isNull(), F.col("v"))).alias("vmax"),
+    ).head()
+    assert (agg.good, agg.quar, agg.ksum, agg.vmax) == (2, 2, 3, 20)
+
+    # the projection trap: prune k away and the wrong-typed k row parses
+    # clean — quarantine audits MUST touch every column (q92 docstring)
+    pruned = full.agg(
+        F.count(F.when(F.col(CORRUPT_COL).isNull(), 1)).alias("good"),
+        F.max(F.when(F.col(CORRUPT_COL).isNull(), F.col("v"))).alias("vmax"),
+    ).head()
+    assert pruned.good == 3  # the not-a-number row slipped through
+
+
+def test_variant_semistructured_contract(spark):
+    """functions/semistructured.py: tolerant parse (malformed -> NULL
+    variant + dead-letter), typed extraction's missing-vs-drifted
+    distinction, strict extraction erroring on drift, and the tri-state
+    has-type probe (q93's machinery at row level)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from serverless_etl_bi_on_aws_spark.functions.semistructured import (
+        json_to_variant,
+        variant_field,
+        variant_field_strict,
+        variant_has_type,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 7, "nest": {"x": 3}}'),
+            (2, '{"a": "drifted"}'),
+            (3, '{"b": 1}'),
+            (4, '{"broken": '),
+            (5, None),
+        ],
+        "k bigint, js string",
+    )
+    pv = json_to_variant(df, "js", out_col="p", quarantine_col="bad")
+    got = {
+        r.k: r
+        for r in pv.select(
+            "k",
+            F.col("p").isNotNull().alias("parsed"),
+            "bad",
+            variant_field("p", "$.a", "bigint").alias("a_int"),
+            variant_field("p", "$.nest.x", "bigint").alias("nx"),
+            variant_has_type("p", "$.a", "bigint").alias("a_is_int"),
+        ).collect()
+    }
+    assert "js" in df.columns and "js" not in pv.columns
+    assert (got[1].parsed, got[1].a_int, got[1].nx, got[1].a_is_int) == (
+        True, 7, 3, True,
+    )
+    # drifted type: extraction NULLs, probe says "present but not int"
+    assert (got[2].parsed, got[2].a_int, got[2].a_is_int) == (True, None, False)
+    # missing path: NULL extraction, probe NULL ("absent", not "drifted")
+    assert (got[3].a_int, got[3].a_is_int) == (None, None)
+    # malformed JSON: NULL variant, raw string dead-lettered
+    assert (got[4].parsed, got[4].bad) == (False, '{"broken": ')
+    # NULL input is not quarantined (nothing arrived, nothing to audit)
+    assert (got[5].parsed, got[5].bad) == (False, None)
+
+    # strict extraction fails the job on drift (ANSI variant_get) ...
+    with _pytest.raises(Exception, match="INVALID_VARIANT_CAST"):
+        pv.filter(F.col("k") == 2).select(
+            variant_field_strict("p", "$.a", "bigint")
+        ).collect()
+    # ... but still treats absence as NULL, not error
+    ok = pv.filter(F.col("k") == 3).select(
+        variant_field_strict("p", "$.a", "bigint").alias("a")
+    ).head()
+    assert ok.a is None
