@@ -199,13 +199,48 @@ def connected_components_stars(
 
 
 def cluster_survivors(
-    df: DataFrame, pairs: DataFrame, id_col: str, id1_col: str = "id_1", id2_col: str = "id_2"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id1_col: str = "id_1",
+    id2_col: str = "id_2",
+    prefer_col: str | None = None,
 ) -> DataFrame:
-    """Keep exactly one representative (the minimum id) per connected
-    near-dup cluster of ``pairs``; rows in no pair survive untouched.
-    One anti-join against the non-representative member set."""
+    """Keep exactly one representative per connected near-dup cluster of
+    ``pairs``; rows in no pair survive untouched. One anti-join against
+    the non-representative member set.
+
+    By default the representative is the MINIMUM id (deterministic and
+    free — it IS the component label). With ``prefer_col``, the survivor
+    is the cluster member with the HIGHEST value of that column
+    (ties -> minimum id) — the policy real corpus pipelines want when
+    duplicates span sources of different trust: keep the curated copy,
+    drop the crawl's, regardless of which happened to get the smaller id
+    (CCNet keeps by source priority; SemDeDup keeps by centroid
+    distance — any such score works here).
+
+    Scale: the ranking runs on the PAIR-NODE set only (comp ⋈ the
+    (id, prefer) projection of ``df`` — one narrow shuffle sized by the
+    near-dup minority, never the corpus), then one window per cluster
+    and the same anti-join as the default path."""
     comp = connected_components(pairs, id1_col, id2_col)
-    dropped = comp.filter(F.col("comp") != F.col("id")).select(
-        F.col("id").alias("_drop")
-    )
+    if prefer_col is None:
+        dropped = comp.filter(F.col("comp") != F.col("id")).select(
+            F.col("id").alias("_drop")
+        )
+    else:
+        from pyspark.sql import Window
+
+        prefs = df.select(
+            F.col(id_col).cast("bigint").alias("id"), F.col(prefer_col).alias("_pref")
+        )
+        w = Window.partitionBy("comp").orderBy(
+            F.col("_pref").desc(), F.col("id").asc()
+        )
+        dropped = (
+            comp.join(prefs, "id")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select(F.col("id").alias("_drop"))
+        )
     return df.join(dropped, df[id_col] == dropped["_drop"], "left_anti")

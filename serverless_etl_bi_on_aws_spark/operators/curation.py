@@ -341,3 +341,68 @@ def drop_frequent_paragraphs(
             F.sum(F.col("_drop").cast("long")).alias("paras_dropped"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_overlap: float = 0.0,
+) -> DataFrame:
+    """Benchmark decontamination — the REMOVAL step whose measurement is
+    q54's contamination check: drop every training doc sharing too many
+    distinct word n-grams with the held-out eval corpus (the GPT-3/PaLM
+    discipline: published pipelines drop on any 8-13-gram collision).
+
+    ``max_overlap=0.0`` drops a doc on ANY shared distinct n-gram — one
+    semi-join against the deduped benchmark gram set, no aggregate.
+    ``0 < max_overlap < 1`` drops docs whose contaminated FRACTION of
+    distinct n-grams exceeds it; the threshold compare is exact integer
+    arithmetic (10000*hits > round(max_overlap*10000)*grams), never a
+    float product, so a doc sitting exactly on the boundary is KEPT by
+    the same rule in every engine (the DuckDB oracle replays it
+    verbatim). Docs with fewer than ``n`` tokens carry no n-gram and
+    always survive.
+
+    Scale shape: q54's inverted-index discipline — distinct shingles per
+    doc explode once, ONE equi join on the gram (the benchmark side is
+    distinct and SMALL — it's an eval set — so AQE broadcasts it), a
+    per-doc count aggregate only on the rate path, then one anti-join.
+    Nothing all-pairs, nothing collected."""
+    from serverless_etl_bi_on_aws_spark.functions.text import shingles_from_tokens
+
+    if not 0.0 <= max_overlap < 1.0:
+        raise ValueError("max_overlap must be in [0, 1)")
+    bench_grams = (
+        benchmark.select(F.split(text_col, " ").alias("_t"))
+        .select(F.explode(shingles_from_tokens("_t", n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("_did"), F.split(text_col, " ").alias("_t")
+    ).select("_did", F.explode(shingles_from_tokens("_t", n)).alias("gram"))
+    if max_overlap == 0.0:
+        dirty = (
+            doc_grams.join(bench_grams, "gram", "left_semi")
+            .select("_did")
+            .distinct()
+        )
+    else:
+        thresh = round(max_overlap * 10000)
+        dirty = (
+            doc_grams.join(
+                bench_grams.withColumn("_hit", F.lit(1)), "gram", "left"
+            )
+            .groupBy("_did")
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum(
+                    F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+                ).alias("_c"),
+            )
+            .filter(F.col("_c") * 10000 > F.col("_n") * F.lit(thresh))
+            .select("_did")
+        )
+    return docs.join(dirty, docs[id_col] == dirty["_did"], "left_anti")

@@ -545,3 +545,74 @@ def register_family_views(
             spark.read.parquet(d).createOrReplaceTempView(view)
             views[f"{name}/{sub}" if sub else name] = view
     return views
+
+
+def _snapshot_datasets(paths: dict[str, str]) -> dict[str, str]:
+    """Flatten a resolved snapshot to ``artifact[/dataset] -> parquet
+    dir`` (composite artifacts contribute one entry per sub-dataset —
+    the register_family_views naming)."""
+    out: dict[str, str] = {}
+    for name, path in paths.items():
+        for sub, d in _parquet_datasets(path).items():
+            out[f"{name}/{sub}" if sub else name] = d
+    return out
+
+
+def snapshot_diff(
+    spark,
+    family_root: str,
+    keys,
+    seq_old: int,
+    seq_new: int | None = None,
+    datasets=None,
+):
+    """What changed between two retained snapshots of one family — the
+    audit a takedown/compaction/backfill commit rests on: per parquet
+    dataset, keyed added/removed/changed/unchanged counts
+    (``operators/diff.table_diff_summary`` over the two IMMUTABLE
+    generation dirs the manifests name). "added" means present in the
+    newer snapshot only.
+
+    ``keys`` are the key columns shared by both sides; ``datasets``
+    restricts to named ``artifact[/dataset]`` entries (default: every
+    parquet dataset present in BOTH snapshots — a dataset only one side
+    has is a schema-level change this keyed diff can't classify, so
+    explicit naming raises KeyError rather than guessing).
+    ``seq_new=None`` diffs against the live snapshot. An aged-out seq
+    fails loudly via :func:`snapshot_paths` — never silently diffing
+    swept paths.
+
+    Scale shape: one full-outer join per dataset on its keys (the
+    diff.py contract — data-sized, AQE-skew-handled), then a 4-row
+    aggregate; datasets diff independently, nothing cross-dataset.
+    Returns ``dataset, status, n_rows`` with all four statuses per
+    dataset (zero-filled)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.diff import table_diff_summary
+
+    old_ds = _snapshot_datasets(snapshot_paths(family_root, seq=seq_old))
+    new_ds = _snapshot_datasets(snapshot_paths(family_root, seq=seq_new))
+    names = (
+        sorted(set(old_ds) & set(new_ds)) if datasets is None else list(datasets)
+    )
+    if not names:
+        raise ValueError(
+            f"snapshot_diff: no parquet dataset present in both snapshots "
+            f"of {family_root}"
+        )
+    out = None
+    for n in names:
+        if n not in old_ds or n not in new_ds:
+            missing = "old" if n not in old_ds else "new"
+            raise KeyError(
+                f"snapshot_diff: dataset {n!r} is absent from the {missing} "
+                f"snapshot (old has {sorted(old_ds)}, new has {sorted(new_ds)})"
+            )
+        part = table_diff_summary(
+            spark.read.parquet(old_ds[n]),
+            spark.read.parquet(new_ds[n]),
+            list(keys),
+        ).select(F.lit(n).alias("dataset"), "status", "n_rows")
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("dataset", "status")

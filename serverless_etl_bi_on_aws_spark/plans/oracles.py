@@ -731,6 +731,106 @@ ORACLE_SQL["q91_cluster_safe_split_verify"] = """
     ORDER BY vec_id
 """
 
+# q96: the decontamination survivor set is fully SQL-expressible — the
+# oracle recomputes q54's distinct-gram stats and replays the SAME exact
+# integer decision rule (10000*hits > 1000*grams for max_overlap=0.1),
+# then re-derives the survivors; docs with fewer than 3 tokens carry no
+# gram row and always survive, in both engines.
+ORACLE_SQL["q96_decontaminate_verify"] = """
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                     FOR i IN range(1, len(t) - 1)])) AS gram
+        FROM toks WHERE len(t) >= 3
+    ), bench AS (
+        SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    ), stats AS (
+        SELECT c.doc_id,
+               COUNT(*) AS n,
+               SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS c
+        FROM grams c LEFT JOIN bench b USING (gram)
+        WHERE c.source <> 'src0'
+        GROUP BY c.doc_id
+    ), dirty AS (
+        SELECT doc_id FROM stats WHERE c * 10000 > n * 1000
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d LEFT JOIN dirty x ON d.doc_id = x.doc_id
+    WHERE d.source <> 'src0' AND x.doc_id IS NULL
+    ORDER BY d.doc_id
+"""
+
+# q95: the snapshot diff's counts are fixture arithmetic over the
+# planted corpus (doc k < 80): the one commit removes {0,10,20}, rewrites
+# text where doc_id % 9 = 1 among the survivors, and adds 2 fresh rows —
+# so added=2, removed=|targets present|, changed=|survivors with k%9=1|,
+# unchanged = corpus − removed − changed, all recomputed from documents.
+ORACLE_SQL["q95_snapshot_diff_verify"] = """
+    WITH n AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id < 80),
+         t AS (SELECT COUNT(*) AS c FROM documents
+               WHERE doc_id IN (0, 10, 20)),
+         ch AS (SELECT COUNT(*) AS c FROM documents
+                WHERE doc_id < 80 AND doc_id % 9 = 1
+                  AND doc_id NOT IN (0, 10, 20))
+    SELECT dataset, status, value AS n_rows FROM (
+        SELECT 'corpus' AS dataset, 'added' AS status,
+               CAST(2 AS BIGINT) AS value
+        UNION ALL
+        SELECT 'corpus', 'changed', CAST(ch.c AS BIGINT) FROM ch
+        UNION ALL
+        SELECT 'corpus', 'removed', CAST(t.c AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'corpus', 'unchanged', CAST(n.c - t.c - ch.c AS BIGINT)
+        FROM n, t, ch
+    ) ORDER BY dataset, status
+"""
+
+# q94: priority-aware survivors are fully SQL-expressible — the
+# recursive CTE recomputes the q50/q91 components, every row carries the
+# SAME planted priority (vec_id*7) % 11, and the survivor per cluster is
+# the window winner (priority DESC, id ASC); singletons survive as their
+# own cluster. A ranking or tie-break drift on the Spark side flips rows.
+ORACLE_SQL["q94_priority_survivors_verify"] = """
+    WITH RECURSIVE normed AS (
+        -- zero-norm guard: see q43's oracle note (NaN cosine knife-edge)
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ),
+    edges AS (
+        SELECT id_1 AS s, id_2 AS d FROM pairs
+        UNION ALL
+        SELECT id_2, id_1 FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.r FROM edges e JOIN reach r ON e.s = r.id
+    ),
+    comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               CAST((e.vec_id * 7) % 11 AS BIGINT) AS pref,
+               COALESCE(c.comp, e.vec_id) AS comp
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+    ),
+    ranked AS (
+        SELECT vec_id, label, pref,
+               ROW_NUMBER() OVER (
+                   PARTITION BY comp ORDER BY pref DESC, vec_id ASC
+               ) AS rk
+        FROM scored
+    )
+    SELECT vec_id, label, pref FROM ranked WHERE rk = 1
+    ORDER BY vec_id
+"""
+
 # q49: JPEG is lossy, so the decoded pixels are codec-defined — but the
 # gradient's ANALYTIC mean is engine-independent (recomputed here via
 # generate_series over the full w x h grid) and the decoded mean must sit

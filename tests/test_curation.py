@@ -238,3 +238,52 @@ def test_drop_frequent_paragraphs_semantics(spark):
         for r in drop_frequent_paragraphs(docs, min_df=5).collect()
     }
     assert out5[4] == banner
+
+
+def test_decontaminate_contract(spark):
+    """q96's operator at row level: any-overlap mode drops on one shared
+    distinct 3-gram; rate mode keeps a doc sitting exactly ON the
+    threshold (exact integer rule, no float product); short docs (< n
+    tokens) always survive; the benchmark itself is never consulted for
+    its own survival."""
+    from serverless_etl_bi_on_aws_spark.operators.curation import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # 10 distinct grams, exactly 1 contaminated ("the quick brown")
+            (1, "the quick brown a b c d e f g h i"),
+            # clean: no shared 3-gram
+            (2, "entirely different words here now ok"),
+            # short: 2 tokens -> no 3-gram -> survives even in strict mode
+            (3, "the quick"),
+            # fully contaminated
+            (4, "quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+
+    strict = sorted(
+        r.doc_id for r in decontaminate(docs, bench, max_overlap=0.0).collect()
+    )
+    assert strict == [2, 3]  # any hit drops 1 and 4; short doc 3 survives
+
+    # doc 1: 10 grams, 1 hit -> rate exactly 0.1; the rule is
+    # 10000*hits > 1000*grams i.e. 10000 > 10000 -> FALSE -> kept
+    at_thresh = sorted(
+        r.doc_id for r in decontaminate(docs, bench, max_overlap=0.1).collect()
+    )
+    assert at_thresh == [1, 2, 3]
+
+    # just below the boundary the same doc drops
+    below = sorted(
+        r.doc_id for r in decontaminate(docs, bench, max_overlap=0.0999).collect()
+    )
+    assert below == [2, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_overlap"):
+        decontaminate(docs, bench, max_overlap=1.0)

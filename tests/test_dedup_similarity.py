@@ -1364,3 +1364,35 @@ def test_cluster_safe_split_contract(spark):
         b = (r.split_key * 2654435761) % 100
         want = "fit" if b < 50 else ("holdout" if b < 75 else "test")
         assert r.split == want
+
+
+def test_cluster_survivors_priority_policy(spark):
+    """q94's knob at row level: with prefer_col the survivor is the
+    highest-priority cluster member (ties -> min id), overriding the
+    default min-id representative; singletons and the default path are
+    unchanged."""
+    from serverless_etl_bi_on_aws_spark.operators.components import (
+        cluster_survivors,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 5),   # chain 1-2-3: min id loses to 3
+            (2, 7),
+            (3, 9),
+            (4, 2),   # pair 4-5: tie on pref -> min id 4 survives
+            (5, 2),
+            (6, 0),   # singleton: survives regardless of pref
+        ],
+        "id bigint, pref bigint",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_1 bigint, id_2 bigint"
+    )
+    best = sorted(
+        r.id for r in cluster_survivors(df, pairs, "id", prefer_col="pref").collect()
+    )
+    assert best == [3, 4, 6]
+    # default policy unchanged: min id per cluster
+    mins = sorted(r.id for r in cluster_survivors(df, pairs, "id").collect())
+    assert mins == [1, 4, 6]

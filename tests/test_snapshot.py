@@ -844,3 +844,66 @@ def test_register_family_views_sql_surface(spark, tmp_path):
             pass  # no-op generations advance the manifest
     with pytest.raises(FileNotFoundError, match="not retained"):
         register_family_views(spark, family, seq=1)
+
+
+def test_snapshot_diff_audit(spark, tmp_path):
+    """q95's operator at pytest level: snapshot_diff classifies a
+    commit's effect per dataset (added/removed/changed/unchanged, all
+    four always present), flattens composite artifacts to sub-datasets,
+    diffs against the live snapshot by default, raises KeyError for an
+    explicitly named dataset only one side has, and fails loudly on an
+    aged-out seq (via snapshot_paths) rather than diffing swept dirs."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import snapshot_diff
+
+    corpus_src = str(tmp_path / "corpus_src")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(corpus_src)
+    idx_src = str(tmp_path / "idx_src")
+    spark.createDataFrame(
+        [(1, 11), (2, 22)], "doc_id long, sig long"
+    ).write.parquet(os.path.join(idx_src, "sigs"))
+
+    family = str(tmp_path / "fam")
+    init_snapshot_family(family, {"corpus": corpus_src, "text_index": idx_src})
+
+    # one commit: remove doc 3, change doc 5's text, add doc 100; the
+    # index's sigs dataset loses doc 2
+    with mutate_snapshot(family, ["corpus", "text_index"], keep_n=3) as st:
+        rows = [
+            (r.doc_id, "CHANGED" if r.doc_id == 5 else r.text)
+            for r in spark.read.parquet(st["corpus"]).collect()
+            if r.doc_id != 3
+        ] + [(100, "fresh")]
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(st["corpus"])
+        spark.createDataFrame([(1, 11)], "doc_id long, sig long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(st["text_index"], "sigs"))
+
+    got = {
+        (r.dataset, r.status): r.n_rows
+        for r in snapshot_diff(spark, family, ["doc_id"], seq_old=1).collect()
+    }
+    assert got == {
+        ("corpus", "added"): 1,
+        ("corpus", "removed"): 1,
+        ("corpus", "changed"): 1,
+        ("corpus", "unchanged"): 8,
+        ("text_index/sigs", "added"): 0,
+        ("text_index/sigs", "removed"): 1,
+        ("text_index/sigs", "changed"): 0,
+        ("text_index/sigs", "unchanged"): 1,
+    }
+
+    # explicit dataset absent on one side -> loud KeyError
+    with pytest.raises(KeyError, match="nope"):
+        snapshot_diff(spark, family, ["doc_id"], seq_old=1, datasets=["nope"])
+
+    # aged-out seq fails loudly (retention keeps keep_n manifests)
+    for _ in range(3):
+        with mutate_snapshot(family, ["corpus"]):
+            pass
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        snapshot_diff(spark, family, ["doc_id"], seq_old=1)

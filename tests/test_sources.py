@@ -605,3 +605,62 @@ def test_variant_semistructured_contract(spark):
         variant_field_strict("p", "$.a", "bigint").alias("a")
     ).head()
     assert ok.a is None
+
+
+def test_variant_extraction_streams(spark, tmp_path):
+    """The VARIANT path is stateless per row, so it threads through
+    Structured Streaming unchanged: a file-source stream parsed with
+    json_to_variant and aggregated per device must equal the batch twin
+    over the same files after one AvailableNow drain (q93's machinery on
+    the stream side)."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.functions.semistructured import (
+        json_to_variant,
+        variant_field,
+    )
+
+    rows = [
+        (i, '{"device":"d%d","battery":%d}' % (i % 2, i * 3))
+        if i % 5 != 0
+        else (i, '{"device":"d')  # malformed 1/5
+        for i in range(40)
+    ]
+    src_df = spark.createDataFrame(rows, "k bigint, js string")
+    src = str(tmp_path / "variant_stream")
+    src_df.coalesce(2).write.parquet(src)
+
+    def per_device(df):
+        pv = json_to_variant(df, "js", out_col="p", quarantine_col="bad")
+        return pv.groupBy(
+            F.coalesce(
+                variant_field("p", "$.device", "string"), F.lit("(bad)")
+            ).alias("device")
+        ).agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(variant_field("p", "$.battery", "bigint")), F.lit(0)
+            ).alias("battery_sum"),
+        )
+
+    stream = spark.readStream.schema(src_df.schema).parquet(src)
+    q = (
+        per_device(stream)
+        .writeStream.format("memory")
+        .queryName("variant_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.device): (r.n, r.battery_sum)
+        for r in spark.sql("select * from variant_out").collect()
+    }
+    want = {
+        r.device: (r.n, r.battery_sum)
+        for r in per_device(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+    assert got["(bad)"][0] == 8  # the malformed 1/5 quarantined, not lost
