@@ -93,19 +93,25 @@ def cluster_safe_split(
     partitionings, executor counts, and engines (the DuckDB oracle
     recomputes components via recursive CTE and applies the same integer
     hash)."""
+    import uuid
+
     from serverless_etl_bi_on_aws_spark.operators.components import (
         connected_components,
     )
 
+    # nonce-suffixed working names: an input legitimately owning a
+    # __cs_* column must survive untouched (the maintenance.py lesson)
+    nonce = uuid.uuid4().hex[:8]
+    c_id, c_comp = f"__cs_id_{nonce}", f"__cs_comp_{nonce}"
     comp = connected_components(pairs, id1_col, id2_col).select(
-        F.col("id").alias("__cs_id"), F.col("comp").alias("__cs_comp")
+        F.col("id").alias(c_id), F.col("comp").alias(c_comp)
     )
-    labeled = df.join(comp, df[id_col] == F.col("__cs_id"), "left").drop("__cs_id")
-    key = F.coalesce(F.col("__cs_comp"), F.col(id_col).cast("bigint"))
+    labeled = df.join(comp, df[id_col] == F.col(c_id), "left").drop(c_id)
+    key = F.coalesce(F.col(c_comp), F.col(id_col).cast("bigint"))
     return (
         labeled.withColumn("split_key", key)
         .withColumn("split", _split_expr(split_bucket(key), cut_points))
-        .drop("__cs_comp")
+        .drop(c_comp)
     )
 
 
@@ -168,6 +174,58 @@ def weighted_mix_sample(
         df.join(F.broadcast(thresholds), strata_col)
         .filter(split_bucket(id_col, k) < F.col("_thresh"))
         .drop("_thresh")
+    )
+
+
+def epoch_mix_repeat(
+    df: DataFrame,
+    strata_col: str,
+    epochs: Mapping[str, float],
+    id_col: str,
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Fractional-epoch UPsampling — the other half of corpus mixing
+    (weighted_mix_sample only ever downsamples): materialize each
+    stratum ``f`` times, e.g. 2.5 epochs of a curated source against one
+    epoch of crawl (the published recipes repeat Wikipedia/books multiple
+    epochs). Adds ``copy_idx`` (0-based) so downstream shard shuffling
+    can spread the copies.
+
+    Exact semantics, engine-reproducible: ``f`` is snapped to
+    ``r = round(f * 10000)`` per-ten-thousandths; every row gets
+    ``r // 10000`` copies, plus one more iff its multiplicative-hash
+    bucket (mod 10000) is below ``r % 10000`` — so realized counts hit
+    the target fraction exactly in expectation AND deterministically per
+    row (same row, same copies, every run, every engine; the DuckDB
+    oracle replays the rule). ``epochs`` of 0 drops the stratum;
+    strata absent from the mapping get ``default_epochs``.
+
+    Scale shape: the per-stratum factor is a literal CASE chain (strata
+    are tens — no join, no shuffle, map-only); the repeat is one
+    ``explode(sequence(...))`` whose output size IS the target corpus
+    size. Nothing collects; partitioning is preserved."""
+    factor: Column | None = None
+    col = F.col(strata_col)
+    for name, f in epochs.items():
+        if f < 0:
+            raise ValueError(f"epochs must be >= 0 (got {f!r} for {name!r})")
+        r = F.lit(int(round(f * 10000)))
+        factor = F.when(col == name, r) if factor is None else factor.when(
+            col == name, r
+        )
+    default_r = F.lit(int(round(default_epochs * 10000)))
+    factor = default_r if factor is None else factor.otherwise(default_r)
+    n = F.floor(factor / 10000).cast("long") + (
+        split_bucket(id_col, 10000) < F.pmod(factor, F.lit(10000))
+    ).cast("long")
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
     )
 
 

@@ -731,6 +731,31 @@ ORACLE_SQL["q91_cluster_safe_split_verify"] = """
     ORDER BY vec_id
 """
 
+# q97: fractional-epoch upsampling is exact integer arithmetic — the
+# oracle replays the per-ten-thousandths rule (r//10000 copies + 1 iff
+# the multiplicative-hash bucket mod 10000 < r%10000) and materializes
+# every copy with generate_series; zh (0 epochs) contributes no rows,
+# strata follow the planted en/de/es/fr factors.
+ORACLE_SQL["q97_epoch_mix_verify"] = """
+    WITH f AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 25000
+                         WHEN 'es' THEN 2500 WHEN 'fr' THEN 30000
+                         WHEN 'zh' THEN 0 ELSE 10000 END AS r
+        FROM documents
+    ), n AS (
+        SELECT doc_id, lang,
+               r // 10000
+               + CASE WHEN (doc_id * 2654435761) % 10000 < r % 10000
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM f
+    )
+    SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+    FROM n
+    WHERE n_copies > 0
+    ORDER BY doc_id, copy_idx
+"""
+
 # q96: the decontamination survivor set is fully SQL-expressible — the
 # oracle recomputes q54's distinct-gram stats and replays the SAME exact
 # integer decision rule (10000*hits > 1000*grams for max_overlap=0.1),

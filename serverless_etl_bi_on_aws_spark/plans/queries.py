@@ -4500,6 +4500,37 @@ def q96_decontaminate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q97_epoch_mix_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch UPsampling under the driver's value gate (round
+    14): ``sampling.epoch_mix_repeat`` is the other half of corpus
+    mixing — q56's weighted sampler only ever DOWNsamples, but published
+    mixes repeat curated sources multiple epochs (Wikipedia x2-3 vs one
+    epoch of crawl). Planted per-language epochs exercise every branch:
+    a whole multiple (fr 3.0), a fractional epoch (de 2.5), a pure
+    downsample-by-repeat (es 0.25), identity (en 1.0), and a dropped
+    stratum (zh 0.0).
+
+    Full row-level oracle: (doc_id, lang, copy_idx) for every
+    materialized copy — the DuckDB twin replays the exact integer rule
+    (r = epochs*10000; r//10000 copies + 1 iff hash bucket mod 10000 <
+    r%10000) with generate_series, so a copy-count or bucket drift flips
+    rows.
+
+    Scale shape: the factor is a literal CASE (no join, no shuffle,
+    map-only); explode(sequence) emits exactly the target corpus size;
+    partitioning preserved."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import epoch_mix_repeat
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = epoch_mix_repeat(
+        docs,
+        "lang",
+        {"en": 1.0, "de": 2.5, "es": 0.25, "fr": 3.0, "zh": 0.0},
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "lang", "copy_idx").orderBy("doc_id", "copy_idx")
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4518,7 +4549,6 @@ QUERIES: dict[str, QueryFn] = {
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q49_media_pixel_stats_jpeg": q49_media_pixel_stats_jpeg,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,
-    "q56_domain_mix_rebalance": q56_domain_mix_rebalance,
     "q58_format_roundtrip": q58_format_roundtrip,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
@@ -4551,6 +4581,7 @@ QUERIES: dict[str, QueryFn] = {
     "q94_priority_survivors_verify": q94_priority_survivors_verify,
     "q95_snapshot_diff_verify": q95_snapshot_diff_verify,
     "q96_decontaminate_verify": q96_decontaminate_verify,
+    "q97_epoch_mix_verify": q97_epoch_mix_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -4610,4 +4641,5 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q64_span_dedup": q64_span_dedup,  # rotated out r14 (ceded to q94): X2 dedup stays driver-visible via q11/q13/q76/q80/q81/q82/q89/q91/q94; bench.py's llm tier still times q64 every round and its two-exchange Python-free plan stays pytest-pinned
     "q68_merge_audit_diff": q68_merge_audit_diff,  # rotated out r14 (ceded to q95): the keyed-diff audit family stays driver-visible via q95, which runs the SAME table_diff_summary core over snapshot generations; the merge-audit oracle stays in the pytest union
     "q54_contamination_check": q54_contamination_check,  # rotated out r14 (ceded to q96): the contamination family stays driver-visible via q96, which runs the SAME inverted-index gram join and then ACTS on it; bench.py's llm tier still times q54 every round
+    "q56_domain_mix_rebalance": q56_domain_mix_rebalance,  # rotated out r14 (ceded to q97): the corpus-mix family stays driver-visible via q97 (the UPsampling half) + q41 (per-lang packing); the exact-threshold weighted downsampler stays pytest-pinned (test_chunking) and in the pytest oracle union
 }

@@ -93,7 +93,12 @@ def test_contamination_check_planted(spark, tmp_path):
     counts; a clean doc reports rate 0; sub-3-token docs are absent."""
     import os
 
-    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+    from serverless_etl_bi_on_aws_spark.plans.queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
+
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}  # q54 rotated to EXTRA in r14
 
     rows = [
         (0, "alpha beta gamma delta", "en", "src0", 0),   # benchmark
@@ -153,7 +158,12 @@ def test_domain_mix_rebalance_weighted(spark, tmp_path):
     multiplicative-hash subset — run-stable across invocations."""
     import os
 
-    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+    from serverless_etl_bi_on_aws_spark.plans.queries import (
+        EXTRA_QUERIES,
+        QUERIES,
+    )
+
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}  # q56 rotated to EXTRA in r14
 
     # src0: 50 rows (w=1), src1: 400 (w=2), src2: 900 (w=3)
     sizes = {"src0": 50, "src1": 400, "src2": 900}
@@ -341,3 +351,45 @@ def test_temperature_mix_no_bigint_wrap_at_scale(spark):
     df = big.unionByName(small)
     out = temperature_mix_sample(df, "source", "doc_id", alpha=1.0, k=10000)
     assert out.count() == df.count()
+
+
+def test_epoch_mix_repeat_contract(spark):
+    """q97's operator at row level: realized per-stratum counts hit the
+    exact integer rule (copies = r//10000, +1 iff bucket(id) mod 10000 <
+    r%10000); copy_idx is contiguous from 0; 0 epochs drops the stratum;
+    unmapped strata get default_epochs; the repeat is deterministic
+    across runs; negative epochs refuse."""
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.sampling import epoch_mix_repeat
+
+    rows = [(i, "a" if i < 100 else ("b" if i < 160 else "c")) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = epoch_mix_repeat(
+        df, "lang", {"a": 2.5, "b": 0.0}, id_col="doc_id", default_epochs=1.0
+    ).collect()
+
+    per = {}
+    for r in out:
+        per.setdefault((r.lang, r.doc_id), []).append(r.copy_idx)
+    # exact expected copies per doc from the same integer rule
+    for i in range(200):
+        lang = "a" if i < 100 else ("b" if i < 160 else "c")
+        r_ten = {"a": 25000, "b": 0}.get(lang, 10000)
+        want = r_ten // 10000 + (1 if (i * 2654435761) % 10000 < r_ten % 10000 else 0)
+        got = sorted(per.get((lang, i), []))
+        assert got == list(range(want)), (lang, i, got, want)
+    # stratum totals: 'a' lands between 2x and 3x, 'b' vanishes, 'c' is 1x
+    n_a = sum(1 for r in out if r.lang == "a")
+    assert 200 <= n_a <= 300 and not any(r.lang == "b" for r in out)
+    assert sum(1 for r in out if r.lang == "c") == 40
+
+    again = epoch_mix_repeat(
+        df.repartition(7), "lang", {"a": 2.5, "b": 0.0}, id_col="doc_id"
+    ).collect()
+    assert sorted((r.doc_id, r.copy_idx) for r in again) == sorted(
+        (r.doc_id, r.copy_idx) for r in out
+    )
+
+    with _pytest.raises(ValueError, match="epochs"):
+        epoch_mix_repeat(df, "lang", {"a": -1.0}, id_col="doc_id")

@@ -1396,3 +1396,22 @@ def test_cluster_survivors_priority_policy(spark):
     # default policy unchanged: min id per cluster
     mins = sorted(r.id for r in cluster_survivors(df, pairs, "id").collect())
     assert mins == [1, 4, 6]
+
+
+def test_cluster_safe_split_preserves_cs_named_columns(spark):
+    """An input that legitimately owns a __cs_*-looking column must pass
+    through cluster_safe_split untouched (working names are
+    nonce-suffixed — the reserved-name collision class the maintenance
+    compactor was hardened against)."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "keep3"), (5, "keep5")], "doc_id bigint, __cs_comp string"
+    )
+    pairs = spark.createDataFrame([(3, 5)], "id_1 bigint, id_2 bigint")
+    out = cluster_safe_split(df, "doc_id", pairs)
+    assert "__cs_comp" in out.columns
+    got = {r.doc_id: r["__cs_comp"] for r in out.collect()}
+    assert got == {3: "keep3", 5: "keep5"}
