@@ -152,3 +152,28 @@ def test_q56_sampled_output_is_map_only_after_thresholds(spark):
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(doc_id" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_epoch_mix_repeat_is_map_only(spark):
+    """q97's scale claim: the repeat factor is a literal CASE and the
+    copies come from explode(sequence) — no join, no Exchange anywhere
+    in the operator's own plan (the driver query's final orderBy adds
+    the only sort exchange)."""
+    from serverless_etl_bi_on_aws_spark.catalog import load_table
+    from serverless_etl_bi_on_aws_spark.operators.sampling import epoch_mix_repeat
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    out = epoch_mix_repeat(docs, "lang", {"en": 2.5, "de": 0.0}, id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """q96's scale claim: the deduped benchmark gram set builds the hash
+    side of a broadcast join (it's eval-sized by definition), and the
+    dirty-id set broadcasts into the anti-join — the candidate corpus
+    never builds a hash table."""
+    plan = _plan(spark, "q96_decontaminate_verify")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
