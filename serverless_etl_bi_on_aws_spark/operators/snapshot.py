@@ -558,6 +558,69 @@ def _snapshot_datasets(paths: dict[str, str]) -> dict[str, str]:
     return out
 
 
+def _dataset_file_schema(path: str):
+    """Arrow schema of the first parquet file under ``path`` (walks into
+    hive partition dirs; None if the dataset holds no parquet yet).
+    File-level schema only — hive partition columns live in dir names,
+    not files, and snapshot mutations rewrite files, not layouts."""
+    import pyarrow.parquet as pq
+
+    for root, _dirs, files in sorted(os.walk(path)):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return pq.read_schema(os.path.join(root, f))
+    return None
+
+
+def snapshot_schema_diff(
+    family_root: str,
+    seq_old: int,
+    seq_new: int | None = None,
+    datasets=None,
+) -> dict:
+    """Column-level drift between two retained snapshots — the
+    schema-shaped complement of :func:`snapshot_diff` (which needs both
+    sides keyed and comparable; a commit that ADDS, DROPS, or RETYPES a
+    column is exactly the case the keyed diff can't classify).
+
+    Returns ``{dataset: {"added": {col: type}, "removed": {col: type},
+    "retyped": {col: (old_type, new_type)}}}`` with only drifted
+    datasets present (an empty dict means no schema drift). Dataset
+    resolution, the both-sides default, explicit-name KeyError, and the
+    aged-out-seq refusal all match :func:`snapshot_diff`. Driver-side
+    by construction: reads one parquet FOOTER per dataset per side,
+    never data."""
+    old_ds = _snapshot_datasets(snapshot_paths(family_root, seq=seq_old))
+    new_ds = _snapshot_datasets(snapshot_paths(family_root, seq=seq_new))
+    names = (
+        sorted(set(old_ds) & set(new_ds)) if datasets is None else list(datasets)
+    )
+    out: dict = {}
+    for n in names:
+        if n not in old_ds or n not in new_ds:
+            missing = "old" if n not in old_ds else "new"
+            raise KeyError(
+                f"snapshot_schema_diff: dataset {n!r} is absent from the "
+                f"{missing} snapshot (old has {sorted(old_ds)}, new has "
+                f"{sorted(new_ds)})"
+            )
+        so, sn = _dataset_file_schema(old_ds[n]), _dataset_file_schema(new_ds[n])
+        if so is None or sn is None:
+            continue
+        old_cols = {f.name: str(f.type) for f in so}
+        new_cols = {f.name: str(f.type) for f in sn}
+        added = {c: t for c, t in new_cols.items() if c not in old_cols}
+        removed = {c: t for c, t in old_cols.items() if c not in new_cols}
+        retyped = {
+            c: (old_cols[c], new_cols[c])
+            for c in old_cols
+            if c in new_cols and old_cols[c] != new_cols[c]
+        }
+        if added or removed or retyped:
+            out[n] = {"added": added, "removed": removed, "retyped": retyped}
+    return out
+
+
 def snapshot_diff(
     spark,
     family_root: str,

@@ -560,3 +560,102 @@ def test_ima_adpcm_block_align_and_truncated_header_guards():
     with_hdr = full + struct.pack("<hBB", -7, 0, 0)
     got2 = _decode_ima_adpcm(with_hdr, 1, 12)
     assert got2.size == whole.size + 1 and got2[-1] == -7
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=24),
+    edge_seed=st.integers(min_value=0, max_value=2**31),
+    n_edges=st.integers(min_value=0, max_value=20),
+)
+def test_cluster_safe_split_no_straddle_property(spark, ids, edge_seed, n_edges):
+    """q91's invariant over RANDOM pair graphs: no connected component
+    ever straddles splits; every row keeps exactly one assignment; rows
+    in no pair match deterministic_split exactly."""
+    import random
+
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    rng = random.Random(edge_seed)
+    id_list = sorted(ids)
+    edges = [
+        (rng.choice(id_list), rng.choice(id_list)) for _ in range(n_edges)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame([(i,) for i in id_list], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(-1, -2)], "id_1 long, id_2 long"
+    )
+    rows = cluster_safe_split(df, "doc_id", pairs).collect()
+    assert {r.doc_id for r in rows} == ids  # total, exactly once
+    by_id = {r.doc_id: r for r in rows}
+
+    # local union-find ground truth for components over the planted edges
+    parent = {i: i for i in id_list}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a in parent and b in parent:
+            parent[find(a)] = find(b)
+    comps = {}
+    for i in id_list:
+        comps.setdefault(find(i), []).append(i)
+    for members in comps.values():
+        splits = {by_id[i].split for i in members}
+        keys = {by_id[i].split_key for i in members}
+        assert len(splits) == 1 and len(keys) == 1, (members, splits)
+        if len(members) == 1:
+            # singleton: identical to the plain id-hash assignment
+            i = members[0]
+            want = deterministic_split(df, "doc_id").filter(
+                F.col("doc_id") == i
+            ).head().split
+            assert by_id[i].split == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30),
+    r_a=st.integers(min_value=0, max_value=40000),
+    r_b=st.integers(min_value=0, max_value=40000),
+)
+def test_epoch_mix_repeat_conserves_exact_counts(spark, ids, r_a, r_b):
+    """q97's invariant over random factors: every row materializes
+    EXACTLY r//10000 (+1 iff bucket < r%10000) copies with contiguous
+    copy_idx — total output size is the closed-form sum, never a
+    statistical approximation."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        epoch_mix_repeat,
+    )
+
+    id_list = sorted(ids)
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in id_list]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = epoch_mix_repeat(
+        df, "lang", {"a": r_a / 10000, "b": r_b / 10000}, id_col="doc_id"
+    ).collect()
+
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append(r.copy_idx)
+    for i, lang in rows:
+        r_ten = r_a if lang == "a" else r_b
+        want = r_ten // 10000 + (
+            1 if (i * 2654435761) % 10000 < r_ten % 10000 else 0
+        )
+        assert sorted(per.get(i, [])) == list(range(want)), (i, want)

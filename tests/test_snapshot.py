@@ -907,3 +907,46 @@ def test_snapshot_diff_audit(spark, tmp_path):
             pass
     with pytest.raises(FileNotFoundError, match="not retained"):
         snapshot_diff(spark, family, ["doc_id"], seq_old=1)
+
+
+def test_snapshot_schema_diff_audit(spark, tmp_path):
+    """The schema-shaped complement of snapshot_diff: a commit that adds,
+    drops, and retypes columns is reported per dataset; unchanged
+    datasets are absent from the report; a no-drift diff is empty."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        snapshot_schema_diff,
+    )
+
+    corpus_src = str(tmp_path / "corpus_src")
+    spark.createDataFrame(
+        [(1, "a", 10)], "doc_id long, text string, score int"
+    ).write.parquet(corpus_src)
+    other_src = str(tmp_path / "other_src")
+    spark.createDataFrame([(1,)], "k long").write.parquet(other_src)
+
+    family = str(tmp_path / "fam")
+    init_snapshot_family(family, {"corpus": corpus_src, "other": other_src})
+
+    # commit 1: no schema change anywhere
+    with mutate_snapshot(family, ["corpus"], keep_n=4):
+        pass
+    assert snapshot_schema_diff(family, seq_old=1) == {}
+
+    # commit 2: corpus drops text, adds lang, retypes score int->long
+    with mutate_snapshot(family, ["corpus"], keep_n=4) as st:
+        spark.createDataFrame(
+            [(1, "en", 10)], "doc_id long, lang string, score long"
+        ).write.mode("overwrite").parquet(st["corpus"])
+
+    drift = snapshot_schema_diff(family, seq_old=1)
+    assert set(drift) == {"corpus"}  # 'other' untouched -> absent
+    rep = drift["corpus"]
+    assert rep["added"] == {"lang": "string"}
+    assert rep["removed"] == {"text": "string"}
+    assert rep["retyped"] == {"score": ("int32", "int64")}
+
+    # explicit dataset absent on one side -> loud KeyError
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="nope"):
+        snapshot_schema_diff(family, seq_old=1, datasets=["nope"])
