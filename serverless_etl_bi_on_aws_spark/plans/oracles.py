@@ -756,6 +756,44 @@ ORACLE_SQL["q97_epoch_mix_verify"] = """
     ORDER BY doc_id, copy_idx
 """
 
+# q98: the WARC fixture is pure doc_id arithmetic, so the oracle
+# rebuilds every response body's EXACT html string in SQL and measures
+# it — record counts per type (8 warcinfo, one request+response per
+# doc under the cap), the planted payload-truncated record in
+# quarantine, the 200/404 split, total html chars, and the extracted
+# main text (= the 8-word <p> block: head/title subtree and script are
+# dropped, words joined by single spaces).
+ORACLE_SQL["q98_warc_ingest_verify"] = """
+    WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id < 2000),
+    s AS (
+        SELECT k,
+               'w'||(k*13+0)||' '||'w'||(k*13+1)||' '||'w'||(k*13+2)||' '
+               ||'w'||(k*13+3)||' '||'w'||(k*13+4)||' '||'w'||(k*13+5)||' '
+               ||'w'||(k*13+6)||' '||'w'||(k*13+7) AS words
+        FROM d
+    ),
+    m AS (
+        SELECT k, LENGTH(words) AS wlen,
+               LENGTH('<html><head><title>t'||k||'</title></head><body><p>'
+                      ||words||'</p><script>junk '||k
+                      ||'</script></body></html>') AS hlen,
+               CASE WHEN k % 10 <> 0 THEN 1 ELSE 0 END AS ok200
+        FROM s
+    )
+    SELECT metric, value FROM (
+        SELECT 'extracted_chars' AS metric,
+               CAST(SUM(wlen) AS BIGINT) AS value FROM m
+        UNION ALL SELECT 'html_chars', CAST(SUM(hlen) AS BIGINT) FROM m
+        UNION ALL SELECT 'quarantined', CAST(1 AS BIGINT)
+        UNION ALL SELECT 'request_records', CAST(COUNT(*) AS BIGINT) FROM m
+        UNION ALL SELECT 'response_records', CAST(COUNT(*) AS BIGINT) FROM m
+        UNION ALL SELECT 'status_200', CAST(SUM(ok200) AS BIGINT) FROM m
+        UNION ALL SELECT 'status_404',
+                  CAST(COUNT(*) - SUM(ok200) AS BIGINT) FROM m
+        UNION ALL SELECT 'warcinfo_records', CAST(8 AS BIGINT)
+    ) ORDER BY metric
+"""
+
 # q96: the decontamination survivor set is fully SQL-expressible — the
 # oracle recomputes q54's distinct-gram stats and replays the SAME exact
 # integer decision rule (10000*hits > 1000*grams for max_overlap=0.1),

@@ -664,3 +664,76 @@ def test_variant_extraction_streams(spark, tmp_path):
     }
     assert got == want
     assert got["(bad)"][0] == 8  # the malformed 1/5 quarantined, not lost
+
+
+def test_warc_parser_contract(spark, tmp_path):
+    """q98's source at byte level: encode->parse roundtrips records;
+    .warc.gz per-record gzip members iterate; a bad Content-Length
+    quarantines and the scan RESYNCS to parse every later record; a
+    truncated payload at EOF quarantines without inventing a record; a
+    non-HTTP response payload keeps its raw bytes with NULL status."""
+    from serverless_etl_bi_on_aws_spark.sources.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+        parse_warc_bytes,
+        read_warc,
+    )
+
+    body = b"<html><body><p>hello world there</p></body></html>"
+    good = (
+        encode_warc_record("warcinfo", b"software: t\r\n")
+        + encode_warc_record(
+            "response",
+            encode_http_response(body, status=200),
+            target_uri="http://a/1",
+        )
+        + encode_warc_record("response", b"not http at all", target_uri="http://a/2")
+    )
+    rows = list(parse_warc_bytes("f", good))
+    assert [r[1] for r in rows] == ["warcinfo", "response", "response"]
+    assert rows[1][5] == 200 and rows[1][7] == body
+    assert rows[2][5] is None and rows[2][7] == b"not http at all"
+    assert all(r[8] is None for r in rows)
+
+    # bad Content-Length mid-stream: quarantine + RESYNC — the good
+    # record AFTER the rot is still parsed
+    bad_mid = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: nan\r\n\r\nx"
+        + encode_warc_record("response", encode_http_response(body))
+    )
+    rows = list(parse_warc_bytes("f", bad_mid))
+    assert [r[8] is not None for r in rows].count(True) >= 1
+    assert any(r[1] == "response" and r[5] == 200 for r in rows)
+
+    # truncated payload at EOF: one quarantine row, nothing invented
+    rows = list(
+        parse_warc_bytes(
+            "f",
+            b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort",
+        )
+    )
+    assert len(rows) == 1 and "truncated" in rows[0][8]
+
+    # end-to-end through binaryFile + mapInPandas, mixed plain and gz
+    with open(tmp_path / "a.warc", "wb") as f:
+        f.write(good)
+    with open(tmp_path / "b.warc.gz", "wb") as f:
+        f.write(
+            gzip_member(encode_warc_record("warcinfo", b"s\r\n"))
+            + gzip_member(
+                encode_warc_record(
+                    "response", encode_http_response(body, status=404)
+                )
+            )
+        )
+    df = read_warc(spark, str(tmp_path / "*.warc*"))
+    got = [
+        (r.warc_type, r.http_status)
+        for r in df.orderBy("path", "record_id").collect()
+    ]
+    assert sorted(got, key=str) == sorted(
+        [("warcinfo", None), ("response", 200), ("response", None),
+         ("warcinfo", None), ("response", 404)],
+        key=str,
+    )
