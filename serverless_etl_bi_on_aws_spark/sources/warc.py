@@ -210,14 +210,18 @@ def gzip_member(record: bytes) -> bytes:
     return gzip.compress(record)
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC scan: distributed `binaryFile` listing -> Arrow-batched
-    per-file record parse. One row per record; quarantined parses carry
-    `error` and NULL fields. Handles plain `.warc` and per-record-gzip
-    `.warc.gz` transparently."""
-    import pandas as pd
+#: binaryFile's fixed schema (streaming reads must declare it).
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+def _records(files: DataFrame) -> DataFrame:
+    """(path, content) frame -> WARC_SCHEMA records via one Arrow-batched
+    mapInPandas stage — shared by the batch scan and the streaming front
+    (the parser is a pure per-file function, so the stage is legal and
+    replay-deterministic in Structured Streaming)."""
+    import pandas as pd
 
     def _parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = [f.name for f in WARC_SCHEMA.fields]
@@ -228,3 +232,28 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(_parse, schema=WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC scan: distributed `binaryFile` listing -> Arrow-batched
+    per-file record parse. One row per record; quarantined parses carry
+    `error` and NULL fields. Handles plain `.warc` and per-record-gzip
+    `.warc.gz` transparently."""
+    return _records(
+        spark.read.format("binaryFile").load(path).select("path", "content")
+    )
+
+
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: new crawl segments landing
+    under ``path`` flow through the same parse stage (binaryFile IS a
+    streaming file source; its schema must be declared). Pair with
+    foreachBatch for the curation loop — see
+    streaming/ingest_dedup.start_warc_curation."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .load(path)
+        .select("path", "content")
+    )
+    return _records(files)

@@ -48,7 +48,7 @@ from __future__ import annotations
 import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -330,6 +330,77 @@ def start_incremental_curation(
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_warc_curation(
+    spark: SparkSession,
+    warc_dir: str,
+    index_path: str,
+    clean_dir: str,
+    checkpoint_dir: str,
+    quality_threshold: float = 0.49999,
+    threshold: float = 0.5,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+) -> StreamingQuery:
+    """The crawl-shaped front of :func:`start_incremental_curation`:
+    watch ``warc_dir`` for arriving WARC segments (the Common Crawl
+    landing pattern) and keep ``clean_dir`` a continuously-curated TEXT
+    corpus — binaryFile stream -> ISO 28500 record parse (the shared
+    Arrow stage, sources/warc.stream_warc) -> HTTP-200 ``text/html``
+    responses only -> the standard curation micro-batch with the HTML
+    extraction rung in front (markup stripped BEFORE the quality gate;
+    the curated corpus stores clean text, never markup).
+
+    ``doc_id = xxhash64(WARC-Target-URI)``: ids are a pure function of
+    the record, so a REPLAYED micro-batch reproduces identical rows
+    (the _SUCCESS/marker protocol's determinism requirement holds
+    through parse + extraction, both per-row pure), and a re-crawl of
+    the same page arrives under the same id — upstream of the content
+    near-dup rung that catches the same article under a NEW url.
+    Quarantined records and non-200/non-HTML responses never reach the
+    gate. Same trigger/checkpoint/batch-id discipline as every other
+    loop in this module."""
+    from serverless_etl_bi_on_aws_spark.sources.warc import stream_warc
+
+    ckpt = checkpoint_instance_nonce(checkpoint_dir)
+    docs = (
+        stream_warc(spark, warc_dir)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("http_content_type").startswith("text/html")
+        )
+        .select(
+            F.xxhash64("target_uri").alias("doc_id"),
+            F.decode("body", "UTF-8").alias("html"),
+        )
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_curation_batch(
+            spark,
+            batch_df,
+            index_path,
+            clean_dir,
+            f"{ckpt}-{epoch_id}",
+            quality_threshold=quality_threshold,
+            threshold=threshold,
+            text_col="text",
+            id_col="doc_id",
+            html_col="html",
+        )
+
+    writer = docs.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:

@@ -922,3 +922,95 @@ def test_replay_after_full_takedown_does_not_readmit(spark, tmp_path):
     # stream replay of the same micro-batch: must NOT re-admit
     apply_dedup_batch(spark, docs, idx, clean, "bid-0")
     assert clean_rows() == 0, "replayed batch re-admitted taken-down content"
+
+
+def test_warc_curation_stream_end_to_end(spark, tmp_path):
+    """The crawl-shaped front: WARC segments land, the stream parses
+    records (gz and plain), keeps HTTP-200 text/html responses only,
+    strips chrome via the HTML rung, and curates — a chrome-only page
+    dies at the quality gate; the SAME article under different chrome
+    and a different URL is dropped by the index probe (content-true
+    dedup); requests/404s/quarantined records never reach the gate; a
+    drain with no new segments changes nothing."""
+    from serverless_etl_bi_on_aws_spark.sources.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        start_warc_curation,
+    )
+
+    art1 = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronomers catalogue distant variable stars using automated "
+        "telescopes during long winter observation campaigns across chile"
+    )
+    art2 = (
+        "market analysts reviewed quarterly earnings reports from twelve "
+        "industrial manufacturers before revising their annual growth "
+        "projections downward amid persistent supply chain disruptions"
+    )
+    art3 = (
+        "volunteer librarians digitised thousands of fragile manuscripts "
+        "this spring cataloguing marginal annotations that reveal how "
+        "medieval readers actually argued with their books"
+    )
+    chrome_a = '<div><a href="/h">home</a> <a href="/a">about</a> <a href="/c">contact</a></div>'
+    chrome_b = '<div><a href="/s">shop</a> <a href="/l">login</a> <a href="/p">privacy</a></div>'
+
+    def page(article, chrome):
+        return (
+            f"<html><head><title>x</title></head><body>{chrome}"
+            f"<p>{article}</p>{chrome}</body></html>"
+        ).encode()
+
+    def resp(uri, body, status=200, ctype="text/html"):
+        return encode_warc_record(
+            "response",
+            encode_http_response(body, status=status, content_type=ctype),
+            target_uri=uri,
+        )
+
+    land = tmp_path / "crawl"
+    land.mkdir()
+    b0 = (
+        encode_warc_record("warcinfo", b"software: t\r\n")
+        + resp("http://s/a1", page(art1, chrome_a))
+        + resp("http://s/chrome-only", page("", chrome_a))
+        + resp("http://s/a2", page(art2, chrome_a))
+        + resp("http://s/gone", page(art3, chrome_a), status=404)
+        + encode_warc_record("request", b"GET / HTTP/1.1\r\n\r\n", target_uri="http://s/a1")
+        + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nx"
+    )
+    with open(land / "b0.warc", "wb") as f:
+        f.write(b0)
+
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = start_warc_curation(spark, str(land), idx, clean, ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    texts = {r.text for r in spark.read.parquet(clean).select("text").collect()}
+    assert texts == {art1, art2}  # chrome stripped; chrome-only/404/request gone
+
+    # second segment (real .warc.gz): art1 again under DIFFERENT chrome
+    # and URL -> content dedup drops it; art3 is new -> survives
+    b1 = gzip_member(
+        encode_warc_record("warcinfo", b"software: t\r\n")
+    ) + gzip_member(resp("http://m/mirror-of-a1", page(art1, chrome_b))) + gzip_member(
+        resp("http://m/a3", page(art3, chrome_b))
+    )
+    with open(land / "b1.warc.gz", "wb") as f:
+        f.write(b1)
+    drain()
+    texts = {r.text for r in spark.read.parquet(clean).select("text").collect()}
+    assert texts == {art1, art2, art3}
+
+    drain()  # no new segments -> no change
+    assert spark.read.parquet(clean).count() == 3
