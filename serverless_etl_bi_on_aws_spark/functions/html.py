@@ -157,6 +157,102 @@ def clean_html_text(
     return "\n".join(kept), len(kept), dropped
 
 
+class _LinkExtractor(HTMLParser):
+    """Event-driven outlink collector: every ``<a href>`` value outside
+    the dropped subtrees (``_SKIP_TAGS``), in document order. The parser
+    treats ``<script>``/``<style>`` content as raw text, so a literal
+    ``<a href=...>`` inside a script string is never reported — pinned in
+    tests. Same tolerance contract as :class:`_BlockExtractor`."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+        self._skip_depth = 0
+
+    def _take(self, tag, attrs) -> None:
+        if tag == "a" and not self._skip_depth:
+            for name, val in attrs:
+                if name == "href" and val:
+                    self.hrefs.append(val)
+                    break
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        self._take(tag, attrs)
+
+    def handle_startendtag(self, tag, attrs):  # noqa: D102
+        if tag not in _SKIP_TAGS:
+            self._take(tag, attrs)
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(self._skip_depth - 1, 0)
+
+
+#: schemes that are never navigable document links
+_NON_NAV_SCHEMES = ("javascript:", "mailto:", "tel:", "data:", "about:")
+
+
+def extract_link_hrefs(html: str, base_url: str | None = None) -> list[str]:
+    """Pure-Python core: the document's outlinks in order.
+
+    Non-navigable schemes (``javascript: mailto: tel: data: about:``)
+    and pure-fragment hrefs (``#top``) are dropped; everything else is
+    resolved against ``base_url`` with stdlib ``urljoin`` (absolute
+    hrefs pass through unchanged) and its fragment stripped. Duplicates
+    are KEPT — edge dedup is the graph builder's job, not the parser's."""
+    from urllib.parse import urldefrag, urljoin
+
+    p = _LinkExtractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:  # noqa: BLE001 - tolerant parse, same as blocks
+        pass
+    out: list[str] = []
+    for href in p.hrefs:
+        h = href.strip()
+        if not h or h.startswith("#"):
+            continue
+        low = h.lower()
+        if any(low.startswith(s) for s in _NON_NAV_SCHEMES):
+            continue
+        resolved = urljoin(base_url, h) if base_url else h
+        resolved = urldefrag(resolved)[0]
+        if resolved:
+            out.append(resolved)
+    return out
+
+
+def extract_links(
+    html_col: str | Column, base_url_col: str | Column | None = None
+) -> Column:
+    """Column expression: ``array<string>`` of the document's outlinks
+    (see :func:`extract_link_hrefs`). One Arrow-vectorized pandas UDF —
+    map-only, no exchange; feeds ``operators/graph.extract_link_edges``."""
+    from pyspark.sql.types import ArrayType
+
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
+    if base_url_col is None:
+        @F.pandas_udf(ArrayType(StringType()))
+        def _links(s: pd.Series) -> pd.Series:
+            return pd.Series([extract_link_hrefs(h) for h in s])
+
+        return _links(col)
+
+    base = F.col(base_url_col) if isinstance(base_url_col, str) else base_url_col
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _links_base(s: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_link_hrefs(h, u) for h, u in zip(s, b)]
+        )
+
+    return _links_base(col, base)
+
+
 _HTML_STRUCT = StructType(
     [
         StructField("text", StringType()),

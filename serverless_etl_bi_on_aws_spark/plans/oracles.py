@@ -2369,3 +2369,57 @@ EXTRA_ORACLE_SQL["q90_snapshot_sql_verify"] = """
         SELECT 'seq1_count', CAST(n.c AS BIGINT) FROM n
     ) ORDER BY metric
 """
+
+# q99: fully SQL-expressible because the PageRank recurrence is exact
+# integer arithmetic — the oracle rebuilds the planted edge list from
+# doc_id arithmetic (the q86/q98 precedent: no HTML parsing on the DuckDB
+# side, the EXPECTED link set is closed-form) and unrolls the same three
+# fixed-point iterations with `//` integer division; every rank is a
+# BIGINT that must match Spark's DIV arithmetic bit-for-bit.
+ORACLE_SQL["q99_link_graph_pagerank"] = """
+    WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id < 500),
+    raw AS (
+        SELECT 'http://ex.com/p'||k AS src,
+               'http://ex.com/p'||((k*7+1)%600) AS dst FROM d
+        UNION ALL
+        SELECT 'http://ex.com/p'||k, 'http://ex.com/p'||((k*3+11)%600) FROM d
+        UNION ALL
+        SELECT 'http://ex.com/p'||k, 'http://ex.com/p0' FROM d WHERE k%10 = 0
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    c1 AS (SELECT e.dst AS node, SUM(r.r // o.od) AS c
+           FROM edges e JOIN outdeg o ON e.src = o.src
+           JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+    r1 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(c.c, 0)) // 1000000
+                       AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+    c2 AS (SELECT e.dst AS node, SUM(r.r // o.od) AS c
+           FROM edges e JOIN outdeg o ON e.src = o.src
+           JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+    r2 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(c.c, 0)) // 1000000
+                       AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+    c3 AS (SELECT e.dst AS node, SUM(r.r // o.od) AS c
+           FROM edges e JOIN outdeg o ON e.src = o.src
+           JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+    r3 AS (SELECT n.node,
+                  CAST(150000 + (850000 * COALESCE(c.c, 0)) // 1000000
+                       AS BIGINT) AS r
+           FROM nodes n LEFT JOIN c3 c ON n.node = c.node),
+    top AS (SELECT node, r AS rank_ppm FROM r3
+            ORDER BY r DESC, node LIMIT 20)
+    SELECT node, rank_ppm FROM (
+        SELECT node, rank_ppm FROM top
+        UNION ALL SELECT '__edge_count',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges)
+        UNION ALL SELECT '__node_count',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes)
+        UNION ALL SELECT '__src_count',
+                  (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM edges)
+    ) ORDER BY node, rank_ppm
+"""

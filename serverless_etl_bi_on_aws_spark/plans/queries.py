@@ -4662,6 +4662,86 @@ def q98_warc_ingest_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q99_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link graph + exact fixed-point PageRank under the driver's value
+    gate (round 14): the crawl-quality prior the WARC/HTML front feeds —
+    outlinks extracted from markup (functions/html.extract_links), a
+    DISTINCT (src, dst) edge list (operators/graph.extract_link_edges),
+    and three iterations of integer-exact PageRank
+    (operators/graph.pagerank_fixedpoint) whose parts-per-million ranks
+    the oracle reproduces bit-for-bit by unrolling the same recurrence.
+
+    Plant (doc_id < 500, constant-size at any sf; all arithmetic mod
+    600 so ~100 link targets are DANGLING nodes that exist only as
+    dsts): page k links to (7k+1)%600 twice (edge dedup pinned), to
+    (3k+11)%600 via a RELATIVE href resolved against the page url, and
+    every k%10==0 page links to the hub p0 (the k=0 case is a self-loop
+    both engines drop). A javascript: href, a pure-fragment href, and a
+    literal <a> inside a <script> string are planted and must extract
+    nothing.
+
+    Output: top-20 nodes by rank_ppm (tiebreak node asc) + __edge_count
+    / __node_count / __src_count audit rows. All-integer — any slip in
+    extraction, dedup, dangling handling, or the DIV arithmetic shifts
+    a BIGINT.
+
+    Scale shape: extraction is map-only Arrow; the edge distinct and the
+    per-iteration groupBy are the only exchanges; edges are partitioned
+    by src once and every iteration's join reuses it (plan pinned in
+    test_graph.py)."""
+    from serverless_etl_bi_on_aws_spark.operators.graph import (
+        extract_link_edges,
+        pagerank_fixedpoint,
+    )
+
+    k = F.col("doc_id")
+    url = F.concat(F.lit("http://ex.com/p"), k)
+    dst1 = F.pmod(k * 7 + 1, F.lit(600))
+    dst2 = F.pmod(k * 3 + 11, F.lit(600))
+    html = F.concat(
+        F.lit("<html><head><title>t</title></head><body><p>page "),
+        k,
+        F.lit(' body</p><a href="http://ex.com/p'), dst1, F.lit('">x</a>'),
+        F.lit('<a href="http://ex.com/p'), dst1, F.lit('">dup</a>'),
+        F.lit('<a href="p'), dst2, F.lit('">rel</a>'),
+        F.when(
+            F.pmod(k, F.lit(10)) == 0,
+            F.lit('<a href="http://ex.com/p0">hub</a>'),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="javascript:void(0)">js</a>'),
+        F.lit('<a href="#frag">frag</a>'),
+        F.lit('<script>var s = "<a href=\\"http://ex.com/evil\\">no</a>";'),
+        F.lit("</script></body></html>"),
+    )
+    pages = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(url.alias("url"), html.alias("html"))
+    )
+    edges = extract_link_edges(pages, html_col="html", url_col="url")
+    ranks = pagerank_fixedpoint(edges, n_iter=3)
+    top = (
+        ranks.orderBy(F.col("rank_ppm").desc(), "node")
+        .limit(20)
+        .select("node", "rank_ppm")
+    )
+    audit = edges.agg(
+        F.count("*").alias("_e"),
+        F.count_distinct(F.col("src")).alias("_s"),
+    ).crossJoin(
+        F.broadcast(ranks.agg(F.count("*").alias("_n")))
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("__edge_count"), F.col("_e"),
+                F.lit("__node_count"), F.col("_n"),
+                F.lit("__src_count"), F.col("_s"),
+            )
+        ).alias("node", "rank_ppm")
+    )
+    return top.unionByName(audit).orderBy("node", "rank_ppm")
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4679,7 +4759,6 @@ QUERIES: dict[str, QueryFn] = {
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q53_tfidf_top_terms": q53_tfidf_top_terms,
-    "q58_format_roundtrip": q58_format_roundtrip,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
     "q63_pii_scrub": q63_pii_scrub,
@@ -4713,6 +4792,7 @@ QUERIES: dict[str, QueryFn] = {
     "q96_decontaminate_verify": q96_decontaminate_verify,
     "q97_epoch_mix_verify": q97_epoch_mix_verify,
     "q98_warc_ingest_verify": q98_warc_ingest_verify,
+    "q99_link_graph_pagerank": q99_link_graph_pagerank,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -4724,6 +4804,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q58_format_roundtrip": q58_format_roundtrip,  # rotated out r14 (ceded to q99): the format-roundtrip family stays driver-visible via q92 (XML StAX roundtrip under the same quarantine contract); the JSON/ORC full-value oracle stays in the pytest union
     "q2_denorm_customer_orders": q2_denorm_customer_orders,  # P1/J1 via q9/q10
     "q6_topk_cosine": q6_topk_cosine,  # oracle-stable twin of q44 (HOF path)
     "q13_neardup_minhash_lsh": q13_neardup_minhash_lsh,  # verified by q13_sketch_neardup_verify
