@@ -2423,3 +2423,25 @@ ORACLE_SQL["q99_link_graph_pagerank"] = """
                   (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM edges)
     ) ORDER BY node, rank_ppm
 """
+
+# q100: members/non_members are fixture arithmetic; flagged_members MUST
+# equal members (the Bloom no-false-negative guarantee — the filter and
+# probe share the same JVM xxhash64 position expression by construction);
+# the false-positive count is deterministic but only computable with
+# Spark's xxhash64, so it ships as a measured-margin boolean (the
+# q13/q18 precedent for layout-dependent numbers).
+ORACLE_SQL["q100_bloom_dedup_verify"] = """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 3000),
+    c AS (
+        SELECT COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS m,
+               COUNT(*) FILTER (WHERE doc_id % 3 <> 0) AS nm
+        FROM d
+    )
+    SELECT metric, value FROM (
+        SELECT 'flagged_members' AS metric, CAST(m AS BIGINT) AS value FROM c
+        UNION ALL SELECT 'fp_within_bound', CAST(1 AS BIGINT)
+        UNION ALL SELECT 'members', CAST(m AS BIGINT) FROM c
+        UNION ALL SELECT 'non_members', CAST(nm AS BIGINT) FROM c
+        UNION ALL SELECT 'survivors_lower_ok', CAST(1 AS BIGINT)
+    ) ORDER BY metric
+"""

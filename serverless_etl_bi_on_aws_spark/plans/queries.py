@@ -4742,6 +4742,82 @@ def q99_link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.unionByName(audit).orderBy("node", "rank_ppm")
 
 
+def q100_bloom_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest dedup under the driver's value gate (round
+    14): the JOIN-FREE first-mile filter in front of the exact persisted
+    indexes (operators/bloom_index.py) — at 100 TB the "never seen"
+    common case must not pay a shuffle against index triples.
+
+    Plant (doc_id < 3000, constant-size at any sf): the HISTORICAL
+    corpus is keys "k<doc_id>" for doc_id % 3 == 0; the filter is built
+    over it (2^14 bits, 7 hashes — ~0.06% design fpp for ~1000 keys),
+    then the FULL key set probes it.
+
+    Value contract, all BIGINT (q13-style for the layout-dependent
+    number): members / non_members are oracle-exact fixture arithmetic;
+    flagged_members MUST equal members exactly — the no-false-negative
+    guarantee is what makes drop-on-flag a correct dedup; fp_within_
+    bound is a measured-margin boolean (observed non-member flag rate
+    <= 2% with the filter designed for ~0.06%; xxhash64 positions make
+    the actual count deterministic, but only Spark can compute it);
+    survivors_lower_ok pins that dedup_against_bloom returned at least
+    non_members * 98%.
+
+    Scale shape: the probe is one broadcast (2 KiB here; GiB-scale for
+    billions of keys) + a map-only pandas UDF over JVM-computed
+    positions — no exchange until the final 1-row aggregate; the build's
+    bitmap OR runs through a fan-in-16 tree, never >16 rows at the
+    driver."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.bloom_index import (
+        build_bloom_index,
+        dedup_against_bloom,
+        probe_bloom,
+    )
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
+
+    digest = fixture_digest(sf_dir, ("documents",), version="bloom1")[:8]
+    idx = artifact_dir(f"spark_graft_bloom_{digest}")
+    keys = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 3000)
+        .select(
+            F.concat(F.lit("k"), F.col("doc_id")).alias("key"),
+            (F.pmod(F.col("doc_id"), F.lit(3)) == 0).alias("is_member"),
+        )
+    )
+    if not os.path.exists(os.path.join(idx, "_meta.json")):
+        build_bloom_index(
+            keys.filter("is_member").select("key"),
+            "key",
+            idx,
+            num_bits=1 << 14,
+            num_hashes=7,
+        )
+    probed = probe_bloom(keys, "key", idx)
+    survivors = dedup_against_bloom(keys, "key", idx).count()
+    agg = probed.agg(
+        F.count(F.when(F.col("is_member"), 1)).alias("_m"),
+        F.count(F.when(~F.col("is_member"), 1)).alias("_nm"),
+        F.count(F.when(F.col("is_member") & F.col("maybe_seen"), 1)).alias("_fm"),
+        F.count(F.when(~F.col("is_member") & F.col("maybe_seen"), 1)).alias("_fp"),
+    )
+    return agg.select(
+        F.explode(
+            F.create_map(
+                F.lit("flagged_members"), F.col("_fm"),
+                F.lit("fp_within_bound"),
+                (F.col("_fp") * 100 <= F.col("_nm") * 2).cast("bigint"),
+                F.lit("members"), F.col("_m"),
+                F.lit("non_members"), F.col("_nm"),
+                F.lit("survivors_lower_ok"),
+                (F.lit(survivors) * 100 >= F.col("_nm") * 98).cast("bigint"),
+            )
+        ).alias("metric", "value")
+    ).orderBy("metric")
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4766,7 +4842,6 @@ QUERIES: dict[str, QueryFn] = {
     "q66_data_quality_report": q66_data_quality_report,
     "q67_histogram_rollup": q67_histogram_rollup,
     "q69_scd2_order_history": q69_scd2_order_history,
-    "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,
     "q74_grouping_sets": q74_grouping_sets,
     "q75_lm_quality_score": q75_lm_quality_score,
     "q76_incremental_dedup_verify": q76_incremental_dedup_verify,
@@ -4793,6 +4868,7 @@ QUERIES: dict[str, QueryFn] = {
     "q97_epoch_mix_verify": q97_epoch_mix_verify,
     "q98_warc_ingest_verify": q98_warc_ingest_verify,
     "q99_link_graph_pagerank": q99_link_graph_pagerank,
+    "q100_bloom_dedup_verify": q100_bloom_dedup_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -4804,6 +4880,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # rotated out r14 (ceded to q100): reshaping stays driver-visible via q74 grouping sets; the pivot/unpivot full-value oracle stays in the pytest union
     "q58_format_roundtrip": q58_format_roundtrip,  # rotated out r14 (ceded to q99): the format-roundtrip family stays driver-visible via q92 (XML StAX roundtrip under the same quarantine contract); the JSON/ORC full-value oracle stays in the pytest union
     "q2_denorm_customer_orders": q2_denorm_customer_orders,  # P1/J1 via q9/q10
     "q6_topk_cosine": q6_topk_cosine,  # oracle-stable twin of q44 (HOF path)
