@@ -2445,3 +2445,43 @@ ORACLE_SQL["q100_bloom_dedup_verify"] = """
         UNION ALL SELECT 'survivors_lower_ok', CAST(1 AS BIGINT)
     ) ORDER BY metric
 """
+
+# q101: the whole BM25 pipeline is SQL-expressible because the scoring is
+# fixed-point integer arithmetic (operators/search.py docstring) — the
+# oracle re-tokenizes, rebuilds postings/df/dl/N/L, replays the exact
+# integer formula, and re-cuts the top-15 under the same total order.
+ORACLE_SQL["q101_bm25_search_verify"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    postings AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM toks
+        WHERE term <> '' GROUP BY term, doc_id
+    ),
+    docstats AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    g AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) FROM docstats) AS l
+    ),
+    ts AS (
+        SELECT term, COUNT(*) AS df_t FROM postings
+        WHERE term IN ('vector', 'customer', 'merge') GROUP BY term
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               (((g.n - ts.df_t) * 1000) // (ts.df_t + 1))
+               * (2200000 * LEAST(p.tf, 255))
+               // (1000000 * LEAST(p.tf, 255) + 300000
+                   + 900 * ((1000 * d.dl * g.n) // g.l)) AS s
+        FROM postings p
+        JOIN ts USING (term)
+        JOIN docstats d USING (doc_id)
+        CROSS JOIN g
+    )
+    SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_milli,
+           CAST(COUNT(*) AS BIGINT) AS terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY score_milli DESC, doc_id LIMIT 15
+"""

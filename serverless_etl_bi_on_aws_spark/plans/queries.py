@@ -4818,6 +4818,44 @@ def q100_bloom_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric")
 
 
+def q101_bm25_search_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point BM25 keyword search under the driver's value gate
+    (round 14): the inverted-index + ranking story a curated corpus
+    needs (operators/search.py) — scores are BIGINT thousandths computed
+    with integer-only arithmetic (rational idf core, Lucene-style tf
+    saturation at 255; see the module docstring), so the oracle
+    recomputes the ENTIRE pipeline — tokenize, postings, document
+    frequencies, doc lengths, corpus totals, the score formula, the
+    top-k cut — in pure SQL and matches bit-for-bit.
+
+    The search runs through the PERSISTED index (postings partitioned by
+    a 64-way term hash; a query prunes to its terms' buckets — the plan
+    is pinned in test_search.py), built once digest-keyed. Query:
+    vector OR customer OR merge, k=15, tiebreak doc_id asc (total
+    order). No planted fixture needed: the documents table's own text is
+    the corpus, so this row also guards the tokenizer contract
+    (split-on-space parity with the oracle's string_split).
+
+    Scale shape: explode + one partial-aggregated groupBy to build; at
+    query time only the matched term buckets are read, term stats
+    broadcast, and the cut is TakeOrderedAndProject — no global sort."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.search import (
+        bm25_search,
+        build_bm25_index,
+    )
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
+
+    digest = fixture_digest(sf_dir, ("documents",), version="bm25_1")[:8]
+    idx = artifact_dir(f"spark_graft_bm25_{digest}")
+    if not os.path.exists(os.path.join(idx, "_meta.json")):
+        build_bm25_index(load_table(spark, sf_dir, "documents"), idx)
+    return bm25_search(spark, idx, ["vector", "customer", "merge"], k=15).select(
+        "doc_id", "score_milli", "terms_matched"
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4834,7 +4872,6 @@ QUERIES: dict[str, QueryFn] = {
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
-    "q53_tfidf_top_terms": q53_tfidf_top_terms,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
     "q63_pii_scrub": q63_pii_scrub,
@@ -4869,6 +4906,7 @@ QUERIES: dict[str, QueryFn] = {
     "q98_warc_ingest_verify": q98_warc_ingest_verify,
     "q99_link_graph_pagerank": q99_link_graph_pagerank,
     "q100_bloom_dedup_verify": q100_bloom_dedup_verify,
+    "q101_bm25_search_verify": q101_bm25_search_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -4880,6 +4918,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q53_tfidf_top_terms": q53_tfidf_top_terms,  # rotated out r14 (ceded to q101): X5 term-weighting stays driver-visible via q101 (BM25 over the same tokenizer); the tf-idf full-value oracle stays in the pytest union and bench.py's llm tier still times q53
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # rotated out r14 (ceded to q100): reshaping stays driver-visible via q74 grouping sets; the pivot/unpivot full-value oracle stays in the pytest union
     "q58_format_roundtrip": q58_format_roundtrip,  # rotated out r14 (ceded to q99): the format-roundtrip family stays driver-visible via q92 (XML StAX roundtrip under the same quarantine contract); the JSON/ORC full-value oracle stays in the pytest union
     "q2_denorm_customer_orders": q2_denorm_customer_orders,  # P1/J1 via q9/q10

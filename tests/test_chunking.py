@@ -64,7 +64,7 @@ def test_tfidf_top_terms_crafted(spark, tmp_path):
     exact ties (same tf, df) break alphabetically."""
     import os
 
-    from serverless_etl_bi_on_aws_spark.plans.queries import QUERIES
+    from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES, QUERIES
 
     rows = [
         (0, "rare rare common filler", "en", "s0", 0),
@@ -77,7 +77,7 @@ def test_tfidf_top_terms_crafted(spark, tmp_path):
         rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
     ).write.parquet(f"{sf}/documents.parquet")
     got = {(r.doc_id, r.rank): (r.term, r.tf, r.df)
-           for r in QUERIES["q53_tfidf_top_terms"](spark, sf).collect()}
+           for r in {**QUERIES, **EXTRA_QUERIES}["q53_tfidf_top_terms"](spark, sf).collect()}  # q53 rotated to EXTRA in r14
     # doc 0: 'rare' tf=2 df=1 beats 'common'/'filler' tf=1 df=3
     assert got[(0, 1)] == ("rare", 2, 1)
     # doc 2: 'apple' and 'zebra' both tf=1 df=1 — exact tie, alphabetical
