@@ -34,6 +34,57 @@ from pyspark.sql import Column, functions as F
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid)(=.*)?$"
 
 
+#: multi-label public suffixes (PSL-lite): the common two-label suffixes
+#: under which the registered domain is THREE labels. A closed-form,
+#: documented subset of the Public Suffix List — swap in the full PSL as
+#: a broadcast lookup when exactness beyond these ccTLD families matters;
+#: the rule's shape (suffix match -> label count) is unchanged.
+TWO_LABEL_SUFFIXES = frozenset(
+    {
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+        "com.br", "net.br", "org.br", "gov.br",
+        "co.in", "net.in", "org.in", "gen.in", "firm.in",
+        "com.cn", "net.cn", "org.cn", "gov.cn",
+        "co.nz", "net.nz", "org.nz",
+        "co.za", "org.za", "net.za",
+        "com.mx", "org.mx", "net.mx",
+        "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+        "co.kr", "or.kr", "co.th", "co.id", "com.my",
+    }
+)
+
+
+def registered_domain(url_col: str | Column, out_col: str = "domain") -> Column:
+    """Column expression: the REGISTERED domain of a url — the unit
+    domain-level curation groups and blocks on (``a.b.news.co.uk`` and
+    ``news.co.uk`` are the same publisher; ``news.co.uk`` and
+    ``other.co.uk`` are not).
+
+    Rule (closed-form so the oracle can recompute it): lowercase host;
+    if the last TWO labels form a known multi-label public suffix
+    (:data:`TWO_LABEL_SUFFIXES`) and a third label exists, the
+    registered domain is the last THREE labels, else the last TWO; a
+    single-label host (``localhost``) is itself. Malformed urls (no
+    parseable host) yield NULL. Entirely JVM-side — try_parse_url +
+    split/slice/array_join, codegen'd, no UDF."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    dom = (
+        F.when(
+            (n >= 3) & last2.isin(*sorted(TWO_LABEL_SUFFIXES)),
+            F.array_join(F.slice(labels, -3, 3), "."),
+        )
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+    return F.when(host.isNotNull() & (host != ""), dom).alias(out_col)
+
+
 def canonicalize_url(url_col: str | Column, out_col: str = "canon_url") -> Column:
     """Column expression: the canonical form of ``url_col`` under the
     module's rule set. Malformed urls (no parseable host) yield NULL —

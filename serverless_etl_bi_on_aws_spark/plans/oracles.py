@@ -2485,3 +2485,36 @@ ORACLE_SQL["q101_bm25_search_verify"] = """
     FROM scored GROUP BY doc_id
     ORDER BY score_milli DESC, doc_id LIMIT 15
 """
+
+# q102: the registered-domain values are recomputed from the planting
+# arithmetic (the q98/q99 precedent — the EXPECTED domain is closed-form
+# in k), token sums come from the real text column, and the share cap's
+# per-domain count is LEAST(docs, 30) even though the specific kept rows
+# are hash-selected Spark-side.
+ORACLE_SQL["q102_domain_curation_verify"] = """
+    WITH d AS (
+        SELECT doc_id AS k, len(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 2500
+    ),
+    surv AS (
+        SELECT CASE
+                 WHEN k % 5 = 0 THEN 'news' || (k % 11) || '.com'
+                 WHEN k % 5 = 1 THEN 'site' || (k % 13) || '.co.uk'
+                 WHEN k % 5 = 3 THEN 'host' || (k % 7) || '.org'
+               END AS domain, tok
+        FROM d WHERE k % 5 IN (0, 1, 3)
+    )
+    SELECT domain, docs, total_tokens, capped_docs FROM (
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(tok) AS BIGINT) AS total_tokens,
+               CAST(LEAST(COUNT(*), 30) AS BIGINT) AS capped_docs
+        FROM surv GROUP BY domain
+        UNION ALL
+        SELECT '__blocked', CAST(COUNT(*) AS BIGINT), 0, 0
+        FROM d WHERE k % 5 = 2
+        UNION ALL
+        SELECT '__invalid', CAST(COUNT(*) AS BIGINT), 0, 0
+        FROM d WHERE k % 5 = 4
+    ) ORDER BY domain
+"""

@@ -4856,6 +4856,88 @@ def q101_bm25_search_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_domain_curation_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation under the driver's value gate (round 14):
+    registered-domain extraction (functions/url.registered_domain —
+    PSL-lite, JVM-only), blocklist filtering, per-domain stats, and the
+    anti-monoculture share cap (operators/domains.py) — the C4/
+    RefinedWeb-class domain front every web corpus runs before any
+    per-document rule.
+
+    Plant (doc_id < 2500 = k): urls by k%5 — 0: uppercase www host
+    `.COM` (case + www + two-label rule), 1: `blog.site<k%13>.co.uk`
+    (multi-label public suffix -> THREE labels), 2: the blocked
+    `spamfarm.bad` (blocklist entry planted in MiXeD case — matching is
+    case-insensitive), 3: `sub.deep.host<k%7>.org` (deep subdomain
+    collapses), 4: not a url at all (NULL domain -> dropped by the
+    filter, counted in __invalid).
+
+    Output per surviving domain: docs, total_tokens (ties the REAL text
+    column in — token sums, not just arithmetic), capped_docs after
+    cap_domain_share(30) — the cap's SELECTION is hash-deterministic
+    (only Spark computes it) but its per-domain COUNT is
+    LEAST(docs, 30), which the oracle recomputes exactly. __blocked /
+    __invalid audit rows conserve the corpus total.
+
+    Scale shape: domain is a codegen'd expression; the blocklist join
+    broadcasts; stats are one partial-agg groupBy; the cap is a window
+    over the domain key — no global sort, corpus never shuffles for the
+    blocklist."""
+    from serverless_etl_bi_on_aws_spark.operators.domains import (
+        cap_domain_share,
+        domain_stats,
+        filter_blocked_domains,
+    )
+
+    k = F.col("doc_id")
+    url = (
+        F.when(
+            F.pmod(k, F.lit(5)) == 0,
+            F.concat(F.lit("https://WWW.News"), F.pmod(k, F.lit(11)), F.lit(".COM/a/b")),
+        )
+        .when(
+            F.pmod(k, F.lit(5)) == 1,
+            F.concat(F.lit("http://blog.site"), F.pmod(k, F.lit(13)), F.lit(".co.uk/x")),
+        )
+        .when(
+            F.pmod(k, F.lit(5)) == 2,
+            F.concat(F.lit("https://spamfarm.bad/p"), k),
+        )
+        .when(
+            F.pmod(k, F.lit(5)) == 3,
+            F.concat(F.lit("http://sub.deep.host"), F.pmod(k, F.lit(7)), F.lit(".org/")),
+        )
+        .otherwise(F.concat(F.lit("not a url "), k))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2500)
+        .select("doc_id", "text", url.alias("url"))
+    )
+    survivors = filter_blocked_domains(docs, "url", ["SpamFarm.BAD"])
+    stats = domain_stats(survivors, "url", text_col="text")
+    capped = domain_stats(
+        cap_domain_share(survivors, "url", max_docs_per_domain=30), "url"
+    ).withColumnRenamed("docs", "capped_docs")
+    all_stats = domain_stats(docs, "url")
+    audit = all_stats.filter(
+        F.col("domain").isNull() | (F.col("domain") == "spamfarm.bad")
+    ).select(
+        F.when(F.col("domain").isNull(), F.lit("__invalid"))
+        .otherwise(F.lit("__blocked"))
+        .alias("domain"),
+        F.col("docs"),
+        F.lit(0).cast("bigint").alias("total_tokens"),
+        F.lit(0).cast("bigint").alias("capped_docs"),
+    )
+    return (
+        stats.join(capped, "domain")
+        .select("domain", "docs", "total_tokens", "capped_docs")
+        .unionByName(audit)
+        .orderBy("domain")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4877,7 +4959,6 @@ QUERIES: dict[str, QueryFn] = {
     "q63_pii_scrub": q63_pii_scrub,
     "q65_pq_verify": q65_pq_verify,
     "q66_data_quality_report": q66_data_quality_report,
-    "q67_histogram_rollup": q67_histogram_rollup,
     "q69_scd2_order_history": q69_scd2_order_history,
     "q74_grouping_sets": q74_grouping_sets,
     "q75_lm_quality_score": q75_lm_quality_score,
@@ -4907,6 +4988,7 @@ QUERIES: dict[str, QueryFn] = {
     "q99_link_graph_pagerank": q99_link_graph_pagerank,
     "q100_bloom_dedup_verify": q100_bloom_dedup_verify,
     "q101_bm25_search_verify": q101_bm25_search_verify,
+    "q102_domain_curation_verify": q102_domain_curation_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -4918,6 +5000,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q67_histogram_rollup": q67_histogram_rollup,  # rotated out r14 (ceded to q102): the histogram/width-bucket full-value oracle stays in the pytest union; distribution profiling stays driver-visible via q66's data-quality report
     "q53_tfidf_top_terms": q53_tfidf_top_terms,  # rotated out r14 (ceded to q101): X5 term-weighting stays driver-visible via q101 (BM25 over the same tokenizer); the tf-idf full-value oracle stays in the pytest union and bench.py's llm tier still times q53
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # rotated out r14 (ceded to q100): reshaping stays driver-visible via q74 grouping sets; the pivot/unpivot full-value oracle stays in the pytest union
     "q58_format_roundtrip": q58_format_roundtrip,  # rotated out r14 (ceded to q99): the format-roundtrip family stays driver-visible via q92 (XML StAX roundtrip under the same quarantine contract); the JSON/ORC full-value oracle stays in the pytest union
