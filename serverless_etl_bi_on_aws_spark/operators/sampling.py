@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Knuth's multiplicative constant (2^32 / golden ratio), prime-ish mixer.
 _MIX = 2654435761
@@ -270,3 +270,66 @@ def temperature_mix_sample(
         raise ValueError("alpha must be in [0, 1]")
     weight = F.expr(f"CAST(floor(pow(_cnt, {alpha!r}) * 1048576) AS BIGINT)")
     return weighted_mix_sample(df, strata_col, weight, id_col=id_col, k=k)
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Greedy-prefix corpus selection under a TOKEN budget — the "fill
+    1T training tokens with the best documents" step: take rows in
+    (``score_col`` desc, ``id_col`` asc) order while the running token
+    sum stays within ``budget``. The rule is a strict prefix (the first
+    row that would overflow stops the take — no skip-ahead to smaller
+    docs), so membership is a pure function of the data and both engines
+    agree exactly.
+
+    Scale shape — NO global sort of the corpus: phase 1 aggregates
+    (score -> docs, tokens) per distinct score (one partial-agg groupBy;
+    scores are low-cardinality by construction — quality scores, planted
+    tiers, rounded models); the driver cumsums that tiny frame to find
+    the BOUNDARY score s* and the residual budget. Phase 2: rows with
+    score > s* pass with a map-only filter; only the s* group — one
+    score's worth of rows — pays a window cumsum (partitioned on the
+    literal boundary, ordered by id). A high-cardinality float score
+    should be bucketed/rounded by the caller first; raising when the
+    distinct-score frame exceeds 100k rows guards the driver."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    per_score = (
+        df.groupBy(F.col(score_col).alias("_s"))
+        .agg(F.sum(F.col(token_col)).alias("_t"))
+        .collect()
+    )
+    if len(per_score) > 100_000:
+        raise ValueError(
+            f"{len(per_score)} distinct scores — bucket/round {score_col} first"
+        )
+    taken = 0
+    boundary = None  # (score, residual budget inside the boundary group)
+    for row in sorted(per_score, key=lambda r: r._s, reverse=True):
+        if taken + row._t <= budget:
+            taken += row._t
+        else:
+            boundary = (row._s, budget - taken)
+            break
+    if boundary is None:
+        # whole corpus fits
+        return df
+    s_star, residual = boundary
+    above = df.filter(F.col(score_col) > F.lit(s_star))
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at = (
+        df.filter(F.col(score_col) == F.lit(s_star))
+        .withColumn("_cum", F.sum(F.col(token_col)).over(w))
+        .filter(F.col("_cum") <= F.lit(residual))
+        .drop("_cum")
+    )
+    return above.unionByName(at)

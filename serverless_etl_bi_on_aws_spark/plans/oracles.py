@@ -2518,3 +2518,24 @@ ORACLE_SQL["q102_domain_curation_verify"] = """
         FROM d WHERE k % 5 = 4
     ) ORDER BY domain
 """
+
+# q103: the strict-prefix selection rule IS a SQL window cumsum — the
+# oracle orders by (tier DESC, doc_id ASC), cumsums the same BIGINT token
+# counts, and applies the same integer budget expression; a monotone
+# cumsum filter and a strict prefix are the same set.
+ORACLE_SQL["q103_token_budget_verify"] = """
+    WITH d AS (
+        SELECT doc_id, doc_id % 7 AS tier,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        FROM documents WHERE doc_id < 2500
+    ),
+    b AS (SELECT (SUM(tok) * 6) // 10 AS budget FROM d),
+    c AS (
+        SELECT doc_id, tier, tok,
+               SUM(tok) OVER (ORDER BY tier DESC, doc_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM d
+    )
+    SELECT doc_id, tier, tok FROM c, b WHERE cum <= budget ORDER BY doc_id
+"""

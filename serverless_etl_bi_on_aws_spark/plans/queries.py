@@ -4938,6 +4938,49 @@ def q102_domain_curation_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q103_token_budget_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection under the driver's value gate
+    (round 14): ``sampling.select_token_budget`` — the "fill the
+    training budget with the best documents" step (take rows in
+    score-desc, id-asc order while the running token sum fits; strict
+    prefix, so membership is a pure function of the data).
+
+    Plant: tier = doc_id % 7 as the quality score (7 distinct values —
+    the low-cardinality shape the two-phase algorithm is built for),
+    tokens = the REAL text column's count, budget = exactly 60% of the
+    corpus total in integer arithmetic ((total*6) DIV 10 — both engines
+    compute the same BIGINT). The boundary tier is split mid-group, so
+    the window-prefix path is exercised, not just whole-group takes.
+
+    Oracle: one SQL window cumsum over (tier DESC, doc_id ASC) with the
+    same budget expression — every selected row matches exactly.
+
+    Scale shape: NO global sort — phase 1 is a 7-row groupBy the driver
+    cumsums; rows above the boundary tier pass a map-only filter; only
+    the boundary tier pays a window. The 100k-distinct-score guard
+    keeps phase 1's collect driver-safe."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2500)
+        .select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(7)).alias("tier"),
+            token_count("text").cast("bigint").alias("tok"),
+        )
+    )
+    total = docs.agg(F.sum("tok")).first()[0]
+    budget = (total * 6) // 10
+    return (
+        select_token_budget(docs, budget, "tier", "tok", "doc_id")
+        .select("doc_id", "tier", "tok")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4951,7 +4994,6 @@ QUERIES: dict[str, QueryFn] = {
     "q13_sketch_neardup_verify": q13_sketch_neardup_verify,
     "q18_ann_verify": q18_ann_verify,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
-    "q44_topk_cosine_arrow": q44_topk_cosine_arrow,
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
@@ -4989,6 +5031,7 @@ QUERIES: dict[str, QueryFn] = {
     "q100_bloom_dedup_verify": q100_bloom_dedup_verify,
     "q101_bm25_search_verify": q101_bm25_search_verify,
     "q102_domain_curation_verify": q102_domain_curation_verify,
+    "q103_token_budget_verify": q103_token_budget_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -5000,6 +5043,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q44_topk_cosine_arrow": q44_topk_cosine_arrow,  # rotated out r14 (ceded to q103): X3 similarity stays driver-visible via q18_ann_verify + q65_pq_verify; bench.py still times q44 every round (headline q6 + scaling row) and its full-value oracle stays in the pytest union
     "q67_histogram_rollup": q67_histogram_rollup,  # rotated out r14 (ceded to q102): the histogram/width-bucket full-value oracle stays in the pytest union; distribution profiling stays driver-visible via q66's data-quality report
     "q53_tfidf_top_terms": q53_tfidf_top_terms,  # rotated out r14 (ceded to q101): X5 term-weighting stays driver-visible via q101 (BM25 over the same tokenizer); the tf-idf full-value oracle stays in the pytest union and bench.py's llm tier still times q53
     "q71_pivot_unpivot_roundtrip": q71_pivot_unpivot_roundtrip,  # rotated out r14 (ceded to q100): reshaping stays driver-visible via q74 grouping sets; the pivot/unpivot full-value oracle stays in the pytest union

@@ -659,3 +659,60 @@ def test_epoch_mix_repeat_conserves_exact_counts(spark, ids, r_a, r_b):
             1 if (i * 2654435761) % 10000 < r_ten % 10000 else 0
         )
         assert sorted(per.get(i, [])) == list(range(want)), (i, want)
+
+
+# ---------------------------------------------------------------------------
+# select_token_budget (round 14): strict-prefix selection vs a plain
+# reference, mid-group boundary, edge budgets, determinism, guards.
+# ---------------------------------------------------------------------------
+
+def _budget_reference(rows, budget):
+    """rows: (id, score, tok). Strict prefix over (score desc, id asc)."""
+    out, cum = [], 0
+    for i, s, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + t > budget:
+            break
+        cum += t
+        out.append(i)
+    return sorted(out)
+
+
+def test_token_budget_strict_prefix(spark):
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    rows = [(i, i % 5, (i * 7) % 13 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint, tok bigint")
+    for budget in (0, 37, 250, 10_000, 10**9):
+        got = sorted(
+            r.doc_id
+            for r in select_token_budget(
+                df, budget, "score", "tok", "doc_id"
+            ).collect()
+        )
+        assert got == _budget_reference(rows, budget), budget
+    # determinism across partitionings at a mid-group boundary
+    a = sorted(r.doc_id for r in select_token_budget(
+        df.repartition(16), 250, "score", "tok", "doc_id").collect())
+    assert a == _budget_reference(rows, 250)
+
+
+def test_token_budget_guards(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame([(1, 1, 1)], "doc_id bigint, score bigint, tok bigint")
+    with pytest.raises(ValueError, match="budget"):
+        select_token_budget(df, -1, "score", "tok", "doc_id")
+    wide = spark.range(100_001).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("score"),
+        F.lit(1).alias("tok"),
+    )
+    with pytest.raises(ValueError, match="distinct scores"):
+        select_token_budget(wide, 10, "score", "tok", "doc_id")
