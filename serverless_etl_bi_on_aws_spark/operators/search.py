@@ -121,16 +121,12 @@ def bm25_topk(
 
 # ------------------------------------------------------- persisted index
 
-def build_bm25_index(
-    docs: DataFrame,
-    index_path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> dict:
-    """Persist the inverted index: postings parquet partitioned by
-    ``part = pmod(xxhash64(term), 64)`` (a term lookup partition-prunes
-    to its bucket), docstats parquet, meta {n_docs, total_len}. Meta is
-    written LAST so a crashed build never looks complete."""
+def _write_batch(
+    docs: DataFrame, index_path: str, batch: str, id_col: str, text_col: str
+) -> None:
+    """One batch's postings + docstats under ``batch=<name>`` subdirs.
+    Overwriting the SAME batch dir with the same input is a no-op state
+    change — that is what makes replays idempotent."""
     postings, docstats = build_bm25_postings(docs, id_col, text_col)
     (
         postings.withColumn(
@@ -139,12 +135,21 @@ def build_bm25_index(
         .repartition("part")
         .write.mode("overwrite")
         .partitionBy("part")
-        .parquet(os.path.join(index_path, "postings"))
+        .parquet(os.path.join(index_path, "postings", f"batch={batch}"))
     )
-    docstats.write.mode("overwrite").parquet(os.path.join(index_path, "docstats"))
-    stats = docstats.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("l")
-    ).first()
+    docstats.write.mode("overwrite").parquet(
+        os.path.join(index_path, "docstats", f"batch={batch}")
+    )
+
+
+def _refresh_meta(
+    spark: SparkSession, index_path: str, id_col: str
+) -> dict:
+    """Recompute corpus totals from the full docstats dataset and commit
+    meta (LAST — a crashed build/update never looks complete, and a
+    torn update is healed by replaying the batch)."""
+    docstats = spark.read.parquet(os.path.join(index_path, "docstats"))
+    stats = docstats.agg(F.count("*").alias("n"), F.sum("dl").alias("l")).first()
     meta = {
         "n_docs": stats.n,
         "total_len": int(stats.l or 0),
@@ -152,6 +157,56 @@ def build_bm25_index(
         "n_term_buckets": N_TERM_BUCKETS,
     }
     write_marker(os.path.join(index_path, "_meta.json"), meta)
+    return meta
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Persist the inverted index: postings parquet partitioned by
+    ``(batch, part)`` where ``part = pmod(xxhash64(term), 64)`` (a term
+    lookup partition-prunes to its buckets across every batch), docstats
+    parquet, meta {n_docs, total_len}. Meta is written LAST so a crashed
+    build never looks complete. Incremental batches land beside the base
+    via :func:`update_bm25_index`."""
+    _write_batch(docs, index_path, "base", id_col, text_col)
+    return _refresh_meta(docs.sparkSession, index_path, id_col)
+
+
+def update_bm25_index(
+    docs: DataFrame,
+    index_path: str,
+    batch_id: str,
+    text_col: str = "text",
+) -> dict:
+    """Append a batch of NEW documents to a persisted index — search
+    results afterwards are identical to a full rebuild, because scoring
+    reads postings/df/N/L from the union of batch dirs (BM25 has no
+    cross-document state beyond those, so append + meta refresh IS the
+    incremental algorithm).
+
+    Idempotent per ``batch_id``: a replay overwrites the same batch dir
+    with identical content and re-commits the same meta; an already-
+    applied batch short-circuits on its marker. Crash ordering: batch
+    dirs first, meta next, marker last — a crash anywhere is healed by
+    replaying. Doc ids must be NEW (dedup upstream — the bloom/url/hash
+    index family is the front for that); re-adding an existing id would
+    double-count it, same as any postings list."""
+    if not batch_id or batch_id == "base":
+        raise ValueError(f"batch_id must be a non-empty name != 'base', got {batch_id!r}")
+    meta = read_bm25_meta(index_path)
+    marker = os.path.join(index_path, "_applied", batch_id)
+    from serverless_etl_bi_on_aws_spark.util import marker_exists
+
+    if marker_exists(marker):
+        return meta
+    _write_batch(docs, index_path, batch_id, meta["id_col"], text_col)
+    meta = _refresh_meta(docs.sparkSession, index_path, meta["id_col"])
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    write_marker(marker, {"batch": batch_id})
     return meta
 
 

@@ -4847,7 +4847,7 @@ def q101_bm25_search_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
 
-    digest = fixture_digest(sf_dir, ("documents",), version="bm25_1")[:8]
+    digest = fixture_digest(sf_dir, ("documents",), version="bm25_2")[:8]
     idx = artifact_dir(f"spark_graft_bm25_{digest}")
     if not os.path.exists(os.path.join(idx, "_meta.json")):
         build_bm25_index(load_table(spark, sf_dir, "documents"), idx)

@@ -149,3 +149,46 @@ def test_unmatched_terms_contribute_nothing(spark):
          bm25_topk(postings, docstats, ["apple", "zzz_absent"], k=10).collect()]
     b = [tuple(r) for r in bm25_topk(postings, docstats, ["apple"], k=10).collect()]
     assert a == b
+
+
+def test_incremental_update_equals_rebuild(spark, tmp_path):
+    from serverless_etl_bi_on_aws_spark.operators.search import update_bm25_index
+
+    half1 = _corpus(spark).filter("doc_id < 2")
+    half2 = _corpus(spark).filter("doc_id >= 2")
+    inc, one = str(tmp_path / "inc"), str(tmp_path / "one")
+    build_bm25_index(half1, inc)
+    update_bm25_index(half2, inc, "b1")
+    build_bm25_index(_corpus(spark), one)
+    terms = ["apple", "cherry", "banana", "grape"]
+    assert (
+        [tuple(r) for r in bm25_search(spark, inc, terms, k=10).collect()]
+        == [tuple(r) for r in bm25_search(spark, one, terms, k=10).collect()]
+    )
+    # meta reflects the union
+    assert read_bm25_meta(inc) == read_bm25_meta(one)
+
+
+def test_incremental_update_is_replay_idempotent(spark, tmp_path):
+    from serverless_etl_bi_on_aws_spark.operators.search import update_bm25_index
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(_corpus(spark).filter("doc_id < 3"), idx)
+    batch = _corpus(spark).filter("doc_id = 3")
+    update_bm25_index(batch, idx, "b1")
+    before = [tuple(r) for r in bm25_search(spark, idx, ["date"], k=10).collect()]
+    update_bm25_index(batch, idx, "b1")  # replay: marker short-circuits
+    update_bm25_index(batch, idx, "b1")
+    assert [tuple(r) for r in bm25_search(spark, idx, ["date"], k=10).collect()] == before
+    assert read_bm25_meta(idx)["n_docs"] == 4
+
+
+def test_incremental_update_validates_batch_id(spark, tmp_path):
+    from serverless_etl_bi_on_aws_spark.operators.search import update_bm25_index
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(_corpus(spark), idx)
+    with pytest.raises(ValueError, match="batch_id"):
+        update_bm25_index(_corpus(spark), idx, "base")
+    with pytest.raises(ValueError, match="batch_id"):
+        update_bm25_index(_corpus(spark), idx, "")
