@@ -61,3 +61,99 @@ def hll_merge_estimate(
         F.sum("n_rows").alias("n_rows"),
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(estimate_col),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 14) — mergeable FREQUENCY estimation, the
+# counterpart of HLL's mergeable distinct counts: "how often did this
+# key occur?" across rollup cells / stream batches whose exact per-key
+# counts would be state-unbounded. Estimates never undercount
+# (est >= true) and overcount by at most the collision mass
+# (E[excess] = N/width per row, min over `depth` rows) — the classic
+# Cormode-Muthukrishnan guarantee.
+#
+# Representation: SPARSE — a DataFrame (row, pos, cnt[, width, depth])
+# where pos = pmod(xxhash64(key, seed=row), width). Everything is
+# JVM-side integer arithmetic: builds are one explode + groupBy (map-side
+# combined, output bounded by width*depth cells, never data-sized),
+# merges are union + re-sum (exactly equal to a one-shot build —
+# pytest-pinned), and point queries join candidate keys' positions
+# against the (tiny, broadcast) sketch and take the row-wise min.
+# ---------------------------------------------------------------------------
+
+
+def cms_positions(key_col, width: int, depth: int):
+    """``array<bigint>`` of the key's per-row cells — the same codegen'd
+    xxhash64 expression for build and query, so est >= true holds by
+    construction."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(j)), F.lit(width)) for j in range(depth)]
+    )
+
+
+def _check_cms_params(width: int, depth: int) -> None:
+    if width < 2 or depth < 1 or depth > 16:
+        raise ValueError(f"need width >= 2 and 1 <= depth <= 16, got {width}x{depth}")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 4096,
+    depth: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Sketch of ``key_col`` occurrences (or of ``weight_col`` sums per
+    key): ``(row, pos, cnt, width, depth)``, at most width*depth rows."""
+    _check_cms_params(width, depth)
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    cells = df.select(
+        F.posexplode(cms_positions(key_col, width, depth)).alias("row", "pos"),
+        w.alias("_w"),
+    )
+    return (
+        cells.groupBy("row", "pos")
+        .agg(F.sum("_w").alias("cnt"))
+        .withColumn("width", F.lit(width))
+        .withColumn("depth", F.lit(depth))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise sum of same-shaped sketches — EXACTLY equal to a
+    one-shot sketch of the concatenated data (integer sums commute).
+    Shape mismatches fail loudly at query time via the carried
+    width/depth columns (and the re-sum keeps them consistent here)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "pos", "width", "depth").agg(
+        F.sum("cnt").alias("cnt")
+    ).select("row", "pos", "cnt", "width", "depth")
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    estimate_col: str = "est",
+) -> DataFrame:
+    """Point-query estimates for every row of ``keys``: min over the
+    sketch's rows of the key's cell count (absent cell = 0). The sketch
+    (<= width*depth rows) broadcasts; the keys side never shuffles until
+    the per-key min groupBy."""
+    shape = sketch.select("width", "depth").distinct().collect()
+    if len(shape) != 1:
+        raise ValueError(f"mixed sketch shapes: {[tuple(r) for r in shape]}")
+    width, depth = shape[0].width, shape[0].depth
+    pos = keys.select(
+        F.col(key_col),
+        F.posexplode(cms_positions(key_col, width, depth)).alias("row", "pos"),
+    )
+    joined = pos.join(
+        F.broadcast(sketch.select("row", "pos", "cnt")), ["row", "pos"], "left"
+    ).select(key_col, F.coalesce("cnt", F.lit(0)).alias("_c"))
+    return joined.groupBy(key_col).agg(F.min("_c").alias(estimate_col))

@@ -2539,3 +2539,24 @@ ORACLE_SQL["q103_token_budget_verify"] = """
     )
     SELECT doc_id, tier, tok FROM c, b WHERE cum <= budget ORDER BY doc_id
 """
+
+# q104: true counts + the top-15 cut are exact SQL; the CMS guarantee
+# booleans are constant 1 by contract (never-undercount holds by
+# construction; the overcount bound is 3x the expected collision mass
+# and the xxhash64 layout makes the measured estimate deterministic).
+ORACLE_SQL["q104_cms_frequency_verify"] = """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id < 2500
+    ),
+    t AS (
+        SELECT term, COUNT(*) AS true_cnt FROM toks
+        WHERE term <> '' GROUP BY term
+    ),
+    top AS (
+        SELECT term, true_cnt FROM t ORDER BY true_cnt DESC, term LIMIT 15
+    )
+    SELECT term, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(1 AS BIGINT) AS lower_ok, CAST(1 AS BIGINT) AS upper_ok
+    FROM top ORDER BY term
+"""

@@ -4981,6 +4981,63 @@ def q103_token_budget_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q104_cms_frequency_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation under the driver's value
+    gate (round 14): the mergeable "how often?" sketch beside HLL's
+    mergeable "how many distinct?" (operators/sketches.py) — per-key
+    counts across rollup cells / stream batches without data-sized
+    state.
+
+    Corpus: every token occurrence in documents (doc_id < 2500, the real
+    text column). true counts come from an exact groupBy both engines
+    run; the sketch (2048x5, sparse JVM-side build) answers point
+    queries for the top-15 terms. Contract per term (q13-style for the
+    hash-layout-dependent number): true_cnt oracle-exact; lower_ok —
+    est >= true, the CMS never-undercount guarantee, must hold for
+    EVERY term; upper_ok — est <= true + 3*N/width (3x the expected
+    collision mass; xxhash64 makes the actual estimate deterministic,
+    but only Spark can compute it).
+
+    Scale shape: build is explode + one map-side-combined groupBy whose
+    output is bounded by width*depth cells; the estimate joins the
+    BROADCAST sketch; true counts pay the one term-keyed exchange any
+    exact count does."""
+    from serverless_etl_bi_on_aws_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2500)
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    width = 2048
+    n_total = toks.count()
+    bound = 3 * n_total // width
+    sketch = cms_build(toks, "term", width=width, depth=5)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "term")
+        .limit(15)
+    )
+    est = cms_estimate(sketch, top.select("term"), "term")
+    return (
+        top.join(est, "term")
+        .select(
+            "term",
+            F.col("true_cnt").cast("bigint").alias("true_cnt"),
+            (F.col("est") >= F.col("true_cnt")).cast("bigint").alias("lower_ok"),
+            (F.col("est") <= F.col("true_cnt") + F.lit(bound))
+            .cast("bigint")
+            .alias("upper_ok"),
+        )
+        .orderBy("term")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -4994,7 +5051,6 @@ QUERIES: dict[str, QueryFn] = {
     "q13_sketch_neardup_verify": q13_sketch_neardup_verify,
     "q18_ann_verify": q18_ann_verify,
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,
-    "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
@@ -5032,6 +5088,7 @@ QUERIES: dict[str, QueryFn] = {
     "q101_bm25_search_verify": q101_bm25_search_verify,
     "q102_domain_curation_verify": q102_domain_curation_verify,
     "q103_token_budget_verify": q103_token_budget_verify,
+    "q104_cms_frequency_verify": q104_cms_frequency_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -5043,6 +5100,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,  # rotated out r14 (ceded to q104): the J3 sales family stays driver-visible via q3 (raw) + q60 (denorm); bench.py's graded bucketed_q3 contract row still times the bucketed layout every round
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,  # rotated out r14 (ceded to q103): X3 similarity stays driver-visible via q18_ann_verify + q65_pq_verify; bench.py still times q44 every round (headline q6 + scaling row) and its full-value oracle stays in the pytest union
     "q67_histogram_rollup": q67_histogram_rollup,  # rotated out r14 (ceded to q102): the histogram/width-bucket full-value oracle stays in the pytest union; distribution profiling stays driver-visible via q66's data-quality report
     "q53_tfidf_top_terms": q53_tfidf_top_terms,  # rotated out r14 (ceded to q101): X5 term-weighting stays driver-visible via q101 (BM25 over the same tokenizer); the tf-idf full-value oracle stays in the pytest union and bench.py's llm tier still times q53
