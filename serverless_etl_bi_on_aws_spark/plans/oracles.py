@@ -2560,3 +2560,20 @@ ORACLE_SQL["q104_cms_frequency_verify"] = """
            CAST(1 AS BIGINT) AS lower_ok, CAST(1 AS BIGINT) AS upper_ok
     FROM top ORDER BY term
 """
+
+# q105: decisions are closed-form in k — even domains deny k%4 in (1,3)
+# (plain Disallow /private; Disallow /tmp/), allow k%4 in (0,2) (no match;
+# the LONGER Allow /private/ok outranking Disallow /private), odd domains
+# have no robots and allow everything.
+ORACLE_SQL["q105_robots_filter_verify"] = """
+    WITH d AS (
+        SELECT doc_id AS k, 'site' || (doc_id % 10) || '.com' AS domain,
+               CASE WHEN doc_id % 10 % 2 = 0 AND doc_id % 4 IN (1, 3)
+                    THEN 0 ELSE 1 END AS ok
+        FROM documents WHERE doc_id < 2400
+    )
+    SELECT domain,
+           CAST(SUM(ok) AS BIGINT) AS allowed_docs,
+           CAST(COUNT(*) - SUM(ok) AS BIGINT) AS denied_docs
+    FROM d GROUP BY domain ORDER BY domain
+"""

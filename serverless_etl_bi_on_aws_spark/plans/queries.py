@@ -5038,12 +5038,92 @@ def q104_cms_frequency_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q105_robots_filter_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt allow/deny filtering under the driver's value gate
+    (round 14): the exclusion-honoring front of the crawl pipeline
+    (functions/robots.py) — RFC 9309 group selection + longest-prefix-
+    match, Allow beats Disallow at equal length, absence allows,
+    retroactive removal via keep='denied'.
+
+    Plant (doc_id < 2400 = k): domain site<k%10>.com; robots.txt exists
+    for the five EVEN domains only (a bot-specific group that must NOT
+    apply, then a * group: Disallow /private, Allow /private/ok,
+    Disallow /tmp/). Paths by k%4: /public/p<k> (allowed), /private/x
+    (DENIED on even domains — the plain Disallow), /private/okay
+    (ALLOWED everywhere — the longer Allow outranks the Disallow), and
+    /tmp/f (denied on even). Odd domains have no robots: everything
+    allowed.
+
+    Output: per-domain allowed/denied counts, each side produced by a
+    separate robots_filter pass so allowed+denied conserving the corpus
+    total is part of the contract; every number is oracle-recomputed
+    from the k arithmetic.
+
+    Scale shape: rules parse map-only from the one-row-per-domain robots
+    corpus and BROADCAST; the decision frame is (id, domain, path) slim
+    columns; the corpus rejoins by id semi-join — bodies never ride the
+    rule join."""
+    from serverless_etl_bi_on_aws_spark.functions.robots import (
+        robots_filter,
+        robots_rules,
+    )
+
+    robots_text = (
+        "User-agent: bot\nDisallow: /never\n\n"
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+        "Disallow: /tmp/\n"
+    )
+    robots = spark.range(5).select(
+        F.concat(F.lit("site"), F.col("id") * 2, F.lit(".com")).alias("domain"),
+        F.lit(robots_text).alias("robots_txt"),
+    )
+    rules = robots_rules(robots)
+    k = F.col("doc_id")
+    path = (
+        F.when(F.pmod(k, F.lit(4)) == 0, F.concat(F.lit("/public/p"), k))
+        .when(F.pmod(k, F.lit(4)) == 1, F.lit("/private/x"))
+        .when(F.pmod(k, F.lit(4)) == 2, F.lit("/private/okay"))
+        .otherwise(F.lit("/tmp/f"))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2400)
+        .select(
+            "doc_id",
+            F.concat(F.lit("site"), F.pmod(k, F.lit(10)), F.lit(".com")).alias(
+                "dom"
+            ),
+            F.concat(
+                F.lit("http://site"), F.pmod(k, F.lit(10)), F.lit(".com"), path
+            ).alias("url"),
+        )
+    )
+    allowed = (
+        robots_filter(docs, "url", rules)
+        .groupBy("dom")
+        .agg(F.count("*").alias("allowed_docs"))
+    )
+    denied = (
+        robots_filter(docs, "url", rules, keep="denied")
+        .groupBy("dom")
+        .agg(F.count("*").alias("denied_docs"))
+    )
+    return (
+        allowed.join(denied, "dom", "full")
+        .select(
+            F.col("dom").alias("domain"),
+            F.coalesce("allowed_docs", F.lit(0)).cast("bigint").alias("allowed_docs"),
+            F.coalesce("denied_docs", F.lit(0)).cast("bigint").alias("denied_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
     "q4_funnel_counts": q4_funnel_counts,
     "q5_incremental_window": q5_incremental_window,
-    "q7_text_stats": q7_text_stats,
     "q8_view_not_buy": q8_view_not_buy,
     "q9_merge_upsert": q9_merge_upsert,
     "q10_top_customers_per_segment": q10_top_customers_per_segment,
@@ -5089,6 +5169,7 @@ QUERIES: dict[str, QueryFn] = {
     "q102_domain_curation_verify": q102_domain_curation_verify,
     "q103_token_budget_verify": q103_token_budget_verify,
     "q104_cms_frequency_verify": q104_cms_frequency_verify,
+    "q105_robots_filter_verify": q105_robots_filter_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -5100,6 +5181,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q7_text_stats": q7_text_stats,  # rotated out r14 (ceded to q105): X5 text stats stay driver-visible via q63/q75/q86-q88/q101/q104; bench.py's headline q7 still times it every round and its full-value oracle stays in the pytest union
     "q46_sales_by_category_bucketed": q46_sales_by_category_bucketed,  # rotated out r14 (ceded to q104): the J3 sales family stays driver-visible via q3 (raw) + q60 (denorm); bench.py's graded bucketed_q3 contract row still times the bucketed layout every round
     "q44_topk_cosine_arrow": q44_topk_cosine_arrow,  # rotated out r14 (ceded to q103): X3 similarity stays driver-visible via q18_ann_verify + q65_pq_verify; bench.py still times q44 every round (headline q6 + scaling row) and its full-value oracle stays in the pytest union
     "q67_histogram_rollup": q67_histogram_rollup,  # rotated out r14 (ceded to q102): the histogram/width-bucket full-value oracle stays in the pytest union; distribution profiling stays driver-visible via q66's data-quality report

@@ -1,0 +1,120 @@
+"""robots.txt parsing + filtering (functions/robots.py): RFC 9309 group
+selection, longest-match precedence, tolerance, the rules-but-no-match
+regression, retroactive-removal direction, and the broadcast/slim plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.functions.robots import (
+    parse_robots,
+    robots_filter,
+    robots_rules,
+)
+
+_TXT = (
+    "# comment\n"
+    "User-agent: googlebot\n"
+    "Disallow: /google-only\n"
+    "\n"
+    "User-agent: a\n"
+    "User-agent: b\n"
+    "Disallow: /shared\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /private\n"
+    "Allow: /private/ok\n"
+    "Disallow:\n"
+    "Disallow: /tmp/*junk\n"
+    "garbage line without colon meaning\n"
+    "Crawl-delay: 10\n"
+)
+
+
+def test_parse_groups_and_tolerance():
+    # star group: empty Disallow dropped, wildcard cut conservatively
+    assert parse_robots(_TXT, "*") == [
+        (False, "/private"), (True, "/private/ok"), (False, "/tmp/"),
+    ]
+    # specific group REPLACES star (RFC 9309), case-insensitive
+    assert parse_robots(_TXT, "GoogleBot") == [(False, "/google-only")]
+    # consecutive agent lines share a group
+    assert parse_robots(_TXT, "a") == parse_robots(_TXT, "b") == [(False, "/shared")]
+    # no groups at all -> no rules
+    assert parse_robots("", "*") == []
+    assert parse_robots(None, "*") == []
+    # rules before any User-agent line are ignored
+    assert parse_robots("Disallow: /x\n", "*") == []
+
+
+def _setup(spark):
+    robots = spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")],
+        "domain string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "http://ex.com/public"),        # no match -> allowed
+            (1, "http://ex.com/private/x"),     # Disallow -> denied
+            (2, "http://ex.com/private/okay"),  # longer Allow wins -> allowed
+            (3, "http://other.org/private/x"),  # no robots -> allowed
+            (4, "not a url"),                   # malformed -> denied
+            (5, "http://ex.com"),               # empty path -> "/" -> allowed
+        ],
+        "doc_id bigint, url string",
+    )
+    return docs, robots_rules(robots)
+
+
+def test_filter_decisions(spark):
+    docs, rules = _setup(spark)
+    allowed = {r.doc_id for r in robots_filter(docs, "url", rules).collect()}
+    denied = {r.doc_id for r in
+              robots_filter(docs, "url", rules, keep="denied").collect()}
+    assert allowed == {0, 2, 3, 5}
+    assert denied == {1, 4}
+    assert allowed | denied == {0, 1, 2, 3, 4, 5} and not (allowed & denied)
+    with pytest.raises(ValueError, match="keep"):
+        robots_filter(docs, "url", rules, keep="everything")
+
+
+def test_rules_but_no_match_domain_is_allowed(spark):
+    """Regression: a doc on a domain WITH rules, none of which match its
+    path, must survive (the join-then-filter shape would drop it)."""
+    docs, rules = _setup(spark)
+    only = docs.filter("doc_id = 0")
+    assert robots_filter(only, "url", rules).count() == 1
+
+
+def test_equal_length_allow_beats_disallow(spark):
+    robots = spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /p\nAllow: /p\n")],
+        "domain string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://ex.com/page")], "doc_id bigint, url string"
+    )
+    assert robots_filter(docs, "url", robots_rules(robots)).count() == 1
+
+
+def test_agent_specific_rules(spark):
+    robots = spark.createDataFrame(
+        [("ex.com", "User-agent: mybot\nDisallow: /\n\nUser-agent: *\nAllow: /\n")],
+        "domain string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "http://ex.com/a")], "doc_id bigint, url string"
+    )
+    assert robots_filter(docs, "url", robots_rules(robots, agent="mybot")).count() == 0
+    assert robots_filter(docs, "url", robots_rules(robots, agent="elsebot")).count() == 1
+
+
+def test_rule_join_broadcasts(spark):
+    docs, rules = _setup(spark)
+    plan = (
+        robots_filter(docs, "url", rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
