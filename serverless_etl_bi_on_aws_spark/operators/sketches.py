@@ -157,3 +157,66 @@ def cms_estimate(
         F.broadcast(sketch.select("row", "pos", "cnt")), ["row", "pos"], "left"
     ).select(key_col, F.coalesce("cnt", F.lit(0)).alias("_c"))
     return joined.groupBy(key_col).agg(F.min("_c").alias(estimate_col))
+
+
+# --------------------------------------------------------------------------
+# Persisted CMS — append-only batch dirs, the same layout discipline as
+# the bm25/hash index family: a replay OVERWRITES its own batch subdir
+# with identical content, so incremental maintenance is idempotent
+# WITHOUT markers even though sketch addition itself is not (the classic
+# double-count trap of at-least-once streaming into an additive sketch).
+# Reads merge at query time (one groupBy over <= batches*width*depth
+# cells — never data-sized).
+# --------------------------------------------------------------------------
+
+
+def write_cms_batch(
+    df: DataFrame,
+    key_col: str,
+    sketch_path: str,
+    batch_id: str,
+    width: int = 4096,
+    depth: int = 5,
+    weight_col: str | None = None,
+) -> None:
+    """One batch's cells under ``batch=<id>`` (meta committed first on
+    the initial write; later batches must match its shape or fail
+    loudly — a silently mixed-shape sketch would estimate garbage)."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
+
+    meta_path = os.path.join(sketch_path, "_meta.json")
+    meta = read_marker(meta_path)
+    if meta is None:
+        _check_cms_params(width, depth)
+        os.makedirs(sketch_path, exist_ok=True)
+        write_marker(meta_path, {"width": width, "depth": depth, "key_col": key_col})
+    elif (meta["width"], meta["depth"]) != (width, depth):
+        raise ValueError(
+            f"sketch at {sketch_path} is {meta['width']}x{meta['depth']}, "
+            f"got {width}x{depth}"
+        )
+    cells = cms_build(df, key_col, width=width, depth=depth, weight_col=weight_col)
+    cells.drop("width", "depth").write.mode("overwrite").parquet(
+        os.path.join(sketch_path, f"batch={batch_id}")
+    )
+
+
+def read_cms(spark, sketch_path: str) -> DataFrame:
+    """The merged sketch over every batch dir — exactly equal to a
+    one-shot sketch of all the data (addition commutes)."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.util import read_marker
+
+    meta = read_marker(os.path.join(sketch_path, "_meta.json"))
+    if meta is None:
+        raise FileNotFoundError(f"no cms meta at {sketch_path}")
+    cells = spark.read.parquet(sketch_path)
+    return (
+        cells.groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("width", F.lit(meta["width"]))
+        .withColumn("depth", F.lit(meta["depth"]))
+    )

@@ -582,3 +582,155 @@ def apply_embedding_dedup_batch(
         )
         survivors.write.mode("overwrite").parquet(out)
     update_ivf_index(batch_df, index_path, batch_id, vec_col=vec_col)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter streaming dedup (round 14) — the EXACT-KEY member of the
+# incremental family (text minhash / image / audio / embedding / url),
+# with the join-free probe: keys already admitted are dropped by a
+# broadcast bitset check instead of an index equi-join. Accepts the
+# documented ~fpp loss of genuinely-new keys (route to an exact index
+# via dedup_against_bloom(keep_flagged=True) when that is not ok).
+# --------------------------------------------------------------------------
+
+
+def apply_bloom_dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    index_path: str,
+    clean_dir: str,
+    batch_id: str,
+    key_col: str,
+    id_col: str | None = None,
+) -> None:
+    """probe -> write survivors -> OR the batch's bits in. The same
+    crash-point discipline as apply_dedup_batch: survivors gate on their
+    partition _SUCCESS (never recomputed once the filter may contain
+    this batch's keys — recomputing would see the batch as a duplicate
+    of itself), and the bits update is idempotent by construction
+    (OR-ing the same bits twice is a no-op), so no applied-marker is
+    needed on the filter side.
+
+    The Bloom only knows PRIOR batches, so same-key rows inside one
+    batch collapse here: to the min-``id_col`` row when given (the
+    deterministic, replay-identical choice), else via dropDuplicates
+    (arbitrary representative — still consistent downstream because the
+    _SUCCESS gate admits exactly one committed write)."""
+    from serverless_etl_bi_on_aws_spark.operators.bloom_index import (
+        dedup_against_bloom,
+        update_bloom_index,
+    )
+
+    out = os.path.join(clean_dir, f"batch={batch_id}")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        survivors = dedup_against_bloom(batch_df, key_col, index_path)
+        if id_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(key_col).orderBy(F.col(id_col))
+            survivors = (
+                survivors.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            survivors = survivors.dropDuplicates([key_col])
+        survivors.write.mode("overwrite").parquet(out)
+    update_bloom_index(batch_df, key_col, index_path)
+
+
+def start_incremental_bloom_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    clean_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    key_col: str,
+    id_col: str | None = None,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Watch ``source_dir`` and keep ``clean_dir`` an exact-key-deduped
+    corpus with Bloom-filter state (build the empty filter first with
+    ``build_bloom_index`` over an empty frame, sized for the expected
+    corpus). Batch ids fold the checkpoint instance nonce in, same as
+    every loop in this module."""
+    ckpt = checkpoint_instance_nonce(checkpoint_dir)
+    stream = getattr(
+        spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}"), fmt
+    )(source_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        apply_bloom_dedup_batch(
+            spark,
+            batch_df,
+            index_path,
+            clean_dir,
+            f"{ckpt}-{epoch_id}",
+            key_col,
+            id_col=id_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def start_cms_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    key_col: str,
+    width: int = 4096,
+    depth: int = 5,
+    weight_col: str | None = None,
+    available_now: bool = True,
+    processing_time: str = "1 hour",
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Maintain a persisted Count-Min sketch over a stream — frequency
+    state without data-sized keys (the "which urls/terms are getting
+    hot" monitor beside the dedup loops). Each micro-batch writes its
+    cells under its own ``batch=`` dir, so at-least-once replays
+    OVERWRITE rather than double-count (sketches.write_cms_batch);
+    ``sketches.read_cms`` serves the merged sketch at any time, equal to
+    a one-shot sketch of everything drained so far."""
+    from serverless_etl_bi_on_aws_spark.operators.sketches import write_cms_batch
+
+    ckpt = checkpoint_instance_nonce(checkpoint_dir)
+    stream = getattr(
+        spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}"), fmt
+    )(source_dir)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_cms_batch(
+            batch_df,
+            key_col,
+            sketch_path,
+            f"{ckpt}-{epoch_id}",
+            width=width,
+            depth=depth,
+            weight_col=weight_col,
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
