@@ -146,6 +146,12 @@ LLM_TIER = {
     # round-11 addition: the funnel's MinHash strategy knob (exact twin
     # runs as verifier, so this prices BOTH strategies at fixture scale)
     "q82": "q82_minhash_curation_verify",
+    # round-14 additions (second session): link-graph + 3-iteration
+    # fixed-point PageRank (per-iteration join+agg), and BM25 search
+    # through the persisted bucket-pruned index (build is digest-cached,
+    # so steady-state timings price the SEARCH path)
+    "q99": "q99_link_graph_pagerank",
+    "q101": "q101_bm25_search_verify",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")
