@@ -162,3 +162,52 @@ def normalize_text_batch(df, text_col: str = "text", out_col: str = "clean_text"
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     return df.mapInPandas(batches, f"{fields}, {out_col} string")
+
+
+#: script name -> codepoint-range character class (round 14). A
+#: deliberate closed-form subset of Unicode script properties — ranges,
+#: not \\p{Script=...} classes, so the same pattern means the same thing
+#: in Java regex, RE2, and any oracle engine.
+SCRIPT_RANGES = {
+    "arabic": "[؀-ۿ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "devanagari": "[ऀ-ॿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "han": "[一-鿿]",
+    "hangul": "[가-힯]",
+    "kana": "[぀-ヿ]",
+    "latin": "[A-Za-z]",
+}
+
+
+def script_counts(text: str | Column) -> dict[str, Column]:
+    """Per-script character counts (``regexp_count`` over the range
+    classes above) — codegen'd JVM expressions, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.regexp_count(c, F.lit(rng)).alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(text: str | Column, out_col: str = "script") -> Column:
+    """The script with the most characters; ties break alphabetically
+    (max over (count, reversed-name) structs — deterministic); a text
+    with NO script characters yields ``'none'``. The cheap router in
+    front of per-language processing (the lang-ID operator reads TEXT
+    features; this reads the codepoint layer and needs no fit)."""
+    c = F.col(text) if isinstance(text, str) else text
+    entries = [
+        # name sorts DESC inside max() so the alphabetically-FIRST name
+        # wins count ties: compare on (count, negated name rank)
+        F.struct(
+            F.regexp_count(c, F.lit(rng)).alias("n"),
+            F.lit(-i).alias("r"),
+            F.lit(name).alias("s"),
+        )
+        for i, (name, rng) in enumerate(sorted(SCRIPT_RANGES.items()))
+    ]
+    best = F.greatest(*entries)
+    return F.when(best.getField("n") > 0, best.getField("s")).otherwise(
+        F.lit("none")
+    ).alias(out_col)

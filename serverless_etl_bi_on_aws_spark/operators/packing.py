@@ -90,3 +90,47 @@ def write_packed_shards(
     )
     manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
     return df.sparkSession.read.parquet(os.path.join(out_dir, "manifest"))
+
+
+def pack_examples(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    partition_by: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """One row PER PACKED TRAINING EXAMPLE — the shard assignment of
+    :func:`pack_sequential` pivoted to the shape a trainer consumes:
+    ``(shard_id, n_docs, total_tokens, doc_ids)`` with ``doc_ids`` in
+    pack order (the attention-boundary/document-mask metadata sequence
+    packing needs). Deterministic: members sort by ``order_col`` inside
+    the shard (sort_array over structs — no collect_list ordering
+    assumptions), so the output is a pure function of the data.
+
+    Scale path is the same as pack_sequential: ``partition_by`` packs
+    within partition values and the groupBy inherits that key."""
+    packed = pack_sequential(df, order_col, size_col, budget, partition_by)
+    id_col = id_col or order_col
+    keys = ([partition_by] if partition_by is not None else []) + ["shard_id"]
+    return (
+        packed.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(size_col).cast("bigint").alias("total_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col(order_col).alias("o"),
+                                F.col(id_col).cast("string").alias("i"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("i"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+    )

@@ -2577,3 +2577,75 @@ ORACLE_SQL["q105_robots_filter_verify"] = """
            CAST(COUNT(*) - SUM(ok) AS BIGINT) AS denied_docs
     FROM d GROUP BY domain ORDER BY domain
 """
+
+# q106: per-doc dominant Unicode script, recomputed INDEPENDENTLY — the
+# oracle re-counts every script class with regexp_replace arithmetic
+# (RE2 and Java regex agree on literal BMP codepoint ranges; that is WHY
+# functions/text.SCRIPT_RANGES uses ranges, not \p{Script=} classes) and
+# re-derives the dominant via row_number with the same
+# (count DESC, name ASC) tie-break the Spark struct-max encodes.
+ORACLE_SQL["q106_script_detection_verify"] = """
+    WITH base AS (
+        SELECT doc_id,
+               CASE doc_id % 7
+                 WHEN 0 THEN 'plain latin words only'
+                 WHEN 1 THEN 'мир труд май ok'
+                 WHEN 2 THEN '世界和平 かな'
+                 WHEN 3 THEN 'αβ ab'
+                 WHEN 4 THEN '한국어 텍스트'
+                 WHEN 5 THEN 'سلام नमस्ते سلام'
+                 ELSE '12345 !!! 67890'
+               END AS t
+        FROM documents WHERE doc_id < 2100
+    ), counts AS (
+        SELECT doc_id, s,
+               length(t) - length(regexp_replace(t, pat, '', 'g')) AS n
+        FROM base, (VALUES
+            ('arabic',     '[؀-ۿ]'),
+            ('cyrillic',   '[Ѐ-ӿ]'),
+            ('devanagari', '[ऀ-ॿ]'),
+            ('greek',      '[Ͱ-Ͽ]'),
+            ('han',        '[一-鿿]'),
+            ('hangul',     '[가-힯]'),
+            ('kana',       '[぀-ヿ]'),
+            ('latin',      '[A-Za-z]')
+        ) AS scripts(s, pat)
+    ), ranked AS (
+        SELECT doc_id, s, n,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n DESC, s ASC) AS rn
+        FROM counts
+    ), dom AS (
+        SELECT CASE WHEN n > 0 THEN s ELSE 'none' END AS script,
+               CASE WHEN n > 0 THEN n ELSE 0 END      AS own
+        FROM ranked WHERE rn = 1
+    )
+    SELECT script, COUNT(*) AS docs,
+           CAST(SUM(own) AS BIGINT) AS script_chars
+    FROM dom GROUP BY script ORDER BY script
+"""
+
+# q107: the oracle reassembles every packed example string-for-string —
+# same window cumsum as q40's shard assignment, then string_agg with an
+# explicit ORDER BY doc_id (matching pack_examples' sort_array-over-
+# structs determinism contract).
+ORACLE_SQL["q107_pack_examples_verify"] = """
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 2500
+    ), packed AS (
+        SELECT doc_id, tok,
+               COALESCE(SUM(tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM toks
+    )
+    SELECT CAST(cum_before // 4096 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+    FROM packed
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -393,3 +393,37 @@ def test_epoch_mix_repeat_contract(spark):
 
     with _pytest.raises(ValueError, match="epochs"):
         epoch_mix_repeat(df, "lang", {"a": -1.0}, id_col="doc_id")
+
+
+def test_script_detection_tiebreak_and_none(spark):
+    """dominant_script: alphabetically-first script wins an exact count
+    tie; a text with zero script chars yields 'none'; counts are
+    per-codepoint (functions/text.SCRIPT_RANGES closed-form ranges)."""
+    from serverless_etl_bi_on_aws_spark.functions.text import (
+        dominant_script,
+        script_counts,
+    )
+
+    rows = [
+        ("abc", "latin", 3),          # pure latin
+        ("αβ ab", "greek", 2),        # exact 2-2 tie -> greek (g < l)
+        ("мир ok", "cyrillic", 3),    # majority
+        ("123 !!!", "none", 0),       # no script chars
+        ("世界 かなかな", "kana", 4),  # kana 4 beats han 2
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], ["t"])
+    got = df.select(
+        "t", dominant_script("t"), *script_counts("t").values()
+    ).collect()
+    by_text = {r["t"]: r for r in got}
+    for t, script, own in rows:
+        r = by_text[t]
+        assert r["script"] == script, (t, r["script"])
+        if script != "none":
+            assert r[f"n_{script}"] == own, (t, r[f"n_{script}"])
+    # map-only: no Exchange in the plan
+    plan = (
+        df.select(dominant_script("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

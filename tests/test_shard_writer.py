@@ -83,3 +83,49 @@ def test_shard_writer_per_stratum(spark, tmp_path):
         assert ids == list(range(len(ids)))
     total = sum(r["n_rows"] for r in rows)
     assert total == docs.count()
+
+def test_pack_examples_members_and_totals(spark):
+    """pack_examples pivots pack_sequential's assignment losslessly: the
+    member CSV replays the exact shard membership in order_col order, and
+    totals agree with an independent per-shard recomputation."""
+    from serverless_etl_bi_on_aws_spark.operators.packing import pack_examples
+
+    docs = _docs(spark)
+    ex = {r["shard_id"]: r for r in pack_examples(
+        docs, "doc_id", "n_tokens", budget=2000
+    ).collect()}
+    flat = pack_sequential(docs, "doc_id", "n_tokens", 2000).collect()
+    want: dict[int, list] = {}
+    for r in sorted(flat, key=lambda r: r["doc_id"]):
+        want.setdefault(r["shard_id"], []).append(r)
+    assert set(ex) == set(want)
+    for sid, members in want.items():
+        got = ex[sid]
+        assert got["n_docs"] == len(members)
+        assert got["total_tokens"] == sum(m["n_tokens"] for m in members)
+        assert got["doc_ids"] == ",".join(str(m["doc_id"]) for m in members)
+
+
+def test_pack_examples_per_stratum_and_determinism(spark):
+    """Per-stratum packing keeps the (stratum, shard) grain, and two runs
+    produce byte-identical member lists (the sort_array determinism
+    contract — no collect_list ordering assumption)."""
+    from serverless_etl_bi_on_aws_spark.operators.packing import pack_examples
+
+    docs = _docs(spark)
+    a = sorted(
+        tuple(r) for r in pack_examples(
+            docs, "doc_id", "n_tokens", budget=1500, partition_by="lang"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in pack_examples(
+            docs.repartition(7), "doc_id", "n_tokens", budget=1500,
+            partition_by="lang"
+        ).collect()
+    )
+    assert a == b
+    langs = {t[0] for t in a}
+    assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
+    # n_docs across all (lang, shard) examples covers every row exactly once
+    assert sum(t[2] for t in a) == docs.count()
