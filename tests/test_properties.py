@@ -716,3 +716,89 @@ def test_token_budget_guards(spark):
     )
     with pytest.raises(ValueError, match="distinct scores"):
         select_token_budget(wide, 10, "score", "tok", "doc_id")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=800),
+)
+def test_pack_examples_conserves_and_orders(spark, sizes, budget):
+    """For ANY sizes/budget: every input row lands in exactly one packed
+    example, totals are conserved, shard ids are a dense 0..n prefix in
+    order, and each example's member list replays a greedy sequential
+    packing (cumulative-before div budget)."""
+    from serverless_etl_bi_on_aws_spark.operators.packing import pack_examples
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id int, tok int")
+    got = sorted(
+        (r["shard_id"], r["n_docs"], r["total_tokens"], r["doc_ids"])
+        for r in pack_examples(df, "doc_id", "tok", budget=budget).collect()
+    )
+    # independent greedy reference
+    want: dict[int, list[int]] = {}
+    cum = 0
+    for i, s in rows:
+        want.setdefault(cum // budget, []).append(i)
+        cum += s
+    assert [g[0] for g in got] == sorted(want)  # dense prefix of shard ids
+    assert sum(g[1] for g in got) == len(sizes)
+    assert sum(g[2] for g in got) == sum(sizes)
+    for sid, n, tot, csv in got:
+        assert csv == ",".join(str(i) for i in want[sid])
+        assert n == len(want[sid])
+        assert tot == sum(sizes[i] for i in want[sid])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                "abXY 123!«»" "мир" "αβγ" "世界" "かなカナ" "한국" "سلم" "नमस"
+            ),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_dominant_script_matches_python_reference(spark, texts):
+    """dominant_script agrees with an independent pure-Python evaluation
+    of the SAME closed-form ranges (count desc, name asc tie-break,
+    'none' when no script chars) on arbitrary mixed-script strings."""
+    from serverless_etl_bi_on_aws_spark.functions.text import (
+        SCRIPT_RANGES,
+        dominant_script,
+    )
+
+    bounds = {
+        name: (rng[1], rng[3]) if name != "latin" else None
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+    def ref(t: str) -> str:
+        counts = {}
+        for name, b in bounds.items():
+            if b is None:
+                counts[name] = sum("A" <= c <= "Z" or "a" <= c <= "z" for c in t)
+            else:
+                lo, hi = b
+                counts[name] = sum(lo <= c <= hi for c in t)
+        top = max(counts.values())
+        best = min(n for n in counts if counts[n] == top)  # alpha-first tie
+        return best if top > 0 else "none"
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {r["i"]: r["script"] for r in df.select("i", dominant_script("t")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), (t, got[i], ref(t))
