@@ -2686,3 +2686,65 @@ EXTRA_ORACLE_SQL["q109_event_path_trigrams"] = """
     ORDER BY n_paths DESC, e1, e2, e3
     LIMIT 20
 """
+
+# q110: the Gopher rules re-derived with DuckDB list lambdas — a fully
+# independent implementation of the same exact-integer verdicts (ratios
+# cross-multiplied, never divided, so there is no float to disagree on).
+_G110_STOPS = " + ".join(
+    f"CAST(list_contains(w, '{s}') AS INT)"
+    for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+EXTRA_ORACLE_SQL["q110_gopher_rules"] = f"""
+    WITH base AS (
+        SELECT CAST(doc_id % 5 AS INTEGER) AS bucket,
+               CASE CAST(doc_id % 5 AS INTEGER)
+                 WHEN 1 THEN 'deep dive' || chr(10) ||
+                      repeat('- bullet point item' || chr(10), 9) || '- last'
+                 WHEN 2 THEN 'start' || chr(10) ||
+                      repeat('this line trails off...' || chr(10), 4) || 'end...'
+                 WHEN 3 THEN repeat('the of # word ', 20)
+                 WHEN 4 THEN repeat('the data and more words here ', 10)
+                 ELSE text
+               END AS t
+        FROM documents WHERE doc_id < 2000
+    ), feat AS (
+        SELECT bucket,
+               list_filter(regexp_split_to_array(t, '[ \n]'),
+                           w -> w <> '') AS w,
+               string_split(t, chr(10)) AS l,
+               length(regexp_replace(t, '[ \n]', '', 'g')) AS chars,
+               len(regexp_extract_all(t, '#'))
+                 + len(regexp_extract_all(t, '\\.\\.\\.')) AS symbols
+        FROM base
+    ), meas AS (
+        SELECT bucket, chars, symbols,
+               len(w) AS n, len(l) AS nl,
+               len(list_filter(l, x -> regexp_matches(x, '\\.\\.\\.$'))) AS ell,
+               len(list_filter(l, x -> regexp_matches(x, '^[-*•]'))) AS bullets,
+               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+               {_G110_STOPS} AS stops
+        FROM feat
+    ), verd AS (
+        SELECT bucket,
+               (n >= 50 AND n <= 100000)                 AS g_nwords,
+               (chars >= 3 * n AND chars <= 10 * n)      AS g_wordlen,
+               (10 * symbols <= n)                       AS g_symbols,
+               (10 * ell <= 3 * nl)                      AS g_ellipsis,
+               (10 * bullets <= 9 * nl)                  AS g_bullets,
+               (5 * alpha >= 4 * n)                      AS g_alpha,
+               (stops >= 2)                              AS g_stopwords
+        FROM meas
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(g_nwords    AS INT)) AS BIGINT) AS n_nwords_ok,
+           CAST(SUM(CAST(g_wordlen   AS INT)) AS BIGINT) AS n_wordlen_ok,
+           CAST(SUM(CAST(g_symbols   AS INT)) AS BIGINT) AS n_symbols_ok,
+           CAST(SUM(CAST(g_ellipsis  AS INT)) AS BIGINT) AS n_ellipsis_ok,
+           CAST(SUM(CAST(g_bullets   AS INT)) AS BIGINT) AS n_bullets_ok,
+           CAST(SUM(CAST(g_alpha     AS INT)) AS BIGINT) AS n_alpha_ok,
+           CAST(SUM(CAST(g_stopwords AS INT)) AS BIGINT) AS n_stopwords_ok,
+           CAST(SUM(CAST((g_nwords AND g_wordlen AND g_symbols AND g_ellipsis
+                  AND g_bullets AND g_alpha AND g_stopwords) AS INT))
+                AS BIGINT) AS n_pass
+    FROM verd GROUP BY bucket ORDER BY bucket
+"""

@@ -5181,6 +5181,67 @@ def q109_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_FLAGS = (
+    "g_nwords", "g_wordlen", "g_symbols", "g_ellipsis",
+    "g_bullets", "g_alpha", "g_stopwords",
+)
+
+
+def q110_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MassiveText/Gopher quality-rule filter (Rae et al. 2021,
+    Appendix A; functions/text.gopher_flags) under a full value oracle:
+    every rule is exact-integer arithmetic, so DuckDB replays every
+    verdict bit-for-bit from an independent list-lambda implementation.
+
+    Plant by doc_id%5: bucket 0 keeps the REAL corpus text (engine vs
+    oracle on real data); 1 = bullet-heavy (>90% bullet lines); 2 =
+    ellipsis-heavy (>30% trailing-... lines); 3 = symbol spam (#/word
+    over 10%, sub-3 mean word length, sub-80% alpha words); 4 = a
+    clean passing doc (60 words, mean length ~3.8, two stop words).
+    Output: per-bucket doc count, per-rule ok-counts, pass-all count.
+
+    Scale shape: map-only rule evaluation (arrays materialized once per
+    doc, JVM lambda filters) + one tiny groupBy."""
+    from serverless_etl_bi_on_aws_spark.functions.text import gopher_flags
+
+    k = F.col("doc_id")
+    m = F.pmod(k, F.lit(5)).cast("int")
+    planted = (
+        F.when(
+            m == 1,
+            F.concat(
+                F.lit("deep dive\n"),
+                F.repeat(F.lit("- bullet point item\n"), 9),
+                F.lit("- last"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("start\n"),
+                F.repeat(F.lit("this line trails off...\n"), 4),
+                F.lit("end..."),
+            ),
+        )
+        .when(m == 3, F.repeat(F.lit("the of # word "), 20))
+        .when(m == 4, F.repeat(F.lit("the data and more words here "), 10))
+        .otherwise(F.col("text"))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select(m.alias("bucket"), planted.alias("text"))
+    )
+    flagged = gopher_flags(docs, "text")
+    aggs = [F.count("*").alias("n_docs")]
+    aggs += [
+        F.sum(F.col(f).cast("int")).cast("bigint").alias(f"n{f[1:]}_ok")
+        for f in _GOPHER_FLAGS
+    ]
+    aggs.append(F.sum(F.col("g_pass").cast("int")).cast("bigint").alias("n_pass"))
+    return flagged.groupBy("bucket").agg(*aggs).orderBy("bucket")
+
+
 def q106_script_detection_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script detection under the driver's value gate (round
     14): the codepoint-layer router in front of per-language processing
@@ -5333,6 +5394,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q110_gopher_rules": q110_gopher_rules,  # landed r14 in the off-driver tier: the MassiveText/Gopher heuristic filter over functions/text.gopher_flags; full value oracle in the pytest union; driver-row candidate for the r15 rotation
     "q108_cohort_retention": q108_cohort_retention,  # landed r14 in the off-driver tier: query-level composition of driver-green machinery (window min + hash agg, the q10/q11 families); full value oracle in the pytest union; driver-row candidate for the r15 rotation
     "q109_event_path_trigrams": q109_event_path_trigrams,  # landed r14 in the off-driver tier: lead()-window sequence analytics over the q4/q8 funnel family; full value oracle in the pytest union; driver-row candidate for the r15 rotation
     "q63_pii_scrub": q63_pii_scrub,  # rotated out r14 (ceded to q106): X5 text stays driver-visible via q75/q86/q87/q88/q101/q104/q106; the PII-scrub full-value oracle stays in the pytest union and its regex contracts stay pytest-pinned

@@ -427,3 +427,45 @@ def test_script_detection_tiebreak_and_none(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_gopher_flags_hand_computed(spark):
+    """Each Gopher rule verified against a hand-computed verdict on a
+    crafted doc that isolates it (functions/text.gopher_flags), plus the
+    map-only plan contract."""
+    from serverless_etl_bi_on_aws_spark.functions.text import gopher_flags
+
+    passing = ("the data and more words here " * 10).strip()
+    rows = [
+        # (text, failing_rule or None)
+        (passing, None),
+        ("the of short", "g_nwords"),                       # 3 words < 50
+        (("ab " * 60).strip() + " the of", "g_wordlen"),    # mean len < 3
+        (passing + " " + "# " * 7, "g_symbols"),            # 7 hashes, 67 words
+        (passing.replace(" ", "\n", 9) + "\n" + "x...\n" * 5, "g_ellipsis"),
+        ("the of\n" + "- b\n" * 20, "g_bullets"),           # 20/22 bullet lines
+        (passing + " " + "123 " * 20, "g_alpha"),           # 20/80 digit words
+        (" ".join(["word"] * 60), "g_stopwords"),           # zero stop words
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(rows)], "i int, text string"
+    )
+    got = {r["i"]: r.asDict() for r in gopher_flags(df, "text").collect()}
+    all_flags = [
+        "g_nwords", "g_wordlen", "g_symbols", "g_ellipsis",
+        "g_bullets", "g_alpha", "g_stopwords",
+    ]
+    for i, (t, fail) in enumerate(rows):
+        r = got[i]
+        if fail is None:
+            assert r["g_pass"], r
+            assert all(r[f] for f in all_flags), r
+        else:
+            assert not r[fail], (i, fail, r)
+            assert not r["g_pass"], r
+    # map-only: no Exchange before the (tiny) aggregate
+    plan = (
+        gopher_flags(df, "text").drop("i")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
