@@ -63,3 +63,42 @@ def zscore_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         return pdf
 
     return df.groupBy(group_col).applyInPandas(norm, schema=schema)
+
+
+def with_compression_ppt(
+    df: DataFrame, text_col: str = "text", out_col: str = "c_ppt", level: int = 6
+) -> DataFrame:
+    """Append zlib compressibility in integer parts-per-thousand
+    (``1000 * compressed_len DIV raw_utf8_len``) — the redundancy
+    signal the Gopher/CCNet filter class uses to catch boilerplate,
+    spam, and template text that token-level stats miss (highly
+    repetitive text compresses to a tiny fraction; natural prose
+    doesn't).
+
+    Python is genuinely required (zlib), so this is ONE Arrow-batched
+    mapInPandas stage — map-only, no shuffle, no per-row serde. The
+    value is an exact integer at a FIXED zlib level, so it is stable
+    across partitionings and runs; NULL/empty text yields NULL.
+    Deployment note: the absolute ppt depends on the zlib build, so
+    gates on it should be measured-margin thresholds (the q13/q18
+    discipline), not exact pins."""
+    import zlib
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def batches(it):
+        for pdf in it:
+            def ppt(t):
+                if t is None:
+                    return None
+                b = t.encode("utf-8")
+                if not b:
+                    return None
+                return 1000 * len(zlib.compress(b, level)) // len(b)
+
+            pdf[out_col] = pdf[text_col].map(ppt).astype("object")
+            yield pdf
+
+    return df.mapInPandas(batches, f"{fields}, {out_col} bigint")

@@ -2748,3 +2748,15 @@ EXTRA_ORACLE_SQL["q110_gopher_rules"] = f"""
                 AS BIGINT) AS n_pass
     FROM verd GROUP BY bucket ORDER BY bucket
 """
+
+# q111: compression ppt depends on the zlib build, so the oracle states
+# the EXPECTED measured-margin gate verdicts closed-form from the plant
+# (every planted doc must clear its bucket's 8x-margin gate) — the
+# q13/q18 precedent for library-dependent values.
+EXTRA_ORACLE_SQL["q111_compression_quality"] = """
+    SELECT CAST(doc_id % 3 AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           COUNT(*) AS n_gate_ok
+    FROM documents WHERE doc_id < 2100
+    GROUP BY 1 ORDER BY 1
+"""

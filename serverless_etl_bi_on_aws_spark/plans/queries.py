@@ -5242,6 +5242,57 @@ def q110_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("bucket").agg(*aggs).orderBy("bucket")
 
 
+def q111_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility as a quality signal
+    (functions/pandas_fns.with_compression_ppt) under measured-margin
+    gates — the q13/q18 discipline for values that depend on a library
+    build rather than on arithmetic the oracle can replay: the oracle
+    states the EXPECTED gate verdicts closed-form from the plant, the
+    engine must hit them.
+
+    Plant by doc_id%3: 0 = highly repetitive text (measured ~24 ppt,
+    gate < 200 — an 8x margin); 1 = the REAL corpus text (measured
+    398-1017 ppt on this fixture, gate > 250); 2 = low-redundancy hex
+    digest chains (measured ~593 ppt, gate > 400). Output: per-bucket
+    doc count + docs passing the bucket's gate (oracle expects ALL).
+
+    Scale shape: one Arrow stage (map-only) + one tiny groupBy."""
+    from serverless_etl_bi_on_aws_spark.functions.pandas_fns import (
+        with_compression_ppt,
+    )
+
+    k = F.col("doc_id")
+    m = F.pmod(k, F.lit(3)).cast("int")
+    hexchain = F.concat_ws(
+        "", *[F.md5((k + F.lit(i)).cast("string")) for i in range(10)]
+    )
+    planted = (
+        F.when(m == 0, F.repeat(F.lit("spam ham "), 120))
+        .when(m == 2, hexchain)
+        .otherwise(F.col("text"))
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2100)
+        .select(k.alias("doc_id"), m.alias("bucket"), planted.alias("text"))
+    )
+    scored = with_compression_ppt(docs, "text")
+    gate = (
+        F.when(F.col("bucket") == 0, F.col("c_ppt") < 200)
+        .when(F.col("bucket") == 1, F.col("c_ppt") > 250)
+        .otherwise(F.col("c_ppt") > 400)
+    )
+    return (
+        scored.withColumn("ok", gate)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_gate_ok"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q106_script_detection_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script detection under the driver's value gate (round
     14): the codepoint-layer router in front of per-language processing
@@ -5394,6 +5445,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q111_compression_quality": q111_compression_quality,  # landed r14 in the off-driver tier: zlib redundancy signal, measured-margin gates (q13/q18 discipline — ppt depends on the zlib build); driver-row candidate for the r15 rotation
     "q110_gopher_rules": q110_gopher_rules,  # landed r14 in the off-driver tier: the MassiveText/Gopher heuristic filter over functions/text.gopher_flags; full value oracle in the pytest union; driver-row candidate for the r15 rotation
     "q108_cohort_retention": q108_cohort_retention,  # landed r14 in the off-driver tier: query-level composition of driver-green machinery (window min + hash agg, the q10/q11 families); full value oracle in the pytest union; driver-row candidate for the r15 rotation
     "q109_event_path_trigrams": q109_event_path_trigrams,  # landed r14 in the off-driver tier: lead()-window sequence analytics over the q4/q8 funnel family; full value oracle in the pytest union; driver-row candidate for the r15 rotation

@@ -469,3 +469,39 @@ def test_gopher_flags_hand_computed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_compression_ppt_reference_and_contracts(spark):
+    """with_compression_ppt equals a direct zlib computation on the same
+    strings, separates repetitive from natural text by a wide margin,
+    passes NULL/empty through as NULL, and stays one Python stage with
+    no Exchange."""
+    import zlib
+
+    from serverless_etl_bi_on_aws_spark.functions.pandas_fns import (
+        with_compression_ppt,
+    )
+
+    texts = [
+        "spam ham " * 120,
+        "the quick brown fox jumps over the lazy dog and keeps going on",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {r["i"]: r["c_ppt"] for r in with_compression_ppt(df, "text").collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None, (i, got[i])
+        else:
+            b = t.encode("utf-8")
+            assert got[i] == 1000 * len(zlib.compress(b, 6)) // len(b)
+    assert got[0] < 200 < got[1]  # repetitive vs natural separation
+    plan = (
+        with_compression_ppt(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("MapInPandas") == 1
