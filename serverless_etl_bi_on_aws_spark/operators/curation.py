@@ -47,6 +47,7 @@ def curation_stages(
     html_col: str | None = None,
     html_min_words: int = 3,
     html_max_link_density: float = 0.34,
+    gopher: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns the three surviving sets ``(quality, uniq, final)``:
 
@@ -81,6 +82,12 @@ def curation_stages(
     the navigation chrome. q86 value-gates the extraction itself; the
     funnel integration is pytest-pinned.
 
+    ``gopher=True`` ANDs the MassiveText rule suite
+    (functions/text.gopher_flags, q110-gated) into the quality rung:
+    the score gate reads token statistics, the rules read document
+    SHAPE (bullet/ellipsis lines, symbol ratio, stop words), so each
+    catches documents the other passes. Map-only either way.
+
     The uniq set is localCheckpoint'd: it feeds BOTH the pair join's two
     fan-outs and the downstream aggregates, and re-deriving a window over
     the quality filter per consumer re-pays the text shuffle each time."""
@@ -96,6 +103,18 @@ def curation_stages(
             ).getField("text"),
         )
     quality = docs.filter(quality_score(text_col) >= F.lit(quality_threshold))
+    if gopher:
+        from serverless_etl_bi_on_aws_spark.functions.text import gopher_flags
+
+        flag_cols = (
+            "g_nwords", "g_wordlen", "g_symbols", "g_ellipsis",
+            "g_bullets", "g_alpha", "g_stopwords", "g_pass",
+        )
+        quality = (
+            gopher_flags(quality, text_col)
+            .filter(F.col("g_pass"))
+            .drop(*flag_cols)
+        )
     w = Window.partitionBy(text_col)
     uniq = (
         quality.withColumn("_min_id", F.min(id_col).over(w))

@@ -287,3 +287,34 @@ def test_decontaminate_contract(spark):
 
     with _pytest.raises(ValueError, match="max_overlap"):
         decontaminate(docs, bench, max_overlap=1.0)
+
+
+def test_gopher_rung_catches_shape_violations(spark):
+    """gopher=True drops a doc whose SHAPE violates the rules (ellipsis-
+    heavy lines) even though the token-statistics score gate passes it;
+    gopher=False keeps it; clean docs survive both paths with identical
+    downstream results."""
+    from serverless_etl_bi_on_aws_spark.functions.text import quality_score
+    from serverless_etl_bi_on_aws_spark.operators.curation import curation_stages
+
+    # both docs: diverse vocab (score gate passes), DISJOINT vocab
+    # (no near-dup pair between them); doc 2 adds 9 ellipsis lines of
+    # 10 total, which only the shape rules see
+    clean = "the and " + " ".join(f"word{i:02d}" for i in range(58))
+    ellipsisy = (
+        "the and " + " ".join(f"item{i:02d}" for i in range(50))
+        + "\n" + "\n".join(f"tail{i:02d} trails off..." for i in range(9))
+    )
+    rows = [(1, clean), (2, ellipsisy), (3, "x y")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    # precondition: the score gate alone passes the ellipsis-heavy doc
+    thr = 0.49999
+    passed_score = {
+        r["doc_id"]
+        for r in df.filter(quality_score("text") >= thr).collect()
+    }
+    assert 2 in passed_score and 3 not in passed_score
+    _, _, final_plain = curation_stages(df, quality_threshold=thr)
+    _, _, final_gopher = curation_stages(df, quality_threshold=thr, gopher=True)
+    assert {r["doc_id"] for r in final_plain.collect()} == {1, 2}
+    assert {r["doc_id"] for r in final_gopher.collect()} == {1}
