@@ -152,6 +152,13 @@ LLM_TIER = {
     # so steady-state timings price the SEARCH path)
     "q99": "q99_link_graph_pagerank",
     "q101": "q101_bm25_search_verify",
+    # round-14 additions (third session): the Gopher rule suite (JVM
+    # lambda filters over materialized word/line arrays) and the zlib
+    # compression signal (the one Arrow/Python stage in the tier's
+    # quality family) — ~26 bytes against the measured ~385-byte
+    # compact-line headroom
+    "q110": "q110_gopher_rules",
+    "q111": "q111_compression_quality",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")
