@@ -13,10 +13,24 @@ refresh). This module implements the RFC 9309 core:
   an empty Disallow allows everything, no matching rule allows.
 
 Deliberate subset, stated plainly: ``*`` wildcards and ``$`` anchors
-inside rule paths are NOT interpreted (rules containing them are kept as
-literal prefixes up to the first ``*``, the conservative reading) —
-the rule set stays closed-form so the q105 oracle can recompute
-decisions from planted arithmetic.
+inside rule paths are NOT interpreted. The fallback is conservative PER
+DIRECTION — deny no less than RFC 9309 would: a wildcard-bearing
+``Disallow`` is kept as the literal prefix up to the first ``*``
+(matches a superset of the wildcard rule, so it can only deny MORE),
+while a wildcard-bearing ``Allow`` is DROPPED entirely (truncating an
+Allow would widen permissions: ``Disallow: /a`` + ``Allow: /a*x``
+truncated to ``/a`` ties the Disallow at equal length and Allow wins —
+allowing the whole ``/a`` subtree the RFC denies). The rule set stays
+closed-form so the q105 oracle can recompute decisions from planted
+arithmetic.
+
+Domain scope, stated plainly: rule domains and document urls are both
+collapsed to the lowercase REGISTERED domain
+(functions/url.registered_domain_of_host — the same closed-form PSL-lite
+rule the url side uses), so a robots corpus keyed by the natural fetch
+key (mixed-case or full host, e.g. ``WWW.Example.com``) still matches
+its documents; a per-host scope would silently drop every rule — the
+unsafe direction for an exclusion-honoring filter.
 
 Scale shape: parsing is a map-only Arrow stage over the (tiny, one row
 per domain) robots corpus; the decision join broadcasts the exploded
@@ -71,7 +85,9 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
         if key in ("allow", "disallow") and current:
             if val == "" and key == "disallow":
                 continue  # empty Disallow: allows all (no rule)
-            prefix = val.split("*", 1)[0]  # conservative wildcard cut
+            if "*" in val and key == "allow":
+                continue  # truncating an Allow WIDENS it — drop (module docstring)
+            prefix = val.split("*", 1)[0]  # Disallow-only conservative cut
             for tok in current:
                 groups[tok].append((key == "allow", prefix))
     a = agent.lower()
@@ -88,14 +104,23 @@ def robots_rules(
 ) -> DataFrame:
     """Exploded rule table ``(domain, allow, prefix)`` from a one-row-
     per-domain robots corpus. Domains whose file yields NO rules for the
-    agent produce no rows (absence == allow). Map-only Arrow parse."""
+    agent produce no rows (absence == allow). The domain key is
+    NORMALIZED to the lowercase registered domain — the exact rule
+    :func:`robots_filter` applies to the document urls — so a corpus
+    keyed by the natural robots.txt fetch host (``WWW.Example.com``)
+    still matches; unnormalized it would match nothing and every page
+    would read as allowed. Map-only Arrow parse."""
+    from serverless_etl_bi_on_aws_spark.functions.url import (
+        registered_domain_of_host,
+    )
+
     @F.pandas_udf(ArrayType(_RULE))
     def _parse(s: pd.Series) -> pd.Series:
         return pd.Series([parse_robots(t, agent) for t in s])
 
     return (
         robots.select(
-            F.col(domain_col).alias("domain"),
+            registered_domain_of_host(domain_col, out_col="domain"),
             F.explode(_parse(F.col(text_col))).alias("r"),
         )
         .select("domain", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))

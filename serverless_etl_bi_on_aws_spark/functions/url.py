@@ -70,7 +70,20 @@ def registered_domain(url_col: str | Column, out_col: str = "domain") -> Column:
     parseable host) yield NULL. Entirely JVM-side — try_parse_url +
     split/slice/array_join, codegen'd, no UDF."""
     c = F.col(url_col) if isinstance(url_col, str) else url_col
-    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    return registered_domain_of_host(
+        F.try_parse_url(c, F.lit("HOST")), out_col=out_col
+    )
+
+
+def registered_domain_of_host(host_col: str | Column, out_col: str = "domain") -> Column:
+    """:func:`registered_domain` for a column that is already a HOST
+    string (no scheme/path) — the normalization every host-keyed corpus
+    (robots.txt fetch keys, blocklists, server logs) must share with the
+    url side before joining, or mixed-case / full-host keys silently
+    match nothing. Same closed-form rule: lowercase, PSL-lite label
+    collapse; NULL/empty hosts yield NULL."""
+    c = F.col(host_col) if isinstance(host_col, str) else host_col
+    host = F.lower(c)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     last2 = F.array_join(F.slice(labels, -2, 2), ".")

@@ -49,10 +49,19 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
+from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker, writer_lease
 
 #: tree fan-in for combining per-partition bitmaps
 _COMBINE_FANIN = 16
+
+#: probe-side broadcast cache: index_path -> ((mtime_ns, size), broadcast).
+#: probe_bloom is called once per micro-batch in the streaming loop;
+#: without the cache every batch re-broadcasts the full bit array and the
+#: old broadcasts accumulate unbounded (material at GiB filter sizes).
+#: The (mtime_ns, size) stamp invalidates on every update_bloom_index
+#: (os.replace installs a NEW file), so a cached probe never reads stale
+#: bits; the superseded broadcast is destroyed on replacement.
+_BITS_BC_CACHE: dict[str, tuple[tuple[int, int], object]] = {}
 
 
 def bits_for(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -164,12 +173,12 @@ def build_bloom_index(
     return meta
 
 
-def update_bloom_index(df: DataFrame, key_col: str, index_path: str) -> None:
-    """OR a new batch's bits into an existing index — idempotent (a
-    replayed batch sets the same bits), atomic via tmp + rename. The
-    filter only ever GROWS toward its sized capacity; rebuild when the
-    admitted corpus outgrows ``expected_items`` (monitor saturation via
-    :func:`bloom_saturation`)."""
+def _or_bits_into_index(df: DataFrame, key_col: str, index_path: str) -> None:
+    """The unguarded read-modify-write core of :func:`update_bloom_index`
+    — callers MUST hold ``writer_lease(index_path)`` (the RMW on bits.bin
+    is exactly the lost-update race the lease exists for: two concurrent
+    updaters each OR into the same base and the second rename drops the
+    first's bits, breaking the no-false-negative contract)."""
     meta = read_bloom_meta(index_path)
     new = np.frombuffer(
         _build_bits(df, key_col, meta["num_bits"], meta["num_hashes"]),
@@ -183,6 +192,20 @@ def update_bloom_index(df: DataFrame, key_col: str, index_path: str) -> None:
     os.replace(tmp, _bits_path(index_path))
 
 
+def update_bloom_index(df: DataFrame, key_col: str, index_path: str) -> None:
+    """OR a new batch's bits into an existing index — idempotent (a
+    replayed batch sets the same bits), atomic via tmp + rename, and
+    SERIALIZED by the index's single-writer lease (util.writer_lease,
+    same as dedup_index.update_index / similarity.update_ivf_index): the
+    read-modify-write on bits.bin would otherwise let two concurrent
+    updaters silently lose each other's OR'd bits. A second writer fails
+    loudly with LeaseHeldError. The filter only ever GROWS toward its
+    sized capacity; rebuild when the admitted corpus outgrows
+    ``expected_items`` (monitor saturation via :func:`bloom_saturation`)."""
+    with writer_lease(index_path, owner="update_bloom_index"):
+        _or_bits_into_index(df, key_col, index_path)
+
+
 def bloom_saturation(index_path: str) -> float:
     """Fraction of bits set — the rebuild signal (fpp ~= saturation^k)."""
     meta = read_bloom_meta(index_path)
@@ -191,17 +214,45 @@ def bloom_saturation(index_path: str) -> float:
     return float(np.unpackbits(bits).sum()) / meta["num_bits"]
 
 
+def _bits_broadcast(df: DataFrame, index_path: str):
+    """The cached-per-path bits broadcast for :func:`probe_bloom` —
+    stamped by the bits file's (mtime_ns, size) so an updated filter is
+    re-read and the stale broadcast is destroyed, while repeated probes
+    of an unchanged filter (the streaming per-micro-batch path) reuse
+    one broadcast."""
+    path = _bits_path(index_path)
+    st = os.stat(path)
+    stamp = (st.st_mtime_ns, st.st_size)
+    key = os.path.normpath(index_path)
+    hit = _BITS_BC_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    if hit is not None:
+        try:
+            hit[1].destroy()
+        except Exception:
+            pass  # a dead SparkContext just means nothing left to free
+    with open(path, "rb") as fh:
+        bc = df.sparkSession.sparkContext.broadcast(fh.read())
+    _BITS_BC_CACHE[key] = (stamp, bc)
+    return bc
+
+
 def probe_bloom(
     df: DataFrame, key_col: str, index_path: str, out_col: str = "maybe_seen"
 ) -> DataFrame:
     """Adds boolean ``out_col``: true iff the key MAY have been indexed
     (false is definitive: never indexed). Map-only — the bits broadcast
     once per executor, positions computed JVM-side, the bit test one
-    vectorized numpy gather per Arrow batch."""
+    vectorized numpy gather per Arrow batch. The broadcast is CACHED per
+    index path (``_BITS_BC_CACHE``) so the per-micro-batch probe of the
+    streaming loop reuses one broadcast instead of accumulating a new
+    GiB-scale one per batch; the cache invalidates on the bits file's
+    (mtime_ns, size) — which every update replaces via os.replace — and
+    DESTROYS the superseded broadcast."""
     meta = read_bloom_meta(index_path)
     num_bits, num_hashes = meta["num_bits"], meta["num_hashes"]
-    with open(_bits_path(index_path), "rb") as fh:
-        bc = df.sparkSession.sparkContext.broadcast(fh.read())
+    bc = _bits_broadcast(df, index_path)
 
     @F.pandas_udf("boolean")
     def _probe(p: pd.Series) -> pd.Series:

@@ -299,15 +299,18 @@ def select_token_budget(
     distinct-score frame exceeds 100k rows guards the driver."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    per_score = (
-        df.groupBy(F.col(score_col).alias("_s"))
-        .agg(F.sum(F.col(token_col)).alias("_t"))
-        .collect()
+    per_score_df = df.groupBy(F.col(score_col).alias("_s")).agg(
+        F.sum(F.col(token_col)).alias("_t")
     )
-    if len(per_score) > 100_000:
+    # guard BEFORE collecting: a pathological high-cardinality score must
+    # refuse without first pulling the whole frame to the driver — the
+    # limit bounds the probe at 100k+1 rows regardless of cardinality
+    n_scores = per_score_df.limit(100_001).count()
+    if n_scores > 100_000:
         raise ValueError(
-            f"{len(per_score)} distinct scores — bucket/round {score_col} first"
+            f">{100_000} distinct scores — bucket/round {score_col} first"
         )
+    per_score = per_score_df.collect()
     taken = 0
     boundary = None  # (score, residual budget inside the boundary group)
     for row in sorted(per_score, key=lambda r: r._s, reverse=True):

@@ -2471,10 +2471,10 @@ ORACLE_SQL["q101_bm25_search_verify"] = """
     ),
     scored AS (
         SELECT p.doc_id,
-               (((g.n - ts.df_t) * 1000) // (ts.df_t + 1))
+               LEAST(((g.n - ts.df_t) * 1000) // (ts.df_t + 1), 10000000)
                * (2200000 * LEAST(p.tf, 255))
                // (1000000 * LEAST(p.tf, 255) + 300000
-                   + 900 * ((1000 * d.dl * g.n) // g.l)) AS s
+                   + 900 * ((1000 * d.dl) // GREATEST(g.l // g.n, 1))) AS s
         FROM postings p
         JOIN ts USING (term)
         JOIN docstats d USING (doc_id)

@@ -615,28 +615,39 @@ def apply_bloom_dedup_batch(
     batch collapse here: to the min-``id_col`` row when given (the
     deterministic, replay-identical choice), else via dropDuplicates
     (arbitrary representative — still consistent downstream because the
-    _SUCCESS gate admits exactly one committed write)."""
+    _SUCCESS gate admits exactly one committed write).
+
+    The WHOLE probe→write→update runs under the index's single-writer
+    lease (util.writer_lease, same discipline as apply_dedup_batch's
+    index family): without it, two concurrent batch appliers race both
+    the probe-then-OR window (each admits keys the other is concurrently
+    admitting) and the bits.bin read-modify-write itself (lost OR'd bits
+    = broken no-false-negatives). A second applier fails loudly with
+    LeaseHeldError rather than interleave."""
     from serverless_etl_bi_on_aws_spark.operators.bloom_index import (
+        _or_bits_into_index,
         dedup_against_bloom,
-        update_bloom_index,
     )
+    from serverless_etl_bi_on_aws_spark.util import writer_lease
 
-    out = os.path.join(clean_dir, f"batch={batch_id}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        survivors = dedup_against_bloom(batch_df, key_col, index_path)
-        if id_col is not None:
-            from pyspark.sql import Window
+    with writer_lease(index_path, owner=f"bloom_dedup:{batch_id}"):
+        out = os.path.join(clean_dir, f"batch={batch_id}")
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            survivors = dedup_against_bloom(batch_df, key_col, index_path)
+            if id_col is not None:
+                from pyspark.sql import Window
 
-            w = Window.partitionBy(key_col).orderBy(F.col(id_col))
-            survivors = (
-                survivors.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        else:
-            survivors = survivors.dropDuplicates([key_col])
-        survivors.write.mode("overwrite").parquet(out)
-    update_bloom_index(batch_df, key_col, index_path)
+                w = Window.partitionBy(key_col).orderBy(F.col(id_col))
+                survivors = (
+                    survivors.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                survivors = survivors.dropDuplicates([key_col])
+            survivors.write.mode("overwrite").parquet(out)
+        # the unguarded core — this function already holds the lease
+        _or_bits_into_index(batch_df, key_col, index_path)
 
 
 def start_incremental_bloom_dedup(

@@ -129,3 +129,49 @@ def test_tree_combine_handles_many_partitions(spark, tmp_path):
         open(os.path.join(idx_many, "bits.bin"), "rb").read()
         == open(os.path.join(idx_one, "bits.bin"), "rb").read()
     )
+
+
+def test_update_serialized_by_writer_lease(spark, tmp_path):
+    """r14 ADVICE (medium): update_bloom_index is a read-modify-write on
+    bits.bin — two concurrent updaters would silently lose each other's
+    OR'd bits (a lost key probes FALSE and its duplicates re-admit,
+    breaking the no-false-negative contract). The fix is the same
+    single-writer lease the peer index updaters take: with the lease
+    held, a second updater fails loudly instead of interleaving."""
+    from serverless_etl_bi_on_aws_spark.util import LeaseHeldError, writer_lease
+
+    idx = str(tmp_path / "idx")
+    build_bloom_index(_keys(spark, 0, 100), "key", idx, expected_items=200)
+    with writer_lease(idx, owner="concurrent-writer"):
+        with pytest.raises(LeaseHeldError):
+            update_bloom_index(_keys(spark, 100, 150), "key", idx)
+    # lease released -> the update goes through and the keys are present
+    update_bloom_index(_keys(spark, 100, 150), "key", idx)
+    probed = probe_bloom(_keys(spark, 100, 150), "key", idx)
+    assert all(r.maybe_seen for r in probed.collect())
+
+
+def test_probe_broadcast_cached_and_invalidated_on_update(spark, tmp_path):
+    """r14 ADVICE (low): probe_bloom used to create a fresh broadcast of
+    the FULL bit array on every call — unbounded accumulation in the
+    per-micro-batch streaming loop. The cache must (a) reuse one
+    broadcast across probes of an unchanged filter, (b) invalidate when
+    an update replaces bits.bin, so a cached probe never reads stale
+    bits."""
+    from serverless_etl_bi_on_aws_spark.operators import bloom_index as bi
+
+    idx = str(tmp_path / "idx")
+    build_bloom_index(_keys(spark, 0, 100), "key", idx, expected_items=300)
+    bi._BITS_BC_CACHE.clear()
+    probe_bloom(_keys(spark, 0, 50), "key", idx).collect()
+    assert len(bi._BITS_BC_CACHE) == 1
+    bc1 = next(iter(bi._BITS_BC_CACHE.values()))[1]
+    probe_bloom(_keys(spark, 0, 50), "key", idx).collect()
+    assert len(bi._BITS_BC_CACHE) == 1
+    assert next(iter(bi._BITS_BC_CACHE.values()))[1] is bc1  # reused, not re-broadcast
+    # an update replaces bits.bin -> the NEXT probe must see the new keys
+    # (stale-cache reads would flag them false and re-admit duplicates)
+    update_bloom_index(_keys(spark, 0, 100, prefix="z"), "key", idx)
+    probed = probe_bloom(_keys(spark, 0, 100, prefix="z"), "key", idx)
+    assert all(r.maybe_seen for r in probed.collect())
+    assert next(iter(bi._BITS_BC_CACHE.values()))[1] is not bc1

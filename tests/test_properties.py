@@ -802,3 +802,31 @@ def test_dominant_script_matches_python_reference(spark, texts):
     got = {r["i"]: r["script"] for r in df.select("i", dominant_script("t")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == ref(t), (t, got[i], ref(t))
+
+
+def test_token_budget_guard_refuses_before_collecting(spark, monkeypatch):
+    """r14 verdict Wrong #2: the >100k-distinct-score refusal must fire
+    WITHOUT pulling the per-score frame to the driver. collect is
+    poisoned, so the pre-fix order (collect, then guard) fails loudly
+    while the fixed order (bounded limit+count probe, then refuse)
+    passes."""
+    import pytest
+
+    import pyspark.sql
+
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        select_token_budget,
+    )
+
+    wide = spark.range(100_001).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").alias("score"),
+        F.lit(1).alias("tok"),
+    )
+
+    def _boom(self):
+        raise AssertionError("collected the per-score frame before the guard")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _boom)
+    with pytest.raises(ValueError, match="distinct scores"):
+        select_token_budget(wide, 10, "score", "tok", "doc_id")

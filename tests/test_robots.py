@@ -118,3 +118,46 @@ def test_rule_join_broadcasts(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rules_domain_normalizes_like_the_url_side(spark):
+    """r14 ADVICE (medium): a robots corpus keyed by the natural fetch
+    host (mixed case, full www host) must still match its documents —
+    unnormalized, every rule silently dropped and everything read as
+    ALLOWED, the unsafe direction for an exclusion-honoring filter."""
+    robots = spark.createDataFrame(
+        [("WWW.Example.com", "User-agent: *\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "http://example.com/x"),
+            (1, "http://sub.example.com/y"),  # scope collapses to registered domain
+            (2, "http://unrelated.org/z"),
+        ],
+        "doc_id bigint, url string",
+    )
+    rules = robots_rules(robots)
+    kept = sorted(r.doc_id for r in robots_filter(docs, "url", rules).collect())
+    assert kept == [2]
+
+
+def test_wildcard_allow_dropped_not_truncated(spark):
+    """r14 ADVICE (low): truncating 'Allow: /a*x' to '/a' ties the
+    'Disallow: /a' at equal length and Allow WINS — permitting the whole
+    /a subtree RFC 9309 denies. Conservative per direction: the
+    wildcard Allow is dropped, the wildcard Disallow keeps its prefix."""
+    txt = "User-agent: *\nDisallow: /a\nAllow: /a*x\n"
+    assert parse_robots(txt, "*") == [(False, "/a")]
+    robots = spark.createDataFrame(
+        [("ex.com", txt)], "domain string, robots_txt string"
+    )
+    docs = spark.createDataFrame(
+        [(0, "http://ex.com/a/b"), (1, "http://ex.com/other")],
+        "doc_id bigint, url string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in robots_filter(docs, "url", robots_rules(robots)).collect()
+    )
+    assert kept == [1]

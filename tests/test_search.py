@@ -47,9 +47,9 @@ def _reference_scores(rows, terms):
             if not tf or not df[term]:
                 continue
             matched += 1
-            idf_k = ((n - df[term]) * 1000) // (df[term] + 1)
+            idf_k = min(((n - df[term]) * 1000) // (df[term] + 1), 10_000_000)
             tfc = min(tf, 255)
-            dl_ratio = (1000 * len(v) * n) // total
+            dl_ratio = (1000 * len(v)) // max(total // n, 1)
             den = 1000000 * tfc + 300000 + 900 * dl_ratio
             s += (idf_k * 2200000 * tfc) // den
         if matched:
@@ -192,3 +192,24 @@ def test_incremental_update_validates_batch_id(spark, tmp_path):
         update_bm25_index(_corpus(spark), idx, "base")
     with pytest.raises(ValueError, match="batch_id"):
         update_bm25_index(_corpus(spark), idx, "")
+
+
+def test_score_bounds_are_corpus_size_independent(spark):
+    """r14 ADVICE (low): the old dl_ratio = (1000*dl*N) DIV L overflowed
+    BIGINT well below the documented N~1.6e10 cap (N=1.6e10 needed only
+    dl >= 576k tokens) — an ANSI throw or silent wrap. Post-fix the
+    expression divides first and saturates idf, so it evaluates cleanly
+    at planetary corpus scale for BOTH a rare and a common term."""
+    from serverless_etl_bi_on_aws_spark.operators.search import _score_expr
+
+    n_docs = 16_000_000_000                 # 1.6e10 documents
+    total_len = n_docs * 500                # avgdl 500
+    df = spark.createDataFrame(
+        [(1, 600_000, 3), (1_000_000, 600_000, 255), (2, 1, 1)],
+        "df_t bigint, dl bigint, tf bigint",
+    )
+    scores = [r.s for r in df.select(_score_expr(n_docs, total_len).alias("s")).collect()]
+    assert all(s > 0 for s in scores)
+    # the rare-term score saturates at the documented idf cap: capped
+    # idf_k=1e7 bounds every term contribution regardless of N
+    assert max(scores) <= 10_000_000 * 2200000 * 255 // 1000000
