@@ -2278,6 +2278,14 @@ EXTRA_ORACLE_SQL["q87_langid_verify"] = """
         UNION ALL
         SELECT 'n_langs', CAST(COUNT(*) AS BIGINT) FROM e
         UNION ALL
+        SELECT 'hard_rows', CAST(3 * SUM(n) AS BIGINT) FROM e
+        UNION ALL
+        SELECT 'hard_short_acc_ge_90pct', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'hard_mixed_acc_ge_95pct', CAST(1 AS BIGINT)
+        UNION ALL
+        SELECT 'hard_code_en_acc_ge_90pct', CAST(1 AS BIGINT)
+        UNION ALL
         SELECT 'eval_n_' || lang, CAST(n AS BIGINT) FROM e
         UNION ALL
         SELECT 'recall_ge_90pct_' || lang, CAST(1 AS BIGINT) FROM e
@@ -2759,4 +2767,22 @@ EXTRA_ORACLE_SQL["q111_compression_quality"] = """
            COUNT(*) AS n_gate_ok
     FROM documents WHERE doc_id < 2100
     GROUP BY 1 ORDER BY 1
+"""
+
+# q112: the streaming WARC curation front. Every count is closed-form in
+# the plant: segment 0 carries the k%3<2 articles (chrome-only page dies
+# at the quality gate; 404/request/truncated records never reach it),
+# segment 1 adds the k%3==2 articles plus two mirrors the cross-batch
+# index probe must drop; a drain with nothing new changes nothing; the
+# batch twin reproduces the identical text set by construction.
+EXTRA_ORACLE_SQL["q112_warc_stream_verify"] = """
+    WITH k AS (SELECT doc_id FROM documents WHERE doc_id < 24)
+    SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        SELECT 'clean_after_first_drain' AS metric,
+               (SELECT COUNT(*) FROM k WHERE doc_id % 3 < 2) AS value
+        UNION ALL SELECT 'clean_after_second_drain', (SELECT COUNT(*) FROM k)
+        UNION ALL SELECT 'third_drain_delta', 0
+        UNION ALL SELECT 'stream_equals_batch_twin', 1
+        UNION ALL SELECT 'planted_articles_all_present', 1
+    ) ORDER BY metric
 """

@@ -3802,12 +3802,28 @@ def q87_langid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_langs pins the label map. The no-Exchange scoring plan and the
     bounded-fit trap are pytest-pinned (test_lang_id.py).
 
+    HARD eval (round-15 verdict ask #5 — past the function-word plant),
+    scored through the PRODUCTION composition ``identify_language``
+    (q106 script router first, classifier only for latin/script-less
+    text): three buckets over the same held-out ids — SHORT strings
+    (the first 18 chars of each sentence: truncated function words,
+    where char n-grams must still separate and the han prefix must
+    route), MIXED-script docs (zh sentences with a latin-gadget suffix
+    must still route zh via han dominance; latin sentences with a han
+    suffix must still classify as their language), and CODE-like text
+    (an English-commented function body varying by id — stopword-heavy
+    comments are the en signal). Per-bucket accuracy enters as
+    measured-margin booleans (q13 discipline), bucket sizes
+    oracle-exact.
+
     Scale shape: the fit touches ``fit_sample_rows`` rows regardless of
     corpus size; scoring is ONE scan (weights broadcast inside the
-    transform, index→label map is an element_at over a 5-entry array);
-    the accuracy aggregate is a 1-row reduce."""
+    transform, index→label map is an element_at over a 5-entry array;
+    the router is a when() over the same row); the accuracy aggregates
+    are tiny reduces."""
     from serverless_etl_bi_on_aws_spark.operators.lang_id import (
         PLANTED_SENTENCES,
+        identify_language,
         planted_multilingual_text,
         score_language,
         train_lang_classifier,
@@ -3843,10 +3859,63 @@ def q87_langid_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = sum(r["n"] for r in per_lang)
     correct = sum(r["ok"] for r in per_lang)
+
+    # the HARD buckets, scored through the script-routed production path
+    short = eval_df.select(
+        F.lit("short").alias("bucket"),
+        F.col("lang").alias("expected"),
+        F.substring("text", 1, 18).alias("text"),
+    )
+    mixed = eval_df.select(
+        F.lit("mixed").alias("bucket"),
+        F.col("lang").alias("expected"),
+        F.when(
+            F.col("lang") == "zh", F.concat("text", F.lit(" iphone pro max"))
+        )
+        .otherwise(F.concat("text", F.lit(" 数据")))
+        .alias("text"),
+    )
+    code = eval_df.select(
+        F.lit("code").alias("bucket"),
+        F.lit("en").alias("expected"),
+        F.concat(
+            F.lit("# compute the value of the row and return the result\n"),
+            F.lit("def get_value_"), F.col("doc_id").cast("string"),
+            F.lit("(row):\n    return row.value + "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    hard = short.unionByName(mixed).unionByName(code)
+    per_bucket = {
+        r["bucket"]: r
+        for r in identify_language(hard, model)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("pred_lang") == F.col("expected")).cast("long")
+            ).alias("ok"),
+        )
+        .collect()
+    }
+
     rows = [
         ("accuracy_ge_98pct", int(correct >= 0.98 * total)),
         ("eval_rows", int(total)),
         ("n_langs", int(len(per_lang))),
+        ("hard_rows", int(sum(r["n"] for r in per_bucket.values()))),
+        (
+            "hard_short_acc_ge_90pct",
+            int(per_bucket["short"]["ok"] >= 0.9 * per_bucket["short"]["n"]),
+        ),
+        (
+            "hard_mixed_acc_ge_95pct",
+            int(per_bucket["mixed"]["ok"] >= 0.95 * per_bucket["mixed"]["n"]),
+        ),
+        (
+            "hard_code_en_acc_ge_90pct",
+            int(per_bucket["code"]["ok"] >= 0.9 * per_bucket["code"]["n"]),
+        ),
     ]
     for r in per_lang:
         rows.append((f"eval_n_{r['lang']}", int(r["n"])))
@@ -5293,6 +5362,180 @@ def q111_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q112_warc_stream_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING crawl-to-corpus front, driver-gated (round-15
+    verdict ask #3): ``streaming.ingest_dedup.start_warc_curation`` —
+    WARC segments land, the stream parses ISO 28500 records (plain and
+    per-record-gzip), keeps HTTP-200 ``text/html`` responses, strips
+    markup through the HTML rung, quality-gates, and dedups against the
+    persisted MinHash index — drained with AvailableNow per the
+    q48/q59/q84 stream-row precedent, and value-checked against the
+    BATCH composition of the same machinery (read_warc + the q86
+    extractor + apply_curation_batch — the q98/q86/q81 pieces this
+    stream composes).
+
+    Plant, pure id arithmetic (doc_id < 24 = k): article k is 24
+    stride-29 tokens ``word<29k+i>`` (disjoint shingle sets — distinct
+    articles can never near-dup; identical articles always do), wrapped
+    in link-chrome HTML. Segment 0 (plain .warc) carries the k%3<2
+    articles plus a chrome-only page (dies at the quality gate), a 404
+    (never reaches the gate), a bare request record, and a truncated
+    record that must quarantine. Segment 1 (real .warc.gz) lands AFTER
+    the first drain: the k%3==2 articles plus two MIRRORS of segment-0
+    articles under different chrome and different urls — the
+    cross-batch index probe must drop both (content-true dedup: same
+    text, new url, new doc_id). A third drain with no new segments must
+    change nothing; the batch twin (one apply_curation_batch over every
+    record, fresh index) must produce the identical text set.
+
+    Scale shape: the stream is the same binaryFile-listing + one-
+    segment-per-task Arrow parse as q98, the curation micro-batch the
+    same index-probed funnel as q81/q82 — nothing here collects beyond
+    the planted 24-id list and the metric scalars."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        init_minhash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.sources.warc import (
+        encode_http_response,
+        encode_warc_record,
+        gzip_member,
+        read_warc,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_curation_batch,
+        start_warc_curation,
+    )
+
+    ks = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id")
+        .collect()
+    )
+
+    def article(k: int) -> str:
+        return " ".join(f"word{29 * k + i:06d}" for i in range(24))
+
+    chrome_a = (
+        '<div><a href="/h">home</a> <a href="/a">about</a>'
+        ' <a href="/c">contact</a></div>'
+    )
+    chrome_b = (
+        '<div><a href="/s">shop</a> <a href="/l">login</a>'
+        ' <a href="/p">privacy</a></div>'
+    )
+
+    def page(art: str, chrome: str) -> bytes:
+        return (
+            f"<html><head><title>x</title></head><body>{chrome}"
+            f"<p>{art}</p>{chrome}</body></html>"
+        ).encode()
+
+    def resp(uri: str, body: bytes, status: int = 200) -> bytes:
+        return encode_warc_record(
+            "response",
+            encode_http_response(body, status=status, content_type="text/html"),
+            target_uri=uri,
+        )
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_q112_")
+    try:
+        land = _os.path.join(scratch, "crawl")
+        _os.makedirs(land)
+        seg0 = encode_warc_record("warcinfo", b"software: graft\r\n")
+        for k in ks:
+            if k % 3 < 2:
+                seg0 += resp(f"http://s/k{k}", page(article(k), chrome_a))
+        seg0 += resp("http://s/chrome-only", page("", chrome_a))
+        seg0 += resp("http://s/gone", page(article(10_000), chrome_a), status=404)
+        seg0 += encode_warc_record(
+            "request", b"GET / HTTP/1.1\r\n\r\n", target_uri="http://s/k0"
+        )
+        # truncated tail record -> quarantine, not a parsed row
+        seg0 += b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nx"
+        with open(_os.path.join(land, "seg0.warc"), "wb") as fh:
+            fh.write(seg0)
+
+        idx = _os.path.join(scratch, "idx")
+        clean = _os.path.join(scratch, "clean")
+        ckpt = _os.path.join(scratch, "ckpt")
+        init_minhash_index(idx)
+
+        def drain() -> None:
+            q = start_warc_curation(spark, land, idx, clean, ckpt)
+            q.awaitTermination()
+
+        def texts() -> set[str]:
+            return {
+                r.text for r in spark.read.parquet(clean).select("text").collect()
+            }
+
+        drain()
+        after_first = len(texts())
+
+        seg1 = gzip_member(encode_warc_record("warcinfo", b"software: graft\r\n"))
+        for k in ks:
+            if k % 3 == 2:
+                seg1 += gzip_member(resp(f"http://m/k{k}", page(article(k), chrome_b)))
+        for k in [m for m in ks if m % 3 < 2][:2]:  # cross-batch mirrors
+            seg1 += gzip_member(
+                resp(f"http://m/mirror{k}", page(article(k), chrome_b))
+            )
+        with open(_os.path.join(land, "seg1.warc.gz"), "wb") as fh:
+            fh.write(seg1)
+
+        drain()
+        stream_texts = texts()
+        after_second = len(stream_texts)
+        drain()  # no new segments
+        after_third = len(texts())
+
+        # batch twin: the SAME records through the batch pieces in one go
+        twin_idx = _os.path.join(scratch, "twin_idx")
+        twin_clean = _os.path.join(scratch, "twin_clean")
+        init_minhash_index(twin_idx)
+        batch_docs = (
+            read_warc(spark, land)
+            .filter(
+                (F.col("warc_type") == "response")
+                & (F.col("http_status") == 200)
+                & F.col("http_content_type").startswith("text/html")
+            )
+            .select(
+                F.xxhash64("target_uri").alias("doc_id"),
+                F.decode("body", "UTF-8").alias("html"),
+            )
+        )
+        apply_curation_batch(
+            spark, batch_docs, twin_idx, twin_clean, "twin-0", html_col="html"
+        )
+        twin_texts = {
+            r.text
+            for r in spark.read.parquet(twin_clean).select("text").collect()
+        }
+
+        rows = [
+            ("clean_after_first_drain", int(after_first)),
+            ("clean_after_second_drain", int(after_second)),
+            ("third_drain_delta", int(after_third - after_second)),
+            ("stream_equals_batch_twin", int(stream_texts == twin_texts)),
+            (
+                "planted_articles_all_present",
+                int(stream_texts == {article(k) for k in ks}),
+            ),
+        ]
+        return spark.createDataFrame(rows, "metric string, value bigint").orderBy(
+            "metric"
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def q106_script_detection_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script detection under the driver's value gate (round
     14): the codepoint-layer router in front of per-language processing
@@ -5391,21 +5634,16 @@ QUERIES: dict[str, QueryFn] = {
     "q8_view_not_buy": q8_view_not_buy,
     "q9_merge_upsert": q9_merge_upsert,
     "q10_top_customers_per_segment": q10_top_customers_per_segment,
-    "q11_latest_event_per_user_type": q11_latest_event_per_user_type,
     "q13_sketch_neardup_verify": q13_sketch_neardup_verify,
     "q18_ann_verify": q18_ann_verify,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
-    "q65_pq_verify": q65_pq_verify,
     "q66_data_quality_report": q66_data_quality_report,
     "q69_scd2_order_history": q69_scd2_order_history,
-    "q74_grouping_sets": q74_grouping_sets,
-    "q75_lm_quality_score": q75_lm_quality_score,
     "q76_incremental_dedup_verify": q76_incremental_dedup_verify,
     "q77_image_phash_dedup": q77_image_phash_dedup,
     "q78_mp4_frame_stats": q78_mp4_frame_stats,
-    "q79_audio_fingerprint_dedup": q79_audio_fingerprint_dedup,
     "q80_semantic_dedup_verify": q80_semantic_dedup_verify,
     "q81_curation_funnel": q81_curation_funnel,
     "q82_minhash_curation_verify": q82_minhash_curation_verify,
@@ -5434,6 +5672,11 @@ QUERIES: dict[str, QueryFn] = {
     "q105_robots_filter_verify": q105_robots_filter_verify,
     "q106_script_detection_verify": q106_script_detection_verify,
     "q107_pack_examples_verify": q107_pack_examples_verify,
+    "q108_cohort_retention": q108_cohort_retention,
+    "q109_event_path_trigrams": q109_event_path_trigrams,
+    "q110_gopher_rules": q110_gopher_rules,
+    "q111_compression_quality": q111_compression_quality,
+    "q112_warc_stream_verify": q112_warc_stream_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -5445,10 +5688,11 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
-    "q111_compression_quality": q111_compression_quality,  # landed r14 in the off-driver tier: zlib redundancy signal, measured-margin gates (q13/q18 discipline — ppt depends on the zlib build); driver-row candidate for the r15 rotation
-    "q110_gopher_rules": q110_gopher_rules,  # landed r14 in the off-driver tier: the MassiveText/Gopher heuristic filter over functions/text.gopher_flags; full value oracle in the pytest union; driver-row candidate for the r15 rotation
-    "q108_cohort_retention": q108_cohort_retention,  # landed r14 in the off-driver tier: query-level composition of driver-green machinery (window min + hash agg, the q10/q11 families); full value oracle in the pytest union; driver-row candidate for the r15 rotation
-    "q109_event_path_trigrams": q109_event_path_trigrams,  # landed r14 in the off-driver tier: lead()-window sequence analytics over the q4/q8 funnel family; full value oracle in the pytest union; driver-row candidate for the r15 rotation
+    "q11_latest_event_per_user_type": q11_latest_event_per_user_type,  # rotated out r15 (ceded to q109): latest-key dedup stays driver-visible via q89 (URL canonical dedup) + q100 (Bloom ingest dedup); windows via q10/q108/q109; the full-value oracle stays in the pytest union
+    "q74_grouping_sets": q74_grouping_sets,  # rotated out r15 (ceded to q108): multi-grain aggregation stays driver-visible via q108's cohort matrix + q1/q3 rollups; the grouping-sets full-value oracle stays in the pytest union
+    "q75_lm_quality_score": q75_lm_quality_score,  # rotated out r15 (ceded to q110): quality scoring stays driver-visible via q110 (Gopher rules) + q111 (compression signal) + the q81 curation funnel that composes the LM rung; bench.py's llm tier still times q55/q75-family scoring and the full-value oracle stays in the pytest union
+    "q65_pq_verify": q65_pq_verify,  # rotated out r15 (ceded to q111): X3 vector search stays driver-visible via q18_ann_verify (+ q101 BM25 lexical); bench.py's ivf_q44 graded row times the IVF probe every round and the PQ recall/determinism contracts stay pytest-pinned
+    "q79_audio_fingerprint_dedup": q79_audio_fingerprint_dedup,  # rotated out r15 (ceded to q112): X4 multimodal stays driver-visible via q77 (PNG dHash) + q78 (MP4 frames); the WAV fingerprint full-value oracle stays in the pytest union and bench.py's llm tier still times the codec path
     "q63_pii_scrub": q63_pii_scrub,  # rotated out r14 (ceded to q106): X5 text stays driver-visible via q75/q86/q87/q88/q101/q104/q106; the PII-scrub full-value oracle stays in the pytest union and its regex contracts stay pytest-pinned
     "q41_pack_shards_by_lang": q41_pack_shards_by_lang,  # rotated out r14 (ceded to q107): packing stays driver-visible via q107 (pack_examples runs pack_sequential inside) + q103 (token-budget selection); bench.py's llm tier still times q41 every round and the per-lang oracle stays in the pytest union
     "q7_text_stats": q7_text_stats,  # rotated out r14 (ceded to q105): X5 text stats stay driver-visible via q63/q75/q86-q88/q101/q104; bench.py's headline q7 still times it every round and its full-value oracle stays in the pytest union

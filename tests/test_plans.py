@@ -225,9 +225,8 @@ def test_event_path_trigrams_plan_and_determinism(spark):
     """q109's top-20 cut compiles to TakeOrderedAndProject (no global
     sort), and the result is identical under a different input
     partitioning (the (ts, event_id) total-order contract)."""
-    from serverless_etl_bi_on_aws_spark.plans.queries import EXTRA_QUERIES
-
-    fn = EXTRA_QUERIES["q109_event_path_trigrams"]
+    # merged-union lookup — the slot rotates between QUERIES/EXTRA_QUERIES
+    fn = QUERIES["q109_event_path_trigrams"]
     df = fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
