@@ -90,3 +90,61 @@ def test_derived_language_twin_matches_trusted_column(spark):
         for r in derived.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert got == truth
+
+
+def test_script_router_handles_unseen_scripts_and_stays_map_only(spark):
+    """identify_language (round 15): a script-unique language the
+    classifier NEVER saw must resolve at the codepoint layer — cyrillic
+    routes ru, hangul routes ko, arabic routes ar — while latin text
+    still goes through the classifier; and the composed plan stays
+    Exchange-free (one scan, router is a when() over the same row)."""
+    from serverless_etl_bi_on_aws_spark.operators.lang_id import (
+        identify_language,
+    )
+
+    docs = _planted(spark)
+    model = train_lang_classifier(
+        docs, fit_sample_rows=2000, num_features=1 << 13, max_iter=15
+    )
+    probe = spark.createDataFrame(
+        [
+            (0, "мир труд май и хорошие слова", "ru"),      # never trained
+            (1, "한국어 텍스트 문서입니다", "ko"),             # never trained
+            (2, "سلام این متن عربی است", "ar"),             # never trained
+            (3, "the quick value of the table is good", "en"),  # classifier
+            (4, "数据表的值很好并且结果去商店", "zh"),          # router, not clf
+        ],
+        "doc_id bigint, text string, expected string",
+    )
+    out = identify_language(probe, model)
+    got = {r.doc_id: r.pred_lang for r in out.collect()}
+    assert got == {0: "ru", 1: "ko", 2: "ar", 3: "en", 4: "zh"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_short_strings_not_length_biased(spark):
+    """Round-15 regression (fails with fitIntercept=True): raw-count
+    features + intercepts make 'few active features' itself a class
+    signal, so a model fit on short zh sentences scored EVERY 18-char
+    latin prefix as zh (measured p~0.86). Without intercepts the
+    decision is feature-driven and short prefixes keep their language."""
+    from serverless_etl_bi_on_aws_spark.operators.lang_id import (
+        identify_language,
+    )
+
+    docs = _planted(spark)
+    train = docs.filter(F.col("doc_id") % 4 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 4 == 0)
+    model = train_lang_classifier(
+        train, fit_sample_rows=10_000, num_features=1 << 14, max_iter=25
+    )
+    short = eval_df.select(
+        "lang", F.substring("text", 1, 18).alias("text")
+    )
+    scored = identify_language(short, model)
+    agg = scored.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("pred_lang") == F.col("lang")).cast("long")).alias("ok"),
+    ).first()
+    assert agg.ok >= 0.9 * agg.n, (agg.ok, agg.n)
