@@ -49,7 +49,12 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker, writer_lease
+from serverless_etl_bi_on_aws_spark.util import (
+    commit_file,
+    read_marker,
+    write_marker,
+    writer_lease,
+)
 
 #: tree fan-in for combining per-partition bitmaps
 _COMBINE_FANIN = 16
@@ -164,10 +169,7 @@ def build_bloom_index(
         raise ValueError(f"num_hashes must be in [1, 32], got {num_hashes}")
     os.makedirs(index_path, exist_ok=True)
     bits = _build_bits(df, key_col, num_bits, num_hashes)
-    tmp = _bits_path(index_path) + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(bits)
-    os.replace(tmp, _bits_path(index_path))
+    commit_file(_bits_path(index_path), bits)
     meta = {"num_bits": num_bits, "num_hashes": num_hashes, "key_col": key_col}
     write_marker(_meta_path(index_path), meta)
     return meta
@@ -186,10 +188,7 @@ def _or_bits_into_index(df: DataFrame, key_col: str, index_path: str) -> None:
     )
     with open(_bits_path(index_path), "rb") as fh:
         acc = np.frombuffer(fh.read(), dtype=np.uint8) | new
-    tmp = _bits_path(index_path) + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(acc.tobytes())
-    os.replace(tmp, _bits_path(index_path))
+    commit_file(_bits_path(index_path), acc.tobytes())
 
 
 def update_bloom_index(df: DataFrame, key_col: str, index_path: str) -> None:

