@@ -119,6 +119,121 @@ def pii_counts(text: str | Column) -> dict[str, Column]:
     }
 
 
+#: Payment-card candidate patterns (round 15 — the checksum-validated
+#: member of the PII family): contiguous 13-19 digit PANs and the common
+#: 4-4-4-4 grouping with space or dash separators. Same dialect rules as
+#: PII_PATTERNS (no lookaround, no backreferences — RE2 has neither, and
+#: a backreference is what it would take to force one CONSISTENT
+#: separator, so mixed separators are accepted and documented). Unlike
+#: the regex-only PII kinds, a digit run is only PII if the Luhn
+#: checksum holds — an order id or timestamp that happens to be 16
+#: digits must NOT be masked (the false-positive direction destroys
+#: non-PII data).
+CARD_CANDIDATE_PATTERNS: tuple[str, ...] = (
+    r"\b\d{13,19}\b",
+    r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b",
+)
+
+
+def card_candidates(text: str | Column) -> Column:
+    """``array<string>`` of card-shaped substrings of ``text`` (both
+    candidate patterns, de-duplicated). Candidates only — run
+    :func:`luhn_valid` before treating one as PII."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.concat(
+            *[
+                F.regexp_extract_all(c, F.lit(p), F.lit(0))
+                for p in CARD_CANDIDATE_PATTERNS
+            ]
+        )
+    )
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Boolean: the digit string in ``cand`` passes the Luhn checksum
+    (ISO/IEC 7812 — double every second digit from the right, subtract 9
+    above 9, sum divisible by 10). Pure integer JVM expressions; the
+    HOF lambdas here run per CANDIDATE (a handful per document), not per
+    corpus row, so the interpreted-lambda cost note in this module's
+    normalize docstring does not bite."""
+    digits = F.filter(
+        F.split(F.reverse(F.regexp_replace(cand, r"[^0-9]", "")), ""),
+        lambda ch: ch != F.lit(""),
+    )
+    vals = F.transform(
+        digits,
+        lambda ch, i: F.when(
+            i % 2 == 1,
+            F.when(ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9).otherwise(
+                ch.cast("int") * 2
+            ),
+        ).otherwise(ch.cast("int")),
+    )
+    return F.aggregate(vals, F.lit(0), lambda acc, v: acc + v) % 10 == 0
+
+
+def card_counts(text: str | Column) -> dict[str, Column]:
+    """``{'card_candidates': n, 'card_valid': n}`` over the original
+    text — the audit counts (how many digit runs look like cards; how
+    many actually checksum)."""
+    cands = card_candidates(text)
+    return {
+        "card_candidates": F.size(cands),
+        "card_valid": F.size(F.filter(cands, luhn_valid)),
+    }
+
+
+def mask_valid_cards(text: str | Column, token: str = "<CARD>") -> Column:
+    """Replace every Luhn-VALID card candidate with ``token``, leaving
+    checksum-failing digit runs (order ids, serials) untouched — the
+    conservative direction for a redaction pass over training data.
+    Literal replaces folded over the (tiny) valid-candidate array."""
+    c = F.col(text) if isinstance(text, str) else text
+    valid = F.filter(card_candidates(c), luhn_valid)
+    return F.aggregate(
+        valid, c, lambda acc, cand: F.replace(acc, cand, F.lit(token))
+    )
+
+
+#: UTF-8 text misdecoded as Latin-1 (the classic double-encoding rot a
+#: crawl corpus carries): every two-byte UTF-8 sequence for U+00C0-U+00FF
+#: (the accented Latin-1 block — é è ü ñ ç ...) turns into 'Ã' followed
+#: by a char in U+0080-U+00BF. That pair is the closed-form marker: 'Ã'
+#: followed by a C1-control/supplement char is vanishingly rare in clean
+#: text (legitimate 'Ã' is followed by a letter, as in 'São' -> 'Ã' never
+#: appears; mojibake 'SÃ£o' puts U+00A3 after it).
+MOJIBAKE_MARKER_RE = "\u00c3[\u0080-\u00bf]"
+
+
+def mojibake_count(text: str | Column) -> Column:
+    """Count of UTF-8-as-Latin-1 marker pairs — the detection signal; a
+    codegen'd regexp_count, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(MOJIBAKE_MARKER_RE))
+
+
+def repair_mojibake(text: str | Column) -> Column:
+    """Undo one round of UTF-8-read-as-Latin-1: re-encode the string as
+    Latin-1 bytes (recovering the original UTF-8 byte stream) and decode
+    as UTF-8 — the exact inverse, full fidelity for ANY damaged
+    codepoint, not a lookup table. Guarded three ways so it never
+    corrupts a clean row: the marker must be present, every char must be
+    Latin-1-encodable (chars above U+00FF mean the text was NOT produced
+    by a Latin-1 misdecode), and the recovered bytes must be valid UTF-8
+    (``is_valid_utf8`` — a truncated trailing sequence falls back to the
+    original). All JVM expressions; CASE branches evaluate lazily so the
+    charset ops never run on unguarded rows."""
+    c = F.col(text) if isinstance(text, str) else text
+    recovered = F.encode(c, "ISO-8859-1")
+    return F.when(
+        (F.regexp_count(c, F.lit(MOJIBAKE_MARKER_RE)) > 0)
+        & c.rlike("^[\u0000-\u00ff]*$")
+        & F.is_valid_utf8(recovered),
+        F.decode(recovered, "UTF-8"),
+    ).otherwise(c)
+
+
 def normalize_text_batch(df, text_col: str = "text", out_col: str = "clean_text"):
     """Unicode text normalization (X5 corpus hygiene) — the cleaning pass
     web-crawl pipelines run before any tokenization: NFC canonical

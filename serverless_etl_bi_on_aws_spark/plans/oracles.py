@@ -2769,6 +2769,94 @@ EXTRA_ORACLE_SQL["q111_compression_quality"] = """
     GROUP BY 1 ORDER BY 1
 """
 
+# q113: card verdicts are stated from the plant's LITERAL test vectors
+# (4532015112830366 valid, +1 invalid, the grouped 4539... valid, the
+# 1234... serial failing) — the oracle never computes Luhn, it replays
+# the planted truth; masked_ok is every doc by construction (valid PANs
+# masked, invalid untouched equals the expectation).
+EXTRA_ORACLE_SQL["q113_pii_card_verify"] = """
+    WITH d AS (SELECT CAST(doc_id % 5 AS INTEGER) AS bucket
+               FROM documents WHERE doc_id < 2500)
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(COUNT(*) * (CASE WHEN bucket = 4 THEN 0 ELSE 1 END) AS BIGINT)
+               AS candidates,
+           CAST(COUNT(*) * (CASE WHEN bucket IN (0, 2) THEN 1 ELSE 0 END)
+                AS BIGINT) AS luhn_valid,
+           CAST(COUNT(*) AS BIGINT) AS masked_ok
+    FROM d GROUP BY bucket ORDER BY bucket
+"""
+
+# q114: k-anonymity is plain GROUP BY/HAVING arithmetic — classes are
+# distinct (segment, nation) tuples, released rows are members of >= k
+# classes, generalized rows keep their label iff their class released
+# (sub-k rows merge under '*', conserving the corpus total).
+EXTRA_ORACLE_SQL["q114_k_anonymity_verify"] = """
+    WITH cls AS (
+        SELECT c_mktsegment AS s, c_nationkey, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    seg AS (
+        SELECT s,
+               CAST(COUNT(*) AS BIGINT) AS classes,
+               CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS anonymous_classes,
+               CAST(SUM(CASE WHEN n >= 10 THEN n ELSE 0 END) AS BIGINT)
+                   AS released_rows,
+               CAST(SUM(CASE WHEN n >= 10 THEN n ELSE 0 END) AS BIGINT)
+                   AS generalized_rows
+        FROM cls GROUP BY s
+    ),
+    star AS (
+        SELECT '*' AS s, CAST(0 AS BIGINT) AS classes,
+               CAST(0 AS BIGINT) AS anonymous_classes,
+               CAST(0 AS BIGINT) AS released_rows,
+               CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+                   AS generalized_rows
+        FROM cls HAVING SUM(CASE WHEN n < 10 THEN n ELSE 0 END) > 0
+    )
+    SELECT s AS c_mktsegment, classes, anonymous_classes, released_rows,
+           generalized_rows
+    FROM (SELECT * FROM seg UNION ALL SELECT * FROM star)
+    ORDER BY c_mktsegment
+"""
+
+# q115: bucket 1 is the only damaged bucket (one marker pair per accented
+# char, always > 0); repair recovers bucket 1 exactly and must be the
+# identity everywhere else — so repair_ok is every doc, closed-form.
+EXTRA_ORACLE_SQL["q115_mojibake_verify"] = """
+    WITH d AS (SELECT CAST(doc_id % 4 AS INTEGER) AS bucket
+               FROM documents WHERE doc_id < 2400)
+    SELECT bucket, COUNT(*) AS n_docs,
+           CAST(COUNT(*) * (CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS damaged_docs,
+           CAST(COUNT(*) AS BIGINT) AS repair_ok
+    FROM d GROUP BY bucket ORDER BY bucket
+"""
+
+# q116: the dense grid is rebuilt with generate_series over each key's
+# own [min, max] day span (same inclusive-both-ends semantics as Spark's
+# sequence) and the same left-join zero-fill.
+EXTRA_ORACLE_SQL["q116_activity_gapfill"] = """
+    WITH e AS (
+        SELECT user_id % 17 AS user_bucket, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_bucket, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY 1
+    ),
+    dense AS (
+        SELECT user_bucket,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM spans
+    )
+    SELECT dense.user_bucket, dense.day,
+           CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+    FROM dense LEFT JOIN e USING (user_bucket, day)
+    ORDER BY user_bucket, day
+"""
+
 # q112: the streaming WARC curation front. Every count is closed-form in
 # the plant: segment 0 carries the k%3<2 articles (chrome-only page dies
 # at the quality gate; 404/request/truncated records never reach it),

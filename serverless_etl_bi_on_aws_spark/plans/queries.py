@@ -5362,6 +5362,227 @@ def q111_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q113_pii_card_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated payment-card PII (round 15 — the Luhn member
+    of the PII family, functions/text.card_candidates / luhn_valid /
+    mask_valid_cards): regex alone cannot decide card-ness — a 16-digit
+    order id is NOT PII and masking it destroys data — so candidates
+    are gated by the ISO/IEC 7812 Luhn checksum, computed with pure
+    integer JVM expressions.
+
+    Plant (doc_id < 2500 = k, k%5 buckets over literal test numbers so
+    the oracle states every verdict without computing Luhn): 0 = a
+    VALID contiguous PAN (4532015112830366); 1 = the same number with
+    the check digit bumped (invalid — must NOT mask); 2 = a valid
+    4-4-4-4 grouped PAN (4539 1488 0343 6467); 3 = a checksum-failing
+    16-digit serial (1234567890123456); 4 = no digit runs at all.
+    Output per bucket: docs, candidate count, Luhn-valid count, and
+    masked_ok (the masked text equals the closed-form expectation —
+    valid PANs replaced by <CARD>, invalid ones untouched).
+
+    Scale shape: map-only — regexp extraction is codegen'd; the Luhn
+    HOF runs per CANDIDATE (0-1 per planted doc), and the one exchange
+    is the 5-row bucket aggregate."""
+    from serverless_etl_bi_on_aws_spark.functions.text import (
+        card_counts,
+        mask_valid_cards,
+    )
+
+    k = F.col("doc_id")
+    m = F.pmod(k, F.lit(5)).cast("int")
+    text = (
+        F.when(m == 0, F.concat(F.lit("order ref 4532015112830366 confirmed "), k))
+        .when(m == 1, F.concat(F.lit("tracking 4532015112830367 code "), k))
+        .when(m == 2, F.concat(F.lit("pay 4539 1488 0343 6467 now "), k))
+        .when(m == 3, F.concat(F.lit("serial 1234567890123456 id "), k))
+        .otherwise(F.concat(F.lit("plain text "), k))
+    )
+    expected = (
+        F.when(m == 0, F.concat(F.lit("order ref <CARD> confirmed "), k))
+        .when(m == 2, F.concat(F.lit("pay <CARD> now "), k))
+        .otherwise(text)
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2500)
+        .select(m.alias("bucket"), text.alias("text"), expected.alias("__want"))
+    )
+    cc = card_counts("text")
+    return (
+        docs.select(
+            "bucket",
+            cc["card_candidates"].alias("__cand"),
+            cc["card_valid"].alias("__ok"),
+            (mask_valid_cards("text") == F.col("__want")).cast("int").alias("__m"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__cand").cast("bigint").alias("candidates"),
+            F.sum("__ok").cast("bigint").alias("luhn_valid"),
+            F.sum("__m").cast("bigint").alias("masked_ok"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q114_k_anonymity_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit + enforcement (round 15 —
+    operators/anonymize.py, the privacy-release gate over
+    quasi-identifier combinations): equivalence classes are distinct
+    (c_mktsegment, c_nationkey) tuples of the customer table, k = 10.
+    No plant — the fixture's own distribution drives every number, and
+    the oracle recomputes classes, sub-k suppression, and the
+    generalized '*' merge with plain GROUP BY/HAVING SQL.
+
+    Output per segment (plus the '*' generalization row): equivalence
+    classes, anonymous classes, rows surviving strict suppression, and
+    rows in the generalized release (suppressed rows re-appear under
+    '*', conserving the corpus total — part of the contract).
+
+    Scale shape: one partial-agg groupBy for class sizes + hash joins
+    back on the same key; the class frame is |distinct tuples| rows."""
+    from serverless_etl_bi_on_aws_spark.operators.anonymize import (
+        generalize_below_k,
+        k_anonymity_report,
+        suppress_below_k,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    quasi = ["c_mktsegment", "c_nationkey"]
+    rep = (
+        k_anonymity_report(cust, quasi, k=10)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("classes"),
+            F.sum(F.col("anonymous").cast("int")).cast("bigint").alias(
+                "anonymous_classes"
+            ),
+        )
+    )
+    released = (
+        suppress_below_k(cust, quasi, k=10)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("released_rows"))
+    )
+    generalized = (
+        generalize_below_k(cust, quasi, k=10)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("generalized_rows"))
+    )
+    return (
+        rep.join(released, "c_mktsegment", "left")
+        .unionByName(
+            generalized.filter(F.col("c_mktsegment") == "*").select(
+                "c_mktsegment",
+                F.lit(0).cast("bigint").alias("classes"),
+                F.lit(0).cast("bigint").alias("anonymous_classes"),
+                F.lit(0).cast("bigint").alias("released_rows"),
+            ),
+            allowMissingColumns=False,
+        )
+        .join(
+            generalized.withColumnRenamed("c_mktsegment", "__s"),
+            F.col("c_mktsegment") == F.col("__s"),
+            "left",
+        )
+        .select(
+            "c_mktsegment",
+            "classes",
+            "anonymous_classes",
+            F.coalesce("released_rows", F.lit(0)).cast("bigint").alias(
+                "released_rows"
+            ),
+            F.coalesce("generalized_rows", F.lit(0)).cast("bigint").alias(
+                "generalized_rows"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q115_mojibake_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-rot detection + repair (round 15 —
+    functions/text.mojibake_count / repair_mojibake): UTF-8 text
+    misdecoded as Latin-1 is the classic crawl-corpus damage ('café' ->
+    'cafÃ©'); detection is the closed-form marker pair (Ã followed by
+    U+0080-U+00BF), repair is the exact charset inverse
+    (encode-as-Latin-1, decode-as-UTF-8), triple-guarded so clean text
+    — accented, CJK, or ascii — is NEVER touched.
+
+    Plant (doc_id < 2400 = k, k%4): 0 = clean accented text (markers 0,
+    repair must be identity); 1 = the SAME text run through one round
+    of UTF-8-as-Latin-1 damage, built in-engine with the same charset
+    expressions (repair must recover the bucket-0 original exactly);
+    2 = CJK text (outside Latin-1 — the rlike guard must refuse);
+    3 = plain ascii. Output per bucket: docs, damaged docs (marker>0),
+    repair_ok (repaired text equals the closed-form expectation).
+
+    Scale shape: map-only codegen'd expressions end to end + one 4-row
+    aggregate; CASE branches evaluate lazily so charset ops only run on
+    guarded rows."""
+    from serverless_etl_bi_on_aws_spark.functions.text import (
+        mojibake_count,
+        repair_mojibake,
+    )
+
+    k = F.col("doc_id")
+    m = F.pmod(k, F.lit(4)).cast("int")
+    clean = F.concat(F.lit("menú café número "), k, F.lit(" señor"))
+    damaged = F.decode(F.encode(clean, "UTF-8"), "ISO-8859-1")
+    text = (
+        F.when(m == 0, clean)
+        .when(m == 1, damaged)
+        .when(m == 2, F.concat(F.lit("汉字文本 "), k))
+        .otherwise(F.concat(F.lit("plain ascii "), k))
+    )
+    expected = F.when(m == 1, clean).otherwise(text)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2400)
+        .select(m.alias("bucket"), text.alias("text"), expected.alias("__want"))
+    )
+    return (
+        docs.select(
+            "bucket",
+            (mojibake_count("text") > 0).cast("int").alias("__dmg"),
+            (repair_mojibake("text") == F.col("__want")).cast("int").alias("__ok"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__dmg").cast("bigint").alias("damaged_docs"),
+            F.sum("__ok").cast("bigint").alias("repair_ok"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q116_activity_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (round 15 — operators/timeseries.
+    gap_fill_daily): dense per-(key, day) activity with explicit zeros
+    for quiet days, per-key spans — the resample primitive BI charts
+    and moving averages need (a 7-day average over a SPARSE frame
+    averages only active days, silently wrong). Key = user_id % 17
+    (bounded key space; the dense grid is the OUTPUT size). The oracle
+    rebuilds the exact grid with generate_series over each key's own
+    [min, max] day span and the same zero-fill.
+
+    Scale shape: one partial-agg groupBy (sparse counts), a tiny
+    per-key span aggregate, explode(sequence) proportional to the
+    output, one identically-keyed left join — no corpus window."""
+    from serverless_etl_bi_on_aws_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        gap_fill_daily(ev, F.pmod(F.col("user_id"), F.lit(17)), ts_col="ts",
+                       out_key="user_bucket", count_col="n_events")
+        .orderBy("user_bucket", "day")
+    )
+
+
 def q112_warc_stream_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING crawl-to-corpus front, driver-gated (round-15
     verdict ask #3): ``streaming.ingest_dedup.start_warc_curation`` —
@@ -5688,6 +5909,10 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q113_pii_card_verify": q113_pii_card_verify,  # landed r15 in the off-driver tier: Luhn-gated card masking (checksum in pure integer JVM expressions; literal test-vector plant so the oracle states verdicts); full value oracle in the pytest union; r16 driver-row candidate
+    "q114_k_anonymity_verify": q114_k_anonymity_verify,  # landed r15: k-anonymity audit/suppress/generalize over customer quasi-identifiers, fixture-driven (no plant), fully SQL-replayable; r16 driver-row candidate
+    "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r16 driver-row candidate
+    "q116_activity_gapfill": q116_activity_gapfill,  # landed r15: dense per-(key, day) zero-filled activity grid (per-key spans), full-value oracle via generate_series; r16 driver-row candidate
     "q11_latest_event_per_user_type": q11_latest_event_per_user_type,  # rotated out r15 (ceded to q109): latest-key dedup stays driver-visible via q89 (URL canonical dedup) + q100 (Bloom ingest dedup); windows via q10/q108/q109; the full-value oracle stays in the pytest union
     "q74_grouping_sets": q74_grouping_sets,  # rotated out r15 (ceded to q108): multi-grain aggregation stays driver-visible via q108's cohort matrix + q1/q3 rollups; the grouping-sets full-value oracle stays in the pytest union
     "q75_lm_quality_score": q75_lm_quality_score,  # rotated out r15 (ceded to q110): quality scoring stays driver-visible via q110 (Gopher rules) + q111 (compression signal) + the q81 curation funnel that composes the LM rung; bench.py's llm tier still times q55/q75-family scoring and the full-value oracle stays in the pytest union

@@ -1,0 +1,153 @@
+"""Round-15 additions: Luhn-gated card PII (functions/text.py),
+mojibake detection/repair (functions/text.py), k-anonymity
+(operators/anonymize.py), and daily gap-fill (operators/timeseries.py)
+— hand-computed contracts beyond the oracle compare."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from serverless_etl_bi_on_aws_spark.functions.text import (
+    card_candidates,
+    card_counts,
+    luhn_valid,
+    mask_valid_cards,
+    mojibake_count,
+    repair_mojibake,
+)
+
+
+def test_luhn_against_hand_vectors(spark):
+    rows = [
+        (0, "4532015112830366", True),    # valid 16-digit Visa test PAN
+        (1, "4532015112830367", False),   # check digit bumped
+        (2, "4111111111111111", True),    # classic test PAN
+        (3, "4539 1488 0343 6467", True), # grouped, spaces
+        (4, "4539-1488-0343-6467", True), # grouped, dashes
+        (5, "1234567890123456", False),   # 16 digits, fails checksum
+        (6, "4222222222222", True),       # 13-digit valid PAN
+        (7, "6011000990139424", True),    # 16-digit Discover test PAN
+    ]
+    df = spark.createDataFrame(rows, "i bigint, s string, want boolean")
+    got = df.select(
+        "i", "want",
+        F.element_at(F.transform(F.array(F.col("s")), luhn_valid), 1).alias("ok"),
+    )
+    for r in got.collect():
+        assert r.ok == r.want, r.i
+
+
+def test_mask_only_checksum_valid_candidates(spark):
+    """The conservative contract: a 16-digit order id must NOT be
+    masked; valid PANs in both shapes must; candidates de-duplicate."""
+    df = spark.createDataFrame(
+        [
+            (0, "a 4532015112830366 b 1234567890123456 c"),
+            (1, "twice 4111111111111111 and 4111111111111111 again"),
+            (2, "grouped 4539 1488 0343 6467 end"),
+            (3, "no digits at all"),
+        ],
+        "i bigint, text string",
+    )
+    cc = card_counts("text")
+    got = {
+        r.i: (r.cand, r.ok, r.masked)
+        for r in df.select(
+            "i",
+            cc["card_candidates"].alias("cand"),
+            cc["card_valid"].alias("ok"),
+            mask_valid_cards("text").alias("masked"),
+        ).collect()
+    }
+    assert got[0] == (2, 1, "a <CARD> b 1234567890123456 c")
+    # duplicate PAN is ONE distinct candidate; both occurrences mask
+    assert got[1] == (1, 1, "twice <CARD> and <CARD> again")
+    assert got[2] == (1, 1, "grouped <CARD> end")
+    assert got[3] == (0, 0, "no digits at all")
+
+
+def test_mojibake_guards_never_touch_clean_text(spark):
+    orig = "café münchen señor São"
+    damaged = orig.encode("utf-8").decode("latin-1")
+    rows = [
+        (0, orig),                      # clean accented: marker-free
+        (1, damaged),                   # repairable
+        (2, "汉字文本 plain"),            # outside Latin-1: guard refuses
+        (3, damaged[:-1] + "Ã"),        # truncated pair: utf8 guard refuses
+        (4, "ascii only 123"),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, t string")
+    got = {
+        r.i: (r.n, r.rep)
+        for r in df.select(
+            "i", mojibake_count("t").alias("n"), repair_mojibake("t").alias("rep")
+        ).collect()
+    }
+    assert got[0] == (0, orig)
+    assert got[1][0] > 0 and got[1][1] == orig
+    assert got[2] == (0, rows[2][1])
+    assert got[3][1] == rows[3][1]  # fell back to the original, no throw
+    assert got[4] == (0, "ascii only 123")
+
+
+def test_k_anonymity_contracts(spark):
+    from serverless_etl_bi_on_aws_spark.operators.anonymize import (
+        generalize_below_k,
+        k_anonymity_report,
+        suppress_below_k,
+    )
+
+    rows = [("a", 1, i) for i in range(5)] + [("a", 2, 10)] + [
+        ("b", 1, 20), ("b", 1, 21), ("b", 1, 22)
+    ]
+    df = spark.createDataFrame(rows, "seg string, nat int, rid bigint")
+    rep = {
+        (r.seg, r.nat): (r.class_size, r.anonymous)
+        for r in k_anonymity_report(df, ["seg", "nat"], k=3).collect()
+    }
+    assert rep == {("a", 1): (5, True), ("a", 2): (1, False), ("b", 1): (3, True)}
+    kept = sorted(r.rid for r in suppress_below_k(df, ["seg", "nat"], k=3).collect())
+    assert kept == [0, 1, 2, 3, 4, 20, 21, 22]  # the (a,2) singleton dropped
+    gen = generalize_below_k(df, ["seg", "nat"], k=3)
+    assert gen.count() == len(rows)  # conservation: nothing dropped
+    starred = {r.rid: (r.seg, r.nat) for r in gen.collect()}
+    assert starred[10] == ("*", "*")
+    assert starred[0] == ("a", "1")  # big classes keep values (as strings)
+    with pytest.raises(ValueError, match="k must"):
+        k_anonymity_report(df, ["seg"], k=0)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_report(df, [], k=3)
+
+
+def test_gap_fill_daily_per_key_spans_and_zeros(spark):
+    from serverless_etl_bi_on_aws_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:00:00"),
+        (1, "2024-01-04 09:00:00"),                      # gap Jan 2-3
+        (2, "2024-02-10 08:00:00"),                      # disjoint span
+    ]
+    df = spark.createDataFrame(rows, "uid bigint, s string").select(
+        "uid", F.to_timestamp("s").alias("ts")
+    )
+    out = gap_fill_daily(df, "uid", ts_col="ts", out_key="k", count_col="n")
+    got = {(r.k, str(r.day)): r.n for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01"): 2,
+        (1, "2024-01-02"): 0,
+        (1, "2024-01-03"): 0,
+        (1, "2024-01-04"): 1,
+        (2, "2024-02-10"): 1,  # key 2's span is its OWN day, not January
+    }
+    # determinism under a different input partitioning
+    again = {
+        (r.k, str(r.day)): r.n
+        for r in gap_fill_daily(
+            df.repartition(7), "uid", ts_col="ts", out_key="k", count_col="n"
+        ).collect()
+    }
+    assert again == got
