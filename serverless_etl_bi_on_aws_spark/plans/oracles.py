@@ -2769,6 +2769,21 @@ EXTRA_ORACLE_SQL["q111_compression_quality"] = """
     GROUP BY 1 ORDER BY 1
 """
 
+# q117: the DSIR gate is planted-margin (the weights are frozen logs) —
+# the oracle states counts and membership verdicts from the k arithmetic:
+# top-k must be exactly the target-like set, the sampler keeps ~all of it
+# and none of the raw side.
+EXTRA_ORACLE_SQL["q117_dsir_selection_verify"] = """
+    WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id < 2400)
+    SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        SELECT 'n_candidates' AS metric, COUNT(*) AS value FROM d
+        UNION ALL SELECT 'n_target_like', COUNT(*) FROM d WHERE k % 3 = 0
+        UNION ALL SELECT 'top_k_all_target_like', 1
+        UNION ALL SELECT 'sample_keeps_target_ge_99pct', 1
+        UNION ALL SELECT 'sample_keeps_no_raw', 1
+    ) ORDER BY metric
+"""
+
 # q113: card verdicts are stated from the plant's LITERAL test vectors
 # (4532015112830366 valid, +1 invalid, the grouped 4539... valid, the
 # 1234... serial failing) — the oracle never computes Luhn, it replays

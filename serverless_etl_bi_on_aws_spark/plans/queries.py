@@ -5362,6 +5362,105 @@ def q111_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: planted vocabularies for q117's DSIR gate — ten "target-domain" words
+#: and ten "raw-crawl" words; the margin between them is the contract.
+_DSIR_TARGET_VOCAB = (
+    "physics", "chemistry", "theorem", "quantum", "energy",
+    "particle", "experiment", "laboratory", "hypothesis", "research",
+)
+_DSIR_RAW_VOCAB = (
+    "buy", "cheap", "offer", "discount", "click",
+    "sale", "price", "deal", "shop", "free",
+)
+
+
+def q117_dsir_selection_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection under a planted-margin value gate
+    (round 15 — operators/selection.py, Xie et al. 2023): score raw
+    documents by the hashed-unigram log-likelihood ratio toward a
+    TARGET corpus, then select deterministically (top-k under a total
+    order) or via derandomized hash-Bernoulli resampling.
+
+    Plant (doc_id < 2400 = k): docs with k%3 == 0 are TARGET-LIKE
+    (12 tokens cycled from a 10-word science vocabulary by k
+    arithmetic); the rest are RAW-LIKE (12 tokens from a disjoint
+    commerce vocabulary). The target fit corpus is the target-like
+    subset; the raw fit corpus is everything — so target-vocab buckets
+    carry strongly positive weights (~3x likelihood ratio), raw-vocab
+    buckets strongly negative (smoothing-only target mass), and every
+    target-like document outranks every raw-like document by thousands
+    of milli-nats (a 12-token sum — hash collisions between the 20
+    vocab words cannot flip it).
+
+    The weights come from logs (frozen into the integer table at fit),
+    so this is a q13/q18-discipline gate: the oracle states membership
+    verdicts and exact counts closed-form from the k arithmetic —
+    top-k selection must return EXACTLY the target-like set, and with
+    the sampler's operating point set between the two planted
+    populations (midpoint -35000 milli-nats: target-like docs score
+    ~+700, raw-like ~-71000 — the measured plant) the logistic
+    acceptance sits within 1e-6 of 1 for target-like (gate: >= 99%
+    kept) and truncates to exactly 0 for raw-like (gate: none kept).
+
+    Scale shape: bounded-sample fit (trap-pinned in pytest), 64k-row
+    weights table broadcast, one explode + partial-agg sum per doc,
+    TakeOrderedAndProject for the cut — the BM25-postings cost shape."""
+    from serverless_etl_bi_on_aws_spark.operators.selection import (
+        dsir_sample,
+        dsir_select_top,
+        fit_dsir_weights,
+    )
+
+    k = F.col("doc_id")
+    tvoc = F.array(*[F.lit(w) for w in _DSIR_TARGET_VOCAB])
+    rvoc = F.array(*[F.lit(w) for w in _DSIR_RAW_VOCAB])
+    toks = [
+        F.element_at(
+            F.when(F.pmod(k, F.lit(3)) == 0, tvoc).otherwise(rvoc),
+            (F.pmod(k + F.lit(i), F.lit(10)) + 1).cast("int"),
+        )
+        for i in range(12)
+    ]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2400)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *toks).alias("text"),
+            (F.pmod(k, F.lit(3)) == 0).alias("__is_target"),
+        )
+    )
+    target_fit = docs.filter("__is_target").select("doc_id", "text")
+    weights = fit_dsir_weights(target_fit, docs.select("doc_id", "text")).cache()
+
+    n_target = docs.filter("__is_target").count()
+    top = dsir_select_top(docs, weights, k=n_target)
+    top_stats = top.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("__is_target").cast("int")).alias("t"),
+    ).first()
+    kept = dsir_sample(docs, weights, midpoint_milli=-35_000)
+    kept_stats = kept.agg(
+        F.sum(F.col("__is_target").cast("int")).alias("t"),
+        F.sum((~F.col("__is_target")).cast("int")).alias("r"),
+    ).first()
+    weights.unpersist()
+
+    rows = [
+        ("n_candidates", int(docs.count())),
+        ("n_target_like", int(n_target)),
+        ("top_k_all_target_like", int(top_stats.t == top_stats.n == n_target)),
+        (
+            "sample_keeps_target_ge_99pct",
+            int((kept_stats.t or 0) >= 0.99 * n_target),
+        ),
+        ("sample_keeps_no_raw", int((kept_stats.r or 0) == 0)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value bigint").orderBy(
+        "metric"
+    )
+
+
 def q113_pii_card_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated payment-card PII (round 15 — the Luhn member
     of the PII family, functions/text.card_candidates / luhn_valid /
@@ -5909,6 +6008,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q117_dsir_selection_verify": q117_dsir_selection_verify,  # landed r15: DSIR importance selection (Xie et al. 2023) — bounded-sample hashed-unigram LLR weights, integer milli-nat scores, deterministic top-k + derandomized logistic resampling; planted-margin gate (q13/q18 discipline); r16 driver-row candidate
     "q113_pii_card_verify": q113_pii_card_verify,  # landed r15 in the off-driver tier: Luhn-gated card masking (checksum in pure integer JVM expressions; literal test-vector plant so the oracle states verdicts); full value oracle in the pytest union; r16 driver-row candidate
     "q114_k_anonymity_verify": q114_k_anonymity_verify,  # landed r15: k-anonymity audit/suppress/generalize over customer quasi-identifiers, fixture-driven (no plant), fully SQL-replayable; r16 driver-row candidate
     "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r16 driver-row candidate

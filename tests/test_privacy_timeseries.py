@@ -151,3 +151,96 @@ def test_gap_fill_daily_per_key_spans_and_zeros(spark):
         ).collect()
     }
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (operators/selection.py, round 15)
+# ---------------------------------------------------------------------------
+
+def _dsir_corpus(spark, n=120):
+    from pyspark.sql import functions as F
+
+    t = ["physics", "quantum", "theorem", "energy"]
+    r = ["cheap", "click", "sale", "deal"]
+    rows = [
+        (i, " ".join((t if i % 2 == 0 else r)[j % 4] for j in range(i, i + 8)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string").withColumn(
+        "is_t", F.col("doc_id") % 2 == 0
+    )
+
+
+def test_dsir_fit_is_bounded(spark, monkeypatch):
+    """100 TB contract: the fit's token pass sees at most fit_sample_rows
+    rows per side — trapped at DataFrame.limit."""
+    from serverless_etl_bi_on_aws_spark.operators.selection import (
+        fit_dsir_weights,
+    )
+
+    docs = _dsir_corpus(spark, n=200)
+    cls = type(docs)  # the concrete (classic/connect) DataFrame class
+    seen = []
+    orig = cls.limit
+
+    def trap(self, n):
+        seen.append(n)
+        return orig(self, n)
+
+    monkeypatch.setattr(cls, "limit", trap)
+    w = fit_dsir_weights(
+        docs.filter("is_t"), docs, num_buckets=1 << 10, fit_sample_rows=50
+    )
+    assert seen.count(50) == 2  # one bounded sample per side
+    assert w.count() == 1 << 10
+
+
+def test_dsir_scores_separate_and_are_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.selection import (
+        dsir_sample,
+        dsir_score,
+        dsir_select_top,
+        fit_dsir_weights,
+    )
+
+    docs = _dsir_corpus(spark)
+    w = fit_dsir_weights(docs.filter("is_t"), docs, num_buckets=1 << 10).cache()
+    scored = dsir_score(docs, w)
+    stats = {
+        r.is_t: (r.lo, r.hi)
+        for r in scored.groupBy("is_t")
+        .agg(F.min("dsir_milli").alias("lo"), F.max("dsir_milli").alias("hi"))
+        .collect()
+    }
+    assert stats[True][0] > stats[False][1]  # total separation
+    # integer scores: identical under a different partitioning
+    a = sorted((r.doc_id, r.dsir_milli) for r in scored.collect())
+    b = sorted(
+        (r.doc_id, r.dsir_milli)
+        for r in dsir_score(docs.repartition(13), w).collect()
+    )
+    assert a == b
+    # top-k is exactly the target-like set, cut under a total order
+    top = dsir_select_top(docs, w, k=60)
+    assert sorted(r.doc_id for r in top.collect()) == [i for i in range(120) if i % 2 == 0]
+    # sampler with the midpoint between populations: all target, no raw
+    mid = (stats[True][0] + stats[False][1]) // 2
+    kept = dsir_sample(docs, w, midpoint_milli=mid, scale_milli=100)
+    got = {r.is_t: r.n for r in kept.groupBy("is_t").agg(F.count("*").alias("n")).collect()}
+    assert got.get(False, 0) == 0 and got.get(True, 0) >= 59
+    w.unpersist()
+
+
+def test_dsir_fit_refuses_empty_side(spark):
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.selection import (
+        fit_dsir_weights,
+    )
+
+    docs = _dsir_corpus(spark, n=20)
+    empty = docs.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        fit_dsir_weights(empty, docs, num_buckets=256)
