@@ -48,6 +48,8 @@ def curation_stages(
     html_min_words: int = 3,
     html_max_link_density: float = 0.34,
     gopher: bool = False,
+    dsir_weights: DataFrame | None = None,
+    dsir_min_milli: int = 0,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns the three surviving sets ``(quality, uniq, final)``:
 
@@ -88,6 +90,15 @@ def curation_stages(
     SHAPE (bullet/ellipsis lines, symbol ratio, stop words), so each
     catches documents the other passes. Map-only either way.
 
+    ``dsir_weights`` (round 15) adds the target-distribution rung
+    (operators/selection.py, q117-gated): documents whose DSIR
+    importance score falls below ``dsir_min_milli`` drop after the
+    quality/gopher gates — rules judge a document in isolation, DSIR
+    judges it against what the caller wants the mixture to look like.
+    Pass the MATERIALIZED weights table from ``fit_dsir_weights`` (fit
+    once; the rung itself is explode + broadcast join + partial agg —
+    the same cost shape as the shingle rung it precedes).
+
     The uniq set is localCheckpoint'd: it feeds BOTH the pair join's two
     fan-outs and the downstream aggregates, and re-deriving a window over
     the quality filter per consumer re-pays the text shuffle each time."""
@@ -114,6 +125,17 @@ def curation_stages(
             gopher_flags(quality, text_col)
             .filter(F.col("g_pass"))
             .drop(*flag_cols)
+        )
+    if dsir_weights is not None:
+        from serverless_etl_bi_on_aws_spark.operators.selection import dsir_score
+
+        quality = (
+            dsir_score(
+                quality, dsir_weights, text_col=text_col, id_col=id_col,
+                out_col="__dsir",
+            )
+            .filter(F.col("__dsir") >= F.lit(int(dsir_min_milli)))
+            .drop("__dsir")
         )
     w = Window.partitionBy(text_col)
     uniq = (

@@ -318,3 +318,35 @@ def test_gopher_rung_catches_shape_violations(spark):
     _, _, final_gopher = curation_stages(df, quality_threshold=thr, gopher=True)
     assert {r["doc_id"] for r in final_plain.collect()} == {1, 2}
     assert {r["doc_id"] for r in final_gopher.collect()} == {1}
+
+
+def test_dsir_rung_drops_off_target_docs(spark):
+    """dsir_weights= (round 15) adds the target-distribution rung after
+    the quality/gopher gates: a document that PASSES every in-isolation
+    rule but belongs to the wrong distribution drops; the rung is off
+    by default."""
+    from serverless_etl_bi_on_aws_spark.operators.curation import curation_stages
+    from serverless_etl_bi_on_aws_spark.operators.selection import (
+        fit_dsir_weights,
+    )
+
+    svoc = ["physics", "quantum", "theorem", "energy", "research", "study"]
+    cvoc = ["cheap", "click", "sale", "deal", "offer", "price"]
+
+    def doc(voc, i):
+        return " ".join(voc[(i + j) % 6] + f"{i}x{j}" for j in range(40))
+
+    rows = [(i, doc(svoc, i)) for i in range(0, 20)] + [
+        (i, doc(cvoc, i)) for i in range(20, 40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = df.filter("doc_id < 20")
+    w = fit_dsir_weights(target, df, num_buckets=1 << 12).cache()
+    # both populations pass the plain funnel's quality gate
+    _, _, plain = curation_stages(df, jaccard_threshold=1.1)
+    assert {r.doc_id for r in plain.collect()} == set(range(40))
+    _, _, selected = curation_stages(
+        df, jaccard_threshold=1.1, dsir_weights=w, dsir_min_milli=0
+    )
+    assert {r.doc_id for r in selected.collect()} == set(range(20))
+    w.unpersist()
