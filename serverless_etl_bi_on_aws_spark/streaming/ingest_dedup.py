@@ -171,10 +171,21 @@ def apply_curation_batch(
     semantic_threshold: float = 0.9,
     n_probe: int = 4,
     html_col: str | None = None,
+    dsir_weights_path: str | None = None,
+    dsir_min_milli: int = 0,
 ) -> None:
     """The streaming twin of the q81 curation funnel: one micro-batch
     runs quality-gate -> batch-local exact dedup -> index probe ->
     _SUCCESS-gated survivors write -> marker-gated signature append.
+
+    ``dsir_weights_path`` (round 15) adds the target-distribution rung
+    after the quality gate, symmetric with curation_stages'
+    ``dsir_weights=`` knob: the PERSISTED weights table (parquet, from
+    ``fit_dsir_weights`` — a path, not a DataFrame, so every micro-batch
+    and every crash REPLAY reads the same frozen table and the gated
+    frame stays a pure per-row function of batch_df, which the
+    _SUCCESS/marker protocol requires) scores the batch and rows below
+    ``dsir_min_milli`` drop before anything touches the index.
     ``clean_dir`` stays a continuously-curated corpus, the composition
     of this loop with operators/curation.py's batch semantics:
 
@@ -232,6 +243,16 @@ def apply_curation_batch(
     gated = batch_df.filter(
         quality_score(text_col) >= F.lit(float(quality_threshold))
     )
+    if dsir_weights_path is not None:
+        from serverless_etl_bi_on_aws_spark.operators.selection import dsir_score
+
+        weights = spark.read.parquet(dsir_weights_path)
+        gated = (
+            dsir_score(gated, weights, text_col=text_col, id_col=id_col,
+                       out_col="__dsir")
+            .filter(F.col("__dsir") >= F.lit(int(dsir_min_milli)))
+            .drop("__dsir")
+        )
     w = Window.partitionBy(text_col)
     gated = (
         gated.withColumn("_min_id", F.min(id_col).over(w))
@@ -297,12 +318,16 @@ def start_incremental_curation(
     semantic_threshold: float = 0.9,
     n_probe: int = 4,
     html_col: str | None = None,
+    dsir_weights_path: str | None = None,
+    dsir_min_milli: int = 0,
 ) -> StreamingQuery:
     """Watch ``source_dir`` and keep ``clean_dir`` a continuously-CURATED
     corpus (quality-gated, exact- and near-deduped — and, with
-    ``ivf_index_path``, semantically deduped as the fourth rung) — the
-    q81 funnel as a running pipeline, same trigger/checkpoint/batch-id
-    discipline as :func:`start_incremental_dedup`."""
+    ``ivf_index_path``, semantically deduped as the fourth rung; with
+    ``dsir_weights_path``, DSIR-selected toward a target distribution,
+    see apply_curation_batch) — the q81 funnel as a running pipeline,
+    same trigger/checkpoint/batch-id discipline as
+    :func:`start_incremental_dedup`."""
     ckpt = checkpoint_instance_nonce(checkpoint_dir)
     reader = spark.readStream.schema(schema).option("pathGlobFilter", f"*.{fmt}")
     if max_files_per_trigger is not None:
@@ -327,6 +352,8 @@ def start_incremental_curation(
             semantic_threshold=semantic_threshold,
             n_probe=n_probe,
             html_col=html_col,
+            dsir_weights_path=dsir_weights_path,
+            dsir_min_milli=dsir_min_milli,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

@@ -1047,3 +1047,63 @@ def test_commit_file_is_the_single_object_publish_seam(tmp_path):
         util.commit_file = orig
     assert calls == [m]
     assert util.read_marker(m) == {"k": 1}
+
+
+def test_curation_stream_dsir_rung(spark, tmp_path):
+    """The streaming DSIR rung (round 15): with a PERSISTED weights
+    table, only target-distribution documents survive the curation
+    loop; off-target docs that pass the quality gate drop at the DSIR
+    rung and never poison the index; a replay drain changes nothing."""
+    from serverless_etl_bi_on_aws_spark.operators.selection import (
+        fit_dsir_weights,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        start_incremental_curation,
+    )
+
+    svoc = ["physics", "quantum", "theorem", "energy", "research", "study"]
+    cvoc = ["cheap", "click", "sale", "deal", "offer", "price"]
+    rows = [
+        (i, " ".join((svoc if i < 20 else cvoc)[(i + j) % 6] + f"{i}x{j}"
+                     for j in range(40)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    weights_path = str(tmp_path / "weights")
+    fit_dsir_weights(
+        docs.filter("doc_id < 20"), docs, num_buckets=1 << 12
+    ).write.parquet(weights_path)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    for i, cond in enumerate(("doc_id % 2 = 0", "doc_id % 2 = 1")):
+        staged = tmp_path / f"f{i}"
+        docs.filter(cond).coalesce(1).write.parquet(str(staged))
+        part = next(p for p in os.listdir(staged) if p.endswith(".parquet"))
+        os.rename(staged / part, land / f"batch{i}.parquet")
+
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+
+    def drain():
+        q = start_incremental_curation(
+            spark,
+            str(land),
+            idx,
+            clean,
+            schema=docs.schema,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+            dsir_weights_path=weights_path,
+            dsir_min_milli=0,
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got = {r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()}
+    assert got == set(range(20))  # exactly the target-like population
+    n_idx = spark.read.parquet(os.path.join(idx, "sigs")).count()
+    assert n_idx == 20  # DSIR-dropped docs never reached the index
+    drain()  # no new files -> no change
+    assert spark.read.parquet(clean).count() == 20
