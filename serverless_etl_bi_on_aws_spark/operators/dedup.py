@@ -412,6 +412,116 @@ def simhash_pairs_blocked(
     return hamming_pairs_blocked(sh, id_col, "simhash", radius, n_blocks)
 
 
+# ---------------------------------------------------------------------------
+# Persisted SimHash index (round 15) — the TEXT member of the 64-bit
+# hamming index family, delegating to the modality-agnostic
+# operators/hash_index.py core exactly as image dHash and the audio
+# envelope do (build/probe/append/compact, pigeonhole blocking,
+# crash-ordering, idempotent markers — all shared). This closes the
+# incremental-dedup matrix: text near-dup now has BOTH index shapes
+# (MinHash-LSH in dedup_index.py for Jaccard semantics, SimHash here for
+# hamming semantics at 8 bytes/doc — the cheaper state when the corpus
+# is too large to hold band tables).
+# ---------------------------------------------------------------------------
+
+
+def _simhashed(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    # docs shorter than n tokens produce NO shingles and therefore no
+    # hash row — they survive by definition and are never indexed (the
+    # NULL-dhash rule, text-shaped)
+    return simhash64(df, id_col, text_col, n)
+
+
+def init_simhash_index(
+    index_path: str, id_col: str = "doc_id", n_blocks: int = 8
+) -> None:
+    """Create an EMPTY text-SimHash index (meta only) — the streaming
+    ingest loop starts here."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import init_hash_index
+
+    init_hash_index(index_path, id_col=id_col, hash_col="simhash", n_blocks=n_blocks)
+
+
+def build_simhash_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_blocks: int = 8,
+) -> None:
+    """One-time build over the starting corpus: hash once, persist
+    (id, simhash) + the block table. Appends belong to
+    :func:`update_simhash_index`."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import build_hash_index
+
+    build_hash_index(
+        _simhashed(df, id_col, text_col, n),
+        index_path,
+        id_col=id_col,
+        hash_col="simhash",
+        n_blocks=n_blocks,
+    )
+
+
+def dedup_text_against_simhash_index(
+    spark,
+    new_df: DataFrame,
+    index_path: str,
+    radius: int = 7,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Survivors of ``new_df`` under the online rule: drop a new doc iff
+    its SimHash is within hamming ``radius`` of ANY indexed doc or a
+    smaller-id doc of the same batch. Sub-``n``-token docs always
+    survive. The corpus side is two parquet scans (block-partitioned
+    candidate join + candidate-only hash fetch); text bodies never cross
+    an exchange."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        dropped_ids_against_index,
+        read_hash_meta,
+    )
+
+    id_col = read_hash_meta(index_path)["id_col"]
+    hashed = _simhashed(new_df, id_col, text_col, n).localCheckpoint(eager=True)
+    dropped = dropped_ids_against_index(spark, hashed, index_path, radius)
+    return new_df.join(
+        dropped.select(F.col("_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def update_simhash_index(
+    df: DataFrame,
+    index_path: str,
+    batch_id: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> bool:
+    """Append a batch's hashes — idempotent per ``batch_id``, serialized
+    by the writer lease (the hash_index core's contract)."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        read_hash_meta,
+        update_hash_index,
+    )
+
+    id_col = read_hash_meta(index_path)["id_col"]
+    return update_hash_index(
+        _simhashed(df, id_col, text_col, n), index_path, batch_id
+    )
+
+
+def compact_simhash_index(
+    spark, index_path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Small-file/replay-dup compaction — delegates to the core."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        compact_hash_index,
+    )
+
+    return compact_hash_index(spark, index_path, target_file_bytes)
+
+
 def dedup_exact_spans(
     df: DataFrame,
     text_col: str = "text",

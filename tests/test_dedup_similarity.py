@@ -1415,3 +1415,64 @@ def test_cluster_safe_split_preserves_cs_named_columns(spark):
     assert "__cs_comp" in out.columns
     got = {r.doc_id: r["__cs_comp"] for r in out.collect()}
     assert got == {3: "keep3", 5: "keep5"}
+
+
+def test_simhash_persisted_index_online_rule(spark, tmp_path):
+    """The round-15 text member of the 64-bit hamming index family:
+    build over a corpus, probe a new batch (near-dup of an indexed doc
+    drops; genuinely-new and sub-n-token docs survive), append, replay
+    idempotently, and incremental-vs-oneshot probe equivalence."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        build_simhash_index,
+        dedup_text_against_simhash_index,
+        update_simhash_index,
+    )
+
+    base = " ".join(f"tok{i:03d}" for i in range(150))
+    other = " ".join(f"alt{i:03d}" for i in range(150))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id bigint, text string"
+    )
+    idx = str(tmp_path / "idx")
+    build_simhash_index(corpus, idx)
+
+    near = base.replace("tok005", "tok999")          # tiny edit -> hamming-close
+    fresh = " ".join(f"new{i:03d}" for i in range(150))
+    batch = spark.createDataFrame(
+        [(10, near), (11, fresh), (12, "too short")],
+        "doc_id bigint, text string",
+    )
+    surv = dedup_text_against_simhash_index(spark, batch, idx, radius=7)
+    assert sorted(r.doc_id for r in surv.collect()) == [11, 12]
+
+    # append the survivors; a batch-mate near-dup pair collapses to min id
+    assert update_simhash_index(surv, idx, "b1") is True
+    assert update_simhash_index(surv, idx, "b1") is False  # replay no-op
+    batch2 = spark.createDataFrame(
+        [(20, fresh.replace("new001", "new888")),     # near-dup of indexed 11
+         (21, " ".join(f"pair{i:03d}" for i in range(40))),
+         (22, " ".join(f"pair{i:03d}" for i in range(40)))],  # exact batch-mate
+        "doc_id bigint, text string",
+    )
+    surv2 = dedup_text_against_simhash_index(spark, batch2, idx, radius=7)
+    assert sorted(r.doc_id for r in surv2.collect()) == [21]
+
+    # incremental state == a one-shot build over everything admitted
+    update_simhash_index(surv2, idx, "b2")
+    oneshot = str(tmp_path / "one")
+    admitted = corpus.unionByName(surv).unionByName(surv2)
+    build_simhash_index(admitted, oneshot)
+    probe = spark.createDataFrame(
+        [(90, near), (91, " ".join(f"probe{i:03d}" for i in range(150)))],
+        "doc_id bigint, text string",
+    )
+    a = sorted(r.doc_id for r in
+               dedup_text_against_simhash_index(spark, probe, idx).collect())
+    b = sorted(r.doc_id for r in
+               dedup_text_against_simhash_index(spark, probe, oneshot).collect())
+    assert a == b == [91]
+    assert os.path.exists(os.path.join(idx, "_applied", "b2"))
