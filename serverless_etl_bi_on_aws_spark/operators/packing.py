@@ -134,3 +134,63 @@ def pack_examples(
             ).alias("doc_ids"),
         )
     )
+
+
+def pack_examples_with_offsets(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    partition_by: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """:func:`pack_examples` plus the ``offsets`` column — each member's
+    STARTING token position inside its packed example (the exclusive
+    prefix sum of member sizes in pack order), comma-joined in the same
+    order as ``doc_ids``. This is the piece a training loader actually
+    consumes to build block-diagonal attention masks: (offset, size)
+    pairs delimit the document boundaries within the concatenated
+    sequence; the trailing offset + its size equals ``total_tokens``
+    (pinned by test).
+
+    The per-shard cumsum is a transform-with-index over the sorted
+    member array (quadratic in members-per-shard — bounded by
+    budget/min-doc-size, tens in practice; the array never leaves the
+    aggregate row)."""
+    packed = pack_sequential(df, order_col, size_col, budget, partition_by)
+    id_col = id_col or order_col
+    keys = ([partition_by] if partition_by is not None else []) + ["shard_id"]
+    members = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(size_col).cast("bigint").alias("s"),
+                F.col(id_col).cast("string").alias("i"),
+            )
+        )
+    )
+    agg = packed.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).cast("bigint").alias("total_tokens"),
+        members.alias("__m"),
+    )
+    sizes = F.transform(F.col("__m"), lambda s: s.getField("s"))
+    offsets = F.transform(
+        sizes,
+        lambda x, i: F.aggregate(
+            F.slice(sizes, F.lit(1), i),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return agg.select(
+        *keys,
+        "n_docs",
+        "total_tokens",
+        F.array_join(
+            F.transform(F.col("__m"), lambda s: s.getField("i")), ","
+        ).alias("doc_ids"),
+        F.array_join(
+            F.transform(offsets, lambda v: v.cast("string")), ","
+        ).alias("offsets"),
+    )

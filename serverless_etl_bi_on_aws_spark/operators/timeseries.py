@@ -62,3 +62,48 @@ def gap_fill_daily(
             F.coalesce(F.col(count_col), F.lit(0)).cast("bigint").alias(count_col),
         )
     )
+
+
+def rolling_daily_stats(
+    dense: DataFrame,
+    key_col: str = "key",
+    day_col: str = "day",
+    count_col: str = "n",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window statistics over a DENSE daily grid (the
+    :func:`gap_fill_daily` output — run the gap-fill first: over a
+    sparse frame a trailing window silently averages ACTIVE days only,
+    the exact bug densification exists to prevent). Appends
+    ``roll_sum`` (exact BIGINT) and ``roll_avg_milli`` (1000*sum DIV
+    days-in-window — integer thousandths, engine-exact; the leading
+    edge divides by the days actually covered, so the first week is an
+    honest partial average, not deflated by phantom zeros).
+
+    Scale shape: one window per key ordered by day — rows-between is
+    O(1) per row with a sliding frame; the shuffle key is the same
+    ``key_col`` the gap-fill already grouped on."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(-(window_days - 1), Window.currentRow)
+    )
+    covered = F.count(count_col).over(w)
+    rsum = F.sum(count_col).over(w).cast("bigint")
+    return dense.select(
+        key_col,
+        day_col,
+        count_col,
+        rsum.alias("roll_sum"),
+        covered.cast("bigint").alias("__covered"),
+    ).select(
+        key_col,
+        day_col,
+        count_col,
+        "roll_sum",
+        F.expr("(roll_sum * 1000) DIV __covered").alias("roll_avg_milli"),
+    )

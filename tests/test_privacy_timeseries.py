@@ -244,3 +244,33 @@ def test_dsir_fit_refuses_empty_side(spark):
     empty = docs.filter("doc_id < 0")
     with pytest.raises(ValueError, match="empty"):
         fit_dsir_weights(empty, docs, num_buckets=256)
+
+
+def test_rolling_daily_stats_over_dense_grid(spark):
+    """round 15: the trailing window over the gap-filled grid — exact
+    sums, integer-thousandth averages, honest partial leading edge."""
+    from serverless_etl_bi_on_aws_spark.operators.timeseries import (
+        gap_fill_daily,
+        rolling_daily_stats,
+    )
+
+    rows = [(1, f"2024-01-{d:02d} 08:00:00") for d in (1, 1, 1, 4)]
+    df = spark.createDataFrame(rows, "uid bigint, s string").select(
+        "uid", F.to_timestamp("s").alias("ts")
+    )
+    dense = gap_fill_daily(df, "uid", ts_col="ts", out_key="k", count_col="n")
+    out = {
+        str(r.day): (r.roll_sum, r.roll_avg_milli)
+        for r in rolling_daily_stats(dense, "k", "day", "n", window_days=3).collect()
+    }
+    # days: 1->3 events, 2->0, 3->0, 4->1
+    assert out == {
+        "2024-01-01": (3, 3000),          # 1-day partial window: 3/1
+        "2024-01-02": (3, 1500),          # 2-day partial: 3/2
+        "2024-01-03": (3, 1000),          # full 3-day: 3/3
+        "2024-01-04": (1, 333),           # (0+0+1)*1000 DIV 3
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_daily_stats(dense, window_days=0)

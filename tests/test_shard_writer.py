@@ -129,3 +129,49 @@ def test_pack_examples_per_stratum_and_determinism(spark):
     assert langs == {r["lang"] for r in docs.select("lang").distinct().collect()}
     # n_docs across all (lang, shard) examples covers every row exactly once
     assert sum(t[2] for t in a) == docs.count()
+
+
+def test_pack_examples_offsets_delimit_document_boundaries(spark):
+    """round 15: offsets are the exclusive prefix sums of member sizes
+    in pack order — the block-diagonal attention-mask boundaries. The
+    invariants: first offset 0, offsets align with the sizes of the
+    doc_ids order, last offset + last size == total_tokens, identical
+    under repartition, and the base pack_examples columns unchanged."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.packing import (
+        pack_examples,
+        pack_examples_with_offsets,
+    )
+
+    rows = [(i, (i * 7) % 13 + 1) for i in range(60)]
+    sizes = dict(rows)
+    df = spark.createDataFrame(rows, "doc_id bigint, tok bigint")
+    out = pack_examples_with_offsets(df, "doc_id", "tok", budget=40).collect()
+    assert out, "no shards"
+    for r in out:
+        ids = [int(x) for x in r.doc_ids.split(",")]
+        offs = [int(x) for x in r.offsets.split(",")]
+        assert offs[0] == 0
+        # each offset is the running sum of the previous members' sizes
+        run = 0
+        for i, d in enumerate(ids):
+            assert offs[i] == run, (r.shard_id, i)
+            run += sizes[d]
+        assert run == r.total_tokens
+    # base columns agree with pack_examples exactly
+    base = {
+        r.shard_id: (r.n_docs, r.total_tokens, r.doc_ids)
+        for r in pack_examples(df, "doc_id", "tok", budget=40).collect()
+    }
+    assert {
+        r.shard_id: (r.n_docs, r.total_tokens, r.doc_ids) for r in out
+    } == base
+    # determinism under a different partitioning
+    again = {
+        r.shard_id: (r.doc_ids, r.offsets)
+        for r in pack_examples_with_offsets(
+            df.repartition(11), "doc_id", "tok", budget=40
+        ).collect()
+    }
+    assert again == {r.shard_id: (r.doc_ids, r.offsets) for r in out}
