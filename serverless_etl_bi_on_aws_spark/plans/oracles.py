@@ -2784,6 +2784,34 @@ EXTRA_ORACLE_SQL["q117_dsir_selection_verify"] = """
     ) ORDER BY metric
 """
 
+# q118: q107's reassembly plus the offsets column — rebuilt as
+# cum_before - MIN(cum_before) per shard over the identical window
+# cumsum, string_agg'd in the same doc_id order.
+EXTRA_ORACLE_SQL["q118_pack_offsets_verify"] = """
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 2500
+    ), packed AS (
+        SELECT doc_id, tok,
+               COALESCE(SUM(tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM toks
+    ), base AS (
+        SELECT CAST(cum_before // 4096 AS BIGINT) AS shard_id, doc_id, tok,
+               cum_before - MIN(cum_before) OVER (
+                   PARTITION BY CAST(cum_before // 4096 AS BIGINT)
+               ) AS off
+        FROM packed
+    )
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+           string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets
+    FROM base GROUP BY 1 ORDER BY 1
+"""
+
 # q113: card verdicts are stated from the plant's LITERAL test vectors
 # (4532015112830366 valid, +1 invalid, the grouped 4539... valid, the
 # 1234... serial failing) — the oracle never computes Luhn, it replays

@@ -5946,6 +5946,31 @@ def q107_pack_examples_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_pack_offsets_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's packed-example assembly with the round-15 ``offsets``
+    column (operators/packing.pack_examples_with_offsets): each member's
+    STARTING token position inside its packed example — the
+    block-diagonal attention-mask boundaries a training loader consumes.
+    Offsets are exclusive prefix sums of member sizes in pack order, so
+    the oracle rebuilds them exactly as ``cum_before - MIN(cum_before)``
+    per shard over the same window cumsum it already replays for q107;
+    full value compare, column for column."""
+    from serverless_etl_bi_on_aws_spark.operators.packing import (
+        pack_examples_with_offsets,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2500)
+        .select("doc_id", token_count("text").cast("bigint").alias("tok"))
+    )
+    return (
+        pack_examples_with_offsets(docs, "doc_id", "tok", budget=4096)
+        .select("shard_id", "n_docs", "total_tokens", "doc_ids", "offsets")
+        .orderBy("shard_id")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -6009,6 +6034,7 @@ QUERIES: dict[str, QueryFn] = {
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
     "q117_dsir_selection_verify": q117_dsir_selection_verify,  # landed r15: DSIR importance selection (Xie et al. 2023) — bounded-sample hashed-unigram LLR weights, integer milli-nat scores, deterministic top-k + derandomized logistic resampling; planted-margin gate (q13/q18 discipline); r16 driver-row candidate
+    "q118_pack_offsets_verify": q118_pack_offsets_verify,  # landed r15: q107's assembly + per-member attention-mask boundary offsets, full value oracle (window-cumsum rebuild); r16 driver-row candidate
     "q113_pii_card_verify": q113_pii_card_verify,  # landed r15 in the off-driver tier: Luhn-gated card masking (checksum in pure integer JVM expressions; literal test-vector plant so the oracle states verdicts); full value oracle in the pytest union; r16 driver-row candidate
     "q114_k_anonymity_verify": q114_k_anonymity_verify,  # landed r15: k-anonymity audit/suppress/generalize over customer quasi-identifiers, fixture-driven (no plant), fully SQL-replayable; r16 driver-row candidate
     "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r16 driver-row candidate
