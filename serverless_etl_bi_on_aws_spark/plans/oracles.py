@@ -2812,6 +2812,44 @@ EXTRA_ORACLE_SQL["q118_pack_offsets_verify"] = """
     FROM base GROUP BY 1 ORDER BY 1
 """
 
+# q119: the vocabulary is a (count DESC, token ASC) total-order cut —
+# pure SQL both sides; OOV mass and the >10%-OOV doc count are exact
+# integer arithmetic over the same tokenizer split.
+EXTRA_ORACLE_SQL["q119_vocab_oov_verify"] = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 2500
+    ), t AS (
+        SELECT token, COUNT(*) AS cnt FROM toks
+        WHERE token <> '' GROUP BY token
+    ), v25 AS (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rank
+        FROM (SELECT * FROM t ORDER BY cnt DESC, token LIMIT 200)
+        ORDER BY cnt DESC, token LIMIT 25
+    ), v10 AS (
+        SELECT token FROM t ORDER BY cnt DESC, token LIMIT 10
+    ), per AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN token IN (SELECT token FROM v10)
+                        THEN 0 ELSE 1 END) AS n_oov
+        FROM toks WHERE token <> '' GROUP BY doc_id
+    ), rep AS (
+        SELECT (SELECT COUNT(*) FROM documents WHERE doc_id < 2500) AS n_docs,
+               SUM(n_tokens) AS tt, SUM(n_oov) AS oo,
+               SUM(CASE WHEN n_oov * 1000000 > n_tokens * 100000
+                        THEN 1 ELSE 0 END) AS d_over
+        FROM per
+    )
+    SELECT CAST(v.rank AS BIGINT) AS rank, v.token,
+           CAST(v.cnt AS BIGINT) AS cnt,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.tt AS BIGINT) AS total_tokens,
+           CAST(r.oo * 1000000 // GREATEST(r.tt, 1) AS BIGINT) AS oov_ppm,
+           CAST(r.d_over AS BIGINT) AS docs_over
+    FROM v25 v CROSS JOIN rep r ORDER BY rank
+"""
+
 # q113: card verdicts are stated from the plant's LITERAL test vectors
 # (4532015112830366 valid, +1 invalid, the grouped 4539... valid, the
 # 1234... serial failing) — the oracle never computes Luhn, it replays

@@ -5971,6 +5971,49 @@ def q118_pack_offsets_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_vocab_oov_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + OOV coverage under a full value oracle
+    (round 15 — operators/vocab.py, the tokenizer-prep statistic):
+    the top-K token list is a (count DESC, token ASC) total-order cut,
+    so both engines produce the identical vocabulary; OOV mass is exact
+    integer arithmetic. No plant — the fixture's own text drives every
+    number.
+
+    Output: the top-25 vocabulary rows (rank, token, cnt) with the
+    corpus-level coverage report against the top-10 vocabulary
+    cross-joined on (n_docs, total_tokens, oov_ppm = 1e6*oov DIV
+    tokens, docs_over = docs with >10% OOV) — the coverage/size
+    trade-off point a tokenizer design sweeps.
+
+    Scale shape: explode + partial-agg groupBy + TakeOrderedAndProject
+    for the build; the K-row vocabulary broadcasts for the OOV join;
+    the report is a 1-row reduce."""
+    from serverless_etl_bi_on_aws_spark.operators.vocab import (
+        build_vocab,
+        oov_report,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2500)
+        .select("doc_id", "text")
+    )
+    v200 = build_vocab(docs, k=200)
+    v10 = build_vocab(docs, k=10)
+    rep = oov_report(docs, v10).select(
+        "n_docs",
+        "total_tokens",
+        "oov_ppm",
+        F.col("docs_over_threshold").alias("docs_over"),
+    )
+    return (
+        v200.filter(F.col("rank") <= 25)
+        .select(F.col("rank").cast("bigint").alias("rank"), "token", "cnt")
+        .crossJoin(F.broadcast(rep))
+        .orderBy("rank")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -6034,7 +6077,8 @@ QUERIES: dict[str, QueryFn] = {
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
     "q117_dsir_selection_verify": q117_dsir_selection_verify,  # landed r15: DSIR importance selection (Xie et al. 2023) — bounded-sample hashed-unigram LLR weights, integer milli-nat scores, deterministic top-k + derandomized logistic resampling; planted-margin gate (q13/q18 discipline); r16 driver-row candidate
-    "q118_pack_offsets_verify": q118_pack_offsets_verify,  # landed r15: q107's assembly + per-member attention-mask boundary offsets, full value oracle (window-cumsum rebuild); r16 driver-row candidate
+    "q118_pack_offsets_verify": q118_pack_offsets_verify,
+    "q119_vocab_oov_verify": q119_vocab_oov_verify,  # landed r15: top-K vocabulary (total-order cut) + exact-integer OOV coverage report, full value oracle; r16 driver-row candidate  # landed r15: q107's assembly + per-member attention-mask boundary offsets, full value oracle (window-cumsum rebuild); r16 driver-row candidate
     "q113_pii_card_verify": q113_pii_card_verify,  # landed r15 in the off-driver tier: Luhn-gated card masking (checksum in pure integer JVM expressions; literal test-vector plant so the oracle states verdicts); full value oracle in the pytest union; r16 driver-row candidate
     "q114_k_anonymity_verify": q114_k_anonymity_verify,  # landed r15: k-anonymity audit/suppress/generalize over customer quasi-identifiers, fixture-driven (no plant), fully SQL-replayable; r16 driver-row candidate
     "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r16 driver-row candidate

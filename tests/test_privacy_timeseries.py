@@ -274,3 +274,45 @@ def test_rolling_daily_stats_over_dense_grid(spark):
 
     with pytest.raises(ValueError, match="window_days"):
         rolling_daily_stats(dense, window_days=0)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary + OOV (operators/vocab.py, round 15)
+# ---------------------------------------------------------------------------
+
+def test_vocab_cut_and_oov_exactness(spark):
+    from serverless_etl_bi_on_aws_spark.operators.vocab import (
+        build_vocab,
+        oov_report,
+        oov_stats,
+    )
+
+    rows = [
+        (0, "aa aa aa bb bb cc"),
+        (1, "aa bb zz"),
+        (2, ""),                 # empty doc: (0, 0), never flagged
+        (3, "zz zz zz zz"),      # all OOV vs top-2
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # counts: aa=4, bb=3, zz=5, cc=1 -> top-2 by (cnt desc, token asc): zz, aa
+    v = build_vocab(df, k=2)
+    assert [(r.rank, r.token, r.cnt) for r in v.orderBy("rank").collect()] == [
+        (1, "zz", 5), (2, "aa", 4),
+    ]
+    got = {r.doc_id: (r.n_tokens, r.n_oov) for r in oov_stats(df, v).collect()}
+    assert got == {0: (6, 3), 1: (3, 1), 2: (0, 0), 3: (4, 0)}
+    rep = oov_report(df, v, oov_ppm_threshold=400_000).first()
+    assert (rep.n_docs, rep.total_tokens, rep.total_oov) == (4, 13, 4)
+    assert rep.oov_ppm == 4 * 1_000_000 // 13
+    # >40% OOV: doc 0 (50%) yes, doc 1 (33%) no, doc 2 (0 tokens) no
+    assert rep.docs_over_threshold == 1
+    # tie-break determinism: equal counts order by token asc
+    tie = spark.createDataFrame(
+        [(0, "x y"), (1, "y x")], "doc_id bigint, text string"
+    )
+    tv = build_vocab(tie, k=2)
+    assert [r.token for r in tv.orderBy("rank").collect()] == ["x", "y"]
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        build_vocab(df, k=0)
