@@ -59,14 +59,15 @@ from serverless_etl_bi_on_aws_spark.util import (
 #: tree fan-in for combining per-partition bitmaps
 _COMBINE_FANIN = 16
 
-#: probe-side broadcast cache: index_path -> ((mtime_ns, size), broadcast).
+#: probe-side broadcast cache:
+#: index_path -> ((mtime_ns, size, applicationId), broadcast).
 #: probe_bloom is called once per micro-batch in the streaming loop;
 #: without the cache every batch re-broadcasts the full bit array and the
 #: old broadcasts accumulate unbounded (material at GiB filter sizes).
 #: The (mtime_ns, size) stamp invalidates on every update_bloom_index
 #: (os.replace installs a NEW file), so a cached probe never reads stale
 #: bits; the superseded broadcast is destroyed on replacement.
-_BITS_BC_CACHE: dict[str, tuple[tuple[int, int], object]] = {}
+_BITS_BC_CACHE: dict[str, tuple[tuple[int, int, str], object]] = {}
 
 
 def bits_for(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -221,7 +222,11 @@ def _bits_broadcast(df: DataFrame, index_path: str):
     one broadcast."""
     path = _bits_path(index_path)
     st = os.stat(path)
-    stamp = (st.st_mtime_ns, st.st_size)
+    sc = df.sparkSession.sparkContext
+    # the SparkContext's applicationId is part of the stamp: a NEW
+    # session in the same Python process must not reuse a broadcast
+    # created by a stopped context (it would be a dead JVM handle)
+    stamp = (st.st_mtime_ns, st.st_size, sc.applicationId)
     key = os.path.normpath(index_path)
     hit = _BITS_BC_CACHE.get(key)
     if hit is not None and hit[0] == stamp:
