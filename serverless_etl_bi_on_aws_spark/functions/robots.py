@@ -24,13 +24,16 @@ allowing the whole ``/a`` subtree the RFC denies). The rule set stays
 closed-form so the q105 oracle can recompute decisions from planted
 arithmetic.
 
-Domain scope, stated plainly: rule domains and document urls are both
-collapsed to the lowercase REGISTERED domain
+Domain scope, stated plainly (r16, exact-host-first): robots.txt is per
+ORIGIN under RFC 9309, so a document whose exact lowercased host carries
+robots rows is judged by those rows ALONE — merging www/blog/apex rule
+sets would let a longer Allow fetched from one host clear a page its own
+host's robots.txt forbids. A document whose host has no robots row falls
+back to the registered domain's merged rules
 (functions/url.registered_domain_of_host — the same closed-form PSL-lite
-rule the url side uses), so a robots corpus keyed by the natural fetch
-key (mixed-case or full host, e.g. ``WWW.Example.com``) still matches
-its documents; a per-host scope would silently drop every rule — the
-unsafe direction for an exclusion-honoring filter.
+rule the url side uses), so an apex- or mixed-case-keyed corpus
+(``WWW.Example.com``) still covers its subdomain documents rather than
+silently allowing everything.
 
 Scale shape: parsing is a map-only Arrow stage over the (tiny, one row
 per domain) robots corpus; the decision join broadcasts the exploded
@@ -102,14 +105,19 @@ def robots_rules(
     text_col: str = "robots_txt",
     agent: str = "*",
 ) -> DataFrame:
-    """Exploded rule table ``(domain, allow, prefix)`` from a one-row-
-    per-domain robots corpus. Domains whose file yields NO rules for the
-    agent produce no rows (absence == allow). The domain key is
-    NORMALIZED to the lowercase registered domain — the exact rule
-    :func:`robots_filter` applies to the document urls — so a corpus
-    keyed by the natural robots.txt fetch host (``WWW.Example.com``)
-    still matches; unnormalized it would match nothing and every page
-    would read as allowed. Map-only Arrow parse."""
+    """Exploded rule table ``(host, domain, allow, prefix)`` from a
+    one-row-per-host robots corpus. ``host`` is the corpus key
+    lowercased — robots.txt is PER ORIGIN under RFC 9309, so the exact
+    fetch host is the scope :func:`robots_filter` matches first;
+    ``domain`` is its registered domain (functions/url.registered_
+    domain_of_host — the same closed-form PSL-lite rule the url side
+    uses), the conservative fallback scope for documents whose own host
+    carries no robots row. Every corpus host additionally emits one
+    SENTINEL row (``allow``/``prefix`` NULL) so its PRESENCE survives
+    even when the agent's group yields no rules — a host whose
+    robots.txt is empty for this agent allows everything and must NOT
+    inherit a sibling host's rules through the domain fallback.
+    Map-only Arrow parse."""
     from serverless_etl_bi_on_aws_spark.functions.url import (
         registered_domain_of_host,
     )
@@ -118,12 +126,24 @@ def robots_rules(
     def _parse(s: pd.Series) -> pd.Series:
         return pd.Series([parse_robots(t, agent) for t in s])
 
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("boolean").alias("allow"),
+            F.lit(None).cast("string").alias("prefix"),
+        )
+    )
     return (
         robots.select(
+            F.lower(F.col(domain_col)).alias("host"),
             registered_domain_of_host(domain_col, out_col="domain"),
-            F.explode(_parse(F.col(text_col))).alias("r"),
+            F.explode(F.concat(_parse(F.col(text_col)), sentinel)).alias("r"),
         )
-        .select("domain", F.col("r.allow").alias("allow"), F.col("r.prefix").alias("prefix"))
+        .select(
+            "host",
+            "domain",
+            F.col("r.allow").alias("allow"),
+            F.col("r.prefix").alias("prefix"),
+        )
     )
 
 
@@ -136,28 +156,47 @@ def robots_filter(
 ) -> DataFrame:
     """Rows of ``docs`` whose url the rule table permits (``keep=
     'allowed'``) or forbids (``keep='denied'`` — the retroactive-removal
-    work list). Decision per RFC 9309: among the doc's domain rules whose
-    prefix matches the url path, the longest wins, Allow beats Disallow
-    at equal length; no rules or no match means allowed. Malformed urls
-    (no host) are DENIED — an unattributable page cannot be cleared.
+    work list). Decision per RFC 9309, scoped per ORIGIN: a document
+    whose exact (lowercased) host carries robots rows is judged by
+    THOSE rows alone — www, blog, and apex robots.txt are distinct
+    origins, and merging them would let a longer Allow fetched from one
+    host clear a page its own host's robots.txt forbids. Only a
+    document whose host has NO robots row of its own falls back to the
+    registered domain's merged rules (the conservative
+    scope-collapsing default for apex-keyed corpora). Within the
+    applicable rule set: the longest matching prefix wins, Allow beats
+    Disallow at equal length; no rules or no match means allowed.
+    Malformed urls (no host) are DENIED — an unattributable page cannot
+    be cleared.
 
-    Plan: domain + path are codegen'd expressions; the rule table
-    broadcasts; the longest-match reduction groups on the doc id — the
-    only exchange is proportional to rule MATCHES, not the corpus."""
+    Plan: host/domain/path are codegen'd expressions; the rule table
+    broadcasts ONCE on the registered domain (both tiers resolve inside
+    the same per-doc aggregate, no second join); the longest-match
+    reduction groups on the doc id — the only exchange is proportional
+    to rule matches, not the corpus."""
     if keep not in ("allowed", "denied"):
         raise ValueError(f"keep must be 'allowed' or 'denied', got {keep!r}")
     path_raw = F.try_parse_url(F.col(url_col), F.lit("PATH"))
     slim = docs.select(
         F.col(id_col).alias("__id"),
+        F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))).alias("__host"),
         registered_domain(url_col, out_col="__dom"),
         F.when(F.coalesce(path_raw, F.lit("")) == "", F.lit("/"))
         .otherwise(path_raw)
         .alias("__path"),
     )
     r = rules.select(
+        F.col("host").alias("__rhost"),
         F.col("domain").alias("__dom"),
         F.col("allow").alias("__allow"),
         F.col("prefix").alias("__prefix"),
+    )
+    exact = F.col("__rhost") == F.col("__host")
+    match = F.col("__prefix").isNotNull() & F.col("__path").startswith(
+        F.col("__prefix")
+    )
+    m = F.struct(
+        F.length("__prefix").alias("l"), F.col("__allow").cast("int").alias("a")
     )
     decision = (
         slim.join(F.broadcast(r), "__dom", "left")
@@ -167,17 +206,26 @@ def robots_filter(
         .select(
             "__id",
             "__dom",
-            F.when(
-                F.col("__prefix").isNotNull()
-                & F.col("__path").startswith(F.col("__prefix")),
-                F.struct(
-                    F.length("__prefix").alias("l"),
-                    F.col("__allow").cast("int").alias("a"),
-                ),
-            ).alias("__m"),
+            # presence counts the sentinel too: a host whose robots.txt
+            # yields no rules for the agent still pins the exact tier
+            F.when(exact, F.lit(1)).alias("__he"),
+            F.when(exact & match, m).alias("__me"),
+            F.when(match, m).alias("__mf"),
         )
         .groupBy("__id")
-        .agg(F.first("__dom").alias("__dom"), F.max("__m").alias("__best"))
+        .agg(
+            F.first("__dom").alias("__dom"),
+            F.max("__he").alias("__has_exact"),
+            F.max("__me").alias("__best_exact"),
+            F.max("__mf").alias("__best_fb"),
+        )
+        .select(
+            "__id",
+            F.when(
+                F.col("__has_exact") == 1, F.col("__best_exact")
+            ).otherwise(F.col("__best_fb")).alias("__best"),
+            "__dom",
+        )
         .select(
             "__id",
             (

@@ -120,8 +120,8 @@ def pii_counts(text: str | Column) -> dict[str, Column]:
 
 
 #: Payment-card candidate patterns (round 15 — the checksum-validated
-#: member of the PII family): contiguous 13-19 digit PANs and the common
-#: 4-4-4-4 grouping with space or dash separators. Same dialect rules as
+#: member of the PII family): contiguous 13-19 digit PANs and 4-4-4-4
+#: groupings with space or dash separators. Same dialect rules as
 #: PII_PATTERNS (no lookaround, no backreferences — RE2 has neither, and
 #: a backreference is what it would take to force one CONSISTENT
 #: separator, so mixed separators are accepted and documented). Unlike
@@ -129,25 +129,45 @@ def pii_counts(text: str | Column) -> dict[str, Column]:
 #: checksum holds — an order id or timestamp that happens to be 16
 #: digits must NOT be masked (the false-positive direction destroys
 #: non-PII data).
+#:
+#: The grouped pattern matches the WHOLE separator-delimited run
+#: (``{3,}`` not ``{3}``): anchoring a fixed 4-group window at the
+#: run's first boundary would extract the WRONG 16-digit window from a
+#: longer run ('ref 1234 4539 1488 0343 6467' — the true PAN starts at
+#: group 2) and the real card would leak through the redaction pass.
+#: :func:`card_candidates` slides a 4-group window over each extracted
+#: run instead, so every aligned 16-digit window is a candidate.
 CARD_CANDIDATE_PATTERNS: tuple[str, ...] = (
     r"\b\d{13,19}\b",
-    r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b",
+    r"\b\d{4}(?:[ -]\d{4}){3,}\b",
 )
 
 
 def card_candidates(text: str | Column) -> Column:
-    """``array<string>`` of card-shaped substrings of ``text`` (both
-    candidate patterns, de-duplicated). Candidates only — run
+    """``array<string>`` of card-shaped substrings of ``text``
+    (de-duplicated). Contiguous 13-19 digit runs come straight from the
+    regex; grouped runs are extracted whole and every aligned 4-group
+    window is emitted (each group+separator is exactly 5 chars, so
+    window ``i`` is ``substr(i*5+1, 19)`` — original separators
+    preserved, so a window is a literal substring of ``text`` and
+    :func:`mask_valid_cards` can replace it). Candidates only — run
     :func:`luhn_valid` before treating one as PII."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.array_distinct(
-        F.concat(
-            *[
-                F.regexp_extract_all(c, F.lit(p), F.lit(0))
-                for p in CARD_CANDIDATE_PATTERNS
-            ]
+    contiguous = F.regexp_extract_all(
+        c, F.lit(CARD_CANDIDATE_PATTERNS[0]), F.lit(0)
+    )
+    runs = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERNS[1]), F.lit(0))
+    # a run of g groups has length 5g-1 and g-3 aligned 4-group windows
+    windows = F.flatten(
+        F.transform(
+            runs,
+            lambda s: F.transform(
+                F.sequence(F.lit(0), ((F.length(s) - 19) / 5).cast("int")),
+                lambda i: s.substr(i * F.lit(5) + F.lit(1), F.lit(19)),
+            ),
         )
     )
+    return F.array_distinct(F.concat(contiguous, windows))
 
 
 def luhn_valid(cand: Column) -> Column:

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 
 import numpy as np
 import pandas as pd
@@ -66,8 +67,11 @@ _COMBINE_FANIN = 16
 #: old broadcasts accumulate unbounded (material at GiB filter sizes).
 #: The (mtime_ns, size) stamp invalidates on every update_bloom_index
 #: (os.replace installs a NEW file), so a cached probe never reads stale
-#: bits; the superseded broadcast is destroyed on replacement.
+#: bits; the superseded broadcast is unpersisted (re-fetchable by stale
+#: plans) on replacement. _BITS_BC_LOCK serializes get/unpersist/put so
+#: concurrent streams on one driver cannot race the cache.
 _BITS_BC_CACHE: dict[str, tuple[tuple[int, int, str], object]] = {}
+_BITS_BC_LOCK = threading.Lock()
 
 
 def bits_for(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -217,9 +221,14 @@ def bloom_saturation(index_path: str) -> float:
 def _bits_broadcast(df: DataFrame, index_path: str):
     """The cached-per-path bits broadcast for :func:`probe_bloom` —
     stamped by the bits file's (mtime_ns, size) so an updated filter is
-    re-read and the stale broadcast is destroyed, while repeated probes
-    of an unchanged filter (the streaming per-micro-batch path) reuse
-    one broadcast."""
+    re-read, while repeated probes of an unchanged filter (the streaming
+    per-micro-batch path) reuse one broadcast. A superseded broadcast is
+    ``unpersist``-ed (NOT destroyed): a lazily-held DataFrame built from
+    an earlier probe_bloom and executed after an update must still be
+    able to re-fetch the old value from the driver — destroy() would
+    fail that plan at runtime with 'Broadcast used after destroy'. The
+    get/unpersist/put sequence runs under a lock so two concurrent
+    streams on one driver cannot race it."""
     path = _bits_path(index_path)
     st = os.stat(path)
     sc = df.sparkSession.sparkContext
@@ -228,18 +237,19 @@ def _bits_broadcast(df: DataFrame, index_path: str):
     # created by a stopped context (it would be a dead JVM handle)
     stamp = (st.st_mtime_ns, st.st_size, sc.applicationId)
     key = os.path.normpath(index_path)
-    hit = _BITS_BC_CACHE.get(key)
-    if hit is not None and hit[0] == stamp:
-        return hit[1]
-    if hit is not None:
-        try:
-            hit[1].destroy()
-        except Exception:
-            pass  # a dead SparkContext just means nothing left to free
-    with open(path, "rb") as fh:
-        bc = df.sparkSession.sparkContext.broadcast(fh.read())
-    _BITS_BC_CACHE[key] = (stamp, bc)
-    return bc
+    with _BITS_BC_LOCK:
+        hit = _BITS_BC_CACHE.get(key)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+        if hit is not None:
+            try:
+                hit[1].unpersist(blocking=False)
+            except Exception:
+                pass  # a dead SparkContext just means nothing left to free
+        with open(path, "rb") as fh:
+            bc = df.sparkSession.sparkContext.broadcast(fh.read())
+        _BITS_BC_CACHE[key] = (stamp, bc)
+        return bc
 
 
 def probe_bloom(
@@ -253,7 +263,9 @@ def probe_bloom(
     streaming loop reuses one broadcast instead of accumulating a new
     GiB-scale one per batch; the cache invalidates on the bits file's
     (mtime_ns, size) — which every update replaces via os.replace — and
-    DESTROYS the superseded broadcast."""
+    unpersists the superseded broadcast (executors drop their copies;
+    a not-yet-executed plan holding it can still re-fetch from the
+    driver)."""
     meta = read_bloom_meta(index_path)
     num_bits, num_hashes = meta["num_bits"], meta["num_hashes"]
     bc = _bits_broadcast(df, index_path)

@@ -106,18 +106,47 @@ def fit_dsir_weights(
     )
 
 
+def weights_num_buckets(weights: DataFrame) -> int:
+    """The validated bucket-space size of a weights table:
+    ``max(bucket) + 1``, asserted DENSE (``count == max+1``) in one
+    aggregation job. :func:`fit_dsir_weights` always emits the dense
+    table (one row per bucket, zeros included); a filtered or compacted
+    table (e.g. non-zero rows only) would silently re-modulo every
+    token into the wrong bucket space, so it fails loudly here instead.
+    Callers on a hot path (streaming micro-batches) should compute this
+    ONCE per weights table and pass ``num_buckets=`` through."""
+    row = weights.agg(
+        F.count(F.lit(1)).alias("n"), F.max("bucket").alias("m")
+    ).first()
+    n, m = row["n"], row["m"]
+    if n == 0 or m is None:
+        raise ValueError("empty DSIR weights table")
+    if n != m + 1:
+        raise ValueError(
+            f"DSIR weights table is not dense: {n} rows but max bucket {m} "
+            f"(expected {m + 1} rows) — pass the full table from "
+            "fit_dsir_weights, not a filtered/compacted subset"
+        )
+    return int(m) + 1
+
+
 def dsir_score(
     df: DataFrame,
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "dsir_milli",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Append the per-document importance score (BIGINT milli-nats):
     sum of the doc's per-token bucket weights. Exact integer arithmetic
     once the weights exist, so scores are replay/partitioning-stable.
-    Empty/whitespace docs score 0."""
-    num_buckets = weights.count()
+    Empty/whitespace docs score 0. ``num_buckets`` (the modulus of the
+    token hash) defaults to :func:`weights_num_buckets`'s validated
+    derivation — one extra aggregation job; per-micro-batch callers
+    should derive it once and pass it."""
+    if num_buckets is None:
+        num_buckets = weights_num_buckets(weights)
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     ).filter(F.col("tok") != "")
@@ -140,6 +169,7 @@ def dsir_select_top(
     k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """The deterministic selection: the ``k`` documents with the highest
     importance scores under the (score desc, id asc) total order — the
@@ -149,7 +179,9 @@ def dsir_select_top(
     shape as every top-k in the engine via orderBy().limit()."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
-    scored = dsir_score(df, weights, text_col=text_col, id_col=id_col)
+    scored = dsir_score(
+        df, weights, text_col=text_col, id_col=id_col, num_buckets=num_buckets
+    )
     return scored.orderBy(
         F.col("dsir_milli").desc(), F.col(id_col)
     ).limit(k)
@@ -163,6 +195,7 @@ def dsir_sample(
     midpoint_milli: int = 0,
     scale_milli: int = 1000,
     seed: int = 0,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """The resampling variant, derandomized: accept document ``d`` iff
     ``pmod(xxhash64(id, seed), 1e6) < p_ppm(score)`` where p follows the
@@ -172,7 +205,9 @@ def dsir_sample(
     weights), so replays and engines agree on membership given the same
     weights table. The logistic runs in double only to derive the
     per-row integer threshold; the accept comparison is integer."""
-    scored = dsir_score(df, weights, text_col=text_col, id_col=id_col)
+    scored = dsir_score(
+        df, weights, text_col=text_col, id_col=id_col, num_buckets=num_buckets
+    )
     z = (F.col("dsir_milli") - F.lit(midpoint_milli)).cast("double") / F.lit(
         float(scale_milli)
     )

@@ -6077,8 +6077,8 @@ QUERIES: dict[str, QueryFn] = {
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
     "q117_dsir_selection_verify": q117_dsir_selection_verify,  # landed r15: DSIR importance selection (Xie et al. 2023) — bounded-sample hashed-unigram LLR weights, integer milli-nat scores, deterministic top-k + derandomized logistic resampling; planted-margin gate (q13/q18 discipline); r16 driver-row candidate
-    "q118_pack_offsets_verify": q118_pack_offsets_verify,
-    "q119_vocab_oov_verify": q119_vocab_oov_verify,  # landed r15: top-K vocabulary (total-order cut) + exact-integer OOV coverage report, full value oracle; r16 driver-row candidate  # landed r15: q107's assembly + per-member attention-mask boundary offsets, full value oracle (window-cumsum rebuild); r16 driver-row candidate
+    "q118_pack_offsets_verify": q118_pack_offsets_verify,  # landed r15: q107's assembly + per-member attention-mask boundary offsets, full value oracle (window-cumsum rebuild); r16 driver-row candidate
+    "q119_vocab_oov_verify": q119_vocab_oov_verify,  # landed r15: top-K vocabulary (total-order cut) + exact-integer OOV coverage report, full value oracle; r16 driver-row candidate
     "q113_pii_card_verify": q113_pii_card_verify,  # landed r15 in the off-driver tier: Luhn-gated card masking (checksum in pure integer JVM expressions; literal test-vector plant so the oracle states verdicts); full value oracle in the pytest union; r16 driver-row candidate
     "q114_k_anonymity_verify": q114_k_anonymity_verify,  # landed r15: k-anonymity audit/suppress/generalize over customer quasi-identifiers, fixture-driven (no plant), fully SQL-replayable; r16 driver-row candidate
     "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r16 driver-row candidate

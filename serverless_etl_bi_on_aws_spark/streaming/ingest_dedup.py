@@ -58,6 +58,12 @@ from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
 )
 from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
 
+#: per-weights-path validated num_buckets (selection.weights_num_buckets)
+#: — the weights table at a given path is frozen by the apply_curation_
+#: batch contract, so the dense-table check runs once per stream, not
+#: once per micro-batch
+_DSIR_NUM_BUCKETS: dict[str, int] = {}
+
 
 def checkpoint_instance_nonce(checkpoint_dir: str) -> str:
     """A nonce identifying THIS INSTANCE of the checkpoint, folded into
@@ -244,12 +250,22 @@ def apply_curation_batch(
         quality_score(text_col) >= F.lit(float(quality_threshold))
     )
     if dsir_weights_path is not None:
-        from serverless_etl_bi_on_aws_spark.operators.selection import dsir_score
+        from serverless_etl_bi_on_aws_spark.operators.selection import (
+            dsir_score,
+            weights_num_buckets,
+        )
 
         weights = spark.read.parquet(dsir_weights_path)
+        # the weights table is frozen by contract (see docstring), so the
+        # dense-table validation + num_buckets derivation runs ONCE per
+        # path, not one extra count job per micro-batch
+        nb = _DSIR_NUM_BUCKETS.get(dsir_weights_path)
+        if nb is None:
+            nb = weights_num_buckets(weights)
+            _DSIR_NUM_BUCKETS[dsir_weights_path] = nb
         gated = (
             dsir_score(gated, weights, text_col=text_col, id_col=id_col,
-                       out_col="__dsir")
+                       out_col="__dsir", num_buckets=nb)
             .filter(F.col("__dsir") >= F.lit(int(dsir_min_milli)))
             .drop("__dsir")
         )

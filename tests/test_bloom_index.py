@@ -175,3 +175,24 @@ def test_probe_broadcast_cached_and_invalidated_on_update(spark, tmp_path):
     probed = probe_bloom(_keys(spark, 0, 100, prefix="z"), "key", idx)
     assert all(r.maybe_seen for r in probed.collect())
     assert next(iter(bi._BITS_BC_CACHE.values()))[1] is not bc1
+
+
+def test_stale_plan_survives_index_update(spark, tmp_path):
+    """r15 ADVICE (medium): a lazily-held DataFrame built from an
+    earlier probe_bloom and EXECUTED after an update_bloom_index must
+    still run — the superseded broadcast is unpersisted (re-fetchable
+    from the driver), not destroyed (which fails the stale plan at
+    runtime with 'Broadcast used after destroy')."""
+    from serverless_etl_bi_on_aws_spark.operators import bloom_index as bi
+
+    idx = str(tmp_path / "idx")
+    build_bloom_index(_keys(spark, 0, 100), "key", idx, expected_items=300)
+    bi._BITS_BC_CACHE.clear()
+    stale = probe_bloom(_keys(spark, 0, 50), "key", idx)  # plan built, NOT run
+    stale.count()  # materialize the broadcast once
+    update_bloom_index(_keys(spark, 0, 100, prefix="z"), "key", idx)
+    # fresh probe sees the new keys through the re-read broadcast...
+    fresh = probe_bloom(_keys(spark, 0, 100, prefix="z"), "key", idx)
+    assert all(r.maybe_seen for r in fresh.collect())
+    # ...and the stale plan still executes against its own snapshot
+    assert all(r.maybe_seen for r in stale.collect())

@@ -68,6 +68,42 @@ def test_mask_only_checksum_valid_candidates(spark):
     assert got[3] == (0, 0, "no digits at all")
 
 
+def test_grouped_pan_inside_longer_run_is_found(spark):
+    """Round-16 ADVICE fix: a fixed 4-group pattern anchors at the
+    run's FIRST boundary, so in a 5-group separator-delimited run the
+    true PAN (groups 2-5) was never extracted and leaked unmasked.
+    card_candidates now extracts the whole run and slides a 4-group
+    window over it — every aligned window is a candidate."""
+    df = spark.createDataFrame(
+        [
+            # true PAN is groups 2-5; group-1 window fails Luhn
+            (0, "ref 1234 4539 1488 0343 6467 end"),
+            # dash-separated variant of the same embedding
+            (1, "ref 1234-4539-1488-0343-6467 end"),
+            # 5-group run with NO valid window: nothing masks
+            (2, "ids 1234 5678 9012 3456 7890 done"),
+        ],
+        "i bigint, text string",
+    )
+    got = {
+        r.i: (sorted(r.cands), r.masked)
+        for r in df.select(
+            "i",
+            card_candidates("text").alias("cands"),
+            mask_valid_cards("text").alias("masked"),
+        ).collect()
+    }
+    assert got[0] == (
+        ["1234 4539 1488 0343", "4539 1488 0343 6467"],
+        "ref 1234 <CARD> end",
+    )
+    assert got[1] == (
+        ["1234-4539-1488-0343", "4539-1488-0343-6467"],
+        "ref 1234-<CARD> end",
+    )
+    assert got[2][1] == "ids 1234 5678 9012 3456 7890 done"
+
+
 def test_mojibake_guards_never_touch_clean_text(spark):
     orig = "café münchen señor São"
     damaged = orig.encode("utf-8").decode("latin-1")
@@ -230,6 +266,36 @@ def test_dsir_scores_separate_and_are_deterministic(spark):
     kept = dsir_sample(docs, w, midpoint_milli=mid, scale_milli=100)
     got = {r.is_t: r.n for r in kept.groupBy("is_t").agg(F.count("*").alias("n")).collect()}
     assert got.get(False, 0) == 0 and got.get(True, 0) >= 59
+    w.unpersist()
+
+
+def test_dsir_score_rejects_filtered_weights(spark):
+    """r15 ADVICE (low): dsir_score recovered num_buckets as
+    weights.count() — an extra count job per call, and a FILTERED
+    weights table (non-zero rows only) silently re-moduloed every token
+    into the wrong bucket space, garbage scores with no error. The
+    validated derivation (max(bucket)+1, asserted dense) fails loudly;
+    hot paths pass num_buckets= and skip the job."""
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.selection import (
+        dsir_score,
+        fit_dsir_weights,
+        weights_num_buckets,
+    )
+
+    docs = _dsir_corpus(spark, n=40)
+    w = fit_dsir_weights(docs.filter("is_t"), docs, num_buckets=256).cache()
+    assert weights_num_buckets(w) == 256
+    with pytest.raises(ValueError, match="not dense"):
+        dsir_score(docs, w.filter("bucket != 0"))
+    # explicit num_buckets= must agree with the derived path
+    a = sorted((r.doc_id, r.dsir_milli) for r in dsir_score(docs, w).collect())
+    b = sorted(
+        (r.doc_id, r.dsir_milli)
+        for r in dsir_score(docs, w, num_buckets=256).collect()
+    )
+    assert a == b
     w.unpersist()
 
 

@@ -161,3 +161,62 @@ def test_wildcard_allow_dropped_not_truncated(spark):
         for r in robots_filter(docs, "url", robots_rules(robots)).collect()
     )
     assert kept == [1]
+
+
+def test_exact_host_rules_are_not_merged_across_hosts(spark):
+    """r15 ADVICE (medium): www/blog/apex robots.txt are DISTINCT
+    origins under RFC 9309. Collapsing rule domains to the registered
+    domain merged their rule sets, so a longer Allow from host B could
+    clear a page host A's own robots.txt forbids — the unsafe
+    direction. A doc whose exact host has rules is judged by those
+    rules alone."""
+    robots = spark.createDataFrame(
+        [
+            ("a.ex.com", "User-agent: *\nDisallow: /private\n"),
+            ("b.ex.com", "User-agent: *\nDisallow: /x\nAllow: /private/ok\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    docs = spark.createDataFrame(
+        [
+            # a's own Disallow /private must hold — b's longer Allow
+            # /private/ok must NOT leak across hosts
+            (0, "http://a.ex.com/private/okay"),
+            (1, "http://b.ex.com/private/okay"),   # b's own Allow wins
+            (2, "http://b.ex.com/x/1"),            # b's own Disallow
+            (3, "http://a.ex.com/x/1"),            # a has no /x rule
+            # no robots row for this host: registered-domain fallback
+            # (the merged scope) applies
+            (4, "http://c.ex.com/private/okay"),
+            (5, "http://c.ex.com/private/no"),
+        ],
+        "doc_id bigint, url string",
+    )
+    kept = {r.doc_id for r in robots_filter(docs, "url", rules).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_empty_agent_group_host_does_not_inherit_sibling_rules(spark):
+    """A host whose robots.txt yields NO rules for this agent allows
+    everything — the sentinel row pins its exact-host tier so it must
+    not inherit a sibling host's Disallow through the domain
+    fallback."""
+    robots = spark.createDataFrame(
+        [
+            ("a.ex.com", "User-agent: *\nDisallow: /\n"),
+            ("d.ex.com", "User-agent: otherbot\nDisallow: /\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    rules = robots_rules(robots)
+    docs = spark.createDataFrame(
+        [
+            (0, "http://d.ex.com/anything"),  # d's file is empty for *: allowed
+            (1, "http://a.ex.com/anything"),  # a's own Disallow: denied
+            (2, "http://e.ex.com/anything"),  # no row: fallback merges a+d -> denied
+        ],
+        "doc_id bigint, url string",
+    )
+    kept = {r.doc_id for r in robots_filter(docs, "url", rules).collect()}
+    assert kept == {0}
