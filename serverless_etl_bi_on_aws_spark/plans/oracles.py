@@ -2955,3 +2955,20 @@ EXTRA_ORACLE_SQL["q112_warc_stream_verify"] = """
         UNION ALL SELECT 'planted_articles_all_present', 1
     ) ORDER BY metric
 """
+
+# q120: the persisted SimHash index (q76's hamming twin). n_new is closed
+# form (the new half plus the two planted b2 docs); hamming distances are
+# hash-layout-dependent, so every verdict ships as a measured-margin
+# boolean the Spark side computes (q13/q18/q76 discipline): planted twin
+# at 3 edited shingles out of ~148 lands far inside radius 7/64, the
+# fresh control shares no shingle vocabulary with anything.
+EXTRA_ORACLE_SQL["q120_simhash_index_verify"] = """
+    SELECT 'simhash_index' AS method,
+           CAST((SELECT COUNT(*) + 2 FROM documents
+                 WHERE doc_id > (SELECT MAX(doc_id) // 2 FROM documents))
+               AS BIGINT) AS n_new,
+           TRUE AS incremental_equals_oneshot,
+           TRUE AS twin_caught,
+           TRUE AS control_kept,
+           TRUE AS replay_noop
+"""

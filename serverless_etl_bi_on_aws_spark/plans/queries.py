@@ -6014,6 +6014,123 @@ def q119_vocab_oov_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_simhash_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted text-SimHash index under a driver value gate
+    (round 16 — operators/dedup.py build_simhash_index /
+    dedup_text_against_simhash_index, the 8-bytes/doc hamming member of
+    the incremental-index matrix; q76 is its MinHash-LSH Jaccard twin).
+
+    The corpus splits at max(doc_id)//2 into a "seen" half (persisted
+    as a block-partitioned SimHash index — digest-keyed build-once) and
+    a "new" half that dedups AGAINST the index. Three planted docs
+    (deterministic literal texts, ids -10 / high / high+1 so real ids
+    never collide) pin the cross-batch behavior: a near-twin pair
+    straddling the batch boundary (one token edited out of 150 — the
+    b2 member MUST drop) and a fresh control (MUST survive).
+
+    Driver-checkable contract, q13/q18/q76 discipline (hamming
+    distances are hash-layout-dependent, so verdicts ship as
+    measured-margin booleans; counts the oracle can recompute ship as
+    exact integers):
+
+      * n_new — batch size including the two planted b2 docs (closed
+        form from max(doc_id));
+      * incremental_equals_oneshot — the incremental drop set equals
+        the one-shot online rule over the UNION ("drop j iff exists
+        i<j within hamming radius"): batch boundaries must be
+        invisible. The index holds ALL seen docs' hashes, which is
+        what makes the theorem hold;
+      * twin_caught / control_kept — the planted cross-batch near-twin
+        drops, the planted fresh doc survives (the two failure
+        directions);
+      * replay_noop — update_simhash_index is marker-idempotent: the
+        same batch id applies once (True) then no-ops (False), run on
+        a per-call throwaway index so the shared probe index is never
+        mutated.
+
+    Scale shape: the probe shuffles only the new half; the corpus side
+    is two parquet scans of the persisted 8-byte hashes (never
+    re-shingled); all verdict branches are 1-row aggregates
+    crossJoined, nothing data-sized at the driver."""
+    import os
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        build_simhash_index,
+        dedup_text_against_simhash_index,
+        hamming_pairs_blocked,
+        init_simhash_index,
+        simhash64,
+        update_simhash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.util import artifact_dir, fixture_digest
+
+    radius, n_blocks = 7, 8
+    real = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = real.agg(F.max("doc_id")).head()[0] // 2
+    hi = mid * 2 + 10  # strictly above every real doc_id
+    twin = " ".join(f"twin{i:03d}" for i in range(150))
+    plant = spark.createDataFrame(
+        [
+            (-10, twin),                                  # b1 (indexed) member
+            (hi, twin.replace("twin005", "twin900")),     # b2 near-twin: drops
+            (hi + 1, " ".join(f"fresh{i:03d}" for i in range(150))),  # control
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = real.unionByName(plant)
+    b1 = docs.filter(F.col("doc_id") <= mid)
+    b2 = docs.filter(F.col("doc_id") > mid)
+
+    digest = fixture_digest(sf_dir, ("documents",), version="shidx1")[:8]
+    idx = artifact_dir(f"spark_graft_simhashidx_{digest}")
+    if not os.path.exists(os.path.join(idx, "_meta.json")):
+        build_simhash_index(b1, idx, n_blocks=n_blocks)
+
+    surv2 = dedup_text_against_simhash_index(spark, b2, idx, radius=radius)
+    kept2 = surv2.select("doc_id").localCheckpoint(eager=True)
+    dropped2 = b2.select("doc_id").join(kept2, "doc_id", "left_anti")
+
+    # one-shot reference: the same online rule over the whole corpus
+    oneshot2 = (
+        hamming_pairs_blocked(simhash64(docs), "doc_id", "simhash", radius, n_blocks)
+        .filter(F.col("id_2") > mid)
+        .select(F.col("id_2").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    # replay idempotence on a throwaway index (never the shared one)
+    tmp_idx = os.path.join(tempfile.mkdtemp(prefix="q120_replay_"), "idx")
+    init_simhash_index(tmp_idx, n_blocks=n_blocks)
+    first = update_simhash_index(plant, tmp_idx, "b0")
+    second = update_simhash_index(plant, tmp_idx, "b0")
+
+    n_new = b2.agg(F.count("*").alias("n_new"))
+    d_only = dropped2.join(oneshot2, "doc_id", "left_anti").agg(
+        F.count("*").alias("_d")
+    )
+    o_only = oneshot2.join(dropped2, "doc_id", "left_anti").agg(
+        F.count("*").alias("_o")
+    )
+    twin_hit = dropped2.filter(F.col("doc_id") == hi).agg(F.count("*").alias("_t"))
+    ctrl = kept2.filter(F.col("doc_id") == hi + 1).agg(F.count("*").alias("_c"))
+    return (
+        n_new.crossJoin(F.broadcast(d_only))
+        .crossJoin(F.broadcast(o_only))
+        .crossJoin(F.broadcast(twin_hit))
+        .crossJoin(F.broadcast(ctrl))
+        .select(
+            F.lit("simhash_index").alias("method"),
+            F.col("n_new"),
+            ((F.col("_d") + F.col("_o")) == 0).alias("incremental_equals_oneshot"),
+            (F.col("_t") == 1).alias("twin_caught"),
+            (F.col("_c") == 1).alias("control_kept"),
+            F.lit(bool(first and not second)).alias("replay_noop"),
+        )
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -6027,7 +6144,6 @@ QUERIES: dict[str, QueryFn] = {
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
     "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
-    "q66_data_quality_report": q66_data_quality_report,
     "q69_scd2_order_history": q69_scd2_order_history,
     "q76_incremental_dedup_verify": q76_incremental_dedup_verify,
     "q77_image_phash_dedup": q77_image_phash_dedup,
@@ -6043,28 +6159,29 @@ QUERIES: dict[str, QueryFn] = {
     "q88_paragraph_boilerplate_verify": q88_paragraph_boilerplate_verify,
     "q89_url_dedup_verify": q89_url_dedup_verify,
     "q90_snapshot_sql_verify": q90_snapshot_sql_verify,
-    "q91_cluster_safe_split_verify": q91_cluster_safe_split_verify,
     "q92_xml_roundtrip": q92_xml_roundtrip,
     "q93_variant_props": q93_variant_props,
     "q94_priority_survivors_verify": q94_priority_survivors_verify,
     "q95_snapshot_diff_verify": q95_snapshot_diff_verify,
     "q96_decontaminate_verify": q96_decontaminate_verify,
-    "q97_epoch_mix_verify": q97_epoch_mix_verify,
     "q98_warc_ingest_verify": q98_warc_ingest_verify,
     "q99_link_graph_pagerank": q99_link_graph_pagerank,
     "q100_bloom_dedup_verify": q100_bloom_dedup_verify,
     "q101_bm25_search_verify": q101_bm25_search_verify,
     "q102_domain_curation_verify": q102_domain_curation_verify,
-    "q103_token_budget_verify": q103_token_budget_verify,
-    "q104_cms_frequency_verify": q104_cms_frequency_verify,
     "q105_robots_filter_verify": q105_robots_filter_verify,
-    "q106_script_detection_verify": q106_script_detection_verify,
     "q107_pack_examples_verify": q107_pack_examples_verify,
     "q108_cohort_retention": q108_cohort_retention,
     "q109_event_path_trigrams": q109_event_path_trigrams,
     "q110_gopher_rules": q110_gopher_rules,
     "q111_compression_quality": q111_compression_quality,
     "q112_warc_stream_verify": q112_warc_stream_verify,
+    "q113_pii_card_verify": q113_pii_card_verify,
+    "q114_k_anonymity_verify": q114_k_anonymity_verify,
+    "q117_dsir_selection_verify": q117_dsir_selection_verify,
+    "q118_pack_offsets_verify": q118_pack_offsets_verify,
+    "q119_vocab_oov_verify": q119_vocab_oov_verify,
+    "q120_simhash_index_verify": q120_simhash_index_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -6076,13 +6193,14 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
-    "q117_dsir_selection_verify": q117_dsir_selection_verify,  # landed r15: DSIR importance selection (Xie et al. 2023) — bounded-sample hashed-unigram LLR weights, integer milli-nat scores, deterministic top-k + derandomized logistic resampling; planted-margin gate (q13/q18 discipline); r16 driver-row candidate
-    "q118_pack_offsets_verify": q118_pack_offsets_verify,  # landed r15: q107's assembly + per-member attention-mask boundary offsets, full value oracle (window-cumsum rebuild); r16 driver-row candidate
-    "q119_vocab_oov_verify": q119_vocab_oov_verify,  # landed r15: top-K vocabulary (total-order cut) + exact-integer OOV coverage report, full value oracle; r16 driver-row candidate
-    "q113_pii_card_verify": q113_pii_card_verify,  # landed r15 in the off-driver tier: Luhn-gated card masking (checksum in pure integer JVM expressions; literal test-vector plant so the oracle states verdicts); full value oracle in the pytest union; r16 driver-row candidate
-    "q114_k_anonymity_verify": q114_k_anonymity_verify,  # landed r15: k-anonymity audit/suppress/generalize over customer quasi-identifiers, fixture-driven (no plant), fully SQL-replayable; r16 driver-row candidate
-    "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r16 driver-row candidate
-    "q116_activity_gapfill": q116_activity_gapfill,  # landed r15: dense per-(key, day) zero-filled activity grid (per-key spans), full-value oracle via generate_series; r16 driver-row candidate
+    "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r17 driver-row candidate
+    "q116_activity_gapfill": q116_activity_gapfill,  # landed r15: dense per-(key, day) zero-filled activity grid (per-key spans), full-value oracle via generate_series; r17 driver-row candidate
+    "q66_data_quality_report": q66_data_quality_report,  # rotated out r16 (ceded to q114): the audit/report family stays driver-visible via q114 (the k-anonymity audit is the privacy-facing data-quality report) + q110/q111 (text quality); the null/range/dup report's full-value oracle stays in the pytest union
+    "q91_cluster_safe_split_verify": q91_cluster_safe_split_verify,  # rotated out r16 (ceded to q120): the connected-component machinery stays driver-visible via q94 (priority survivors runs the SAME components + a policy window); the leakage-free-split full-value oracle stays in the pytest union
+    "q97_epoch_mix_verify": q97_epoch_mix_verify,  # rotated out r16 (ceded to q117): the corpus-mix/selection family stays driver-visible via q117 (DSIR importance selection, the target-distribution face) + q81/q102 (curation); the epoch-mix full-value oracle stays in the pytest union
+    "q103_token_budget_verify": q103_token_budget_verify,  # rotated out r16 (ceded to q118): the packing/token-budget family stays driver-visible via q107 (pack assembly) + q118 (pack boundary offsets); the greedy-budget full-value oracle stays in the pytest union
+    "q104_cms_frequency_verify": q104_cms_frequency_verify,  # rotated out r16 (ceded to q119): term-frequency stays driver-visible via q119 (exact top-K vocabulary, the counting face) + q101 (BM25 term stats); the CMS exact-vs-sketch agreement contract stays pytest-pinned and in the pytest union
+    "q106_script_detection_verify": q106_script_detection_verify,  # rotated out r16 (ceded to q113): X5 script detection stays driver-visible INSIDE q87 (the lang-ID router runs script_of per doc); the codepoint-range full-value oracle stays in the pytest union
     "q11_latest_event_per_user_type": q11_latest_event_per_user_type,  # rotated out r15 (ceded to q109): latest-key dedup stays driver-visible via q89 (URL canonical dedup) + q100 (Bloom ingest dedup); windows via q10/q108/q109; the full-value oracle stays in the pytest union
     "q74_grouping_sets": q74_grouping_sets,  # rotated out r15 (ceded to q108): multi-grain aggregation stays driver-visible via q108's cohort matrix + q1/q3 rollups; the grouping-sets full-value oracle stays in the pytest union
     "q75_lm_quality_score": q75_lm_quality_score,  # rotated out r15 (ceded to q110): quality scoring stays driver-visible via q110 (Gopher rules) + q111 (compression signal) + the q81 curation funnel that composes the LM rung; bench.py's llm tier still times q55/q75-family scoring and the full-value oracle stays in the pytest union
