@@ -2942,8 +2942,11 @@ EXTRA_ORACLE_SQL["q116_activity_gapfill"] = """
 # the plant: segment 0 carries the k%3<2 articles (chrome-only page dies
 # at the quality gate; 404/request/truncated records never reach it),
 # segment 1 adds the k%3==2 articles plus two mirrors the cross-batch
-# index probe must drop; a drain with nothing new changes nothing; the
-# batch twin reproduces the identical text set by construction.
+# index probe must drop AND one off-target page the DSIR rung must
+# reject (round 16 — the streaming funnel's fifth rung, frozen weights
+# fit on planted arithmetic, ~2x threshold margin); a drain with
+# nothing new changes nothing; the batch twin reproduces the identical
+# text set by construction.
 EXTRA_ORACLE_SQL["q112_warc_stream_verify"] = """
     WITH k AS (SELECT doc_id FROM documents WHERE doc_id < 24)
     SELECT metric, CAST(value AS BIGINT) AS value FROM (
@@ -2953,6 +2956,7 @@ EXTRA_ORACLE_SQL["q112_warc_stream_verify"] = """
         UNION ALL SELECT 'third_drain_delta', 0
         UNION ALL SELECT 'stream_equals_batch_twin', 1
         UNION ALL SELECT 'planted_articles_all_present', 1
+        UNION ALL SELECT 'dsir_rejected_offtarget', 1
     ) ORDER BY metric
 """
 

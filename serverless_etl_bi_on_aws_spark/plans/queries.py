@@ -5704,9 +5704,17 @@ def q112_warc_stream_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first drain: the k%3==2 articles plus two MIRRORS of segment-0
     articles under different chrome and different urls — the
     cross-batch index probe must drop both (content-true dedup: same
-    text, new url, new doc_id). A third drain with no new segments must
-    change nothing; the batch twin (one apply_curation_batch over every
-    record, fresh index) must produce the identical text set.
+    text, new url, new doc_id) — plus one OFF-TARGET page (round 16:
+    40 ``junk*`` tokens, clean HTML, passes the quality gate) that the
+    DSIR rung must reject: the stream runs with a PERSISTED weights
+    table fit on the planted articles as target vs articles+junk as
+    raw (selection.fit_dsir_weights — the frozen-weights contract the
+    streaming rung requires), ``dsir_min_milli=-8000``, a threshold the
+    junk page misses by ~2x (score ~-27k nats-milli; worst-case bucket
+    collisions leave on-target pages far above). A third drain with no
+    new segments must change nothing; the batch twin (one
+    apply_curation_batch over every record, fresh index, SAME weights)
+    must produce the identical text set.
 
     Scale shape: the stream is the same binaryFile-listing + one-
     segment-per-task Arrow parse as q98, the curation micro-batch the
@@ -5786,8 +5794,35 @@ def q112_warc_stream_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt = _os.path.join(scratch, "ckpt")
         init_minhash_index(idx)
 
+        # the DSIR rung's frozen weights: planted articles are the
+        # target distribution, articles+junk the raw corpus — junk
+        # tokens land ~-700 milli-nats each, on-target tokens slightly
+        # positive, so the 40-token junk page scores ~-27k against the
+        # -8000 gate while every article stays far above
+        from serverless_etl_bi_on_aws_spark.operators.selection import (
+            fit_dsir_weights,
+        )
+
+        junk_text = " ".join(f"junk{i:06d}" for i in range(40))
+        target_fit = spark.createDataFrame(
+            [(k, article(k)) for k in ks], "doc_id bigint, text string"
+        )
+        raw_fit = target_fit.unionByName(
+            spark.createDataFrame(
+                [(-1, junk_text)], "doc_id bigint, text string"
+            )
+        )
+        weights_path = _os.path.join(scratch, "dsir_weights")
+        fit_dsir_weights(target_fit, raw_fit, num_buckets=1 << 10).write.parquet(
+            weights_path
+        )
+        dsir_min = -8000
+
         def drain() -> None:
-            q = start_warc_curation(spark, land, idx, clean, ckpt)
+            q = start_warc_curation(
+                spark, land, idx, clean, ckpt,
+                dsir_weights_path=weights_path, dsir_min_milli=dsir_min,
+            )
             q.awaitTermination()
 
         def texts() -> set[str]:
@@ -5806,6 +5841,11 @@ def q112_warc_stream_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg1 += gzip_member(
                 resp(f"http://m/mirror{k}", page(article(k), chrome_b))
             )
+        # off-target page: survives the quality gate, dies at the
+        # DSIR rung (round 16 — the streaming funnel's fifth rung)
+        seg1 += gzip_member(
+            resp("http://m/offtarget", page(junk_text, chrome_b))
+        )
         with open(_os.path.join(land, "seg1.warc.gz"), "wb") as fh:
             fh.write(seg1)
 
@@ -5832,7 +5872,8 @@ def q112_warc_stream_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         apply_curation_batch(
-            spark, batch_docs, twin_idx, twin_clean, "twin-0", html_col="html"
+            spark, batch_docs, twin_idx, twin_clean, "twin-0", html_col="html",
+            dsir_weights_path=weights_path, dsir_min_milli=dsir_min,
         )
         twin_texts = {
             r.text
@@ -5848,6 +5889,7 @@ def q112_warc_stream_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "planted_articles_all_present",
                 int(stream_texts == {article(k) for k in ks}),
             ),
+            ("dsir_rejected_offtarget", int(junk_text not in stream_texts)),
         ]
         return spark.createDataFrame(rows, "metric string, value bigint").orderBy(
             "metric"

@@ -392,6 +392,8 @@ def start_warc_curation(
     threshold: float = 0.5,
     available_now: bool = True,
     processing_time: str = "1 hour",
+    dsir_weights_path: str | None = None,
+    dsir_min_milli: int = 0,
 ) -> StreamingQuery:
     """The crawl-shaped front of :func:`start_incremental_curation`:
     watch ``warc_dir`` for arriving WARC segments (the Common Crawl
@@ -409,8 +411,11 @@ def start_warc_curation(
     the same page arrives under the same id — upstream of the content
     near-dup rung that catches the same article under a NEW url.
     Quarantined records and non-200/non-HTML responses never reach the
-    gate. Same trigger/checkpoint/batch-id discipline as every other
-    loop in this module."""
+    gate. ``dsir_weights_path`` (round 16) threads the frozen-weights
+    target-distribution rung through, same contract as
+    :func:`apply_curation_batch` — so the crawl loop can select toward
+    a target domain while it dedups. Same trigger/checkpoint/batch-id
+    discipline as every other loop in this module."""
     from serverless_etl_bi_on_aws_spark.sources.warc import stream_warc
 
     ckpt = checkpoint_instance_nonce(checkpoint_dir)
@@ -441,6 +446,8 @@ def start_warc_curation(
             text_col="text",
             id_col="doc_id",
             html_col="html",
+            dsir_weights_path=dsir_weights_path,
+            dsir_min_milli=dsir_min_milli,
         )
 
     writer = docs.writeStream.foreachBatch(apply_batch).option(
