@@ -57,11 +57,33 @@ def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 50,
+    vocab: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns them in
     learned (priority) order. Deterministic: the argmax pair breaks
-    frequency ties lexicographically."""
-    words = _word_counts(df, text_col).withColumn(
+    frequency ties lexicographically.
+
+    ``vocab`` (round 16 — the q119 -> BPE composition) is the
+    tokenizer-prep pre-filter: a top-K vocabulary from
+    ``operators/vocab.build_vocab`` (any frame with a ``token`` column).
+    When given, training statistics restrict to words IN the vocabulary
+    — the long tail (hapaxes, OCR junk, boilerplate ids) cannot vote on
+    merges, and every per-round pair explode runs over at most K rows
+    regardless of how the corpus's distinct-word count grows: the knob
+    that keeps the merge loop's working set CONSTANT at 100 TB. With K
+    >= the corpus's distinct word count the restriction is a no-op and
+    training is byte-identical to the unfiltered run (the pytest
+    composition gate pins both directions). The vocabulary broadcasts;
+    encoding is unchanged — an out-of-vocab word still tokenizes
+    through whatever merges apply to it."""
+    words = _word_counts(df, text_col)
+    if vocab is not None:
+        words = words.join(
+            F.broadcast(vocab.select(F.col("token").alias("word"))),
+            "word",
+            "left_semi",
+        )
+    words = words.withColumn(
         "syms",
         F.concat(
             F.split(F.col("word"), ""), F.array(F.lit(EOW))

@@ -142,3 +142,45 @@ def test_bpe_merges_roundtrip_persistence(spark, tmp_path):
     path = str(tmp_path / "merges")
     save_bpe_merges(spark, merges, path)
     assert load_bpe_merges(spark, path) == merges
+
+
+def test_vocab_prefilter_composition(spark):
+    """Round 16 (verdict r15 ask #6): build_vocab output wires in as
+    train_bpe's alphabet pre-filter. Two directions pinned:
+    (a) a covering vocabulary (K >= distinct words) is a NO-OP - merges
+        and token counts byte-identical to direct training;
+    (b) a top-K cut excludes the rare tail, and filtered training
+        equals direct training on the tail-stripped corpus."""
+    from serverless_etl_bi_on_aws_spark.operators.vocab import build_vocab
+
+    base = [("lower lower lowest lowest lower", 40), ("newer newest newer", 30)]
+    tail = [(f"junkword{i:04d} oddity{i:04d}", 1) for i in range(20)]
+    rows, j = [], 0
+    for text, n in base + tail:
+        for _ in range(n):
+            rows.append((j, text))
+            j += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    # (a) covering vocabulary: no-op
+    cover = build_vocab(df, k=10_000)
+    direct = train_bpe(df, n_merges=12)
+    filtered = train_bpe(df, n_merges=12, vocab=cover)
+    assert direct == filtered and len(direct) > 0
+    counted_a = {
+        r.doc_id: r.n for r in bpe_token_count(df, direct, out_col="n").collect()
+    }
+    counted_b = {
+        r.doc_id: r.n for r in bpe_token_count(df, filtered, out_col="n").collect()
+    }
+    assert counted_a == counted_b
+
+    # (b) top-K cut: the four frequent words only; filtered training
+    # equals direct training on the tail-stripped corpus
+    top = build_vocab(df, k=4)
+    kept = {r.token for r in top.collect()}
+    assert kept == {"lower", "lowest", "newer", "newest"}
+    stripped = df.filter(~F.col("text").startswith("junk"))
+    assert train_bpe(df, n_merges=12, vocab=top) == train_bpe(
+        stripped, n_merges=12
+    )
