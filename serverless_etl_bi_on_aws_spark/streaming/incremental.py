@@ -71,6 +71,69 @@ def merge_into_parquet_target(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def merge_into_generation_target(
+    spark: SparkSession,
+    staging: DataFrame,
+    root: str,
+    keys: Sequence[str],
+    schema_evolution: str = "error",
+    keep_n: int = 2,
+) -> None:
+    """ST4 over the GENERATION+POINTER store (round 16 — the SURVEY §7.1
+    convergence): the identical 4-step staging merge, but the target is
+    an ``operators/snapshot.py`` generation store instead of an
+    in-place-swapped directory. The merged table writes under a
+    never-before-visible generation name and the COMMIT is the KB
+    pointer marker through ``util.write_marker`` — the one pattern of
+    :func:`merge_into_parquet_target` that does NOT translate to an
+    object store (in-place rename) is gone; this is the shape the swap
+    path converges on at 100 TB (and what Delta/Iceberg MERGE INTO do
+    under the hood: new files + a log/pointer commit).
+
+    Extra properties the swap path cannot give:
+      * readers that resolved before the merge keep reading their
+        (retained, ``keep_n``) generation — no read-under-swap window;
+      * a crash anywhere before the pointer write leaves the old
+        generation live and the stage as garbage for the next commit's
+        sweep — never a half-table;
+      * time travel across the last ``keep_n`` merges for free.
+
+    Read the live table with :func:`read_generation_target`. Idempotent
+    like the swap variant: re-merging the same staging batch commits a
+    content-identical new generation."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        begin_generation,
+        commit_generation,
+        resolve_generation,
+    )
+
+    cur = resolve_generation(root)
+    gen, stage = begin_generation(root)
+    data_dir = os.path.join(stage, "data")
+    if cur is None:
+        staging.write.mode("overwrite").parquet(data_dir)
+    else:
+        final = spark.read.parquet(os.path.join(cur, "data"))
+        merged = merge_upsert(
+            final, staging, keys, schema_evolution=schema_evolution
+        )
+        merged.write.mode("overwrite").parquet(data_dir)
+    commit_generation(root, gen, stage, keep_n=keep_n)
+
+
+def read_generation_target(spark: SparkSession, root: str) -> DataFrame:
+    """Reader half of :func:`merge_into_generation_target`: the live
+    generation's table, resolved through the pointer marker."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        resolve_generation,
+    )
+
+    cur = resolve_generation(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed generation under {root}")
+    return spark.read.parquet(os.path.join(cur, "data"))
+
+
 def start_incremental_merge(
     spark: SparkSession,
     source_dir: str,
@@ -82,11 +145,17 @@ def start_incremental_merge(
     processing_time: str = "1 hour",
     fmt: str = "parquet",
     schema_evolution: str = "error",
+    generations: bool = False,
 ) -> StreamingQuery:
     """ST2+ST3+ST4 in one query: watch ``source_dir`` for new files (the
     Lambda-trigger analog — checkpointed, each file processed exactly once,
     README.md:128's recompute-avoidance for free) and merge every
     micro-batch into the target keyed on ``keys``.
+
+    ``generations=True`` (round 16) routes each micro-batch through
+    :func:`merge_into_generation_target` — ``target_path`` becomes a
+    generation-store root (read via :func:`read_generation_target`),
+    retiring the in-place directory swap: the object-store-correct loop.
 
     ``available_now=True`` = drain-everything-then-stop (the hourly batch
     cadence, ST2, run from any scheduler); ``False`` = stay up with a
@@ -107,9 +176,16 @@ def start_incremental_merge(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_into_parquet_target(
-            spark, batch_df, target_path, keys, schema_evolution=schema_evolution
-        )
+        if generations:
+            merge_into_generation_target(
+                spark, batch_df, target_path, keys,
+                schema_evolution=schema_evolution,
+            )
+        else:
+            merge_into_parquet_target(
+                spark, batch_df, target_path, keys,
+                schema_evolution=schema_evolution,
+            )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -812,3 +812,91 @@ def test_rollup_crash_window_is_closed(spark, tmp_path, monkeypatch):
     shutil.rmtree(ckpt)
     drain()
     assert rows() == want(li)
+
+
+def test_generation_merge_matches_swap_merge(spark, tmp_path):
+    """Round 16 (SURVEY 7.1 convergence): merge_into_generation_target
+    is the rename-free twin of the parquet swap merge — same 4-step
+    staging-merge semantics, the commit is a pointer marker. Content
+    must match the swap path batch-for-batch, replay must be
+    idempotent, and a reader resolved BEFORE a merge keeps its
+    (retained) generation — the no-read-under-swap property the
+    in-place path cannot give."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        resolve_generation,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        merge_into_generation_target,
+        read_generation_target,
+    )
+
+    orders, hist, stage = _split_orders(spark)
+    swap_target = str(tmp_path / "swap")
+    gen_root = str(tmp_path / "gens")
+
+    merge_into_parquet_target(spark, hist, swap_target, ["o_orderkey"])
+    merge_into_generation_target(spark, hist, gen_root, ["o_orderkey"])
+    old_gen = resolve_generation(gen_root)
+    old_reader = spark.read.parquet(os.path.join(old_gen, "data"))
+
+    merge_into_parquet_target(spark, stage, swap_target, ["o_orderkey"])
+    merge_into_generation_target(spark, stage, gen_root, ["o_orderkey"])
+
+    want = sorted(map(repr, spark.read.parquet(swap_target).collect()))
+    got = sorted(map(repr, read_generation_target(spark, gen_root).collect()))
+    assert got == want
+    # the pre-merge reader still resolves its old generation (keep_n=2)
+    assert resolve_generation(gen_root) != old_gen
+    assert sorted(map(repr, old_reader.collect())) == sorted(
+        map(repr, hist.collect())
+    )
+    # replay idempotence: same staging batch -> content-identical table
+    merge_into_generation_target(spark, stage, gen_root, ["o_orderkey"])
+    again = sorted(map(repr, read_generation_target(spark, gen_root).collect()))
+    assert again == want
+
+
+def test_generation_merge_streaming_end_to_end(spark, tmp_path):
+    """start_incremental_merge(generations=True): the EP1 loop over the
+    generation store — two landed files drain into two merges; the live
+    table equals the one-shot merge of both batches."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        read_generation_target,
+    )
+
+    orders, hist, stage = _split_orders(spark)
+    land = tmp_path / "land"
+    land.mkdir()
+    hist.coalesce(1).write.mode("overwrite").parquet(str(land / "b1"))
+    root = str(tmp_path / "gens")
+    q = start_incremental_merge(
+        spark,
+        str(land / "*"),
+        root,
+        ["o_orderkey"],
+        hist.schema,
+        str(tmp_path / "ckpt"),
+        generations=True,
+    )
+    q.awaitTermination()
+    assert read_generation_target(spark, root).count() == hist.count()
+    stage.coalesce(1).write.mode("overwrite").parquet(str(land / "b2"))
+    q = start_incremental_merge(
+        spark,
+        str(land / "*"),
+        root,
+        ["o_orderkey"],
+        hist.schema,
+        str(tmp_path / "ckpt"),
+        generations=True,
+    )
+    q.awaitTermination()
+    want = sorted(
+        map(repr, merge_upsert(hist, stage, ["o_orderkey"]).collect())
+    )
+    got = sorted(map(repr, read_generation_target(spark, root).collect()))
+    assert got == want

@@ -136,3 +136,15 @@ def test_merge_streaming_epoch_replay_over_object_store(spark, tmp_path, fake_st
 
     t.test_cell_merge_epoch_replay_is_noop(spark, tmp_path / "a")
     assert fake_store.puts > 0
+
+
+def test_generation_merge_over_object_store(spark, tmp_path, fake_store):
+    """The round-16 swap-merge convergence runs rename-free END TO END
+    at the commit layer: the staging-merge's only publish is the
+    generation POINTER marker (overwrite PUT) — content, pre-merge
+    reader retention, and replay idempotence all hold over the
+    double."""
+    from tests import test_merge_streaming as t
+
+    t.test_generation_merge_matches_swap_merge(spark, tmp_path / "a")
+    assert fake_store.puts > 0
