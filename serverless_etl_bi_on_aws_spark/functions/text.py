@@ -216,6 +216,70 @@ def mask_valid_cards(text: str | Column, token: str = "<CARD>") -> Column:
     )
 
 
+#: IBAN candidate shape (ISO 13616): two country letters, two check
+#: digits, 11-30 alphanumerics — the union of real national lengths
+#: (15 Norway .. 34 max). Shape only; :func:`iban_valid` decides.
+#: Same regex dialect rules as PII_PATTERNS (no lookaround — RE2-safe).
+IBAN_CANDIDATE_RE = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+
+
+def iban_candidates(text: str | Column) -> Column:
+    """``array<string>`` of IBAN-shaped substrings (de-duplicated).
+    Candidates only — run :func:`iban_valid` before treating one as
+    PII (a tracking code can match the shape; the mod-97 checksum is
+    the decider, exactly the Luhn split for cards)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.regexp_extract_all(c, F.lit(IBAN_CANDIDATE_RE), F.lit(0))
+    )
+
+
+def iban_valid(cand: Column) -> Column:
+    """Boolean: ``cand`` passes the ISO 13616 / ISO 7064 mod-97 check —
+    move the first four chars to the end, map ``A-Z`` to ``10-35``, and
+    the resulting big integer must be ``== 1 (mod 97)``. The number
+    (up to 36 digits) never materializes: the fold keeps a running
+    remainder — ``(acc*10 + digit) % 97`` per digit, ``(acc*100 +
+    value) % 97`` per letter — in pure integer JVM expressions, the
+    exact chunked-mod recipe the standard prescribes for 32-bit
+    machines. Runs per CANDIDATE like :func:`luhn_valid`; country-
+    specific length tables are deliberately out of scope (documented —
+    the checksum catches transposition/typo damage regardless)."""
+    rearranged = F.concat(F.substring(cand, 5, 1_000_000), F.substring(cand, 1, 4))
+    chars = F.filter(F.split(rearranged, ""), lambda ch: ch != F.lit(""))
+    acc = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: F.when(
+            ch.rlike("[A-Z]"),
+            (acc * 100 + (F.ascii(ch) - 55).cast("bigint")) % 97,
+        ).otherwise((acc * 10 + ch.cast("bigint")) % 97),
+    )
+    return (F.length(cand) >= 15) & (acc == 1)
+
+
+def iban_counts(text: str | Column) -> dict[str, Column]:
+    """``{'iban_candidates': n, 'iban_valid': n}`` over the original
+    text — the audit counts, symmetric with :func:`card_counts`."""
+    cands = iban_candidates(text)
+    return {
+        "iban_candidates": F.size(cands),
+        "iban_valid": F.size(F.filter(cands, iban_valid)),
+    }
+
+
+def mask_valid_ibans(text: str | Column, token: str = "<IBAN>") -> Column:
+    """Replace every mod-97-VALID IBAN candidate with ``token``,
+    leaving checksum-failing shape-alikes (tracking codes, serials)
+    untouched — the same conservative direction as
+    :func:`mask_valid_cards`."""
+    c = F.col(text) if isinstance(text, str) else text
+    valid = F.filter(iban_candidates(c), iban_valid)
+    return F.aggregate(
+        valid, c, lambda acc, cand: F.replace(acc, cand, F.lit(token))
+    )
+
+
 #: UTF-8 text misdecoded as Latin-1 (the classic double-encoding rot a
 #: crawl corpus carries): every two-byte UTF-8 sequence for U+00C0-U+00FF
 #: (the accented Latin-1 block — é è ü ñ ç ...) turns into 'Ã' followed

@@ -522,6 +522,70 @@ def compact_simhash_index(
     return compact_hash_index(spark, index_path, target_file_bytes)
 
 
+def minhash_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "doc_id",
+    right_id: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Bipartite banded-LSH similarity JOIN (round 16 — record linkage /
+    fuzzy entity resolution): for two DIFFERENT tables, the pairs
+    ``(id_l, id_r, est_jaccard >= threshold)`` whose texts are near-
+    duplicates — the cross-table face of :func:`neardup_minhash_lsh`
+    (matching a crawl corpus against a takedown/copyright/benchmark
+    list; linking records across two feeds by fuzzy text key). Both
+    sides hash with the SAME seed so signatures are comparable by
+    construction.
+
+    Scale shape, same discipline as the self-join: each side explodes
+    to ids-only (band, bucket) rows — never signatures — and the one
+    data-sized exchange is the band join, linear in rows x bands; the
+    signature fetches are candidate-pair-sized joins back to the two
+    localCheckpoint'd signature frames. No O(|L| x |R|) anywhere; when
+    one side is a small list (the takedown case), its banded frame
+    broadcasts and even the band exchange disappears from the big side.
+
+    Sub-``n``-token texts on either side produce no signature and
+    therefore no pairs (the NULL-dhash rule, bipartite)."""
+    rows = num_hashes // bands
+    sig_l = minhash_signatures(
+        left, left_id, text_col, n, num_hashes, seed
+    ).localCheckpoint(eager=True)
+    sig_r = minhash_signatures(
+        right, right_id, text_col, n, num_hashes, seed
+    ).localCheckpoint(eager=True)
+    band_l = band_buckets(sig_l, bands, rows, id_col=left_id)
+    band_r = band_buckets(sig_r, bands, rows, id_col=right_id)
+    cand = (
+        band_l.select(F.col("_id").alias("id_l"), "band", "bucket")
+        .join(
+            band_r.select(F.col("_id").alias("id_r"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("id_l", "id_r")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    return (
+        cand.join(
+            sig_l.select(F.col(left_id).alias("id_l"), F.col("sig").alias("_s1")),
+            "id_l",
+        )
+        .join(
+            sig_r.select(F.col(right_id).alias("id_r"), F.col("sig").alias("_s2")),
+            "id_r",
+        )
+        .withColumn("est_jaccard", est_jaccard("_s1", "_s2", num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_l", "id_r", "est_jaccard")
+    )
+
+
 def dedup_exact_spans(
     df: DataFrame,
     text_col: str = "text",

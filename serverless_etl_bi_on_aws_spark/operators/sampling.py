@@ -242,6 +242,35 @@ def stratified_sample(
     return df.sampleBy(strata_col, dict(fractions), seed=seed)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum (round 16 — the
+    eval-set constructor: "k docs per language/source, the same k docs
+    every run, every engine"): rows rank under the total order
+    (multiplicative-hash(id + seed), id) within each stratum and the
+    top ``k`` survive. Deterministic and replayable by construction —
+    the DuckDB oracle reruns the identical integer arithmetic — unlike
+    ``sampleBy`` (statistical) this gives exact quotas and unlike
+    ``LIMIT`` per group it is unbiased w.r.t. storage order. One
+    shuffle (the per-stratum window); no global sort."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    order = F.pmod(
+        (F.col(id_col) + F.lit(seed)) * F.lit(_MIX), F.lit(1_000_000_007)
+    )
+    w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__ssx_rk", F.row_number().over(w))
+        .filter(F.col("__ssx_rk") <= k)
+        .drop("__ssx_rk")
+    )
+
+
 def temperature_mix_sample(
     df: DataFrame,
     strata_col: str,

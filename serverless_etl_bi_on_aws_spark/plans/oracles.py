@@ -2976,3 +2976,124 @@ EXTRA_ORACLE_SQL["q120_simhash_index_verify"] = """
            TRUE AS control_kept,
            TRUE AS replay_noop
 """
+
+# q121: the bipartite similarity join. Side sizes and the exact
+# cross-parity Jaccard tier are recomputed from first principles over
+# the SAME union the engine sees (the planted 150-token texts rebuild in
+# SQL via string_agg/printf — identical strings by construction);
+# signature-estimate verdicts ship as measured-margin booleans
+# (q13/q76 discipline).
+EXTRA_ORACLE_SQL["q121_similarity_join_verify"] = """
+    WITH mx AS (SELECT 2 * (MAX(doc_id) // 2) + 2 AS hi FROM documents),
+    tw AS (SELECT string_agg(printf('pair%03d', i), ' ' ORDER BY i) AS t
+           FROM range(150) r(i)),
+    solo AS (SELECT string_agg(printf('solo%03d', i), ' ' ORDER BY i) AS t
+             FROM range(150) r(i)),
+    docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT hi, t FROM mx, tw
+        UNION ALL SELECT hi + 1, replace(t, 'pair005', 'pair900') FROM mx, tw
+        UNION ALL SELECT hi + 3, t FROM mx, solo
+    ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM docs
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                              FOR i IN range(1, len(t) - 1)]) AS s
+        FROM toks WHERE len(t) >= 3
+    ), tok AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS i
+        FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_1, id_2, i * 1.0 / (s1.n + s2.n - i) AS j
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id_1
+        JOIN sizes s2 ON s2.doc_id = id_2
+    )
+    SELECT 'similarity_join' AS method,
+           CAST((SELECT COUNT(*) FROM docs WHERE doc_id % 2 = 0) AS BIGINT)
+               AS n_left,
+           CAST((SELECT COUNT(*) FROM docs WHERE doc_id % 2 = 1) AS BIGINT)
+               AS n_right,
+           CAST((SELECT COUNT(*) FROM pairs
+                 WHERE j >= 0.5 AND (id_1 % 2) != (id_2 % 2)) AS BIGINT)
+               AS n_exact_cross_50,
+           TRUE AS recall_ok,
+           TRUE AS no_false_pairs,
+           TRUE AS twin_caught,
+           TRUE AS control_clean
+"""
+
+# q122: IBAN verdicts are stated from the plant's LITERAL public test
+# vectors (the ISO example GB82WEST12345698765432 valid, +1 invalid,
+# DE89/FR14 both valid, GB00TEST... shape-passing checksum-failing) —
+# the oracle never computes mod-97, it replays the known answers; the
+# engine's chunked-mod fold is additionally pinned against an
+# independent Python reference in pytest.
+EXTRA_ORACLE_SQL["q122_iban_verify"] = """
+    WITH k AS (
+        SELECT doc_id, doc_id % 5 AS b FROM documents WHERE doc_id < 2500
+    )
+    SELECT CAST(b AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (CASE WHEN b = 2 THEN 2
+                                 WHEN b = 4 THEN 0 ELSE 1 END) AS BIGINT)
+               AS candidates,
+           CAST(COUNT(*) * (CASE WHEN b = 0 THEN 1
+                                 WHEN b = 2 THEN 2 ELSE 0 END) AS BIGINT)
+               AS mod97_valid,
+           CAST(COUNT(*) AS BIGINT) AS masked_ok
+    FROM k GROUP BY b ORDER BY bucket
+"""
+
+# q123: exact stratified sample — the oracle reruns the identical
+# multiplicative-hash rank arithmetic (the q37 Knuth-mix discipline:
+# exact integers, engine-neutral), so this is a full row-level compare.
+EXTRA_ORACLE_SQL["q123_stratified_sample_exact"] = """
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+               ) AS rk
+        FROM documents WHERE doc_id < 2500
+    ) WHERE rk <= 7
+    ORDER BY lang, doc_id
+"""
+
+# q124: q116's dense grid + the trailing 7-day ROWS frame, both exact
+# integers (1000*sum DIV covered) — full row-level compare.
+EXTRA_ORACLE_SQL["q124_rolling_activity_stats"] = """
+    WITH e AS (
+        SELECT user_id % 17 AS user_bucket, CAST(ts AS DATE) AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_bucket, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY 1
+    ),
+    dense AS (
+        SELECT spans.user_bucket,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM spans
+    ),
+    grid AS (
+        SELECT dense.user_bucket, dense.day,
+               CAST(COALESCE(e.n, 0) AS BIGINT) AS n_events
+        FROM dense LEFT JOIN e USING (user_bucket, day)
+    )
+    SELECT user_bucket, day, n_events,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS roll_sum,
+           CAST((SUM(n_events) OVER w) * 1000 // (COUNT(*) OVER w) AS BIGINT)
+               AS roll_avg_milli
+    FROM grid
+    WINDOW w AS (PARTITION BY user_bucket ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_bucket, day
+"""

@@ -6173,6 +6173,246 @@ def q120_simhash_index_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_similarity_join_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE near-dup similarity join under a driver value gate
+    (round 16 — operators/dedup.minhash_similarity_join, the record-
+    linkage / fuzzy-entity-resolution face of the MinHash family: match
+    a corpus against a takedown/copyright/benchmark list where the text
+    is the fuzzy key). The corpus splits by doc_id parity into a "left"
+    corpus (even) and a "right" list (odd); three planted docs (ids
+    above every real id, parity-preserving arithmetic) pin the
+    behavior: a cross-table twin pair (one token edited out of 150 —
+    MUST be linked) and a fresh right-side control (MUST stay
+    unlinked).
+
+    q13/q76 discipline — signature estimates are hash-layout-dependent,
+    so verdicts ship as measured-margin booleans; counts both engines
+    can recompute ship exact:
+
+      * n_left / n_right — side sizes including plants (closed form);
+      * n_exact_cross_50 — cross-parity pairs with exact 3-shingle
+        Jaccard >= 0.5, which DuckDB recomputes from first principles
+        (the planted texts rebuild in SQL with string_agg/printf, so
+        the oracle sees the identical union);
+      * recall_ok — the banded join links >= 90% of that exact tier
+        (the 128/32 S-curve predicts ~98%);
+      * no_false_pairs — every emitted pair has exact J >= 0.35;
+      * twin_caught / control_clean — the planted directions.
+
+    Scale shape: ids-only band exchange on both sides (the round-8
+    shuffle discipline, bipartite), candidate-pair-sized signature
+    fetches, verdict branches as 1-row crossJoined aggregates."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        minhash_similarity_join,
+        neardup_jaccard_pairs,
+    )
+
+    real = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = real.agg(F.max("doc_id")).head()[0]
+    hi = 2 * (mx // 2) + 2  # even, strictly above every real id
+    twin = " ".join(f"pair{i:03d}" for i in range(150))
+    plant = spark.createDataFrame(
+        [
+            (hi, twin),                                    # left twin
+            (hi + 1, twin.replace("pair005", "pair900")),  # right twin: link
+            (hi + 3, " ".join(f"solo{i:03d}" for i in range(150))),  # control
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = real.unionByName(plant)
+    left = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    right = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+
+    linked = minhash_similarity_join(
+        left, right, text_col="text", threshold=0.5
+    ).localCheckpoint(eager=True)
+
+    exact = neardup_jaccard_pairs(
+        docs, n=3, threshold=0.35, max_df_frac=0.05
+    ).localCheckpoint(eager=True)
+    # cross-parity orientation: (even, odd) as (id_l, id_r)
+    cross = exact.filter(
+        F.pmod(F.col("id_1"), F.lit(2)) != F.pmod(F.col("id_2"), F.lit(2))
+    ).select(
+        F.when(F.pmod(F.col("id_1"), F.lit(2)) == 0, F.col("id_1"))
+        .otherwise(F.col("id_2"))
+        .alias("id_l"),
+        F.when(F.pmod(F.col("id_1"), F.lit(2)) == 1, F.col("id_1"))
+        .otherwise(F.col("id_2"))
+        .alias("id_r"),
+        "jaccard",
+    )
+    e50 = (
+        cross.filter(F.col("jaccard") >= 0.5)
+        .select("id_l", "id_r")
+        .localCheckpoint(eager=True)
+    )
+
+    n_left = left.agg(F.count("*").alias("n_left"))
+    n_right = right.agg(F.count("*").alias("n_right"))
+    n_e50 = e50.agg(F.count("*").alias("n_exact_cross_50"))
+    hit = linked.join(e50, ["id_l", "id_r"], "left_semi").agg(
+        F.count("*").alias("_hit")
+    )
+    false_pairs = linked.join(
+        cross.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+    ).agg(F.count("*").alias("_fp"))
+    twin_hit = linked.filter(
+        (F.col("id_l") == hi) & (F.col("id_r") == hi + 1)
+    ).agg(F.count("*").alias("_tw"))
+    ctrl = linked.filter(F.col("id_r") == hi + 3).agg(F.count("*").alias("_ct"))
+    return (
+        n_left.crossJoin(F.broadcast(n_right))
+        .crossJoin(F.broadcast(n_e50))
+        .crossJoin(F.broadcast(hit))
+        .crossJoin(F.broadcast(false_pairs))
+        .crossJoin(F.broadcast(twin_hit))
+        .crossJoin(F.broadcast(ctrl))
+        .select(
+            F.lit("similarity_join").alias("method"),
+            F.col("n_left"),
+            F.col("n_right"),
+            F.col("n_exact_cross_50"),
+            (F.col("_hit") * 10 >= F.col("n_exact_cross_50") * 9).alias("recall_ok"),
+            (F.col("_fp") == 0).alias("no_false_pairs"),
+            (F.col("_tw") == 1).alias("twin_caught"),
+            (F.col("_ct") == 0).alias("control_clean"),
+        )
+    )
+
+
+def q122_iban_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated IBAN PII (round 16 — the ISO 13616 member of
+    the privacy family, functions/text.iban_candidates / iban_valid /
+    mask_valid_ibans — q113's Luhn discipline with the ISO 7064 mod-97
+    check): shape alone cannot decide IBAN-ness — a booking code can
+    match ``[A-Z]{2}\\d{2}[A-Z0-9]{11,30}`` and masking it destroys
+    data — so candidates are gated by the chunked-mod-97 checksum in
+    pure integer JVM expressions (the 36-digit number never
+    materializes).
+
+    Plant (doc_id < 2500 = k, k%5 buckets over literal public test
+    vectors so the oracle states every verdict without computing
+    mod-97): 0 = the ISO example GB IBAN (valid); 1 = the same with
+    the trailing digit bumped (invalid — must NOT mask); 2 = two valid
+    IBANs in one doc (DE + FR — both mask); 3 = a shape-matching
+    checksum-failing string (invalid); 4 = no candidates at all.
+    Output per bucket: docs, candidate count, mod-97-valid count, and
+    masked_ok (masked text equals the closed-form expectation).
+
+    Scale shape: map-only — extraction is codegen'd regexp; the mod-97
+    fold runs per CANDIDATE (0-2 per planted doc); the one exchange is
+    the 5-row bucket aggregate."""
+    from serverless_etl_bi_on_aws_spark.functions.text import (
+        iban_counts,
+        mask_valid_ibans,
+    )
+
+    k = F.col("doc_id")
+    m = F.pmod(k, F.lit(5)).cast("int")
+    text = (
+        F.when(m == 0, F.concat(F.lit("wire GB82WEST12345698765432 ref "), k))
+        .when(m == 1, F.concat(F.lit("wire GB82WEST12345698765433 ref "), k))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("from DE89370400440532013000 to FR1420041010050500013M02606 id "),
+                k,
+            ),
+        )
+        .when(m == 3, F.concat(F.lit("booking GB00TEST11111111111111 seat "), k))
+        .otherwise(F.concat(F.lit("no account here "), k))
+    )
+    expected = (
+        F.when(m == 0, F.concat(F.lit("wire <IBAN> ref "), k))
+        .when(m == 2, F.concat(F.lit("from <IBAN> to <IBAN> id "), k))
+        .otherwise(text)
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2500)
+        .select(m.alias("bucket"), text.alias("text"), expected.alias("__want"))
+    )
+    cc = iban_counts("text")
+    return (
+        docs.select(
+            "bucket",
+            cc["iban_candidates"].alias("__cand"),
+            cc["iban_valid"].alias("__ok"),
+            (mask_valid_ibans("text") == F.col("__want")).cast("int").alias("__m"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__cand").cast("bigint").alias("candidates"),
+            F.sum("__ok").cast("bigint").alias("mod97_valid"),
+            F.sum("__m").cast("bigint").alias("masked_ok"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q123_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling (round 16 —
+    operators/sampling.stratified_sample_exact): the eval-set
+    constructor — exactly min(k, |stratum|) documents per language,
+    the SAME documents on every run, partitioning, and engine, ranked
+    by (multiplicative-hash(id), id) within each stratum. FULL
+    row-level value oracle: DuckDB reruns the identical integer
+    arithmetic, so a drift in the hash, the tie-break, or the quota
+    flips rows.
+
+    Scale shape: one per-stratum window shuffle; no global sort; the
+    projection is narrow (lang, doc_id) so nothing data-sized rides
+    the exchange."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 2500)
+        .select("doc_id", "lang")
+    )
+    return (
+        stratified_sample_exact(docs, "lang", k=7)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def q124_rolling_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window statistics over the DENSE daily grid (round 16 —
+    operators/timeseries.rolling_daily_stats composing q116's
+    gap_fill_daily): the 7-day moving activity average BI charts want,
+    computed over explicit zeros so quiet days deflate the average
+    (over a sparse frame a trailing window silently averages ACTIVE
+    days only — the bug densification exists to prevent). Exact
+    integers end to end: roll_sum is a BIGINT window sum,
+    roll_avg_milli = 1000*sum DIV days-covered (the leading edge
+    divides by the days actually in frame — an honest partial, not
+    deflated by phantom history). FULL row-level value oracle: DuckDB
+    rebuilds the same grid (generate_series) and the same ROWS-frame
+    window.
+
+    Scale shape: q116's grid build (partial-agg groupBy + per-key span
+    explode + identically-keyed join), then ONE sliding window per key
+    ordered by day — O(1) per row, shuffle key unchanged."""
+    from serverless_etl_bi_on_aws_spark.operators.timeseries import (
+        gap_fill_daily,
+        rolling_daily_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dense = gap_fill_daily(
+        ev, F.pmod(F.col("user_id"), F.lit(17)), ts_col="ts",
+        out_key="user_bucket", count_col="n_events",
+    )
+    return rolling_daily_stats(
+        dense, "user_bucket", "day", "n_events", window_days=7
+    ).orderBy("user_bucket", "day")
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -6235,6 +6475,10 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q121_similarity_join_verify": q121_similarity_join_verify,  # landed r16: bipartite MinHash-LSH similarity JOIN (record linkage / fuzzy entity resolution) — exact cross-parity Jaccard tier oracled from first principles, planted twin/control gates; r17 driver-row candidate
+    "q122_iban_verify": q122_iban_verify,  # landed r16: ISO 13616 IBAN PII — chunked-mod-97 checksum gate in pure integer JVM expressions, literal-test-vector plant (q113 discipline), full value oracle; r17 driver-row candidate
+    "q123_stratified_sample_exact": q123_stratified_sample_exact,  # landed r16: exact-quota stratified sampling (eval-set constructor) — full row-level value oracle over the engine-neutral Knuth-hash rank; r17 driver-row candidate
+    "q124_rolling_activity_stats": q124_rolling_activity_stats,  # landed r16: trailing 7-day stats over the gap-filled grid (composes q116; integer-exact DIV averages, honest partial leading edge), full row-level value oracle; r17 driver-row candidate
     "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r17 driver-row candidate
     "q116_activity_gapfill": q116_activity_gapfill,  # landed r15: dense per-(key, day) zero-filled activity grid (per-key spans), full-value oracle via generate_series; r17 driver-row candidate
     "q66_data_quality_report": q66_data_quality_report,  # rotated out r16 (ceded to q114): the audit/report family stays driver-visible via q114 (the k-anonymity audit is the privacy-facing data-quality report) + q110/q111 (text quality); the null/range/dup report's full-value oracle stays in the pytest union

@@ -505,3 +505,33 @@ def test_compression_ppt_reference_and_contracts(spark):
     )
     assert "Exchange" not in plan
     assert plan.count("MapInPandas") == 1
+
+
+def test_stratified_sample_exact_quotas_and_determinism(spark):
+    """Round 16: exact min(k, |stratum|) quotas; identical membership
+    under a different input partitioning; k=0 empty; k<0 refused."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "big" if i % 3 else "small") for i in range(60) if i % 3 or i < 9]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    out = stratified_sample_exact(df, "grp", k=5)
+    per = {}
+    for r in out.collect():
+        per.setdefault(r.grp, []).append(r.doc_id)
+    assert len(per["big"]) == 5
+    assert len(per["small"]) == 3  # only 3 rows exist: min(k, size)
+    again = {}
+    for r in stratified_sample_exact(df.repartition(13), "grp", k=5).collect():
+        again.setdefault(r.grp, []).append(r.doc_id)
+    assert {k: sorted(v) for k, v in per.items()} == {
+        k: sorted(v) for k, v in again.items()
+    }
+    assert stratified_sample_exact(df, "grp", k=0).count() == 0
+    with pytest.raises(ValueError, match="k must"):
+        stratified_sample_exact(df, "grp", k=-1)

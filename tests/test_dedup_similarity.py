@@ -1476,3 +1476,49 @@ def test_simhash_persisted_index_online_rule(spark, tmp_path):
                dedup_text_against_simhash_index(spark, probe, oneshot).collect())
     assert a == b == [91]
     assert os.path.exists(os.path.join(idx, "_applied", "b2"))
+
+
+def test_minhash_similarity_join_bipartite_contract(spark):
+    """Round 16: the cross-table LSH join links near-identical texts
+    across two frames, never unrelated ones, never within one frame;
+    sub-n-token rows on either side produce no pairs; one side
+    broadcastable (the takedown-list case) gives identical results."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        minhash_similarity_join,
+    )
+
+    base = " ".join(f"tok{i:03d}" for i in range(150))
+    other = " ".join(f"alt{i:03d}" for i in range(150))
+    left = spark.createDataFrame(
+        [(1, base), (2, other), (3, "too short")],
+        "doc_id bigint, text string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, base.replace("tok005", "tok999")),  # near-dup of left 1
+            (11, " ".join(f"new{i:03d}" for i in range(150))),  # unrelated
+            (12, other),                              # exact dup of left 2
+            (13, "na"),                               # sub-n tokens
+        ],
+        "rec_id bigint, text string",
+    )
+    got = {
+        (r.id_l, r.id_r)
+        for r in minhash_similarity_join(
+            left, right, left_id="doc_id", right_id="rec_id", threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 12)}
+    # within-frame near-dups never pair (bipartite, not a self-join):
+    left2 = left.unionByName(
+        spark.createDataFrame([(4, base)], "doc_id bigint, text string")
+    )
+    got2 = {
+        (r.id_l, r.id_r)
+        for r in minhash_similarity_join(
+            left2, right, left_id="doc_id", right_id="rec_id", threshold=0.5
+        ).collect()
+    }
+    assert got2 == {(1, 10), (2, 12), (4, 10)}

@@ -382,3 +382,59 @@ def test_vocab_cut_and_oov_exactness(spark):
 
     with pytest.raises(ValueError, match="k must"):
         build_vocab(df, k=0)
+
+
+def test_iban_mod97_against_reference(spark):
+    """Round 16: the chunked-mod-97 fold (functions/text.iban_valid)
+    against an independent big-int reference over public test vectors
+    plus shape-alikes; masking only touches checksum-valid candidates."""
+    from serverless_etl_bi_on_aws_spark.functions.text import (
+        iban_candidates,
+        iban_counts,
+        iban_valid,
+        mask_valid_ibans,
+    )
+
+    vectors = [
+        "GB82WEST12345698765432",       # ISO example
+        "DE89370400440532013000",
+        "FR1420041010050500013M02606",
+        "NO9386011117947",              # 15 chars, shortest shape
+        "GB82WEST12345698765433",       # check digit damage
+        "GB28WEST12345698765432",       # transposed check digits
+        "GB00TEST11111111111111",       # shape-alike serial
+    ]
+
+    def ref(s: str) -> bool:
+        return int(
+            "".join(str(int(c, 36)) for c in s[4:] + s[:4])
+        ) % 97 == 1
+
+    df = spark.createDataFrame(
+        [(i, f"x {v} y") for i, v in enumerate(vectors)], "i bigint, text string"
+    )
+    got = {
+        r.i: (r.c, r.v)
+        for r in df.select(
+            "i",
+            F.element_at(iban_candidates("text"), 1).alias("c"),
+            F.element_at(F.transform(iban_candidates("text"), iban_valid), 1).alias("v"),
+        ).collect()
+    }
+    for i, vec in enumerate(vectors):
+        assert got[i] == (vec, ref(vec)), vec
+    masked = {
+        r.i: r.m
+        for r in df.select("i", mask_valid_ibans("text").alias("m")).collect()
+    }
+    for i, vec in enumerate(vectors):
+        assert masked[i] == (f"x <IBAN> y" if ref(vec) else f"x {vec} y")
+    # audit counts over a multi-candidate doc
+    cc = iban_counts("text")
+    both = spark.createDataFrame(
+        [(0, f"a {vectors[0]} b {vectors[4]} c")], "i bigint, text string"
+    )
+    r = both.select(
+        cc["iban_candidates"].alias("c"), cc["iban_valid"].alias("v")
+    ).head()
+    assert (r.c, r.v) == (2, 1)
