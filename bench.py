@@ -191,6 +191,10 @@ LLM_TIER = {
     # point gets a recorded trend like every other family
     "q98": "q98_warc_ingest_verify",
     "q86": "q86_html_extract_verify",
+    # round-16 addition: the bipartite similarity join (record linkage)
+    # — prices BOTH the cross-table banded join and its exact-Jaccard
+    # verifier at fixture scale, like q82 does for the curation knob
+    "q121": "q121_similarity_join_verify",
 }
 
 SCALING_QUERIES = ("q1", "q3", "q44")

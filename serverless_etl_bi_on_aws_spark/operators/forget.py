@@ -469,3 +469,50 @@ def forget_documents_versioned(
             ],
             id_col=id_col,
         )
+
+
+def fuzzy_takedown_worklist(
+    corpus: DataFrame,
+    takedown_texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    request_id_col: str = "request_id",
+) -> DataFrame:
+    """The FUZZY half of a takedown (round 16 — composition of
+    operators/dedup.minhash_similarity_join with this module): a removal
+    request usually names exact ids/urls, but the obligated copies are
+    every near-duplicate of the requested TEXT — re-hosted under new
+    urls, re-crawled under new ids, lightly edited. Returns the
+    work list ``(doc_id, request_id, est_jaccard)`` of corpus docs
+    within ``threshold`` of ANY takedown text; feed the distinct
+    ``doc_id`` column to :func:`forget_documents`.
+
+    Work-list only, deliberately: the match rate of a fuzzy rule
+    belongs in front of a human/policy gate before deletion (the
+    conservative direction for destructive ops), so this returns
+    evidence (which request, how similar), not a mutation.
+
+    Scale shape: the takedown list is tiny — its banded frame
+    broadcasts, the corpus side never shuffles for the probe
+    (minhash_similarity_join's discipline); the corpus is scanned
+    once for signatures."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        minhash_similarity_join,
+    )
+
+    pairs = minhash_similarity_join(
+        corpus.select(F.col(id_col), F.col(text_col)),
+        takedown_texts.select(
+            F.col(request_id_col).alias("__req"), F.col(text_col)
+        ),
+        left_id=id_col,
+        right_id="__req",
+        text_col=text_col,
+        threshold=threshold,
+    )
+    return pairs.select(
+        F.col("id_l").alias(id_col),
+        F.col("id_r").alias(request_id_col),
+        "est_jaccard",
+    )

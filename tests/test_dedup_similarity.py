@@ -1522,3 +1522,45 @@ def test_minhash_similarity_join_bipartite_contract(spark):
         ).collect()
     }
     assert got2 == {(1, 10), (2, 12), (4, 10)}
+
+
+def test_similarity_join_band_exchanges_carry_ids_only(spark):
+    """Round 16 plan pin (the round-8 shuffle discipline, bipartite):
+    every exchange that ships banded rows in the cross-table join
+    carries ids only — neither side's 128-long signature column may
+    cross a (band, bucket) exchange."""
+    import contextlib
+    import io
+
+    from serverless_etl_bi_on_aws_spark.catalog import load_table
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        minhash_similarity_join,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    joined = minhash_similarity_join(
+        docs.filter("doc_id % 2 = 0"),
+        docs.filter("doc_id % 2 = 1"),
+        threshold=0.5,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain(mode="formatted")
+    blocks, cur = [], []
+    for line in buf.getvalue().splitlines():
+        if line.strip() == "":
+            if cur:
+                blocks.append("\n".join(cur))
+            cur = []
+        else:
+            cur.append(line)
+    if cur:
+        blocks.append("\n".join(cur))
+    band_blocks = [
+        b for b in blocks if "Exchange" in b.splitlines()[0] and "band" in b
+    ]
+    assert band_blocks, "expected at least one banded exchange in the plan"
+    for b in band_blocks:
+        assert "sig" not in b, f"signature crosses a band exchange:\n{b}"

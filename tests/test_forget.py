@@ -233,3 +233,39 @@ def test_forget_clean_dir_string_ids_and_bad_cast_refusal(spark, tmp_path):
     bad = spark.createDataFrame([("not-a-number",)], "doc_id string")
     with pytest.raises(ValueError, match="cannot be cast"):
         forget_from_clean_dir(spark, clean2, bad)
+
+
+def test_fuzzy_takedown_worklist_composes_with_forget(spark, tmp_path):
+    """Round 16: a takedown request names a TEXT; the work list finds
+    its near-duplicates across ids/urls (threshold-gated, evidence
+    columns), and feeding the ids to forget_documents removes them
+    while unrelated docs survive."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.forget import (
+        forget_documents,
+        fuzzy_takedown_worklist,
+    )
+
+    base = " ".join(f"tok{i:03d}" for i in range(150))
+    other = " ".join(f"alt{i:03d}" for i in range(150))
+    corpus_rows = [
+        (1, base, "b0"),                              # exact copy
+        (2, base.replace("tok005", "tok999"), "b0"),  # light edit
+        (3, other, "b1"),                             # unrelated
+    ]
+    clean = str(tmp_path / "clean")
+    spark.createDataFrame(
+        corpus_rows, "doc_id bigint, text string, batch string"
+    ).write.partitionBy("batch").parquet(clean)
+    corpus = spark.read.parquet(clean)
+    req = spark.createDataFrame(
+        [(100, base)], "request_id bigint, text string"
+    )
+    wl = fuzzy_takedown_worklist(corpus, req, threshold=0.5)
+    got = {(r.doc_id, r.request_id) for r in wl.collect()}
+    assert got == {(1, 100), (2, 100)}
+    ids = [r.doc_id for r in wl.select("doc_id").distinct().collect()]
+    forget_documents(spark, ids, clean_dir=clean)
+    left = {r.doc_id for r in spark.read.parquet(clean).collect()}
+    assert left == {3}
