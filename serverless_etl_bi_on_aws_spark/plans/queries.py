@@ -6424,7 +6424,6 @@ QUERIES: dict[str, QueryFn] = {
     "q13_sketch_neardup_verify": q13_sketch_neardup_verify,
     "q18_ann_verify": q18_ann_verify,
     "q48_streaming_funnel_rollup": q48_streaming_funnel_rollup,
-    "q59_stream_enriched_segments": q59_stream_enriched_segments,
     "q60_sales_by_category_denorm": q60_sales_by_category_denorm,
     "q69_scd2_order_history": q69_scd2_order_history,
     "q76_incremental_dedup_verify": q76_incremental_dedup_verify,
@@ -6439,10 +6438,8 @@ QUERIES: dict[str, QueryFn] = {
     "q86_html_extract_verify": q86_html_extract_verify,
     "q87_langid_verify": q87_langid_verify,
     "q88_paragraph_boilerplate_verify": q88_paragraph_boilerplate_verify,
-    "q89_url_dedup_verify": q89_url_dedup_verify,
     "q90_snapshot_sql_verify": q90_snapshot_sql_verify,
     "q92_xml_roundtrip": q92_xml_roundtrip,
-    "q93_variant_props": q93_variant_props,
     "q94_priority_survivors_verify": q94_priority_survivors_verify,
     "q95_snapshot_diff_verify": q95_snapshot_diff_verify,
     "q96_decontaminate_verify": q96_decontaminate_verify,
@@ -6454,7 +6451,6 @@ QUERIES: dict[str, QueryFn] = {
     "q105_robots_filter_verify": q105_robots_filter_verify,
     "q107_pack_examples_verify": q107_pack_examples_verify,
     "q108_cohort_retention": q108_cohort_retention,
-    "q109_event_path_trigrams": q109_event_path_trigrams,
     "q110_gopher_rules": q110_gopher_rules,
     "q111_compression_quality": q111_compression_quality,
     "q112_warc_stream_verify": q112_warc_stream_verify,
@@ -6464,6 +6460,10 @@ QUERIES: dict[str, QueryFn] = {
     "q118_pack_offsets_verify": q118_pack_offsets_verify,
     "q119_vocab_oov_verify": q119_vocab_oov_verify,
     "q120_simhash_index_verify": q120_simhash_index_verify,
+    "q121_similarity_join_verify": q121_similarity_join_verify,
+    "q122_iban_verify": q122_iban_verify,
+    "q123_stratified_sample_exact": q123_stratified_sample_exact,
+    "q124_rolling_activity_stats": q124_rolling_activity_stats,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -6475,12 +6475,12 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
-    "q121_similarity_join_verify": q121_similarity_join_verify,  # landed r16: bipartite MinHash-LSH similarity JOIN (record linkage / fuzzy entity resolution) — exact cross-parity Jaccard tier oracled from first principles, planted twin/control gates; r17 driver-row candidate
-    "q122_iban_verify": q122_iban_verify,  # landed r16: ISO 13616 IBAN PII — chunked-mod-97 checksum gate in pure integer JVM expressions, literal-test-vector plant (q113 discipline), full value oracle; r17 driver-row candidate
-    "q123_stratified_sample_exact": q123_stratified_sample_exact,  # landed r16: exact-quota stratified sampling (eval-set constructor) — full row-level value oracle over the engine-neutral Knuth-hash rank; r17 driver-row candidate
-    "q124_rolling_activity_stats": q124_rolling_activity_stats,  # landed r16: trailing 7-day stats over the gap-filled grid (composes q116; integer-exact DIV averages, honest partial leading edge), full row-level value oracle; r17 driver-row candidate
     "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r17 driver-row candidate
     "q116_activity_gapfill": q116_activity_gapfill,  # landed r15: dense per-(key, day) zero-filled activity grid (per-key spans), full-value oracle via generate_series; r17 driver-row candidate
+    "q89_url_dedup_verify": q89_url_dedup_verify,  # rotated out r16 (ceded to q121): the dedup family stays driver-visible via q76/q80/q82/q94/q100/q120/q121; URL canonicalization machinery stays driver-visible via q102 (registered domains) + q105 (robots url parsing); the latest-key full-value oracle stays in the pytest union
+    "q93_variant_props": q93_variant_props,  # rotated out r16 (ceded to q122): semi-structured parsing stays driver-visible via q92 (XML StAX roundtrip, same quarantine contract); the VARIANT shredding full-value oracle stays in the pytest union
+    "q59_stream_enriched_segments": q59_stream_enriched_segments,  # rotated out r16 (ceded to q124): streaming stays driver-visible via THREE stream rows (q48 windowed rollup, q84 takedown queue, q112 WARC curation front); the stream-enrichment full-value oracle stays in the pytest union
+    "q109_event_path_trigrams": q109_event_path_trigrams,  # rotated out r16 (ceded to q123): events analytics stays driver-visible via q108 (cohort matrix) + q10 (window top-k); the path-trigram full-value oracle stays in the pytest union and its TakeOrderedAndProject plan pin stays in test_plans
     "q66_data_quality_report": q66_data_quality_report,  # rotated out r16 (ceded to q114): the audit/report family stays driver-visible via q114 (the k-anonymity audit is the privacy-facing data-quality report) + q110/q111 (text quality); the null/range/dup report's full-value oracle stays in the pytest union
     "q91_cluster_safe_split_verify": q91_cluster_safe_split_verify,  # rotated out r16 (ceded to q120): the connected-component machinery stays driver-visible via q94 (priority survivors runs the SAME components + a policy window); the leakage-free-split full-value oracle stays in the pytest union
     "q97_epoch_mix_verify": q97_epoch_mix_verify,  # rotated out r16 (ceded to q117): the corpus-mix/selection family stays driver-visible via q117 (DSIR importance selection, the target-distribution face) + q81/q102 (curation); the epoch-mix full-value oracle stays in the pytest union
