@@ -51,12 +51,13 @@ plus diagnostic tiers (round-1 verdict asks #1/#4):
                    denormalizes exactly this join away
                    (README.md:113-115). scaling.q3 stays reported as
                    the documented engine-floor diagnostic with a
-                   MEASURED zero-change band of ~[3.0, 4.6]: two
+                   MEASURED zero-change band of ~[2.5, 4.7]: two
                    back-to-back runs of this exact protocol in one r16
                    session graded 4.26 then 3.20 with zero plan change
-                   (tools/ab_r16_drift.py) — a 25% swing that contains
-                   both the r14 (3.66) and r15 (4.15) records, so
-                   round-to-round moves of this row inside that band
+                   (tools/ab_r16_drift.py), and the same session's full
+                   bench pass read 2.69 [2.49, 3.55] — swings that
+                   contain both the r14 (3.66) and r15 (4.15) records,
+                   so round-to-round moves of this row inside that band
                    are VM phase, not the engine.
                    The graded contract row for the q44 WORKLOAD CLASS
                    (vector similarity scan) is ivf_q44 — settled round

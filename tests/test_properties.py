@@ -830,3 +830,88 @@ def test_token_budget_guard_refuses_before_collecting(spark, monkeypatch):
     monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _boom)
     with pytest.raises(ValueError, match="distinct scores"):
         select_token_budget(wide, 10, "score", "tok", "doc_id")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789 ",
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    digits=st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=22),
+)
+def test_masking_never_touches_checksum_free_text(spark, words, digits):
+    """Round-16 property: over arbitrary text containing an arbitrary
+    digit run, the card/IBAN redaction chain either replaces a
+    checksum-VALID candidate with its token or returns the text
+    byte-identical — it never mangles non-candidate content (the
+    false-positive direction destroys training data)."""
+    from serverless_etl_bi_on_aws_spark.functions.text import (
+        iban_valid,
+        luhn_valid,
+        mask_valid_cards,
+        mask_valid_ibans,
+    )
+
+    run = "".join(str(d) for d in digits)
+    text = (" ".join(words) + " " + run).strip()
+    df = spark.createDataFrame([(0, text)], "i bigint, text string")
+    r = df.select(
+        mask_valid_cards("text").alias("mc"),
+        mask_valid_ibans("text").alias("mi"),
+    ).head()
+    # every change is an exact token substitution: undoing the token
+    # leaves only strings that were real substrings of the input
+    assert "<CARD>" in r.mc or r.mc == text
+    assert "<IBAN>" in r.mi or r.mi == text
+    for masked, token in ((r.mc, "<CARD>"), (r.mi, "<IBAN>")):
+        for piece in masked.split(token):
+            assert piece in text
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10**6), max_size=30),
+    k=st.integers(min_value=0, max_value=8),
+)
+def test_stratified_sample_exact_properties(spark, ids, k):
+    """Quotas are exactly min(k, |stratum|); membership is a pure
+    function of (id, stratum) — stable under re-partitioning; the
+    sample is always a subset of the input."""
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "g" + str(i % 3)) for i in ids]
+    df = spark.createDataFrame(rows or [(None, None)], "doc_id long, grp string").filter(
+        F.col("doc_id").isNotNull()
+    )
+    out = stratified_sample_exact(df, "grp", k=k)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.grp, set()).add(r.doc_id)
+    sizes = {g: len(v) for g, v in got.items()}
+    want_sizes = {}
+    for i in ids:
+        g = "g" + str(i % 3)
+        want_sizes[g] = want_sizes.get(g, 0) + 1
+    for g, n in sizes.items():
+        assert n == min(k, want_sizes[g])
+    assert all(v <= ids for v in got.values())
+    again = {}
+    for r in stratified_sample_exact(df.repartition(5), "grp", k=k).collect():
+        again.setdefault(r.grp, set()).add(r.doc_id)
+    assert got == again
