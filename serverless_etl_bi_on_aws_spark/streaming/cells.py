@@ -108,13 +108,18 @@ def start_histogram_cell_maintenance(
     bin_width: float,
     available_now: bool = True,
     processing_time: str = "1 hour",
+    generations: bool = False,
 ) -> StreamingQuery:
     """Watch ``source_dir`` for new event files and keep the histogram
     cell table current: every micro-batch reduces to its own cells and
     key-sums into ``cells_path``. Drain with ``available_now`` for the
     scheduled-batch cadence, or leave running with a processing-time
     trigger. Quantile reads (histogram_quantiles) hit only the cell
-    table — never the raw stream history."""
+    table — never the raw stream history. ``generations=True`` (round
+    16) folds through :func:`merge_cells_into_generations` instead —
+    ``cells_path`` becomes a generation-store root (read via
+    :func:`read_cells_generation`), the rename-free object-store
+    shape."""
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
@@ -125,7 +130,8 @@ def start_histogram_cell_maintenance(
         if batch_df.isEmpty():
             return
         batch_cells = build_histogram_cells(batch_df, value_col, grain, bin_width)
-        merge_cells_into_parquet(
+        fold = merge_cells_into_generations if generations else merge_cells_into_parquet
+        fold(
             spark, batch_cells, cells_path, grain, epoch=(checkpoint_dir, epoch_id)
         )
 
@@ -137,3 +143,69 @@ def start_histogram_cell_maintenance(
     else:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def merge_cells_into_generations(
+    spark: SparkSession,
+    batch_cells: DataFrame,
+    root: str,
+    grain: Sequence[str],
+    epoch: tuple[str, int] | None = None,
+    keep_n: int = 2,
+) -> None:
+    """The generation-store twin of :func:`merge_cells_into_parquet`
+    (round 16 — SURVEY §7.1 convergence, same shape as
+    streaming/incremental.merge_into_generation_target): the fold
+    writes under a never-before-visible generation name with the
+    ``_applied_epoch.json`` mark INSIDE the generation (data and mark
+    still commit together — here via the single pointer-marker PUT
+    instead of a directory rename), so the whole protocol runs on
+    object-store primitives. Epoch idempotence is identical: an epoch
+    at or below the live generation's recorded mark (same checkpoint)
+    replays into a skip. Read the live cells with
+    :func:`read_cells_generation`."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        begin_generation,
+        commit_generation,
+        resolve_generation,
+    )
+
+    cur = resolve_generation(root)
+    if epoch is not None and cur is not None:
+        last = read_marker(os.path.join(cur, "data", "_applied_epoch.json"))
+        if (
+            last is not None
+            and last.get("ckpt") == epoch[0]
+            and epoch[1] <= last.get("epoch", -1)
+        ):
+            return  # re-delivered micro-batch: already folded in
+    if cur is not None:
+        existing = spark.read.parquet(os.path.join(cur, "data"))
+        merged = (
+            existing.unionByName(batch_cells)
+            .groupBy(*grain, "bin_id")
+            .agg(F.sum("n").alias("n"))
+        )
+    else:
+        merged = batch_cells
+    gen, stage = begin_generation(root)
+    data_dir = os.path.join(stage, "data")
+    merged.write.mode("overwrite").parquet(data_dir)
+    if epoch is not None:
+        write_marker(
+            os.path.join(data_dir, "_applied_epoch.json"),
+            {"ckpt": epoch[0], "epoch": epoch[1]},
+        )
+    commit_generation(root, gen, stage, keep_n=keep_n)
+
+
+def read_cells_generation(spark: SparkSession, root: str) -> DataFrame:
+    """Live cell table of a generation-backed fold target."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        resolve_generation,
+    )
+
+    cur = resolve_generation(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed cell generation under {root}")
+    return spark.read.parquet(os.path.join(root, os.path.basename(cur), "data"))

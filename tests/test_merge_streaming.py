@@ -900,3 +900,84 @@ def test_generation_merge_streaming_end_to_end(spark, tmp_path):
     )
     got = sorted(map(repr, read_generation_target(spark, root).collect()))
     assert got == want
+
+
+def test_generation_cell_fold_matches_swap_fold(spark, tmp_path):
+    """Round 16 (SURVEY 7.1 convergence, cells): the generation-backed
+    fold is the rename-free twin of merge_cells_into_parquet — same
+    epoch-idempotent additive semantics, the commit is a pointer
+    marker, the epoch mark rides inside the generation so data and
+    mark still commit together."""
+    from serverless_etl_bi_on_aws_spark.streaming.cells import (
+        merge_cells_into_generations,
+        merge_cells_into_parquet,
+        read_cells_generation,
+    )
+
+    batch = spark.createDataFrame(
+        [("A", 0, 3), ("B", 1, 2)], ["event_type", "bin_id", "n"]
+    )
+    swap = str(tmp_path / "swap")
+    root = str(tmp_path / "gens")
+
+    def swap_cells():
+        return {
+            (r["event_type"], r["bin_id"]): r["n"]
+            for r in spark.read.parquet(swap).collect()
+        }
+
+    def gen_cells():
+        return {
+            (r["event_type"], r["bin_id"]): r["n"]
+            for r in read_cells_generation(spark, root).collect()
+        }
+
+    for ep in (("ck1", 0), ("ck1", 0), ("ck1", 1), ("ck2", 0)):
+        merge_cells_into_parquet(spark, batch, swap, ["event_type"], epoch=ep)
+        merge_cells_into_generations(spark, batch, root, ["event_type"], epoch=ep)
+        assert gen_cells() == swap_cells()
+    assert gen_cells() == {("A", 0): 9, ("B", 1): 6}
+
+
+def test_generation_cell_stream_end_to_end(spark, tmp_path):
+    """start_histogram_cell_maintenance(generations=True): drained
+    generations-backed cells equal the one-shot batch build."""
+    from serverless_etl_bi_on_aws_spark.operators.histogram import (
+        build_histogram_cells,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.cells import (
+        read_cells_generation,
+        start_histogram_cell_maintenance,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    src = tmp_path / "landing"
+    src.mkdir()
+    root = str(tmp_path / "cellgens")
+    ckpt = str(tmp_path / "ckpt")
+    events.coalesce(1).write.mode("overwrite").parquet(str(src / "drop1"))
+    q = start_histogram_cell_maintenance(
+        spark,
+        str(src / "*"),
+        root,
+        events.schema,
+        ckpt,
+        value_col="value",
+        grain=["day", "event_type"],
+        bin_width=5.0,
+        generations=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["day"]), r["event_type"], r["bin_id"]): r["n"]
+        for r in read_cells_generation(spark, root).collect()
+    }
+    want = {
+        (str(r["day"]), r["event_type"], r["bin_id"]): r["n"]
+        for r in build_histogram_cells(
+            events, "value", ["day", "event_type"], 5.0
+        ).collect()
+    }
+    assert got == want

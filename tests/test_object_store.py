@@ -148,3 +148,13 @@ def test_generation_merge_over_object_store(spark, tmp_path, fake_store):
 
     t.test_generation_merge_matches_swap_merge(spark, tmp_path / "a")
     assert fake_store.puts > 0
+
+
+def test_generation_cell_fold_over_object_store(spark, tmp_path, fake_store):
+    """The cells fold's generation twin (round 16) is rename-free at
+    the commit layer: epoch mark + pointer are PUTs, idempotence
+    holds over the double."""
+    from tests import test_merge_streaming as t
+
+    t.test_generation_cell_fold_matches_swap_fold(spark, tmp_path / "a")
+    assert fake_store.puts > 0
