@@ -4134,12 +4134,19 @@ def q90_snapshot_sql_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).head()[0]
 
         with mutate_snapshot(family, ["corpus"], owner="q90", keep_n=3) as st:
+            # distributed rewrite of the staged clone (r15 verdict style
+            # note: no collect/createDataFrame driver hop) — write the
+            # filtered frame beside the stage, then swap the PRIVATE
+            # staged dir (invisible until the manifest commits)
+            import shutil as _sh
+
             kept = spark.read.parquet(st["corpus"]).filter(
                 ~F.col("doc_id").isin(targets)
-            ).collect()
-            spark.createDataFrame(
-                kept, "doc_id long, text string"
-            ).write.mode("overwrite").parquet(st["corpus"])
+            )
+            rewrite = st["corpus"] + ".__rewrite__"
+            kept.write.parquet(rewrite)
+            _sh.rmtree(st["corpus"])
+            _os.rename(rewrite, st["corpus"])
 
         pinned_after = spark.sql(
             f"SELECT COUNT(*) FROM {pre['corpus']}"
@@ -4512,18 +4519,35 @@ def q95_snapshot_diff_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         init_snapshot_family(family, {"corpus": src})
 
         with mutate_snapshot(family, ["corpus"], owner="q95", keep_n=3) as st:
-            cur = spark.read.parquet(st["corpus"]).collect()
-            mutated = [
-                (
-                    r.doc_id,
-                    r.text + " v2" if r.doc_id % 9 == 1 else r.text,
+            # distributed rewrite of the staged clone (r15 verdict style
+            # note: no collect/createDataFrame driver hop): delete the
+            # targets, edit the %9==1 rows, append two fresh docs — all
+            # as engine expressions — then swap the PRIVATE staged dir
+            import shutil as _sh
+
+            mutated = (
+                spark.read.parquet(st["corpus"])
+                .filter(~F.col("doc_id").isin(targets))
+                .select(
+                    "doc_id",
+                    F.when(
+                        F.pmod(F.col("doc_id"), F.lit(9)) == 1,
+                        F.concat(F.col("text"), F.lit(" v2")),
+                    )
+                    .otherwise(F.col("text"))
+                    .alias("text"),
                 )
-                for r in cur
-                if r.doc_id not in targets
-            ] + [(100001, "fresh a"), (100002, "fresh b")]
-            spark.createDataFrame(
-                mutated, "doc_id long, text string"
-            ).write.mode("overwrite").parquet(st["corpus"])
+                .unionByName(
+                    spark.createDataFrame(
+                        [(100001, "fresh a"), (100002, "fresh b")],
+                        "doc_id long, text string",
+                    )
+                )
+            )
+            rewrite = st["corpus"] + ".__rewrite__"
+            mutated.write.parquet(rewrite)
+            _sh.rmtree(st["corpus"])
+            _os.rename(rewrite, st["corpus"])
 
         diff_rows = [
             (r.dataset, r.status, int(r.n_rows))
