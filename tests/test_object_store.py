@@ -158,3 +158,16 @@ def test_generation_cell_fold_over_object_store(spark, tmp_path, fake_store):
 
     t.test_generation_cell_fold_matches_swap_fold(spark, tmp_path / "a")
     assert fake_store.puts > 0
+
+
+def test_concurrent_mutator_crash_over_object_store(spark, tmp_path, fake_store):
+    """The hardest snapshot suite — a mutator crash concurrent with a
+    LIVE takedown stream — over object-store primitives only: neither
+    crashed transition commits, the manifest stays consistent, the
+    stream keeps draining, the replay converges."""
+    from tests import test_snapshot as t
+
+    t.test_mutator_crash_concurrent_with_live_takedown_stream(
+        spark, tmp_path / "a"
+    )
+    assert fake_store.puts > 0 and fake_store.cas_puts > 0
