@@ -71,6 +71,62 @@ def apply_scd2_batch(
     _swap_write(dim, dim_path)
 
 
+def apply_scd2_batch_generations(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    root: str,
+    keys: Sequence[str],
+    ts_col: str,
+    keep_n: int = 2,
+) -> None:
+    """The generation-store twin of :func:`apply_scd2_batch` (round 16
+    — SURVEY §7.1 convergence, same shape as the incremental-merge and
+    cell-fold twins): the updated dimension writes under a
+    never-before-visible generation name and commits via the pointer
+    marker — no in-place rename, object-store primitives only. Replay
+    safety needs no epoch mark here: ``scd2_apply`` is key-idempotent
+    (a re-applied wave at the same effective ts is a no-op), the same
+    property the swap path relies on. Read the live dimension with
+    :func:`read_scd2_generation`."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        begin_generation,
+        commit_generation,
+        resolve_generation,
+    )
+
+    ts_values = [
+        r[0]
+        for r in batch_df.select(ts_col).distinct().orderBy(ts_col).collect()
+    ]
+    if not ts_values:
+        return
+    cur = resolve_generation(root)
+    if cur is not None:
+        dim = spark.read.parquet(os.path.join(cur, "data"))
+    else:
+        first = batch_df.filter(F.col(ts_col) == ts_values[0]).drop(ts_col)
+        dim = scd2_init(first, F.lit(ts_values[0]))
+        ts_values = ts_values[1:]
+    for ts in ts_values:
+        wave = batch_df.filter(F.col(ts_col) == ts).drop(ts_col)
+        dim = scd2_apply(dim, wave, keys, F.lit(ts)).localCheckpoint(eager=True)
+    gen, stage = begin_generation(root)
+    dim.write.mode("overwrite").parquet(os.path.join(stage, "data"))
+    commit_generation(root, gen, stage, keep_n=keep_n)
+
+
+def read_scd2_generation(spark: SparkSession, root: str) -> DataFrame:
+    """Live dimension of a generation-backed SCD2 target."""
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        resolve_generation,
+    )
+
+    cur = resolve_generation(root)
+    if cur is None:
+        raise FileNotFoundError(f"no committed dimension generation under {root}")
+    return spark.read.parquet(os.path.join(cur, "data"))
+
+
 def start_scd2_maintenance(
     spark: SparkSession,
     source_dir: str,
@@ -81,10 +137,15 @@ def start_scd2_maintenance(
     ts_col: str = "effective_ts",
     available_now: bool = True,
     processing_time: str = "1 hour",
+    generations: bool = False,
 ) -> StreamingQuery:
     """Watch ``source_dir`` for update files (rows: keys + attrs +
     ``ts_col``) and keep the SCD2 dimension at ``dim_path`` current.
-    The FIRST wave ever seen bootstraps the dimension (scd2_init)."""
+    The FIRST wave ever seen bootstraps the dimension (scd2_init).
+    ``generations=True`` (round 16) folds through
+    :func:`apply_scd2_batch_generations` — ``dim_path`` becomes a
+    generation-store root read via :func:`read_scd2_generation`, the
+    rename-free object-store shape."""
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
@@ -94,7 +155,10 @@ def start_scd2_maintenance(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        apply_scd2_batch(spark, batch_df, dim_path, keys, ts_col)
+        if generations:
+            apply_scd2_batch_generations(spark, batch_df, dim_path, keys, ts_col)
+        else:
+            apply_scd2_batch(spark, batch_df, dim_path, keys, ts_col)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -171,3 +171,13 @@ def test_concurrent_mutator_crash_over_object_store(spark, tmp_path, fake_store)
         spark, tmp_path / "a"
     )
     assert fake_store.puts > 0 and fake_store.cas_puts > 0
+
+
+def test_scd2_generation_fold_over_object_store(spark, tmp_path, fake_store):
+    """The SCD2 dimension fold's generation twin (round 16) commits
+    through pointer PUTs only; batch equality, reader retention, and
+    wave idempotence hold over the double."""
+    from tests import test_scd as t
+
+    t.test_scd2_generation_fold_matches_swap_fold(spark, tmp_path / "a")
+    assert fake_store.puts > 0

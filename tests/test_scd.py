@@ -144,3 +144,92 @@ def test_streaming_scd2_matches_sequential_batch_twin(spark, tmp_path):
     ]
     drain()  # replay: no new files, dimension unchanged
     assert sorted(map(repr, spark.read.parquet(dim_path).collect())) == want
+
+
+def test_scd2_generation_fold_matches_swap_fold(spark, tmp_path):
+    """Round 16 (SURVEY 7.1 convergence, SCD2): the generation-backed
+    dimension fold equals the in-place-swap fold batch-for-batch, a
+    re-applied wave is a no-op (scd2_apply key-idempotence carries
+    over), and a reader resolved before a fold keeps its retained
+    generation."""
+    import datetime as dt
+
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        resolve_generation,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.scd_stream import (
+        apply_scd2_batch,
+        apply_scd2_batch_generations,
+        read_scd2_generation,
+    )
+
+    TS0 = dt.datetime(2024, 1, 1)
+    TS1 = dt.datetime(2024, 2, 1)
+    cols = ["id", "name", "amount", "effective_ts"]
+    b1 = spark.createDataFrame([(1, "a", 10.0, TS0), (2, "b", 20.0, TS0)], cols)
+    b2 = spark.createDataFrame([(2, "B", 20.0, TS1), (3, "c", 30.0, TS1)], cols)
+    swap = str(tmp_path / "swap")
+    root = str(tmp_path / "gens")
+
+    apply_scd2_batch(spark, b1, swap, ["id"], "effective_ts")
+    apply_scd2_batch_generations(spark, b1, root, ["id"], "effective_ts")
+    gen_before = resolve_generation(root)
+    old_reader = spark.read.parquet(f"{gen_before}/data")
+
+    apply_scd2_batch(spark, b2, swap, ["id"], "effective_ts")
+    apply_scd2_batch_generations(spark, b2, root, ["id"], "effective_ts")
+
+    want = sorted(map(repr, spark.read.parquet(swap).collect()))
+    got = sorted(map(repr, read_scd2_generation(spark, root).collect()))
+    assert got == want
+    # the pre-fold reader still resolves its retained generation
+    # (keep_n=2: readers must finish within ONE further commit)
+    assert sorted(map(repr, old_reader.collect())) != want
+    assert old_reader.count() == 2
+    # replayed wave: key-idempotent no-op (content-identical generation)
+    apply_scd2_batch_generations(spark, b2, root, ["id"], "effective_ts")
+    again = sorted(map(repr, read_scd2_generation(spark, root).collect()))
+    assert again == want
+
+
+def test_scd2_generation_stream_end_to_end(spark, tmp_path):
+    """start_scd2_maintenance(generations=True) drains to the same
+    history as the swap-backed stream."""
+    import datetime as dt
+
+    from serverless_etl_bi_on_aws_spark.streaming.scd_stream import (
+        read_scd2_generation,
+        start_scd2_maintenance,
+    )
+
+    TS0 = dt.datetime(2024, 1, 1)
+    TS1 = dt.datetime(2024, 2, 1)
+    cols = ["id", "name", "amount", "effective_ts"]
+    drop1 = spark.createDataFrame([(1, "a", 10.0, TS0), (2, "b", 20.0, TS0)], cols)
+    drop2 = spark.createDataFrame([(2, "B", 20.0, TS1)], cols)
+    src = tmp_path / "updates"
+    src.mkdir()
+    root = str(tmp_path / "dimgens")
+    swap = str(tmp_path / "dimswap")
+
+    def drain(path, generations):
+        from serverless_etl_bi_on_aws_spark.streaming.scd_stream import (
+            start_scd2_maintenance,
+        )
+
+        q = start_scd2_maintenance(
+            spark, str(src / "*"), path, ["id"], drop1.schema,
+            str(tmp_path / ("ck_g" if generations else "ck_s")),
+            generations=generations,
+        )
+        q.awaitTermination(120)
+
+    drop1.coalesce(1).write.mode("overwrite").parquet(str(src / "d1"))
+    drain(swap, False)
+    drain(root, True)
+    drop2.coalesce(1).write.mode("overwrite").parquet(str(src / "d2"))
+    drain(swap, False)
+    drain(root, True)
+    want = sorted(map(repr, spark.read.parquet(swap).collect()))
+    got = sorted(map(repr, read_scd2_generation(spark, root).collect()))
+    assert got == want
