@@ -91,6 +91,16 @@ def read_meta(index_path: str) -> IndexMeta:
     return IndexMeta(**d)
 
 
+def _has_parquet_files(path: str) -> bool:
+    """True iff ``path`` holds at least one parquet data file (any
+    depth — bands/ is hive-partitioned). A directory containing only
+    _SUCCESS/markers is NOT a readable table."""
+    for dirpath, _dirnames, filenames in os.walk(path):
+        if any(f.endswith(".parquet") for f in filenames):
+            return True
+    return False
+
+
 def _append_signatures(sigs: DataFrame, meta: IndexMeta, index_path: str) -> None:
     """Persist (sigs, bands) for one batch of signatures. Append-only —
     the index grows linearly with the corpus, nothing is rewritten.
@@ -183,8 +193,12 @@ def dedup_against_index(
 
     # --- vs corpus: band-bucket candidates, then signature compare.
     # A just-initialized index (init_minhash_index) has no bands/sigs
-    # dirs yet — an empty corpus contributes no candidates. ---
-    if os.path.exists(os.path.join(index_path, "bands")):
+    # dirs yet — an empty corpus contributes no candidates. The check is
+    # for actual parquet FOOTERS, not the directory (round 17): a dir
+    # holding only _SUCCESS — a pre-fix empty append, or a crash between
+    # mkdir and the first data file — is an empty corpus, not a readable
+    # table, and spark.read.parquet on it throws UNABLE_TO_INFER_SCHEMA. ---
+    if _has_parquet_files(os.path.join(index_path, "bands")):
         idx_bands = spark.read.parquet(os.path.join(index_path, "bands"))
         idx_sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
         cand = (
@@ -265,6 +279,17 @@ def update_index(
     with writer_lease(index_path, owner=f"update_index:{batch_id}"):
         if marker_exists(marker):  # applied while we waited on the lease
             return False
+        if new_docs.isEmpty():
+            # Round 17: an EMPTY batch (e.g. a curation micro-batch whose
+            # quality/DSIR gates rejected everything) must not reach
+            # _append_signatures — a zero-row partitionBy append creates
+            # the bands/ dir with a _SUCCESS but NO parquet footers, and
+            # every later probe's spark.read.parquet(bands) dies with
+            # UNABLE_TO_INFER_SCHEMA: one junk crawl hour would brick the
+            # index for good. The batch is still marked applied (its
+            # append is vacuously done), keeping replay a no-op.
+            write_marker(marker, {"batch_id": batch_id, "empty": True})
+            return True
         meta = read_meta(index_path)
         sigs = minhash_signatures(
             new_docs, meta.id_col, text_col, meta.n, meta.num_hashes, meta.seed

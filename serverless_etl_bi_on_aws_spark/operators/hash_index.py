@@ -126,8 +126,15 @@ def dropped_ids_against_index(
     new_blocks = hash_blocks(new_hashed, id_col, hash_col, n_blocks)
     hamming = F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
 
-    # empty corpus (init only): no candidates
-    if os.path.exists(os.path.join(index_path, "blocks")):
+    # empty corpus (init only): no candidates. Footer check, not a dir
+    # check (round 17, the dedup_index.py fix): a blocks/ holding only
+    # _SUCCESS — crash between mkdir and first data file — must read as
+    # an empty corpus, not throw UNABLE_TO_INFER_SCHEMA.
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        _has_parquet_files,
+    )
+
+    if _has_parquet_files(os.path.join(index_path, "blocks")):
         idx_blocks = spark.read.parquet(os.path.join(index_path, "blocks"))
         idx_hashes = spark.read.parquet(os.path.join(index_path, "hashes"))
     else:
@@ -178,6 +185,11 @@ def update_hash_index(
     with writer_lease(index_path, owner=f"update_hash_index:{batch_id}"):
         if marker_exists(marker):
             return False
+        if new_hashed.isEmpty():
+            # an all-rejected batch must not create footer-less blocks/
+            # (the dedup_index.py round-17 fix); vacuously applied
+            write_marker(marker, {"batch_id": batch_id, "empty": True})
+            return True
         meta = read_hash_meta(index_path)
         _append(new_hashed.select(meta["id_col"], meta["hash_col"]), meta, index_path)
         write_marker(marker, {"batch_id": batch_id})

@@ -257,11 +257,22 @@ def stratified_sample_exact(
     the DuckDB oracle reruns the identical integer arithmetic — unlike
     ``sampleBy`` (statistical) this gives exact quotas and unlike
     ``LIMIT`` per group it is unbiased w.r.t. storage order. One
-    shuffle (the per-stratum window); no global sort."""
+    shuffle (the per-stratum window); no global sort.
+
+    The id is reduced mod p BEFORE the multiply (round 17): ``pmod(id, p)
+    < 2^30`` and ``_MIX < 2^32`` keep the product under 2^63 for EVERY
+    BIGINT id, where the naive ``(id+seed)*_MIX`` wraps silently in
+    Spark (non-ANSI) but errors/promotes to HUGEINT in DuckDB above
+    id ≈ 3.47e9 — breaking the same-rows-every-engine claim exactly
+    where it matters (large id ranges). Congruence ``(x*m) mod p ==
+    ((x mod p)*m) mod p`` makes the reduced form identical wherever the
+    naive one didn't overflow, so existing fixtures are unaffected."""
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
+    p = 1_000_000_007
     order = F.pmod(
-        (F.col(id_col) + F.lit(seed)) * F.lit(_MIX), F.lit(1_000_000_007)
+        (F.pmod(F.col(id_col), F.lit(p)) + F.lit(seed % p)) * F.lit(_MIX),
+        F.lit(p),
     )
     w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col(id_col).asc())
     return (

@@ -134,12 +134,30 @@ def link_tree(src: str, dst: str, exclude_top: tuple[str, ...] = ()) -> None:
 def begin_generation(root: str, base_seq: int | None = None) -> tuple[str, str]:
     """Allocate the next generation: returns ``(gen_name, stage_path)``
     with the staging dir created. The nonce keeps a crashed prior
-    attempt at the same sequence number from colliding."""
+    attempt at the same sequence number from colliding.
+
+    Object-store mode (round 17, ADVICE): when a backend is installed
+    via :func:`util.set_object_store_backend`, the stage IS the final
+    generation directory — writers PUT data objects directly under the
+    never-yet-referenced ``gen-...`` name (readers discover generations
+    only through the pointer marker, so an uncommitted final-name dir is
+    invisible by construction) and :func:`commit_generation` reduces to
+    the pointer PUT with NO rename anywhere in the protocol. A crashed
+    direct-name stage looks exactly like a committed-but-never-referenced
+    orphan and the next commit's sweep removes it. POSIX mode keeps the
+    ``.__stage__`` prefix + rename fast path (an in-flight stage is
+    lexically distinguishable, which the legacy-migration excludes rely
+    on)."""
+    from serverless_etl_bi_on_aws_spark.util import object_store_backend
+
     if base_seq is None:
         cur = current_generation(root)
         base_seq = _gen_seq(cur) if cur else 0
     gen = f"gen-{base_seq + 1:06d}-{uuid.uuid4().hex[:6]}"
-    stage = os.path.join(root, f".__stage__{gen}")
+    if object_store_backend() is not None:
+        stage = os.path.join(root, gen)
+    else:
+        stage = os.path.join(root, f".__stage__{gen}")
     os.makedirs(stage)
     return gen, stage
 
@@ -179,7 +197,10 @@ def commit_generation(
     prev = prev_rec.get("gen")
     history = [g for g in ([prev] if prev else []) + list(prev_rec.get("history") or [])]
     history = history[: max(keep_n - 1, 0)]
-    os.rename(stage, final)
+    if os.path.normpath(stage) != os.path.normpath(final):
+        os.rename(stage, final)  # POSIX fast path; object-store mode
+        # staged directly under the final name (begin_generation) and
+        # commits with the pointer PUT alone
     write_marker(os.path.join(root, GEN_POINTER), {"gen": gen, "history": history})
     try:
         _sweep_store(root, {gen} | set(history), min_age_s=min_age_s)

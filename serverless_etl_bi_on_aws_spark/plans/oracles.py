@@ -3097,3 +3097,38 @@ EXTRA_ORACLE_SQL["q124_rolling_activity_stats"] = """
                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     ORDER BY user_bucket, day
 """
+
+# q125: the generation-store streaming merge. The lifecycle counters
+# (generation seq after merge/replay) are protocol constants; every
+# table-content number is q9's merge algebra recomputed from first
+# principles — backfill = orders before 2001-06-01, staging = the
+# trailing re-extract (>= 2001-03-01, +100000.0), staging wins on key
+# collision; cents over the merged table in exact BIGINT.
+EXTRA_ORACLE_SQL["q125_generation_merge_verify"] = """
+    WITH staging AS (
+        SELECT o_orderkey, o_totalprice + 100000.0 AS p
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-03-01'
+    ), final AS (
+        SELECT o_orderkey, o_totalprice AS p
+        FROM orders WHERE o_orderdate < TIMESTAMP '2001-06-01'
+    ), merged AS (
+        SELECT p FROM final
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM staging)
+        UNION ALL SELECT p FROM staging
+    )
+    SELECT metric, value FROM (
+        SELECT 'cents_live' AS metric,
+               (SELECT CAST(SUM(CAST(floor(p * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) FROM merged) AS value
+        UNION ALL SELECT 'gens_after_merge', CAST(2 AS BIGINT)
+        UNION ALL SELECT 'gens_after_replay', CAST(2 AS BIGINT)
+        UNION ALL SELECT 'rows_backfill',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM final)
+        UNION ALL SELECT 'rows_live',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM merged)
+        UNION ALL SELECT 'rows_replay',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM merged)
+        UNION ALL SELECT 'rows_timetravel_pre_merge',
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM final)
+    ) ORDER BY metric
+"""

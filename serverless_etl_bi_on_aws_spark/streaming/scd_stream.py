@@ -83,7 +83,11 @@ def apply_scd2_batch_generations(
     — SURVEY §7.1 convergence, same shape as the incremental-merge and
     cell-fold twins): the updated dimension writes under a
     never-before-visible generation name and commits via the pointer
-    marker — no in-place rename, object-store primitives only. Replay
+    marker — rename-free at the commit layer (pointer PUT). With an
+    object-store backend installed the whole protocol is rename-free:
+    begin_generation stages directly under the final name (round 17);
+    in POSIX mode staging uses one fresh-name (never in-place) rename
+    as the fast path. Replay
     safety needs no epoch mark here: ``scd2_apply`` is key-idempotent
     (a re-applied wave at the same effective ts is a no-op), the same
     property the swap path relies on. Read the live dimension with

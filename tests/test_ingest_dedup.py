@@ -856,7 +856,10 @@ def test_apply_curation_batch_fully_filtered_batch(spark, tmp_path):
     """A non-empty batch that the quality gate empties completely (the
     stream's isEmpty check can't catch this case) must still commit an
     empty _SUCCESS-gated partition, index nothing, and replay as a
-    no-op."""
+    no-op. Round 17: "index nothing" now means the empty append is
+    SKIPPED entirely (marker-only) — the old zero-row append created a
+    footer-less bands/ dir that bricked every later probe — and the
+    NEXT batch must probe and append normally."""
     from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
         apply_curation_batch,
     )
@@ -871,9 +874,17 @@ def test_apply_curation_batch_fully_filtered_batch(spark, tmp_path):
     out = os.path.join(clean, "batch=e-0")
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
     assert spark.read.parquet(out).count() == 0
-    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == 0
+    assert not os.path.exists(os.path.join(idx, "sigs"))  # marker-only
     apply_curation_batch(spark, b, idx, clean, "e-0")  # replay: no-op
     assert spark.read.parquet(out).count() == 0
+    # the junk hour did not brick the index: a real batch flows through
+    good = spark.createDataFrame(
+        [(3, " ".join(f"fresh{i}word{i % 7}" for i in range(40)))],
+        "doc_id bigint, text string",
+    )
+    apply_curation_batch(spark, good, idx, clean, "e-1")
+    assert spark.read.parquet(os.path.join(clean, "batch=e-1")).count() == 1
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == 1
 
 
 def test_replay_after_full_takedown_does_not_readmit(spark, tmp_path):
@@ -1107,3 +1118,68 @@ def test_curation_stream_dsir_rung(spark, tmp_path):
     assert n_idx == 20  # DSIR-dropped docs never reached the index
     drain()  # no new files -> no change
     assert spark.read.parquet(clean).count() == 20
+
+
+def test_dsir_bucket_cache_invalidates_on_weights_refit(spark, tmp_path):
+    """Round 17 (ADVICE): the per-path num_buckets cache is stamped by
+    the weights dir's content (mtime_ns/size/count, the _BITS_BC_CACHE
+    pattern) — an out-of-contract REFIT at the same path with a
+    DIFFERENT num_buckets re-validates instead of silently re-moduloing
+    tokens into the stale bucket space. Fails without the stamp: the
+    second batch would score with the first fit's modulus."""
+    import time
+
+    from serverless_etl_bi_on_aws_spark.operators import selection
+    from serverless_etl_bi_on_aws_spark.streaming import ingest_dedup as mod
+
+    voc = ["physics", "quantum", "theorem", "energy", "research", "study"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(voc[(i + j) % 6] + f"{i}x{j}" for j in range(40)))
+            for i in range(12)
+        ],
+        "doc_id bigint, text string",
+    )
+    wp = str(tmp_path / "weights")
+    selection.fit_dsir_weights(
+        docs.filter("doc_id < 6"), docs, num_buckets=1 << 10
+    ).write.parquet(wp)
+
+    seen = []
+    orig = selection.weights_num_buckets
+
+    def spy(weights):
+        nb = orig(weights)
+        seen.append(nb)
+        return nb
+
+    mod._DSIR_NUM_BUCKETS.clear()
+    idx = str(tmp_path / "idx")
+    init_minhash_index(idx)
+    clean = str(tmp_path / "clean")
+
+    import unittest.mock as um
+
+    with um.patch.object(selection, "weights_num_buckets", spy):
+        mod.apply_curation_batch(
+            spark, docs, idx, clean, "b0",
+            dsir_weights_path=wp, dsir_min_milli=-(10**9),
+        )
+        # same frozen table: second batch reuses the cached validation
+        mod.apply_curation_batch(
+            spark, docs, idx, clean, "b1",
+            dsir_weights_path=wp, dsir_min_milli=-(10**9),
+        )
+        assert seen == [1 << 10]
+        # out-of-contract refit at the SAME path, different modulus
+        time.sleep(0.01)  # ensure a distinct mtime_ns on coarse clocks
+        selection.fit_dsir_weights(
+            docs.filter("doc_id < 6"), docs, num_buckets=1 << 11
+        ).write.mode("overwrite").parquet(wp)
+        mod.apply_curation_batch(
+            spark, docs, idx, clean, "b2",
+            dsir_weights_path=wp, dsir_min_milli=-(10**9),
+        )
+    assert seen == [1 << 10, 1 << 11]  # re-validated, new bucket space
+    key = wp
+    assert mod._DSIR_NUM_BUCKETS[key][1] == 1 << 11
