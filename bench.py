@@ -196,14 +196,28 @@ LLM_TIER = {
     # — prices BOTH the cross-table banded join and its exact-Jaccard
     # verifier at fixture scale, like q82 does for the curation knob
     "q121": "q121_similarity_join_verify",
+    # round-17 split (verdict r16 ask #5): the operator-only sub-cell —
+    # q121's cell conflated join + verifier; the split's first
+    # measurement showed the OPERATOR is ~2/3 of the cell (6.4 of
+    # 9.8 s: two per-side signature jobs, inherent to a bipartite
+    # input), overturning the "verifier dominates" guess — exactly the
+    # visibility the split was for
+    "q121op": "q121_similarity_join_operator",
 }
 
-SCALING_QUERIES = ("q1", "q3", "q44")
+SCALING_QUERIES = ("q1", "q3", "q44", "dedup")
 
 #: scaling-tier queries that are not headline rows: q44 is the Arrow/BLAS
 #: similarity scan — the other workload class (per-row vector math) whose
-#: marginal cost deserves a slope measurement (round-2 verdict #8).
-SCALING_EXTRA = {"q44": "q44_topk_cosine_arrow"}
+#: marginal cost deserves a slope measurement (round-2 verdict #8);
+#: "dedup" (round 17, verdict r16 ask #6) is the flagship dedup family's
+#: measured trend — q64's span dedup as a one-row rollup
+#: (q64_span_dedup_agg: the per-doc collect was 500k rows of driver
+#: transfer at sf10, swinging 5.7-20.5 s on row shipping alone; the
+#: rollup forces the identical window+reassembly work). Contract: the
+#: standard < 2.0 slope ratio (measured ~0.25 on landing — Spark's
+#: 32-thread hash window beats DuckDB's string-keyed one ~4x here).
+SCALING_EXTRA = {"q44": "q44_topk_cosine_arrow", "dedup": "q64_span_dedup_agg"}
 
 #: Fixture scans at bench scale: sf1 lineitem is ~110 MB in 10 files, sf10
 #: ~1.1 GB in 100 files. The round-3 single 8 MB override was sized for the

@@ -1,0 +1,94 @@
+"""Late-interaction (MaxSim) retrieval over per-document token vectors
+(north-star X3 extension, round 17).
+
+Single-vector retrieval (operators/similarity.py: brute/LSH/IVF/PQ)
+compresses a document to ONE embedding; late-interaction keeps a vector
+PER TOKEN and scores
+
+    score(q, d) = sum over query tokens qi of  max over doc tokens tj of
+                  cosine(qi, tj)
+
+— the ColBERT scoring rule (Khattab & Zaharia, SIGIR 2020), the standard
+quality-over-speed point between bi-encoders and cross-encoders in
+modern retrieval/RAG stacks. This module is the exact distributed
+formulation:
+
+  * the query's token vectors are PLAN LITERALS (a query has a handful
+    of tokens; they inline like q6's probe vector — nothing joins,
+    nothing broadcasts);
+  * each corpus token row computes its |Q| cosines MAP-SIDE via the
+    functions/vectors.py HOF fold (JVM, codegen'd scan — and
+    bit-identical to DuckDB's ``list_cosine_similarity``, the q6/q44
+    left-fold discipline);
+  * one partial-aggregated groupBy on the document key takes the |Q|
+    per-query maxima as |Q| unrolled ``max()`` aggregates in ONE hash
+    aggregate (the simhash64 unrolling pattern — no explode of the
+    query dimension crosses the exchange);
+  * the MaxSim sum runs over EXACT micro-ints: each max scales through
+    ``floor(m * 1e6 + 0.5)`` (monotonic, so post-max scaling equals
+    pre-max scaling at 1/10^6 resolution) and the sum of BIGINTs is
+    order-free — the engine-neutral-ranking discipline of q123/q124,
+    avoiding the float-sum association knife-edge a 3-term double sum
+    would reintroduce;
+  * top-k is ``orderBy(...).limit(k)`` — Spark plans
+    TakeOrderedAndProject, a per-partition heap + driver merge, never a
+    global sort.
+
+Scale shape at 100 TB: one scan of the token-vector table, one
+doc-keyed exchange carrying |Q| doubles per document (NOT per token —
+the partial agg collapses tokens map-side), then the heap top-k. The
+candidate-generation step of a production ColBERT (ANN over token
+vectors, then exact MaxSim on survivors) composes with the existing
+IVF index: prune doc ids by probing per-query-token, then run this
+exact scorer on the shortlist.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from serverless_etl_bi_on_aws_spark.functions.vectors import cosine
+
+
+def maxsim_scores(
+    doc_tokens: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+    out_col: str = "score_micro",
+) -> DataFrame:
+    """Exact MaxSim score per document: ``(id_col, out_col)`` where
+    ``out_col = sum_i floor(max_j cosine(q_i, t_j) * 1e6 + 0.5)`` as a
+    BIGINT (micro-cosine units; range |Q| * [-1e6, 1e6]). One shuffle."""
+    if not query_vecs:
+        raise ValueError("query_vecs must be non-empty")
+    aggs = [
+        F.max(cosine(vec_col, F.lit([float(x) for x in q]))).alias(f"_m{i}")
+        for i, q in enumerate(query_vecs)
+    ]
+    g = doc_tokens.groupBy(id_col).agg(*aggs)
+    micro = F.lit(0).cast("bigint")
+    for i in range(len(query_vecs)):
+        micro = micro + F.floor(F.col(f"_m{i}") * 1e6 + F.lit(0.5)).cast(
+            "bigint"
+        )
+    return g.select(id_col, micro.alias(out_col))
+
+
+def maxsim_topk(
+    doc_tokens: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Top-``k`` documents by exact MaxSim (ties break on the id — fully
+    deterministic, engine-neutral). TakeOrderedAndProject plan."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    scores = maxsim_scores(doc_tokens, query_vecs, id_col, vec_col)
+    return scores.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(k)

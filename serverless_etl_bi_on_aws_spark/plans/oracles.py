@@ -1410,6 +1410,93 @@ EXTRA_ORACLE_SQL["q64_span_dedup"] = """
     ORDER BY doc_id
 """
 
+# q64_span_dedup_agg: the scaling-tier rollup of q64 — identical CTE,
+# one-row aggregate (see the query docstring: the per-doc collect was
+# result-transfer noise at benchdata scale).
+EXTRA_ORACLE_SQL["q64_span_dedup_agg"] = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+        SELECT doc_id, s.i AS seg_idx,
+               array_to_string(t[s.i * 10 + 1 : s.i * 10 + 10], ' ') AS span_text
+        FROM toks
+        CROSS JOIN UNNEST(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS s(i)
+    ), ranked AS (
+        SELECT doc_id, seg_idx, span_text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY span_text ORDER BY doc_id, seg_idx) AS rn
+        FROM spans
+    ), per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END,
+                                       ' ' ORDER BY seg_idx), '')) AS clean_md5
+        FROM ranked GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_spans) AS BIGINT) AS spans_total,
+           CAST(SUM(n_kept) AS BIGINT) AS spans_kept,
+           CAST(COUNT(DISTINCT clean_md5) AS BIGINT) AS distinct_clean
+    FROM per_doc
+"""
+
+# q126: late-interaction MaxSim retrieval. Token vectors derive from the
+# embeddings fixture by pure id arithmetic (doc = vec_id % 50); cosines
+# are bit-identical across engines (q6/q44 left-fold discipline) and the
+# MaxSim sum runs over exact micro-ints, so the top-5 is a full
+# row-level value compare.
+EXTRA_ORACLE_SQL["q126_maxsim_retrieval"] = """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ), t AS (
+        SELECT vec_id % 50 AS doc_id, embedding::DOUBLE[] AS v
+        FROM embeddings
+    ), m AS (
+        SELECT doc_id, qid,
+               MAX(list_cosine_similarity(v, qv)) AS mx
+        FROM t, q GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(floor(mx * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS score_micro
+    FROM m GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 5
+"""
+
+# q127: gazetteer phrase tagging. The dictionary rebuilds from the corpus
+# by the same rule (first 3 tokens of docs 0-4 + first token of doc 0);
+# overlapping-occurrence counts are exact integers.
+EXTRA_ORACLE_SQL["q127_gazetteer_tag"] = """
+    WITH dict AS (
+        SELECT DISTINCT term, len(string_split(term, ' ')) AS n FROM (
+            SELECT array_to_string(list_slice(string_split(text, ' '), 1, 3),
+                                   ' ') AS term
+            FROM documents WHERE doc_id < 5
+            UNION ALL
+            SELECT string_split(text, ' ')[1] FROM documents WHERE doc_id = 0
+        )
+    ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, dn.n AS n,
+               array_to_string(list_slice(t, s.i, s.i + dn.n - 1), ' ') AS g
+        FROM toks
+        CROSS JOIN (SELECT DISTINCT n FROM dict) dn(n)
+        CROSS JOIN UNNEST(range(1, len(t) - dn.n + 2)) AS s(i)
+        WHERE len(t) >= dn.n
+    ), hits AS (
+        SELECT doc_id, term, COUNT(*) AS nh
+        FROM grams JOIN dict ON g = term AND grams.n = dict.n
+        GROUP BY 1, 2
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nh) AS BIGINT) AS n_hits
+    FROM hits GROUP BY term ORDER BY term
+"""
+
 # q65: PQ-ADC internals are engine-defined (seeded subspace k-means); the
 # value contract is agreement with the exact top-k — exact_top10_idsum
 # recomputed independently (q6's formulation) + expected-TRUE booleans

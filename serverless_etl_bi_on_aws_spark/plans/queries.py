@@ -1866,6 +1866,28 @@ def q64_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact_spans(docs, span_tokens=10).orderBy("doc_id")
 
 
+def q64_span_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q64's one-row rollup — the SCALING face of the span-dedup family
+    (round 17, verdict ask #6): forces the identical two-exchange dedup
+    (window on the span hash, reassembly agg, md5 per doc) but returns
+    four aggregate cells instead of |corpus| rows, so the benchdata
+    sf1→sf10 slope measures the OPERATOR's marginal cost, not 500k rows
+    of driver result transfer (measured: the full q64 collect at sf10
+    swings 5.7-20.5 s on row shipping alone; this rollup is stable).
+    countDistinct(clean_md5) keeps the md5 reassembly load-bearing —
+    a reassembly drift changes the distinct count."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import dedup_exact_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_exact_spans(docs, span_tokens=10)
+    return out.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_spans").cast("bigint").alias("spans_total"),
+        F.sum("n_kept").cast("bigint").alias("spans_kept"),
+        F.countDistinct("clean_md5").cast("bigint").alias("distinct_clean"),
+    )
+
+
 def q65_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN under the value gate (the q18 pattern):
     PQ codes are engine-defined (seeded per-subspace k-means), so the
@@ -6313,6 +6335,49 @@ def q121_similarity_join_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_similarity_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q121's OPERATOR-ONLY face (round 17, verdict ask #5): the same
+    parity-split corpus + plants, the same bipartite banded join — but
+    WITHOUT the exact cross-parity Jaccard verifier, so a regression in
+    the JOIN itself is visible instead of folded into verifier cost.
+    First measurement overturned the r16 guess that the verifier
+    dominated: interleaved best-of-3 at sf0.1 reads operator 6.4 s vs
+    full cell 9.8 s — two per-side minhash_signatures jobs (~2+2 s,
+    each linear in its side and unavoidable for two DISTINCT input
+    tables) are the real cost center, the band join itself is ~0.4 s.
+    bench.py times this as ``q121op`` next to the full verify cell.
+
+    Output is one row (n_linked, idsum) — signature-estimate-dependent,
+    so rows-only in the union (the q13/q18 raw-output discipline: its
+    VALUE gate is the driver's q121 verify twin every round)."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        minhash_similarity_join,
+    )
+
+    real = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = real.agg(F.max("doc_id")).head()[0]
+    hi = 2 * (mx // 2) + 2
+    twin = " ".join(f"pair{i:03d}" for i in range(150))
+    plant = spark.createDataFrame(
+        [
+            (hi, twin),
+            (hi + 1, twin.replace("pair005", "pair900")),
+            (hi + 3, " ".join(f"solo{i:03d}" for i in range(150))),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = real.unionByName(plant)
+    left = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    right = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    linked = minhash_similarity_join(left, right, text_col="text", threshold=0.5)
+    return linked.agg(
+        F.count("*").cast("bigint").alias("n_linked"),
+        F.coalesce(F.sum(F.col("id_l") + F.col("id_r")), F.lit(0))
+        .cast("bigint")
+        .alias("idsum"),
+    )
+
+
 def q122_iban_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated IBAN PII (round 16 — the ISO 13616 member of
     the privacy family, functions/text.iban_candidates / iban_valid /
@@ -6560,6 +6625,89 @@ def q125_generation_merge_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def q126_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim / ColBERT-style) retrieval (round 17 —
+    operators/late_interaction.maxsim_topk): per-token vectors per
+    document, score = sum over query tokens of the max cosine against
+    the document's tokens. Token vectors derive from the embeddings
+    fixture by pure id arithmetic (doc_id = vec_id % 50 — every engine
+    reconstructs the identical grouping); the query is the token
+    vectors of vec_ids 1-3 (the q6 probe-vector discipline: a 3-row
+    driver read inlined as plan literals).
+
+    FULL value oracle: cosines are bit-identical across engines (the
+    q6/q44 left-fold discipline), each per-query max scales to an exact
+    micro-int BEFORE the MaxSim sum, so ranking is engine-neutral
+    integer arithmetic — no float-sum association knife-edge.
+
+    Scale shape: map-side cosines (|Q| per token row), ONE doc-keyed
+    partial-agg exchange carrying |Q| doubles per doc, TakeOrdered
+    top-k. Composes with the IVF index for candidate pruning at 100 TB
+    (see the module docstring)."""
+    from serverless_etl_bi_on_aws_spark.operators.late_interaction import (
+        maxsim_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F.col("vec_id").isin([1, 2, 3]))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    doc_tokens = emb.select(
+        F.pmod(F.col("vec_id"), F.lit(50)).alias("doc_id"),
+        F.col("embedding").alias("vec"),
+    )
+    return maxsim_topk(doc_tokens, qvecs, k=5).orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+
+
+def q127_gazetteer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary / gazetteer phrase tagging (round 17 —
+    operators/gazetteer.gazetteer_tag): exact occurrence counts of a
+    curated phrase list over the corpus — the term-list face of
+    contamination/blocklist screening (q54/q96 match corpora against
+    corpora; this matches against a DICTIONARY). The dictionary derives
+    from the corpus itself by a rule both engines replay: the first
+    THREE tokens of docs 0-4 as 3-word phrases plus the first token of
+    doc 0 as a 1-gram — real text, mixed phrase lengths, guaranteed
+    hits, zero planted rows.
+
+    FULL value oracle: whitespace n-grams and counts are exact integer
+    arithmetic; DuckDB rebuilds the same dictionary and the same
+    overlapping-occurrence counts from first principles.
+
+    Scale shape: per-document explode only for the DISTINCT phrase
+    lengths (two here), dictionary side explicitly broadcast under the
+    merge-family size gate, one (id, term) partial-agg exchange plus
+    the per-term rollup."""
+    from serverless_etl_bi_on_aws_spark.operators.gazetteer import gazetteer_tag
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = docs.filter(F.col("doc_id") < 5).select(
+        "doc_id", F.split(F.col("text"), " ").alias("_t")
+    )
+    terms = seeds.select(
+        F.array_join(F.slice("_t", 1, 3), " ").alias("term")
+    ).unionByName(
+        seeds.filter(F.col("doc_id") == 0).select(
+            F.element_at("_t", 1).alias("term")
+        )
+    )
+    tagged = gazetteer_tag(docs, terms, text_col="text", id_col="doc_id")
+    return (
+        tagged.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_hits").cast("bigint").alias("n_hits"),
+        )
+        .orderBy("term")
+    )
+
+
 QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_sales_by_category": q3_sales_by_category,
@@ -6595,10 +6743,7 @@ QUERIES: dict[str, QueryFn] = {
     "q100_bloom_dedup_verify": q100_bloom_dedup_verify,
     "q101_bm25_search_verify": q101_bm25_search_verify,
     "q102_domain_curation_verify": q102_domain_curation_verify,
-    "q107_pack_examples_verify": q107_pack_examples_verify,
-    "q111_compression_quality": q111_compression_quality,
     "q112_warc_stream_verify": q112_warc_stream_verify,
-    "q113_pii_card_verify": q113_pii_card_verify,
     "q114_k_anonymity_verify": q114_k_anonymity_verify,
     "q115_mojibake_verify": q115_mojibake_verify,
     "q116_activity_gapfill": q116_activity_gapfill,
@@ -6611,6 +6756,9 @@ QUERIES: dict[str, QueryFn] = {
     "q123_stratified_sample_exact": q123_stratified_sample_exact,
     "q124_rolling_activity_stats": q124_rolling_activity_stats,
     "q125_generation_merge_verify": q125_generation_merge_verify,
+    "q126_maxsim_retrieval": q126_maxsim_retrieval,
+    "q127_gazetteer_tag": q127_gazetteer_tag,
+    "q64_span_dedup_agg": q64_span_dedup_agg,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -6622,6 +6770,9 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q107_pack_examples_verify": q107_pack_examples_verify,  # rotated out r17 (ceded to q126): packing stays driver-visible via q118 (boundary offsets) + q119 (vocab/OOV->BPE); the assembly full-value oracle stays in the pytest union
+    "q111_compression_quality": q111_compression_quality,  # rotated out r17 (ceded to q127): the quality-signal family stays driver-visible via q81 (funnel gate) + q86/q88; the zlib-ratio measured-margin oracle stays in the pytest union and the llm bench cell keeps its trend
+    "q113_pii_card_verify": q113_pii_card_verify,  # rotated out r17 (ceded to q64_span_dedup_agg): the checksum-PII family stays driver-visible via q122 (IBAN mod-97, the same literal-test-vector discipline) + q114 (k-anonymity); the Luhn full-value oracle stays in the pytest union
     "q105_robots_filter_verify": q105_robots_filter_verify,  # rotated out r17 (ceded to q115): the crawl-ingest family stays driver-visible via q98 (WARC), q112 (streaming WARC front) and q102 (registered domains + blocklist); the RFC 9309 exact-host matcher keeps its full-value oracle in the pytest union and its exact-host regression test
     "q108_cohort_retention": q108_cohort_retention,  # rotated out r17 (ceded to q116): day-grain cohort windows stay driver-visible via q124 (rolling daily stats over the dense grid) + q10 (ranking windows); full-value oracle stays in the pytest union
     "q110_gopher_rules": q110_gopher_rules,  # rotated out r17 (ceded to q125): the quality-rule family stays driver-visible via q81 (curation funnel's gate), q111 (compression signal), q86/q88 (HTML/boilerplate); the MassiveText rule oracle stays in the pytest union
@@ -6695,6 +6846,7 @@ EXTRA_QUERIES: dict[str, QueryFn] = {
     "q73_unicode_normalize": q73_unicode_normalize,  # rotated out r14 (ceded to q92): X5 text normalization stays driver-visible via q7/q53/q54/q63/q75/q86/q87/q88; the NFC/width-fold contract stays pytest-pinned and in the pytest oracle union
     "q70_window_suite": q70_window_suite,  # rotated out r14 (ceded to q93): the window-frame family stays driver-visible via q10 (rank top-k), q11 (latest-by-key), q74 (grouping sets), q69 (SCD2 windows); the full frame suite stays in the pytest oracle union
     "q64_span_dedup": q64_span_dedup,  # rotated out r14 (ceded to q94): X2 dedup stays driver-visible via q11/q13/q76/q80/q81/q82/q89/q91/q94; bench.py's llm tier still times q64 every round and its two-exchange Python-free plan stays pytest-pinned
+    "q121_similarity_join_operator": q121_similarity_join_operator,  # landed r17 (verdict ask #5): q121's operator-only bench face (no exact-Jaccard verifier) — rows-only by design, value-gated through the driver's q121 verify twin
     "q68_merge_audit_diff": q68_merge_audit_diff,  # rotated out r14 (ceded to q95): the keyed-diff audit family stays driver-visible via q95, which runs the SAME table_diff_summary core over snapshot generations; the merge-audit oracle stays in the pytest union
     "q54_contamination_check": q54_contamination_check,  # rotated out r14 (ceded to q96): the contamination family stays driver-visible via q96, which runs the SAME inverted-index gram join and then ACTS on it; bench.py's llm tier still times q54 every round
     "q56_domain_mix_rebalance": q56_domain_mix_rebalance,  # rotated out r14 (ceded to q97): the corpus-mix family stays driver-visible via q97 (the UPsampling half) + q41 (per-lang packing); the exact-threshold weighted downsampler stays pytest-pinned (test_chunking) and in the pytest oracle union

@@ -50,7 +50,7 @@ def _worst_case_result() -> dict:
     llm_keys = [
         "q12", "q13", "q24", "q38", "q40", "q41", "q42", "q43", "q49",
         "q51", "q52", "q53", "q54", "q55", "q64", "q78", "q79", "q80",
-        "q81", "q82", "q84", "q85", "q86", "q87",
+        "q81", "q82", "q84", "q85", "q86", "q87", "q121", "q121op",
     ]
     sf1_queries = {f"q{i}": 10.123456 for i in range(1, 9)}
     return {
@@ -72,7 +72,12 @@ def _worst_case_result() -> dict:
             "py_floor_sec": 0.21,
             "ratio_net_of_floor": {k: 99.123456 for k in sf1_queries},
         },
-        "scaling": {"q1": dict(scaling_q), "q3": dict(scaling_q), "q44": dict(scaling_q)},
+        "scaling": {
+            "q1": dict(scaling_q),
+            "q3": dict(scaling_q),
+            "q44": dict(scaling_q),
+            "dedup": dict(scaling_q),
+        },
         "bucketed_q3": dict(layout),
         "denorm_q3": dict(layout),
         "rollup_q1": {
@@ -116,9 +121,9 @@ def test_compact_line_preserves_graded_quantities():
         assert k in d
     assert len(d["queries"]) == 7
     # every LLM-tier per-query time survives
-    assert len(d["llm"]) == 24
+    assert len(d["llm"]) == 26
     # graded scaling quantities survive for every scaling query
-    for q in ("q1", "q3", "q44"):
+    for q in ("q1", "q3", "q44", "dedup"):
         sq = d["scaling"][q]
         for k in ("spark_slope_per_sf", "duckdb_slope_per_sf",
                   "slope_ratio", "slope_ratio_range"):
