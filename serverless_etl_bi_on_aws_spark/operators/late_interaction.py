@@ -92,3 +92,67 @@ def maxsim_topk(
     return scores.orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def maxsim_topk_pruned(
+    spark,
+    doc_tokens: DataFrame,
+    index_path: str,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+    token_id_col: str = "vec_id",
+    index_vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB candidate-generation composition (the ColBERT/PLAID
+    two-stage shape): per QUERY token, probe the persisted IVF index
+    (operators/similarity.py — built over the SAME token vectors,
+    ``token_id_col``-keyed) for its ``shortlist`` nearest token vectors;
+    the union of the hit tokens' documents is the candidate set, and the
+    exact :func:`maxsim_topk` scorer runs on only those documents'
+    tokens (a left-semi join — no exact MaxSim pass over the full
+    corpus).
+
+    Recall is governed by ``n_probe`` x ``shortlist`` exactly like
+    single-vector IVF: a document can only be missed if NONE of its
+    tokens surface in any query token's shortlist (far weaker than the
+    single-vector miss condition — any one strong token recalls the
+    whole document). ``doc_tokens`` must carry ``token_id_col`` so hits
+    map back to documents.
+
+    Scale shape: |Q| partition-pruned index probes (each reads
+    n_probe/n_clusters of the corpus files), one ids-only semi-join to
+    scope the token table, then the exact scorer's single doc-keyed
+    exchange over the shortlisted docs only."""
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        ivf_probe_topk,
+    )
+
+    if not query_vecs:
+        raise ValueError("query_vecs must be non-empty")
+    hit_tokens = None
+    for q in query_vecs:
+        hits = ivf_probe_topk(
+            spark,
+            index_path,
+            [float(x) for x in q],
+            k=shortlist,
+            n_probe=n_probe,
+            id_col=token_id_col,
+            vec_col=index_vec_col,
+        ).select(token_id_col)
+        hit_tokens = hits if hit_tokens is None else hit_tokens.unionByName(hits)
+    cand_docs = (
+        doc_tokens.join(
+            F.broadcast(hit_tokens.dropDuplicates([token_id_col])),
+            token_id_col,
+            "left_semi",
+        )
+        .select(id_col)
+        .dropDuplicates([id_col])
+    )
+    pruned = doc_tokens.join(F.broadcast(cand_docs), id_col, "left_semi")
+    return maxsim_topk(pruned, query_vecs, k=k, id_col=id_col, vec_col=vec_col)

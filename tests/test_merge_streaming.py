@@ -858,6 +858,35 @@ def test_generation_merge_matches_swap_merge(spark, tmp_path):
     assert again == want
 
 
+def test_read_generation_target_time_travel(spark, tmp_path):
+    """Round 17: read_generation_target(back=k) reads the table as of k
+    commits ago through the pointer's retained history — back=0 is the
+    live table, back=1 under default keep_n=2 is the pre-merge state,
+    back beyond retention and negative back fail loudly."""
+    import pytest as _pytest
+
+    from serverless_etl_bi_on_aws_spark.streaming.incremental import (
+        merge_into_generation_target,
+        read_generation_target,
+    )
+
+    orders, hist, stage = _split_orders(spark)
+    root = str(tmp_path / "gens")
+    with _pytest.raises(FileNotFoundError):
+        read_generation_target(spark, root)  # nothing committed yet
+    merge_into_generation_target(spark, hist, root, ["o_orderkey"])
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        read_generation_target(spark, root, back=1)  # no history yet
+    merge_into_generation_target(spark, stage, root, ["o_orderkey"])
+    live = read_generation_target(spark, root).count()
+    past = read_generation_target(spark, root, back=1).count()
+    assert past == hist.count() and live >= past
+    with _pytest.raises(FileNotFoundError, match="not retained"):
+        read_generation_target(spark, root, back=2)  # aged out (keep_n=2)
+    with _pytest.raises(ValueError, match="back must"):
+        read_generation_target(spark, root, back=-1)
+
+
 def test_generation_merge_streaming_end_to_end(spark, tmp_path):
     """start_incremental_merge(generations=True): the EP1 loop over the
     generation store — two landed files drain into two merges; the live

