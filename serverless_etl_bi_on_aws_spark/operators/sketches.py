@@ -220,3 +220,100 @@ def read_cms(spark, sketch_path: str) -> DataFrame:
         .withColumn("width", F.lit(meta["width"]))
         .withColumn("depth", F.lit(meta["depth"]))
     )
+
+
+# ---- deterministic bottom-k (KMV) quantile sketch (round 17) ----
+#
+# CMS answers "how often", HLL answers "how many distinct"; the third
+# classic rollup question is "what does the DISTRIBUTION look like"
+# (p50/p90/p99 per cell). The standard mergeable answers (KLL, GK,
+# t-digest) are engine-defined — their estimates depend on internal
+# compaction order, so a cross-engine value oracle is impossible and a
+# warehouse migration changes every recorded percentile. This sketch
+# trades their tighter error bounds for full determinism: the sample is
+# the k rows with the SMALLEST engine-neutral multiplicative hash of
+# the row id (the q123/q37 Knuth discipline — id reduced mod p before
+# the multiply, BIGINT-safe for every id), which is a uniform k-sample
+# of the group, and quantiles are nearest-rank-lower selections from
+# it. Every engine that can hash and sort reproduces the IDENTICAL
+# estimate — sketches become auditable values, not approximations you
+# must trust.
+#
+# Mergeability (the KMV property): the bottom-k of a union equals the
+# bottom-k of the union of per-part bottom-k's, because the hash order
+# is a fixed total order on rows — so per-partition/per-day samples
+# union + re-rank into the global sample with NO error accumulation
+# (pytest-pinned). Standard-error of a k-sample quantile q is
+# ~sqrt(q(1-q)/k): k=64 gives ~6 points at the median, k=1024 ~1.5 —
+# size k to the question, the cost is k rows per rollup cell.
+
+
+def kmv_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    id_col: str,
+    k: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """The k rows per group with the smallest Knuth hash of ``id_col``
+    — a deterministic uniform sample (the sketch STATE: store these
+    rows; merge = union + re-apply). One per-group window shuffle."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    p = 1_000_000_007
+    order = F.pmod(
+        (F.pmod(F.col(id_col), F.lit(p)) + F.lit(seed % p))
+        * F.lit(2654435761),
+        F.lit(p),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        order.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__kmv_rk", F.row_number().over(w))
+        .filter(F.col("__kmv_rk") <= k)
+        .drop("__kmv_rk")
+    )
+
+
+def kmv_quantiles(
+    sample_df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    q_permille: Sequence[int] = (500, 900, 990),
+) -> DataFrame:
+    """Nearest-rank-lower quantile estimates from a :func:`kmv_sample`:
+    per group and requested permille, the sample value at sorted index
+    ``((n - 1) * q) div 1000`` (exact integer arithmetic — the only
+    float anywhere is none). Returns ``(group_cols..., q_permille,
+    est)``. Two narrow exchanges over k-sized samples."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    for qp in q_permille:
+        if not 0 <= qp <= 1000:
+            raise ValueError(f"q_permille entries must be in [0,1000]: {qp}")
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = sample_df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(*gcols))
+    )
+    qdf = F.explode(
+        F.array(*[F.lit(int(qp)).cast("bigint") for qp in q_permille])
+    ).alias("q_permille")
+    # nearest-rank-lower: sorted index ((n-1)*q) div 1000, exact BIGINT
+    idx = F.expr("(( __n - 1) * q_permille) div 1000")
+    return (
+        ranked.select(*gcols, value_col, "__rn", "__n")
+        .select(*gcols, value_col, "__rn", "__n", qdf)
+        .filter(F.col("__rn") == idx + F.lit(1))
+        .select(
+            *gcols,
+            F.col("q_permille").cast("int").alias("q_permille"),
+            F.col(value_col).alias("est"),
+        )
+    )

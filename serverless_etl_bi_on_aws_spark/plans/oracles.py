@@ -1466,6 +1466,36 @@ EXTRA_ORACLE_SQL["q126_maxsim_retrieval"] = """
     LIMIT 5
 """
 
+# q128: the deterministic KMV quantile sketch — the oracle reruns the
+# IDENTICAL bottom-64 Knuth-hash sample per language and the identical
+# nearest-rank-lower pick, exact integers end to end.
+EXTRA_ORACLE_SQL["q128_quantile_sketch_verify"] = """
+    WITH d AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT lang, doc_id, n_tokens,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007,
+                            doc_id) AS rk
+        FROM d
+    ), samp AS (
+        SELECT lang, doc_id, n_tokens FROM ranked WHERE rk <= 64
+    ), o AS (
+        SELECT lang, n_tokens,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM samp
+    )
+    SELECT lang, CAST(q AS INTEGER) AS q_permille, n_tokens AS est
+    FROM o CROSS JOIN (VALUES (500), (900), (990)) AS qs(q)
+    WHERE rn = ((n - 1) * q) // 1000 + 1
+    ORDER BY lang, q_permille
+"""
+
 # q127: gazetteer phrase tagging. The dictionary rebuilds from the corpus
 # by the same rule (first 3 tokens of docs 0-4 + first token of doc 0);
 # overlapping-occurrence counts are exact integers.

@@ -6665,6 +6665,38 @@ def q126_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q128_quantile_sketch_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k (KMV) quantile sketch (round 17 —
+    operators/sketches.kmv_sample / kmv_quantiles, completing the
+    mergeable-sketch trio: CMS frequency, HLL distinct, now
+    distribution): per-language p50/p90/p99 of document token counts,
+    estimated from the 64-row deterministic hash-bottom-k sample. The
+    classic mergeable quantile sketches (KLL/GK/t-digest) are
+    engine-defined; this one's estimate is a pure function of the data
+    under the engine-neutral Knuth hash order, so it carries a FULL
+    value oracle — DuckDB reruns the identical sample selection and the
+    identical nearest-rank pick. Merge-equals-global is pytest-pinned
+    (test_cms).
+
+    Scale shape: one per-group window for the sample (k rows per cell
+    survive — the rollup-storable state), then k-sized selection
+    windows; nothing data-sized past the first exchange."""
+    from serverless_etl_bi_on_aws_spark.operators.sketches import (
+        kmv_quantiles,
+        kmv_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    sample = kmv_sample(docs, ["lang"], "doc_id", k=64)
+    return kmv_quantiles(
+        sample, ["lang"], "n_tokens", "doc_id", (500, 900, 990)
+    ).orderBy("lang", "q_permille")
+
+
 def q127_gazetteer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary / gazetteer phrase tagging (round 17 —
     operators/gazetteer.gazetteer_tag): exact occurrence counts of a
@@ -6729,7 +6761,6 @@ QUERIES: dict[str, QueryFn] = {
     "q82_minhash_curation_verify": q82_minhash_curation_verify,
     "q83_forget_verify": q83_forget_verify,
     "q84_takedown_stream_verify": q84_takedown_stream_verify,
-    "q85_maintenance_verify": q85_maintenance_verify,
     "q86_html_extract_verify": q86_html_extract_verify,
     "q87_langid_verify": q87_langid_verify,
     "q88_paragraph_boilerplate_verify": q88_paragraph_boilerplate_verify,
@@ -6759,6 +6790,7 @@ QUERIES: dict[str, QueryFn] = {
     "q126_maxsim_retrieval": q126_maxsim_retrieval,
     "q127_gazetteer_tag": q127_gazetteer_tag,
     "q64_span_dedup_agg": q64_span_dedup_agg,
+    "q128_quantile_sketch_verify": q128_quantile_sketch_verify,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -6770,6 +6802,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q85_maintenance_verify": q85_maintenance_verify,  # rotated out r17 (ceded to q128): the z-order/bloom maintenance path stays verified by the object-store snapshot suites (compaction + IVF retrain over the double), q90/q95 (snapshot SQL/diff surface), and its full-value oracle in the pytest union
     "q107_pack_examples_verify": q107_pack_examples_verify,  # rotated out r17 (ceded to q126): packing stays driver-visible via q118 (boundary offsets) + q119 (vocab/OOV->BPE); the assembly full-value oracle stays in the pytest union
     "q111_compression_quality": q111_compression_quality,  # rotated out r17 (ceded to q127): the quality-signal family stays driver-visible via q81 (funnel gate) + q86/q88; the zlib-ratio measured-margin oracle stays in the pytest union and the llm bench cell keeps its trend
     "q113_pii_card_verify": q113_pii_card_verify,  # rotated out r17 (ceded to q64_span_dedup_agg): the checksum-PII family stays driver-visible via q122 (IBAN mod-97, the same literal-test-vector discipline) + q114 (k-anonymity); the Luhn full-value oracle stays in the pytest union

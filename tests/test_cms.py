@@ -125,3 +125,55 @@ def test_absent_key_estimates_reflect_only_collisions(spark):
     est = cms_estimate(sketch, ghost, "k").first().est
     # wide sketch, 40 keys: overwhelmingly likely some row has no collision
     assert est == 0
+
+
+def test_kmv_sample_merge_equals_global_and_deterministic(spark):
+    """Round 17: the KMV bottom-k sample is (a) a fixed function of the
+    data — identical under any repartitioning; (b) MERGEABLE with zero
+    error: bottom-k of the union of per-part bottom-k's equals the
+    global bottom-k (the hash order is a total order on rows); (c)
+    min(k, |group|)-sized per group; (d) k<=0 refused."""
+    from serverless_etl_bi_on_aws_spark.operators.sketches import kmv_sample
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", (i * 37) % 101) for i in range(300)],
+        "id bigint, g string, v bigint",
+    )
+    s = sorted(map(tuple, kmv_sample(df, ["g"], "id", k=20).collect()))
+    again = sorted(
+        map(tuple, kmv_sample(df.repartition(11), ["g"], "id", k=20).collect())
+    )
+    assert again == s
+    p1 = kmv_sample(df.filter("id % 2 = 0"), ["g"], "id", k=20)
+    p2 = kmv_sample(df.filter("id % 2 = 1"), ["g"], "id", k=20)
+    merged = sorted(
+        map(tuple, kmv_sample(p1.unionByName(p2), ["g"], "id", k=20).collect())
+    )
+    assert merged == s
+    tiny = kmv_sample(df.filter("id < 5"), ["g"], "id", k=20)
+    assert tiny.count() == 5  # min(k, group size)
+    with pytest.raises(ValueError, match="k must"):
+        kmv_sample(df, ["g"], "id", k=0)
+
+
+def test_kmv_quantiles_nearest_rank_exact(spark):
+    """The quantile pick is the nearest-rank-lower element of the
+    sorted sample — verified against a hand computation with k covering
+    the whole group (sample == population -> estimates are the exact
+    population quantiles); permille bounds refused outside [0,1000]."""
+    from serverless_etl_bi_on_aws_spark.operators.sketches import (
+        kmv_quantiles,
+        kmv_sample,
+    )
+
+    rows = [(i, "g", v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    df = spark.createDataFrame(rows, "id bigint, g string, v bigint")
+    s = kmv_sample(df, ["g"], "id", k=100)  # whole population
+    got = {
+        (r.q_permille): r.est
+        for r in kmv_quantiles(s, ["g"], "v", "id", (0, 500, 900, 1000)).collect()
+    }
+    # n=10: idx = (9*q)//1000 -> 0, 4, 8, 9
+    assert got == {0: 10, 500: 50, 900: 90, 1000: 100}
+    with pytest.raises(ValueError, match="q_permille"):
+        kmv_quantiles(s, ["g"], "v", "id", (1500,))
