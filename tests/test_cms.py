@@ -177,3 +177,28 @@ def test_kmv_quantiles_nearest_rank_exact(spark):
     assert got == {0: 10, 500: 50, 900: 90, 1000: 100}
     with pytest.raises(ValueError, match="q_permille"):
         kmv_quantiles(s, ["g"], "v", "id", (1500,))
+
+
+def test_kmv_plan_no_python_no_data_sized_second_exchange(spark):
+    """Plan pin for the q128 shape: the sketch pipeline is pure JVM (no
+    Python stage) and past the first per-group sample window every
+    exchange moves k-sized samples, not data — the second window's
+    exchange reuses the same group key."""
+    from serverless_etl_bi_on_aws_spark.operators.sketches import (
+        kmv_quantiles,
+        kmv_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 4}", i * 7 % 53) for i in range(400)],
+        "id bigint, g string, v bigint",
+    )
+    q = kmv_quantiles(kmv_sample(df, ["g"], "id", k=16), ["g"], "v", "id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # both windows partition on the group key; the sample filter sits
+    # between them, so the second window can ride the first's
+    # partitioning (AQE may still insert an exchange — but never a
+    # data-sized one: the input is <= k rows per group)
+    assert plan.count("Window") >= 2, plan
