@@ -1,0 +1,92 @@
+"""Distribution drift between two corpus snapshots (round 17).
+
+A continuously-ingested training corpus drifts: a crawl source changes
+its language mix, a boilerplate filter starts eating a domain, an
+upstream dedup knob shifts the length distribution. The standard
+monitoring statistic is the Population Stability Index
+
+    PSI = sum over buckets of (p_b - q_b) * ln(p_b / q_b)
+
+(symmetrized KL; the credit-scoring industry's drift metric, with the
+conventional bands <0.1 stable / 0.1-0.25 shifting / >0.25 drifted).
+
+Formulation follows the DSIR milli-nat discipline (operators/
+selection.py, cross-engine-green since round 15): add-one smoothing on
+BOTH sides over the union of observed buckets (an unseen bucket is
+penalized, never infinite), per-bucket contributions rounded to BIGINT
+MILLI-nats (``round(1000 * (p-q) * ln(p/q))``) so totals are order-free
+integer sums and the DuckDB oracle reproduces every cell — the only
+floats are the two ln() calls on identical doubles, the same accepted
+surface as dsir_score.
+
+Scale shape: two partial-agg counts (one per snapshot, map-side
+combined, output = |buckets| rows), a full-outer join of two
+bucket-sized frames, pure expressions after that. Nothing data-sized
+past the first aggregates; works unchanged when the "snapshots" are
+rollup cells rather than raw scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bucket_col: str,
+    out_bucket: str = "bucket",
+) -> DataFrame:
+    """Per-bucket drift report between snapshot A (baseline) and B
+    (current): ``(bucket, a_cnt, b_cnt, psi_milli)`` where psi_milli is
+    the bucket's smoothed PSI contribution in milli-nats (BIGINT; can
+    be negative only through rounding — the true contribution is
+    >= 0). Total PSI = SUM(psi_milli) / 1000 nats. Buckets observed in
+    either snapshot appear; both sides are add-one smoothed over that
+    union's size."""
+    a = df_a.groupBy(F.col(bucket_col).alias(out_bucket)).agg(
+        F.count("*").alias("a_cnt")
+    )
+    b = df_b.groupBy(F.col(bucket_col).alias(out_bucket)).agg(
+        F.count("*").alias("b_cnt")
+    )
+    joined = (
+        a.join(b, out_bucket, "full_outer")
+        .select(
+            out_bucket,
+            F.coalesce("a_cnt", F.lit(0)).cast("bigint").alias("a_cnt"),
+            F.coalesce("b_cnt", F.lit(0)).cast("bigint").alias("b_cnt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = joined.agg(
+        F.sum("a_cnt").alias("_ta"),
+        F.sum("b_cnt").alias("_tb"),
+        F.count("*").alias("_nb"),
+    )
+    # totals are a 1-row broadcast-crossJoin (the q84-family pattern) so
+    # the per-bucket expressions stay distributed
+    out = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("a_cnt") + 1).cast("double") / (
+        F.col("_ta") + F.col("_nb")
+    ).cast("double")
+    q = (F.col("b_cnt") + 1).cast("double") / (
+        F.col("_tb") + F.col("_nb")
+    ).cast("double")
+    contrib = F.round((p - q) * (F.log(p) - F.log(q)) * 1000).cast("bigint")
+    return out.select(
+        out_bucket, "a_cnt", "b_cnt", contrib.alias("psi_milli")
+    )
+
+
+def psi_total_milli(report: DataFrame) -> DataFrame:
+    """One-row total: ``(psi_milli, drifted_100, drifted_250)`` — the
+    conventional 0.10 / 0.25 PSI bands as exact integer comparisons on
+    the milli-nat sum."""
+    return report.agg(
+        F.sum("psi_milli").cast("bigint").alias("psi_milli")
+    ).select(
+        "psi_milli",
+        (F.col("psi_milli") >= 100).alias("drifted_100"),
+        (F.col("psi_milli") >= 250).alias("drifted_250"),
+    )

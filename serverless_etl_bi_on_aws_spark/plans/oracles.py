@@ -1466,6 +1466,58 @@ EXTRA_ORACLE_SQL["q126_maxsim_retrieval"] = """
     LIMIT 5
 """
 
+# q129: the PSI drift monitor — the oracle reruns the identical smoothed
+# milli-nat arithmetic (the dsir/q117 discipline: two ln() calls on
+# identical doubles, rounded once per bucket, integer totals).
+EXTRA_ORACLE_SQL["q129_drift_report"] = """
+    WITH base AS (
+        SELECT lang FROM documents WHERE doc_id % 2 = 0
+    ), nodrift AS (
+        SELECT lang FROM documents WHERE doc_id % 2 = 1
+    ), drift AS (
+        SELECT lang FROM documents
+        WHERE doc_id % 2 = 1 AND (lang = 'en' OR doc_id % 10 = 9)
+    ), rep_d AS (
+        SELECT COALESCE(a.lang, b.lang) AS bucket,
+               COALESCE(a.c, 0) AS a_cnt, COALESCE(b.c, 0) AS b_cnt
+        FROM (SELECT lang, COUNT(*) AS c FROM base GROUP BY 1) a
+        FULL OUTER JOIN (SELECT lang, COUNT(*) AS c FROM drift GROUP BY 1) b
+        USING (lang)
+    ), tot_d AS (
+        SELECT SUM(a_cnt) AS ta, SUM(b_cnt) AS tb, COUNT(*) AS nb FROM rep_d
+    ), psi_d AS (
+        SELECT bucket, a_cnt, b_cnt,
+               CAST(round(((a_cnt + 1.0) / (ta + nb) - (b_cnt + 1.0) / (tb + nb))
+                    * (ln((a_cnt + 1.0) / (ta + nb)) - ln((b_cnt + 1.0) / (tb + nb)))
+                    * 1000) AS BIGINT) AS psi_milli
+        FROM rep_d, tot_d
+    ), rep_n AS (
+        SELECT COALESCE(a.lang, b.lang) AS bucket,
+               COALESCE(a.c, 0) AS a_cnt, COALESCE(b.c, 0) AS b_cnt
+        FROM (SELECT lang, COUNT(*) AS c FROM base GROUP BY 1) a
+        FULL OUTER JOIN (SELECT lang, COUNT(*) AS c FROM nodrift GROUP BY 1) b
+        USING (lang)
+    ), tot_n AS (
+        SELECT SUM(a_cnt) AS ta, SUM(b_cnt) AS tb, COUNT(*) AS nb FROM rep_n
+    ), psi_n AS (
+        SELECT bucket, a_cnt, b_cnt,
+               CAST(round(((a_cnt + 1.0) / (ta + nb) - (b_cnt + 1.0) / (tb + nb))
+                    * (ln((a_cnt + 1.0) / (ta + nb)) - ln((b_cnt + 1.0) / (tb + nb)))
+                    * 1000) AS BIGINT) AS psi_milli
+        FROM rep_n, tot_n
+    )
+    SELECT bucket, CAST(a_cnt AS BIGINT) AS a_cnt,
+           CAST(b_cnt AS BIGINT) AS b_cnt, psi_milli FROM (
+        SELECT * FROM psi_d
+        UNION ALL
+        SELECT '__total_drift', SUM(a_cnt), SUM(b_cnt), SUM(psi_milli)
+        FROM psi_d
+        UNION ALL
+        SELECT '__total_nodrift', SUM(a_cnt), SUM(b_cnt), SUM(psi_milli)
+        FROM psi_n
+    ) ORDER BY bucket
+"""
+
 # q128: the deterministic KMV quantile sketch — the oracle reruns the
 # IDENTICAL bottom-64 Knuth-hash sample per language and the identical
 # nearest-rank-lower pick, exact integers end to end.

@@ -6665,6 +6665,52 @@ def q126_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q129_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor (round 17 —
+    operators/drift.psi_report / psi_total_milli): the per-language
+    distribution drift between two corpus snapshots, in exact BIGINT
+    milli-nats (the DSIR log-ratio discipline — add-one smoothing both
+    sides, per-bucket round(1000·(p−q)·ln(p/q)), order-free integer
+    total). Snapshot A = even doc_ids (baseline); the DRIFTED snapshot
+    keeps only 1-in-5 of the odd docs whose lang isn't 'en' (a crawl
+    source's language mix collapsing — the monitoring scenario);
+    the NO-DRIFT twin is the plain odd half. Output: per-lang drift
+    rows plus two total rows ('__total_drift' must clear the
+    conventional 0.10 band, '__total_nodrift' must sit under it —
+    both stated as values the oracle recomputes, not booleans).
+
+    Scale shape: two partial-agg counts per pair (|langs| rows out),
+    bucket-sized full-outer join, one-row total crossJoined broadcast —
+    nothing data-sized past the first aggregates."""
+    from serverless_etl_bi_on_aws_spark.operators.drift import psi_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    cur_nodrift = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    cur_drift = cur_nodrift.filter(
+        (F.col("lang") == "en") | (F.pmod(F.col("doc_id"), F.lit(10)) == 9)
+    )
+
+    rep = psi_report(base, cur_drift, "lang")
+    per_lang = rep.select(
+        F.col("bucket"), "a_cnt", "b_cnt", "psi_milli"
+    )
+
+    def total(report: DataFrame, label: str) -> DataFrame:
+        return report.agg(
+            F.sum("a_cnt").cast("bigint").alias("a_cnt"),
+            F.sum("b_cnt").cast("bigint").alias("b_cnt"),
+            F.sum("psi_milli").cast("bigint").alias("psi_milli"),
+        ).select(F.lit(label).alias("bucket"), "a_cnt", "b_cnt", "psi_milli")
+
+    rep2 = psi_report(base, cur_nodrift, "lang")
+    return (
+        per_lang.unionByName(total(rep, "__total_drift"))
+        .unionByName(total(rep2, "__total_nodrift"))
+        .orderBy("bucket")
+    )
+
+
 def q128_quantile_sketch_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bottom-k (KMV) quantile sketch (round 17 —
     operators/sketches.kmv_sample / kmv_quantiles, completing the
@@ -6769,7 +6815,6 @@ QUERIES: dict[str, QueryFn] = {
     "q94_priority_survivors_verify": q94_priority_survivors_verify,
     "q95_snapshot_diff_verify": q95_snapshot_diff_verify,
     "q96_decontaminate_verify": q96_decontaminate_verify,
-    "q98_warc_ingest_verify": q98_warc_ingest_verify,
     "q99_link_graph_pagerank": q99_link_graph_pagerank,
     "q100_bloom_dedup_verify": q100_bloom_dedup_verify,
     "q101_bm25_search_verify": q101_bm25_search_verify,
@@ -6791,6 +6836,7 @@ QUERIES: dict[str, QueryFn] = {
     "q127_gazetteer_tag": q127_gazetteer_tag,
     "q64_span_dedup_agg": q64_span_dedup_agg,
     "q128_quantile_sketch_verify": q128_quantile_sketch_verify,
+    "q129_drift_report": q129_drift_report,
 }
 
 #: Off-driver tier: operators whose driver-window slot was consolidated
@@ -6802,6 +6848,7 @@ QUERIES: dict[str, QueryFn] = {
 #: headline slot times the Arrow kernel q44 — the deployment path — since
 #: round 9; q6_topk_cosine remains the HOF oracle-stability twin).
 EXTRA_QUERIES: dict[str, QueryFn] = {
+    "q98_warc_ingest_verify": q98_warc_ingest_verify,  # rotated out r17 (ceded to q129): the crawl front stays driver-visible via q112 (the streaming WARC curation front runs the same ISO 28500 parse per micro-batch) + q102 (domains); the WARC full-value oracle stays in the pytest union and its llm bench cell keeps the parse-path trend
     "q85_maintenance_verify": q85_maintenance_verify,  # rotated out r17 (ceded to q128): the z-order/bloom maintenance path stays verified by the object-store snapshot suites (compaction + IVF retrain over the double), q90/q95 (snapshot SQL/diff surface), and its full-value oracle in the pytest union
     "q107_pack_examples_verify": q107_pack_examples_verify,  # rotated out r17 (ceded to q126): packing stays driver-visible via q118 (boundary offsets) + q119 (vocab/OOV->BPE); the assembly full-value oracle stays in the pytest union
     "q111_compression_quality": q111_compression_quality,  # rotated out r17 (ceded to q127): the quality-signal family stays driver-visible via q81 (funnel gate) + q86/q88; the zlib-ratio measured-margin oracle stays in the pytest union and the llm bench cell keeps its trend

@@ -91,3 +91,46 @@ def test_unique_ignores_nulls(spark):
     df2 = spark.createDataFrame([(1,), (1,), (None,)], "v int")
     row2 = run_checks(df2, [unique("v")]).head()
     assert row2["n_violations"] == 1 and row2["passed"] is False
+
+
+def test_psi_drift_report_exact_and_banded(spark):
+    """Round 17 (operators/drift.py): identical distributions score ~0
+    milli-nats (exactly 0 per bucket after rounding at these sizes), a
+    collapsed category clears the conventional 0.10 band, buckets
+    present on only one side get add-one smoothing instead of
+    infinities, and the total is the exact integer sum of per-bucket
+    contributions."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.drift import (
+        psi_report,
+        psi_total_milli,
+    )
+
+    rows = [(i, ["en", "en", "en", "de", "fr"][i % 5]) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, lang string")
+    same = psi_report(df, df, "lang")
+    assert {r.psi_milli for r in same.collect()} == {0}
+    t = psi_total_milli(same).first()
+    assert t.psi_milli == 0 and not t.drifted_100
+
+    # drop ALL 'fr' and 80% of 'de' from the current snapshot
+    cur = df.filter(
+        (F.col("lang") == "en")
+        | ((F.col("lang") == "de") & (F.col("id") % 5 == 3) & (F.col("id") % 25 == 3))
+    )
+    rep = psi_report(df, cur, "lang")
+    rows_by_bucket = {r.bucket: r for r in rep.collect()}
+    assert rows_by_bucket["fr"].b_cnt == 0  # vanished, smoothed not inf
+    assert rows_by_bucket["fr"].psi_milli > 0
+    t2 = psi_total_milli(rep).first()
+    assert t2.psi_milli == sum(r.psi_milli for r in rows_by_bucket.values())
+    assert t2.drifted_100  # way past the 0.10 band
+
+    # one-sided NEW bucket (in current only) also smooths, not inf
+    cur2 = df.unionByName(
+        spark.createDataFrame([(9999, "zz")], "id bigint, lang string")
+    )
+    rep2 = psi_report(df, cur2, "lang")
+    zz = [r for r in rep2.collect() if r.bucket == "zz"][0]
+    assert zz.a_cnt == 0 and zz.b_cnt == 1
