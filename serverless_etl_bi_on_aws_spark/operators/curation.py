@@ -50,6 +50,7 @@ def curation_stages(
     gopher: bool = False,
     dsir_weights: DataFrame | None = None,
     dsir_min_milli: int = 0,
+    blocklist_terms: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns the three surviving sets ``(quality, uniq, final)``:
 
@@ -90,6 +91,13 @@ def curation_stages(
     SHAPE (bullet/ellipsis lines, symbol ratio, stop words), so each
     catches documents the other passes. Map-only either way.
 
+    ``blocklist_terms`` (round 17) adds the phrase-blocklist rung
+    after the shape gates: documents containing ANY of the dictionary's
+    phrases (operators/gazetteer.py occurrence semantics, q127-gated)
+    drop before the dedup rungs, so blocked content never reaches a
+    persisted index. Pass pre-normalized phrases for case-insensitive
+    screening.
+
     ``dsir_weights`` (round 15) adds the target-distribution rung
     (operators/selection.py, q117-gated): documents whose DSIR
     importance score falls below ``dsir_min_milli`` drop after the
@@ -126,6 +134,29 @@ def curation_stages(
             .filter(F.col("g_pass"))
             .drop(*flag_cols)
         )
+    if blocklist_terms is not None:
+        # blocklist rung (round 17, operators/gazetteer.py): reject a
+        # document containing ANY blocked phrase — runs right after the
+        # shape gates (cheap anti-join against the tagger's ids-only
+        # hits) and BEFORE the expensive dedup rungs, so blocked content
+        # never reaches the index. One-column ("term") phrase frame,
+        # same tokenizer as the funnel; exact occurrence semantics are
+        # q127's (gazetteer_tag).
+        from serverless_etl_bi_on_aws_spark.operators.gazetteer import (
+            gazetteer_tag,
+        )
+
+        blocked_ids = (
+            gazetteer_tag(
+                quality.select(id_col, text_col),
+                blocklist_terms,
+                text_col=text_col,
+                id_col=id_col,
+            )
+            .select(id_col)
+            .dropDuplicates([id_col])
+        )
+        quality = quality.join(blocked_ids, id_col, "left_anti")
     if dsir_weights is not None:
         from serverless_etl_bi_on_aws_spark.operators.selection import dsir_score
 

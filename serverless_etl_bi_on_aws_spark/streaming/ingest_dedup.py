@@ -202,6 +202,7 @@ def apply_curation_batch(
     html_col: str | None = None,
     dsir_weights_path: str | None = None,
     dsir_min_milli: int = 0,
+    blocklist_terms_path: str | None = None,
 ) -> None:
     """The streaming twin of the q81 curation funnel: one micro-batch
     runs quality-gate -> batch-local exact dedup -> index probe ->
@@ -295,6 +296,27 @@ def apply_curation_batch(
             .filter(F.col("__dsir") >= F.lit(int(dsir_min_milli)))
             .drop("__dsir")
         )
+    if blocklist_terms_path is not None:
+        # phrase-blocklist rung (round 17): terms are a FROZEN parquet
+        # table (path, not DataFrame — the dsir_weights_path replay
+        # contract: every replay reads the same table, so the gated
+        # frame stays a pure per-row function of batch_df). Runs before
+        # the exact-dedup/index rungs so blocked content never reaches
+        # the index.
+        from serverless_etl_bi_on_aws_spark.operators.gazetteer import (
+            gazetteer_tag,
+        )
+
+        terms = spark.read.parquet(blocklist_terms_path)
+        blocked = (
+            gazetteer_tag(
+                gated.select(id_col, text_col), terms,
+                text_col=text_col, id_col=id_col,
+            )
+            .select(id_col)
+            .dropDuplicates([id_col])
+        )
+        gated = gated.join(blocked, id_col, "left_anti")
     w = Window.partitionBy(text_col)
     gated = (
         gated.withColumn("_min_id", F.min(id_col).over(w))
@@ -362,6 +384,7 @@ def start_incremental_curation(
     html_col: str | None = None,
     dsir_weights_path: str | None = None,
     dsir_min_milli: int = 0,
+    blocklist_terms_path: str | None = None,
 ) -> StreamingQuery:
     """Watch ``source_dir`` and keep ``clean_dir`` a continuously-CURATED
     corpus (quality-gated, exact- and near-deduped — and, with
@@ -396,6 +419,7 @@ def start_incremental_curation(
             html_col=html_col,
             dsir_weights_path=dsir_weights_path,
             dsir_min_milli=dsir_min_milli,
+            blocklist_terms_path=blocklist_terms_path,
         )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(

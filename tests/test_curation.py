@@ -350,3 +350,36 @@ def test_dsir_rung_drops_off_target_docs(spark):
     )
     assert {r.doc_id for r in selected.collect()} == set(range(20))
     w.unpersist()
+
+
+def test_curation_blocklist_rung(spark):
+    """Round 17: the phrase-blocklist rung drops exactly the documents
+    containing a blocked phrase (multi-word, overlapping-tokenizer
+    semantics from q127's gazetteer), runs before dedup (a blocked
+    doc's near-dup twin survives if itself clean), and the knob's
+    absence leaves the funnel unchanged."""
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.curation import (
+        curation_stages,
+    )
+
+    base = " ".join(f"alpha{i:02d} beta{i:02d}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base.replace("alpha03", "forbidden phrase here or")),  # blocked
+        (3, " ".join(f"clean{i:02d} word{i:02d}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    terms = spark.createDataFrame([("forbidden phrase",)], "term string")
+
+    _q, _u, final_plain = curation_stages(docs, jaccard_threshold=0.5)
+    plain_ids = {r.doc_id for r in final_plain.select("doc_id").collect()}
+
+    _q2, _u2, final_blk = curation_stages(
+        docs, jaccard_threshold=0.5, blocklist_terms=terms
+    )
+    blk_ids = {r.doc_id for r in final_blk.select("doc_id").collect()}
+    assert 2 not in blk_ids  # blocked phrase dropped it
+    assert blk_ids == {1, 3}  # clean docs survive every rung
+    assert blk_ids == plain_ids - {2}  # the ONLY difference is the rung

@@ -1183,3 +1183,37 @@ def test_dsir_bucket_cache_invalidates_on_weights_refit(spark, tmp_path):
     assert seen == [1 << 10, 1 << 11]  # re-validated, new bucket space
     key = wp
     assert mod._DSIR_NUM_BUCKETS[key][1] == 1 << 11
+
+
+def test_curation_batch_blocklist_rung(spark, tmp_path):
+    """Round 17: the streaming funnel's phrase-blocklist rung — terms
+    are a FROZEN parquet path (the dsir_weights_path replay contract);
+    docs containing a blocked phrase drop after the quality gate and
+    never reach the index; a replay is a no-op."""
+    from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
+        apply_curation_batch,
+    )
+
+    voc = ["physics", "quantum", "theorem", "energy", "research", "study"]
+    mk = lambda i: " ".join(voc[(i + j) % 6] + f"{i}x{j}" for j in range(40))
+    rows = [(1, mk(1)), (2, mk(2) + " blocked phrase tail"), (3, mk(3))]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    terms_path = str(tmp_path / "terms")
+    spark.createDataFrame([("blocked phrase",)], "term string").write.parquet(
+        terms_path
+    )
+    idx = str(tmp_path / "idx")
+    clean = str(tmp_path / "clean")
+    init_minhash_index(idx)
+    apply_curation_batch(
+        spark, docs, idx, clean, "b0", blocklist_terms_path=terms_path
+    )
+    got = {
+        r.doc_id for r in spark.read.parquet(clean).select("doc_id").collect()
+    }
+    assert got == {1, 3}
+    assert spark.read.parquet(os.path.join(idx, "sigs")).count() == 2
+    apply_curation_batch(  # replay: no-op
+        spark, docs, idx, clean, "b0", blocklist_terms_path=terms_path
+    )
+    assert spark.read.parquet(clean).count() == 2
