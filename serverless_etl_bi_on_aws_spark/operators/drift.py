@@ -79,6 +79,71 @@ def psi_report(
     )
 
 
+def bucketize_numeric(col, edges) -> "F.Column":
+    """Engine-neutral bucket label for a numeric column under EXPLICIT
+    edges (the continuous-column front of :func:`psi_report` — PSI over
+    a length/score distribution needs a stable bucketing, and quantile-
+    based edges drift with the data; fix the edges, monitor the mass).
+    Labels are half-open ``"[lo,hi)"`` strings plus ``"<lo"`` / ``">=hi"``
+    tails and ``"null"`` — pure nested CASE, codegen'd, reproducible
+    anywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    edges = [float(e) for e in edges]
+    if edges != sorted(edges) or len(edges) < 2:
+        raise ValueError("edges must be >= 2 ascending values")
+    expr = F.when(c.isNull(), F.lit("null")).when(
+        c < edges[0], F.lit(f"<{edges[0]:g}")
+    )
+    for lo, hi in zip(edges, edges[1:]):
+        expr = expr.when(
+            (c >= lo) & (c < hi), F.lit(f"[{lo:g},{hi:g})")
+        )
+    return expr.otherwise(F.lit(f">={edges[-1]:g}"))
+
+
+def psi_report_from_counts(
+    a_counts: DataFrame,
+    b_counts: DataFrame,
+    bucket_col: str = "bucket",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """:func:`psi_report` over PRE-AGGREGATED per-bucket counts — the
+    rollup-stored path (drift between two stored histogram/rollup
+    snapshots without rescanning either corpus). Same smoothing, same
+    milli-nat contract; inputs are ``(bucket_col, count_col)`` frames
+    (duplicate bucket rows re-sum, so partial rollup cells merge for
+    free)."""
+    a = a_counts.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(count_col).cast("bigint").alias("a_cnt")
+    )
+    b = b_counts.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.sum(count_col).cast("bigint").alias("b_cnt")
+    )
+    joined = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("a_cnt", F.lit(0)).cast("bigint").alias("a_cnt"),
+            F.coalesce("b_cnt", F.lit(0)).cast("bigint").alias("b_cnt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = joined.agg(
+        F.sum("a_cnt").alias("_ta"),
+        F.sum("b_cnt").alias("_tb"),
+        F.count("*").alias("_nb"),
+    )
+    out = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("a_cnt") + 1).cast("double") / (
+        F.col("_ta") + F.col("_nb")
+    ).cast("double")
+    q = (F.col("b_cnt") + 1).cast("double") / (
+        F.col("_tb") + F.col("_nb")
+    ).cast("double")
+    contrib = F.round((p - q) * (F.log(p) - F.log(q)) * 1000).cast("bigint")
+    return out.select("bucket", "a_cnt", "b_cnt", contrib.alias("psi_milli"))
+
+
 def psi_total_milli(report: DataFrame) -> DataFrame:
     """One-row total: ``(psi_milli, drifted_100, drifted_250)`` — the
     conventional 0.10 / 0.25 PSI bands as exact integer comparisons on

@@ -134,3 +134,60 @@ def test_psi_drift_report_exact_and_banded(spark):
     rep2 = psi_report(df, cur2, "lang")
     zz = [r for r in rep2.collect() if r.bucket == "zz"][0]
     assert zz.a_cnt == 0 and zz.b_cnt == 1
+
+
+def test_psi_continuous_bucketing_and_counts_path(spark):
+    """Round 17: (a) bucketize_numeric labels are the stable explicit-
+    edge half-open intervals with tails and a null bucket; (b) the
+    pre-aggregated-counts path (psi_report_from_counts — drift between
+    STORED rollup snapshots) equals the raw-scan path cell-for-cell,
+    including when one side's counts arrive as partial cells that must
+    re-sum; (c) bad edges refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from serverless_etl_bi_on_aws_spark.operators.drift import (
+        bucketize_numeric,
+        psi_report,
+        psi_report_from_counts,
+    )
+
+    rows = [(i, float(i % 40) if i % 17 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    lab = df.select(bucketize_numeric("v", [0, 10, 20, 30]).alias("b"))
+    got = {r.b for r in lab.distinct().collect()}
+    assert got == {"null", "[0,10)", "[10,20)", "[20,30)", ">=30"}
+    with _pytest.raises(ValueError, match="edges"):
+        bucketize_numeric("v", [10, 0])
+
+    a = df.filter("id % 2 = 0").select(
+        bucketize_numeric("v", [0, 10, 20, 30]).alias("bucket")
+    )
+    b = df.filter("id % 2 = 1 and (v is null or v < 20)").select(
+        bucketize_numeric("v", [0, 10, 20, 30]).alias("bucket")
+    )
+    raw = {
+        r.bucket: (r.a_cnt, r.b_cnt, r.psi_milli)
+        for r in psi_report(a, b, "bucket").collect()
+    }
+    # counts path: b's counts arrive split into partial cells (re-sum)
+    a_counts = a.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    b_half1 = b.limit(50).groupBy("bucket").agg(F.count("*").alias("cnt"))
+    b_all = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    # partials: full counts minus the first-50 counts, unioned back
+    b_rest = (
+        b_all.join(
+            b_half1.withColumnRenamed("cnt", "c1"), "bucket", "left"
+        )
+        .select(
+            "bucket",
+            (F.col("cnt") - F.coalesce("c1", F.lit(0))).alias("cnt"),
+        )
+    )
+    from_counts = {
+        r.bucket: (r.a_cnt, r.b_cnt, r.psi_milli)
+        for r in psi_report_from_counts(
+            a_counts, b_half1.unionByName(b_rest)
+        ).collect()
+    }
+    assert from_counts == raw
