@@ -1507,7 +1507,8 @@ EXTRA_ORACLE_SQL["q129_drift_report"] = """
         FROM rep_n, tot_n
     )
     SELECT bucket, CAST(a_cnt AS BIGINT) AS a_cnt,
-           CAST(b_cnt AS BIGINT) AS b_cnt, psi_milli FROM (
+           CAST(b_cnt AS BIGINT) AS b_cnt,
+           CAST(psi_milli AS BIGINT) AS psi_milli FROM (
         SELECT * FROM psi_d
         UNION ALL
         SELECT '__total_drift', SUM(a_cnt), SUM(b_cnt), SUM(psi_milli)

@@ -45,6 +45,23 @@ def rowset(cols, rows):
     return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
+def dtype_drift(scols, stypes, dcols, dtypes):
+    """Column-name-matched dtype audit (round-17 verdict #2): the driver's
+    hash is serialization-sensitive, but Python value comparison erases
+    DuckDB type promotion (HUGEINT SUM, DECIMAL division). Flag any column
+    where Spark says LongType/IntegerType and DuckDB says HUGEINT or
+    DECIMAL — identical values would still hash differently driver-side."""
+    dmap = {c: str(t).upper() for c, t in zip(dcols, dtypes)}
+    bad = []
+    for c, st in zip(scols, stypes):
+        dt = dmap.get(c, "")
+        if st in ("bigint", "int", "smallint", "tinyint") and (
+            "HUGEINT" in dt or "DECIMAL" in dt
+        ):
+            bad.append(f"{c}: spark={st} duck={dt}")
+    return bad
+
+
 def main() -> int:
     names = sys.argv[1:] or sorted(ORACLE_SQL)
     spark = get_spark("compare-oracle")
@@ -57,11 +74,17 @@ def main() -> int:
         try:
             sdf = QUERIES[name](spark, SF)
             scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             rel = con.sql(ORACLE_SQL[name])
             dcols, drows = rel.columns, rel.fetchall()
             dt = time.time() - t0
             if sorted(scols) != sorted(dcols):
                 print(f"FAIL {name} ({dt:.1f}s): cols spark={sorted(scols)} duck={sorted(dcols)}")
+                failures += 1
+                continue
+            drift = dtype_drift(scols, stypes, dcols, rel.types)
+            if drift:
+                print(f"FAIL {name} ({dt:.1f}s): dtype drift {drift}")
                 failures += 1
                 continue
             if len(srows) != len(drows):
