@@ -69,6 +69,32 @@ def dedup_latest_by_key(
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def shingle_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The shared front of the text near-dup family: exploded distinct
+    ``n``-gram shingles as ``(_id, _n, _shingle)`` rows (``_n`` = the doc's
+    distinct-shingle count). Factored out in the round-18 optimization pass
+    so a verify query that runs BOTH a signature job and the exact
+    inverted-index twin over the same corpus can materialize this frame
+    once (localCheckpoint) and feed it to both via their ``shingled=``
+    parameters — measured on q121's verify cell: 14.5 -> 9.8 s at sf0.1
+    (the tokenize/shingle/explode pipeline otherwise runs once per
+    consumer; exchange reuse does not cross the two operators' differing
+    downstreams). Single-operator callers should NOT pre-materialize: for
+    one consumer the checkpoint costs more than the reuse saves (measured
+    on q82's rungs: 13.1 -> 13.7 s — rejected there)."""
+    return (
+        fan_out(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        .select("_id", tokens(text_col).alias("_toks"))
+        .select("_id", shingles_from_tokens("_toks", n).alias("_sh"))
+        .select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_shingle"))
+    )
+
+
 def neardup_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -76,12 +102,19 @@ def neardup_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df_frac: float | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (X2, exact baseline).
 
     Inverted-index formulation: explode distinct shingles, self-join on the
     shingle (pairs only share a shuffle partition if they share a shingle),
     count intersections, then |A∪B| = |A|+|B|-|A∩B|.
+
+    ``shingled`` (round-18 optimization): a precomputed
+    :func:`shingle_rows` frame for ``docs`` — pass a localCheckpoint'd one
+    when another operator over the same corpus shares it (see
+    :func:`shingle_rows`); values are identical by construction (same
+    expressions, one materialization).
 
     ``max_df_frac`` is the standard document-frequency cap on the index: a
     shingle appearing in more than that fraction of documents is dropped
@@ -102,12 +135,7 @@ def neardup_jaccard_pairs(
     # sizes aggregate, no post-join size lookups, and the tokenize pipeline
     # is computed for the two join sides only (whose identical _shingle
     # exchanges AQE deduplicates via ReusedExchange)
-    sh = (
-        fan_out(docs.select(F.col(id_col).alias("_id"), F.col(text_col)))
-        .select("_id", tokens(text_col).alias("_toks"))
-        .select("_id", shingles_from_tokens("_toks", n).alias("_sh"))
-        .select("_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_shingle"))
-    )
+    sh = shingled if shingled is not None else shingle_rows(docs, id_col, text_col, n)
     if max_df_frac is not None:
         # df per shingle is a groupBy on the SAME key the self-join shuffles
         # on; the filtering join below therefore rides the existing shingle
@@ -157,6 +185,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 128,
     seed: int = 42,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document (X2 scale path).
 
@@ -173,19 +202,31 @@ def minhash_signatures(
 
     Returns (id_col, sig: array<bigint> of length num_hashes). Empty-shingle
     docs are dropped (nothing to compare).
+
+    ``shingled`` (round-18 optimization): a precomputed
+    :func:`shingle_rows` frame for ``docs`` — see that function's note on
+    when sharing it pays. Values are identical either way (the same
+    xxhash64/pmod expressions run over the same exploded rows).
     """
     a, b = _hash_params(num_hashes, seed)
-    hashed = (
-        fan_out(docs.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), tokens(text_col).alias("_toks"))
-        .select(F.col(id_col), shingles_from_tokens("_toks", n).alias("_sh"))
-        # no size()>0 filter: explode already drops empty arrays, and an
-        # explicit filter gets predicate-pushed below the fan_out repartition
-        # with the whole shingle expression INLINED (split re-evaluated per
-        # lambda element, single task) — measured 2.5 s of the old 55 s
-        .select(F.col(id_col), F.explode("_sh").alias("_s"))
-        .select(F.col(id_col), F.pmod(F.xxhash64("_s"), F.lit(_P)).alias("_x"))
-    )
+    if shingled is not None:
+        hashed = shingled.select(
+            F.col("_id").alias(id_col),
+            F.pmod(F.xxhash64("_shingle"), F.lit(_P)).alias("_x"),
+        )
+    else:
+        hashed = (
+            fan_out(docs.select(F.col(id_col), F.col(text_col)))
+            .select(F.col(id_col), tokens(text_col).alias("_toks"))
+            .select(F.col(id_col), shingles_from_tokens("_toks", n).alias("_sh"))
+            # no size()>0 filter: explode already drops empty arrays, and an
+            # explicit filter gets predicate-pushed below the fan_out
+            # repartition with the whole shingle expression INLINED (split
+            # re-evaluated per lambda element, single task) — measured 2.5 s
+            # of the old 55 s
+            .select(F.col(id_col), F.explode("_sh").alias("_s"))
+            .select(F.col(id_col), F.pmod(F.xxhash64("_s"), F.lit(_P)).alias("_x"))
+        )
     mins = [
         F.min(F.pmod(F.lit(a[i]) * F.col("_x") + F.lit(b[i]), F.lit(_P))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -541,6 +582,8 @@ def minhash_similarity_join(
     bands: int = 32,
     threshold: float = 0.5,
     seed: int = 42,
+    left_sigs: DataFrame | None = None,
+    right_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Bipartite banded-LSH similarity JOIN (round 16 — record linkage /
     fuzzy entity resolution): for two DIFFERENT tables, the pairs
@@ -570,16 +613,39 @@ def minhash_similarity_join(
     order of magnitude.
 
     Sub-``n``-token texts on either side produce no signature and
-    therefore no pairs (the NULL-dhash rule, bipartite)."""
+    therefore no pairs (the NULL-dhash rule, bipartite).
+
+    ``left_sigs``/``right_sigs`` (round-18 optimization): precomputed,
+    already-materialized signature frames ``(id, sig)`` for either side.
+    When both sides derive from ONE parent corpus (q121's parity split —
+    generally, linking two slices of the same table), the caller computes
+    one signature job over the union and filters it per side: the
+    signature job's cost is stage/checkpoint overhead, not rows, at
+    fixture scale (measured sig(half) 2.46 s vs sig(union) 2.43 s), so two
+    per-side jobs pay the fixed cost twice for the same total rows —
+    measured on q121op: 4.97 -> 3.10 s. Per-doc signatures are
+    side-independent, so results are identical by construction. Supplied
+    frames must already be materialized (localCheckpoint) — the operator
+    only checkpoints frames it computes itself. The broadcast size gate
+    still reads the raw ``left``/``right`` inputs, so hint behavior is
+    unchanged."""
     from serverless_etl_bi_on_aws_spark.operators.merge import _estimated_bytes
 
     rows = num_hashes // bands
-    sig_l = minhash_signatures(
-        left, left_id, text_col, n, num_hashes, seed
-    ).localCheckpoint(eager=True)
-    sig_r = minhash_signatures(
-        right, right_id, text_col, n, num_hashes, seed
-    ).localCheckpoint(eager=True)
+    sig_l = (
+        left_sigs
+        if left_sigs is not None
+        else minhash_signatures(
+            left, left_id, text_col, n, num_hashes, seed
+        ).localCheckpoint(eager=True)
+    )
+    sig_r = (
+        right_sigs
+        if right_sigs is not None
+        else minhash_signatures(
+            right, right_id, text_col, n, num_hashes, seed
+        ).localCheckpoint(eager=True)
+    )
     band_l = band_buckets(sig_l, bands, rows, id_col=left_id)
     band_r = band_buckets(sig_r, bands, rows, id_col=right_id)
     small_r = _estimated_bytes(right) <= SIMJOIN_BROADCAST_MAX_BYTES

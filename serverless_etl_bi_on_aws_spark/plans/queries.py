@@ -6247,10 +6247,22 @@ def q121_similarity_join_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ids-only band exchange on both sides (the round-8
     shuffle discipline, bipartite), candidate-pair-sized signature
-    fetches, verdict branches as 1-row crossJoined aggregates."""
+    fetches, verdict branches as 1-row crossJoined aggregates.
+
+    Round-18 optimization (guide §1.2 "don't compute things twice"):
+    the cell runs a signature job per side PLUS the exact inverted-index
+    twin, and all three front-ends tokenize/shingle/explode the same
+    corpus. The exploded shingle frame (operators/dedup.shingle_rows) is
+    now materialized ONCE and fed to one union-wide signature job
+    (split per side — per-doc signatures are side-independent) and to
+    the exact twin via their ``shingled=`` params. Identical output by
+    construction (same expressions, one materialization); measured
+    14.5 -> 9.8 s at sf0.1 in a same-session A/B."""
     from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        minhash_signatures,
         minhash_similarity_join,
         neardup_jaccard_pairs,
+        shingle_rows,
     )
 
     real = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -6269,8 +6281,15 @@ def q121_similarity_join_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     right = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
 
+    sh = shingle_rows(docs).localCheckpoint(eager=True)
+    sig = minhash_signatures(docs, shingled=sh).localCheckpoint(eager=True)
     linked = minhash_similarity_join(
-        left, right, text_col="text", threshold=0.5
+        left,
+        right,
+        text_col="text",
+        threshold=0.5,
+        left_sigs=sig.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+        right_sigs=sig.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
     ).localCheckpoint(eager=True)
 
     # NO max_df_frac here (round 17, ADVICE): the DuckDB oracle computes
@@ -6282,7 +6301,7 @@ def q121_similarity_join_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never bound — this makes both sides the identical exact quantity
     # by construction, not by luck).
     exact = neardup_jaccard_pairs(
-        docs, n=3, threshold=0.35
+        docs, n=3, threshold=0.35, shingled=sh
     ).localCheckpoint(eager=True)
     # cross-parity orientation: (even, odd) as (id_l, id_r)
     cross = exact.filter(
@@ -6349,8 +6368,15 @@ def q121_similarity_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Output is one row (n_linked, idsum) — signature-estimate-dependent,
     so rows-only in the union (the q13/q18 raw-output discipline: its
-    VALUE gate is the driver's q121 verify twin every round)."""
+    VALUE gate is the driver's q121 verify twin every round).
+
+    Round-18 optimization: ONE union-wide signature job split per side
+    (``left_sigs``/``right_sigs`` — per-doc signatures are
+    side-independent, so the linked set is identical) instead of two
+    per-side jobs that each pay the same fixed stage cost for half the
+    rows; measured 4.97 -> 3.10 s at sf0.1 in a same-session A/B."""
     from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        minhash_signatures,
         minhash_similarity_join,
     )
 
@@ -6369,7 +6395,15 @@ def q121_similarity_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = real.unionByName(plant)
     left = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
     right = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
-    linked = minhash_similarity_join(left, right, text_col="text", threshold=0.5)
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    linked = minhash_similarity_join(
+        left,
+        right,
+        text_col="text",
+        threshold=0.5,
+        left_sigs=sig.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+        right_sigs=sig.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+    )
     return linked.agg(
         F.count("*").cast("bigint").alias("n_linked"),
         F.coalesce(F.sum(F.col("id_l") + F.col("id_r")), F.lit(0))

@@ -1609,3 +1609,65 @@ def test_similarity_join_small_side_broadcast_is_pinned(spark, monkeypatch):
         assert rows_shuffled == rows_hinted
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_shared_shingle_rows_equivalence(spark):
+    """Round-18 optimization seam: a precomputed shingle_rows frame fed via
+    ``shingled=`` must give bit-identical signatures and exact-Jaccard
+    pairs to the self-computed pipelines (same expressions, one
+    materialization)."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    sh = shingle_rows(docs).localCheckpoint(eager=True)
+
+    base_sigs = {r.doc_id: tuple(r.sig) for r in minhash_signatures(docs).collect()}
+    shared_sigs = {
+        r.doc_id: tuple(r.sig)
+        for r in minhash_signatures(docs, shingled=sh).collect()
+    }
+    assert base_sigs == shared_sigs
+
+    base_pairs = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in neardup_jaccard_pairs(docs, threshold=0.35).collect()
+    }
+    shared_pairs = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in neardup_jaccard_pairs(docs, threshold=0.35, shingled=sh).collect()
+    }
+    assert base_pairs == shared_pairs
+
+
+def test_similarity_join_precomputed_sigs_equivalence(spark):
+    """Round-18 optimization seam: minhash_similarity_join fed one
+    union-wide signature job split per side (left_sigs/right_sigs) must
+    emit the identical linked set as the two per-side signature jobs —
+    per-doc signatures are side-independent."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup import (
+        minhash_similarity_join,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    left = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    right = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+
+    base = {
+        (r.id_l, r.id_r): r.est_jaccard
+        for r in minhash_similarity_join(
+            left, right, text_col="text", threshold=0.5
+        ).collect()
+    }
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
+    shared = {
+        (r.id_l, r.id_r): r.est_jaccard
+        for r in minhash_similarity_join(
+            left,
+            right,
+            text_col="text",
+            threshold=0.5,
+            left_sigs=sig.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+            right_sigs=sig.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+        ).collect()
+    }
+    assert base == shared
