@@ -165,6 +165,20 @@ def _decode_image(payload: bytes, mime: str) -> tuple[int, int, bytes]:
     return fn(payload)
 
 
+def _gradient_px(k: int, w: int, h: int, shift: int = 0) -> bytes:
+    """Row-major ``(x*3 + y*5 + k + shift) % 256`` gradient pixels — the
+    attach_* fixture family's shared generator, vectorized (round-18
+    optimization: the per-pixel Python generator expression it replaces
+    ran ~80M interpreter steps per q78 call at sf0.1 — guide §4.2, do the
+    heavy lifting in native code inside the batch). Byte-identical to the
+    old generator: values are already in [0, 256), C order is row-major."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    return ((x * 3 + y * 5 + k + shift) % 256).astype(np.uint8).tobytes()
+
+
 def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach a ``media`` struct whose payload is a REAL PNG (8-bit
     grayscale, stdlib-encoded), deterministic per key — the stand-in for
@@ -183,7 +197,7 @@ def attach_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for key in pdf[id_col]:
                 k = int(key)
                 w, h = 32 + k % 32, 32 + (k * 7) % 32
-                px = bytes((x * 3 + y * 5 + k) % 256 for y in range(h) for x in range(w))
+                px = _gradient_px(k, w, h)
                 media.append(
                     {
                         "payload": encode_png(px, w, h),
@@ -216,7 +230,7 @@ def attach_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for key in pdf[id_col]:
                 k = int(key)
                 w, h = 32 + k % 32, 32 + (k * 7) % 32
-                px = bytes((x * 3 + y * 5 + k) % 256 for y in range(h) for x in range(w))
+                px = _gradient_px(k, w, h)
                 media.append(
                     {
                         "payload": encode_jpeg_gray(px, w, h),
@@ -341,15 +355,7 @@ def attach_avi_media(df: DataFrame, id_col: str = "doc_id", fps: int = 4) -> Dat
                 k = int(key)
                 n_frames, w, h = 2 + k % 3, 8 + k % 8, 8 + (k * 3) % 8
                 frames = [
-                    encode_png(
-                        bytes(
-                            (x * 3 + y * 5 + k + 11 * f) % 256
-                            for y in range(h)
-                            for x in range(w)
-                        ),
-                        w,
-                        h,
-                    )
+                    encode_png(_gradient_px(k, w, h, 11 * f), w, h)
                     for f in range(n_frames)
                 ]
                 media.append(
@@ -443,12 +449,7 @@ def attach_gif_media(df: DataFrame, id_col: str = "doc_id", delay_cs: int = 25) 
                 k = int(key)
                 n_frames, w, h = 2 + k % 4, 7 + k % 9, 7 + (k * 5) % 9
                 frames = [
-                    bytes(
-                        (x * 3 + y * 5 + k + 13 * f) % 256
-                        for y in range(h)
-                        for x in range(w)
-                    )
-                    for f in range(n_frames)
+                    _gradient_px(k, w, h, 13 * f) for f in range(n_frames)
                 ]
                 media.append(
                     {
@@ -1015,15 +1016,7 @@ def attach_mp4_media(df: DataFrame, id_col: str = "doc_id", fps: int = 4) -> Dat
                 k = int(key)
                 n_frames, w, h = 2 + k % 3, 32 + k % 32, 32 + (k * 7) % 32
                 frames = [
-                    encode_jpeg_gray(
-                        bytes(
-                            (x * 3 + y * 5 + k + 11 * f) % 256
-                            for y in range(h)
-                            for x in range(w)
-                        ),
-                        w,
-                        h,
-                    )
+                    encode_jpeg_gray(_gradient_px(k, w, h, 11 * f), w, h)
                     for f in range(n_frames)
                 ]
                 media.append(
