@@ -137,17 +137,23 @@ def neardup_jaccard_pairs(
     # exchanges AQE deduplicates via ReusedExchange)
     sh = shingled if shingled is not None else shingle_rows(docs, id_col, text_col, n)
     if max_df_frac is not None:
-        # df per shingle is a groupBy on the SAME key the self-join shuffles
-        # on; the filtering join below therefore rides the existing shingle
-        # partitioning (no extra distribution), and the count() that sizes
-        # the cap is the one O(1)-result driver action
+        # Round-18 formulation: anti-join against the HOT list only. At most
+        # floor(1/max_df_frac) distinct shingles can exceed the cap, so the
+        # hot side is a guaranteed-tiny broadcast at ANY corpus size — the
+        # previous shape joined the full vocabulary-sized (shingle, df)
+        # table back to the exploded rows, which stops being broadcastable
+        # (and becomes a third shuffled join stage) at scale. Survivor set
+        # is identical: every shingle has a df row, so inner-join+filter
+        # (df <= cap) == anti-join against (df > cap). The count() that
+        # sizes the cap stays the one O(1)-result driver action.
         max_df = int(max_df_frac * docs.count())
-        df_counts = sh.groupBy("_shingle").agg(F.count("*").alias("_df"))
-        sh = (
-            sh.join(df_counts, on="_shingle")
-            .filter(F.col("_df") <= max_df)
-            .select("_id", "_n", "_shingle")
+        hot = (
+            sh.groupBy("_shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_shingle")
         )
+        sh = sh.join(F.broadcast(hot), on="_shingle", how="left_anti")
     return (
         sh.alias("a")
         .join(sh.alias("b"), on="_shingle")

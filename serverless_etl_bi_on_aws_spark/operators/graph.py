@@ -112,7 +112,7 @@ def pagerank_fixedpoint(
 
     base_ppm = 1_000_000 - damping_ppm
     ranks = nodes.select("node", F.lit(INIT_RANK_PPM).cast("bigint").alias("rank_ppm"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             e.join(outdeg, "src")
             .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -123,19 +123,26 @@ def pagerank_fixedpoint(
             .groupBy("node")
             .agg(F.sum("share").alias("contrib"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_ppm)
-                    + F.expr(
-                        f"CAST({damping_ppm} AS BIGINT) * coalesce(contrib, 0) DIV 1000000"
-                    )
-                ).cast("bigint").alias("rank_ppm"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base_ppm)
+                + F.expr(
+                    f"CAST({damping_ppm} AS BIGINT) * coalesce(contrib, 0) DIV 1000000"
+                )
+            ).cast("bigint").alias("rank_ppm"),
         )
+        # Round-18 optimization: checkpoint every 4th iteration and the
+        # final result instead of every iteration. The chain is linear
+        # (each iteration consumed exactly once by the next), so the
+        # per-iteration materialization bought nothing at small n_iter
+        # but paid a job launch + RDD round-trip per step — measured on
+        # q99 (3 iterations): 2.75 -> 1.88 s, identical ranks. Periodic
+        # truncation keeps the plan bounded for large n_iter; the final
+        # checkpoint keeps the returned frame cheap for its multiple
+        # consumers (top-k + audit branches).
+        if i == n_iter - 1 or (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
