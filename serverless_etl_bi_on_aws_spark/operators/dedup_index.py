@@ -293,7 +293,15 @@ def update_index(
         meta = read_meta(index_path)
         sigs = minhash_signatures(
             new_docs, meta.id_col, text_col, meta.n, meta.num_hashes, meta.seed
-        )
+        ).localCheckpoint(eager=True)
+        if sigs.isEmpty():
+            # r17 ADVICE: a non-empty batch whose texts are ALL sub-n-token
+            # produces ZERO signatures — the same footer-less-bands hazard
+            # as the empty batch, which the isEmpty() guard above cannot
+            # see. Gate on the computed frame; the checkpoint keeps the
+            # guard + append one signature job, not two.
+            write_marker(marker, {"batch_id": batch_id, "empty": True})
+            return True
         _append_signatures(sigs, meta, index_path)
         write_marker(marker, {"batch_id": batch_id})
     return True

@@ -89,8 +89,10 @@ def bucketize_numeric(col, edges) -> "F.Column":
     anywhere."""
     c = F.col(col) if isinstance(col, str) else col
     edges = [float(e) for e in edges]
-    if edges != sorted(edges) or len(edges) < 2:
-        raise ValueError("edges must be >= 2 ascending values")
+    # strictly increasing (r17 ADVICE): duplicate edges would emit an
+    # unreachable "[x,x)" label and silently degenerate the bucketing
+    if len(edges) < 2 or not all(a < b for a, b in zip(edges, edges[1:])):
+        raise ValueError("edges must be >= 2 strictly increasing values")
     expr = F.when(c.isNull(), F.lit("null")).when(
         c < edges[0], F.lit(f"<{edges[0]:g}")
     )

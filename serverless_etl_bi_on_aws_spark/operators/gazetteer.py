@@ -78,8 +78,12 @@ def gazetteer_tag(
     # so it cannot stay distributed
     lengths = [r[0] for r in t.select("_n").distinct().collect()]
     if not lengths:
+        # empty frame built from df's ACTUAL id dtype (r17 ADVICE): the
+        # hardcoded bigint diverged from non-bigint id callers, breaking
+        # downstream unions only on the empty-dictionary path
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} bigint, term string, n_hits bigint"
+            [], f"{id_col} {id_type}, term string, n_hits bigint"
         )
     hint_small = _estimated_bytes(terms) <= BROADCAST_STAGING_MAX_BYTES
     tok = df.select(F.col(id_col), tokens(text_col).alias("_toks"))

@@ -185,13 +185,21 @@ def update_hash_index(
     with writer_lease(index_path, owner=f"update_hash_index:{batch_id}"):
         if marker_exists(marker):
             return False
-        if new_hashed.isEmpty():
+        meta = read_hash_meta(index_path)
+        # NULL-hash rows (undecodable media, unparseable urls) can never
+        # match a probe — a NULL block key never equi-joins and a NULL
+        # hamming never passes the radius filter — so appending them only
+        # accumulates junk rows; drop them BEFORE the emptiness guard so a
+        # null-hash-only batch is vacuously applied too (r17 ADVICE).
+        appendable = new_hashed.select(
+            meta["id_col"], meta["hash_col"]
+        ).filter(F.col(meta["hash_col"]).isNotNull())
+        if appendable.isEmpty():
             # an all-rejected batch must not create footer-less blocks/
             # (the dedup_index.py round-17 fix); vacuously applied
             write_marker(marker, {"batch_id": batch_id, "empty": True})
             return True
-        meta = read_hash_meta(index_path)
-        _append(new_hashed.select(meta["id_col"], meta["hash_col"]), meta, index_path)
+        _append(appendable, meta, index_path)
         write_marker(marker, {"batch_id": batch_id})
     return True
 

@@ -68,13 +68,29 @@ def maxsim_scores(
         F.max(cosine(vec_col, F.lit([float(x) for x in q]))).alias(f"_m{i}")
         for i, q in enumerate(query_vecs)
     ]
-    g = doc_tokens.groupBy(id_col).agg(*aggs)
+    # NULL-vector rows carry no signal and a doc of ONLY NULL vectors
+    # would otherwise ride a NULL score into the top-k ordering (r17
+    # ADVICE): drop them before aggregating — the empty-shingle-doc rule,
+    # vector-shaped. A NULL per-query maximum that SURVIVES the filter
+    # (a dimension-mismatched vector against the query literal) is
+    # malformed input and fails loudly instead of scoring NULL.
+    g = doc_tokens.filter(F.col(vec_col).isNotNull()).groupBy(id_col).agg(*aggs)
     micro = F.lit(0).cast("bigint")
+    ok = F.lit(True)
     for i in range(len(query_vecs)):
+        ok = ok & F.col(f"_m{i}").isNotNull()
         micro = micro + F.floor(F.col(f"_m{i}") * 1e6 + F.lit(0.5)).cast(
             "bigint"
         )
-    return g.select(id_col, micro.alias(out_col))
+    checked = F.when(ok, micro).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("maxsim: NULL cosine (malformed token vector) for "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    return g.select(id_col, checked.cast("bigint").alias(out_col))
 
 
 def maxsim_topk(

@@ -3106,27 +3106,33 @@ def q80_semantic_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ns))
     )
 
-    def row(metric: str, n, ok):
-        return base.select(
+    # Round-18 optimization: the metric rows are F.inline'd out of ONE
+    # evaluation of the 6-aggregate base row — the previous shape selected
+    # from ``base`` once per metric and unioned the five branches, so the
+    # whole aggregate/anti-join tree planned (and partially executed) five
+    # times; measured 3.56 -> 2.80 s at sf0.1, identical rows.
+    def st(metric: str, n, ok):
+        return F.struct(
             F.lit(metric).alias("metric"),
             n.cast("bigint").alias("n"),
             ok.alias("ok"),
         )
 
-    return (
-        row(
-            "capture_floor",
-            F.lit(0),
-            F.col("_dc").cast("double") >= F.lit(0.45) * F.col("_dg"),
+    return base.select(
+        F.inline(
+            F.array(
+                st(
+                    "capture_floor",
+                    F.lit(0),
+                    F.col("_dc").cast("double") >= F.lit(0.45) * F.col("_dg"),
+                ),
+                st("cluster_pairs_subset", F.col("_nx"), F.lit(True)),
+                st("corpus", F.col("_nc"), F.lit(True)),
+                st("exact_pairs", F.col("_ne"), F.lit(True)),
+                st("partition", F.col("_ns") + F.col("_dc"), F.lit(True)),
+            )
         )
-        .unionByName(row("cluster_pairs_subset", F.col("_nx"), F.lit(True)))
-        .unionByName(row("corpus", F.col("_nc"), F.lit(True)))
-        .unionByName(row("exact_pairs", F.col("_ne"), F.lit(True)))
-        .unionByName(
-            row("partition", F.col("_ns") + F.col("_dc"), F.lit(True))
-        )
-        .orderBy("metric")
-    )
+    ).orderBy("metric")
 
 
 def q81_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3231,21 +3237,27 @@ def q82_minhash_curation_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(sym))
     )
 
-    def row(metric: str, n):
-        return base.select(
+    # Round-18 optimization (the q80 inline-rows shape): one evaluation of
+    # the 5-aggregate base row, metric rows F.inline'd from it — the old
+    # five-branch union planned the whole aggregate tree once per row.
+    def st(metric: str, n):
+        return F.struct(
             F.lit(metric).alias("metric"),
             n.cast("bigint").alias("n"),
             (F.col("_sym") == 0).alias("strategies_agree"),
         )
 
-    return (
-        row("corpus", F.col("_nc"))
-        .unionByName(row("exact_final", F.col("_ne")))
-        .unionByName(row("minhash_final", F.col("_nm")))
-        .unionByName(row("strategy_symdiff", F.col("_sym")))
-        .unionByName(row("unique_docs", F.col("_nu")))
-        .orderBy("metric")
-    )
+    return base.select(
+        F.inline(
+            F.array(
+                st("corpus", F.col("_nc")),
+                st("exact_final", F.col("_ne")),
+                st("minhash_final", F.col("_nm")),
+                st("strategy_symdiff", F.col("_sym")),
+                st("unique_docs", F.col("_nu")),
+            )
+        )
+    ).orderBy("metric")
 
 
 def q83_forget_verify(spark: SparkSession, sf_dir: str) -> DataFrame:

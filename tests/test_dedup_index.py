@@ -275,3 +275,34 @@ def test_compact_index_bounds_files_and_purges_replay_duplicates(spark, tmp_path
     # and the probe sees the exact same survivors
     after = {r.doc_id for r in dedup_against_index(spark, probe, idx).collect()}
     assert after == before
+
+
+def test_all_short_text_batch_does_not_brick_index(spark, tmp_path):
+    """r17 ADVICE hardening: a NON-empty batch whose texts are all below
+    the shingle width produces zero signatures — it must take the
+    marker-only path (like the empty batch) instead of a zero-row
+    partitionBy append, and the index must stay probeable."""
+    from serverless_etl_bi_on_aws_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+        update_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    build_minhash_index(base, idx)
+    shorties = spark.createDataFrame(
+        [(10, "too short"), (11, "two words")], "doc_id bigint, text string"
+    )
+    assert update_index(shorties, idx, "b-short") is True
+    assert update_index(shorties, idx, "b-short") is False  # replay no-op
+    probe = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zeta")],
+        "doc_id bigint, text string",
+    )
+    # the index still probes (no footer-less bands/) and catches the dup
+    surv = dedup_against_index(spark, probe, idx)
+    assert surv.count() == 0

@@ -191,3 +191,16 @@ def test_psi_continuous_bucketing_and_counts_path(spark):
         ).collect()
     }
     assert from_counts == raw
+
+
+def test_bucketize_numeric_rejects_duplicate_edges(spark):
+    """r17 ADVICE hardening: duplicate edges would emit an unreachable
+    "[x,x)" label — the validator now requires strictly increasing."""
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.drift import bucketize_numeric
+
+    with pytest.raises(ValueError, match="strictly increasing"):
+        bucketize_numeric("x", [0, 0, 10])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        bucketize_numeric("x", [5])

@@ -251,3 +251,23 @@ def test_scd2_generation_fold_over_object_store(spark, tmp_path, fake_store):
 
     t.test_scd2_generation_fold_matches_swap_fold(spark, tmp_path / "a")
     assert fake_store.puts > 0
+
+
+def test_null_hash_only_batch_is_vacuously_applied(spark, tmp_path):
+    """r17 ADVICE hardening: a batch whose every row has a NULL hash
+    (undecodable media / unparseable urls) is marker-only applied — NULL
+    keys can never match a probe, so appending them only accumulates
+    junk block rows."""
+    from serverless_etl_bi_on_aws_spark.operators.hash_index import (
+        init_hash_index,
+        update_hash_index,
+    )
+
+    idx = str(tmp_path / "hidx")
+    init_hash_index(idx, id_col="doc_id", hash_col="h", n_blocks=4)
+    nulls = spark.createDataFrame([(1, None), (2, None)], "doc_id bigint, h bigint")
+    assert update_hash_index(nulls, idx, "b0") is True
+    assert update_hash_index(nulls, idx, "b0") is False
+    import os
+
+    assert not os.path.exists(os.path.join(idx, "blocks"))

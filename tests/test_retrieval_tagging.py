@@ -180,3 +180,47 @@ def test_gazetteer_plan_broadcast_gated_no_cartesian(spark, monkeypatch):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     assert len(rows_hinted) == 41  # 'alpha beta' in all 40 docs + tok3
+
+
+def test_maxsim_null_vector_rows_dropped_and_mismatch_raises(spark):
+    """r17 ADVICE hardening: NULL token vectors are dropped before the
+    aggregate (a doc of only NULL vectors vanishes instead of riding a
+    NULL score into the ordering), and a dimension-mismatched vector
+    fails loudly instead of scoring NULL."""
+    import pytest
+
+    from serverless_etl_bi_on_aws_spark.operators.late_interaction import (
+        maxsim_scores,
+    )
+
+    q = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (1, [1.0, 0.0]),
+        (1, None),            # NULL vec among valid ones: ignored
+        (2, None),            # doc of ONLY NULL vecs: no output row
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, vec array<double>")
+    got = {r.doc_id: r.score_micro for r in maxsim_scores(df, q).collect()}
+    assert set(got) == {1}
+    assert got[1] == 1_000_000 + 0  # cos(q0,t)=1, cos(q1,t)=0
+
+    bad = spark.createDataFrame(
+        [(3, [1.0, 0.0, 0.0])], "doc_id bigint, vec array<double>"
+    )
+    with pytest.raises(Exception, match="malformed token vector"):
+        maxsim_scores(bad, q).collect()
+
+
+def test_gazetteer_empty_dictionary_preserves_id_dtype(spark):
+    """r17 ADVICE hardening: the empty-dictionary early return builds its
+    frame from the caller's ACTUAL id dtype, so a string-keyed corpus
+    unions cleanly with the non-empty path's output."""
+    from serverless_etl_bi_on_aws_spark.operators.gazetteer import gazetteer_tag
+
+    docs = spark.createDataFrame(
+        [("a", "some text")], "name string, text string"
+    )
+    empty_terms = spark.createDataFrame([], "term string")
+    out = gazetteer_tag(docs, empty_terms, id_col="name")
+    assert out.count() == 0
+    assert dict(out.dtypes)["name"] == "string"
