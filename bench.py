@@ -407,20 +407,33 @@ def _run_tier(name: str) -> dict | None:
         # isolated rerun read 0.68). Spreading reps over the tier's
         # full wall time costs a phase one rep of several queries, and
         # best-of-N absorbs that.
+        import statistics
+
         for qname in HEADLINE.values():
             QUERIES[qname](spark, sf_dir).collect()  # warm pass
-        best: dict[str, float] = {s: float("inf") for s in HEADLINE}
+        times: dict[str, list[float]] = {s: [] for s in HEADLINE}
         for _ in range(4):
             for short, qname in HEADLINE.items():
                 t0 = time.perf_counter()
                 QUERIES[qname](spark, sf_dir).collect()
-                best[short] = min(best[short], time.perf_counter() - t0)
-        timings = {s: round(v, 4) for s, v in best.items()}
+                times[short].append(time.perf_counter() - t0)
+        timings = {s: round(min(v), 4) for s, v in times.items()}
+        floor = _floor(spark)
+        # Round-19 additive keys (r18 verdict ask #3 — the existing keys
+        # and their best-of-N semantics are byte-compatible; these are NEW
+        # keys only): "med" = per-query MEDIAN of the same reps, "nof" =
+        # best net of the SAME-RUN floor, "reps" = rep count — so
+        # round-over-round comparison can divide out the machine phase
+        # (r18's floor moved +44% and every untouched headline query
+        # "regressed" in lockstep).
         return {
             "queries": timings,
             "value": round(sum(timings.values()), 4),
-            "floor_sec": _floor(spark),
+            "floor_sec": floor,
             "py_floor_sec": _py_floor(spark),
+            "reps": 4,
+            "med": {s: round(statistics.median(v), 4) for s, v in times.items()},
+            "nof": {s: round(max(min(v) - floor, 0.0), 4) for s, v in times.items()},
         }
     if name == "llm":
         return _llm_tier(spark, sf_dir)
@@ -528,8 +541,23 @@ def main() -> None:
             result["queries"] = res.get("queries")
             result["floor_sec"] = res.get("floor_sec")
             result["py_floor_sec"] = res.get("py_floor_sec")
+            # round-19 additive phase-robustness keys (may be absent if
+            # the tier errored; existing keys unchanged)
+            for k in ("reps", "med", "nof"):
+                if k in res:
+                    result[k] = res[k]
             if "error" in res:
                 result["queries"] = res
+        elif name == "llm":
+            # round-19: the tier now returns {"best", "med", "reps"};
+            # result["llm"] keeps the EXACT round-1..18 shape (query ->
+            # best sec), medians land in the NEW top-level "llm_med"
+            if isinstance(res, dict) and "best" in res:
+                result["llm"] = res["best"]
+                result["llm_med"] = res.get("med")
+                result["llm_reps"] = res.get("reps")
+            else:
+                result[name] = res
         else:
             result[name] = res
 
@@ -613,6 +641,18 @@ def _compact_line(result: dict, budget: int = 1900) -> str:
             "ratio_net_of_floor", "plain_sec", "salted_sec", "rows",
             "hot_frac", "spark_slope_iqr", "duckdb_slope_iqr",
             "flat_within_noise",
+            # round-19 additive diagnostics: the llm medians are the
+            # largest new key (28 queries) and live in bench_full.json
+            # regardless; the headline "med"/"nof"/"reps" keys are small
+            # and survive every stage so PERF can phase-normalize q1-q7.
+            # The layout tiers' slope_iqr joins the stage-2 drop set to
+            # make room: their graded spread already ships via the
+            # scaling tier's slope_ratio_range, and the raw IQRs stay in
+            # bench_full.json.
+            "llm_med", "llm_reps", "slope_iqr",
+            # static config echoes (n_clusters/n_probe never change
+            # round-to-round; bench_full.json keeps them)
+            "n_clusters", "n_probe",
         })),
         separators=(",", ":"),
     )
@@ -643,16 +683,27 @@ def _llm_tier(spark, sf_dir: str) -> dict:
     INTERLEAVED across the tier's queries (warm pass first, best-of-3),
     the same stall-window discipline as the sf1/scaling/bucketed tiers:
     a sequential per-query loop let one degraded-VM phase inflate one
-    query's recorded time by multiples."""
+    query's recorded time by multiples.
+
+    Round 19: returns {"best", "med", "reps"} — main() unpacks "best"
+    into the contract's ``llm`` key (shape unchanged) and "med" into the
+    NEW ``llm_med`` key (verdict r18 ask #3: medians expose whether a
+    round-over-round move is one lucky/unlucky rep or the distribution)."""
+    import statistics
+
     for name in LLM_TIER.values():
         QUERIES[name](spark, sf_dir).collect()  # warm pass
-    best: dict[str, float] = {s: float("inf") for s in LLM_TIER}
+    times: dict[str, list[float]] = {s: [] for s in LLM_TIER}
     for _ in range(3):
         for s, name in LLM_TIER.items():
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
-            best[s] = min(best[s], time.perf_counter() - t0)
-    return {s: round(v, 4) for s, v in best.items()}
+            times[s].append(time.perf_counter() - t0)
+    return {
+        "best": {s: round(min(v), 4) for s, v in times.items()},
+        "med": {s: round(statistics.median(v), 4) for s, v in times.items()},
+        "reps": 3,
+    }
 
 
 def _sf1_tier(spark, sf1_dir: str) -> dict:

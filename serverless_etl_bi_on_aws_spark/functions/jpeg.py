@@ -79,44 +79,55 @@ def _bit_size(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+#: powers of two for the vectorized bit_length (np.searchsorted 'right'
+#: over [1, 2, 4, ...] maps magnitude m in [2^(k-1), 2^k) to exactly k,
+#: and 0 to 0 — int.bit_length, batched).
+_POW2 = 1 << np.arange(0, 63, dtype=np.int64)
+
+
+def _bit_sizes(mag: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`_bit_size` over non-negative int64 magnitudes."""
+    return np.searchsorted(_POW2, mag, side="right").astype(np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Huffman table construction (encoder side) — T.81 Annex K.2 / K.3
 # ---------------------------------------------------------------------------
 
 
-def _build_huffman(freq_in: dict[int, int]) -> tuple[list[int], list[int]]:
-    """Symbol frequencies -> (BITS[1..16], HUFFVAL) per Annex K.2: merge the
-    two least-frequent entries (ties to the larger symbol) tracking code
-    sizes through a chain array, reserve one slot via pseudo-symbol 256,
-    then Annex K.3's adjustment folds code lengths > 16 back down."""
-    freq = np.zeros(257, dtype=np.int64)
-    for sym, f in freq_in.items():
-        freq[sym] = f
-    freq[256] = 1  # reserves the all-ones code (never assigned to a symbol)
+def _build_huffman(freq_in) -> tuple[list[int], list[int]]:
+    """Symbol frequencies (dict or dense counts array indexed by symbol)
+    -> (BITS[1..16], HUFFVAL) per Annex K.2: merge the two least-frequent
+    entries (ties to the larger symbol) tracking code sizes through a
+    chain array, reserve one slot via pseudo-symbol 256, then Annex K.3's
+    adjustment folds code lengths > 16 back down.
+
+    Round-19 formulation: the K.2 merge loop IS heap order — each step
+    takes the two smallest (freq, largest-symbol-first) entries and
+    re-inserts their sum — so a ``heapq`` of ``(freq, -symbol)`` tuples
+    replaces the per-step 257-entry argmin scan (round 18's vectorized
+    scan was still ~2 numpy passes per merge x ~30 merges per table x 2
+    tables per frame). Tie rule preserved exactly: tuple order pops the
+    smallest frequency with the LARGEST symbol first, which is what the
+    old ``least``'s last-index-of-min returned; pinned by the
+    byte-identity tests."""
+    import heapq
+
+    if isinstance(freq_in, dict):
+        items = freq_in.items()
+    else:
+        nz = np.nonzero(freq_in)[0]
+        items = [(int(s), int(freq_in[s])) for s in nz]
     codesize = [0] * 257
     others = [-1] * 257
-
-    _huge = 1 << 62
-
-    def least(exclude: int) -> int:
-        # vectorized K.2 scan (round-18 optimization: the 257-entry Python
-        # loop ran once per merge step and was ~half of encode time).
-        # Original tie rule preserved: smallest frequency, LARGEST symbol.
-        masked = np.where(freq > 0, freq, _huge)
-        if exclude >= 0:
-            masked[exclude] = _huge
-        m = masked.min()
-        if m == _huge:
-            return -1
-        return int(np.nonzero(masked == m)[0][-1])
-
-    while True:
-        v1 = least(-1)
-        v2 = least(v1)
-        if v2 == -1:
-            break
-        freq[v1] += freq[v2]
-        freq[v2] = 0
+    heap = [(f, -s) for s, f in items if f > 0]
+    heap.append((1, -256))  # reserves the all-ones code (never a symbol)
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, nv1 = heapq.heappop(heap)
+        f2, nv2 = heapq.heappop(heap)
+        v1, v2 = -nv1, -nv2
+        heapq.heappush(heap, (f1 + f2, nv1))
         codesize[v1] += 1
         while others[v1] != -1:
             v1 = others[v1]
@@ -149,8 +160,12 @@ def _build_huffman(freq_in: dict[int, int]) -> tuple[list[int], list[int]]:
         i -= 1
     if i > 0:
         bits[i] -= 1
-    huffval = [v for v in sorted(range(256), key=lambda s: (codesize[s], s)) if codesize[v]]
-    return bits[1:17], huffval
+    # HUFFVAL: active symbols by (codesize, symbol) — sorting only the
+    # ~20-60 active symbols, not all 256 (the old full-range sort was
+    # ~25% of table-build time)
+    active = [v for v in range(256) if codesize[v]]
+    active.sort(key=lambda s: (codesize[s], s))
+    return bits[1:17], active
 
 
 def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
@@ -164,32 +179,6 @@ def _canonical_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int
             k += 1
         code <<= 1
     return out
-
-
-class _BitWriter:
-    def __init__(self) -> None:
-        self.buf = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, length: int) -> None:
-        if length == 0:
-            return
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.buf.append(byte)
-            if byte == 0xFF:  # byte stuffing (B.1.1.5)
-                self.buf.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self) -> bytes:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-padding per spec
-        return bytes(self.buf)
 
 
 def _blocks_from_gray(pixels: bytes, width: int, height: int) -> tuple[np.ndarray, int, int]:
@@ -206,74 +195,149 @@ def encode_jpeg_gray(
     pixels: bytes, width: int, height: int, quant: np.ndarray | None = None
 ) -> bytes:
     """Row-major 8-bit grayscale -> baseline JFIF bytes (one luma component,
-    optimized Huffman tables, no subsampling question to answer)."""
+    optimized Huffman tables, no subsampling question to answer).
+
+    Round-19 formulation of the entropy stage (guide §4.2 — the per-block
+    Python RLE + per-symbol ``_BitWriter.write`` loop was the remaining
+    half of encode time after round 18's Huffman-build fix): the (run,
+    size) decomposition, symbol frequencies, token stream, bit packing
+    and 0xFF byte stuffing are all whole-array numpy. Byte-identical to
+    the loop formulation by construction (same symbols in the same order,
+    same 1-padding, same stuffing) and pinned by the reference-frame
+    identity test. The DCT stays the 3-operand ``einsum``: a BLAS
+    ``DCT @ B @ DCT.T`` differs by <1 ulp and the synthetic gradient
+    fixtures land quantization boundaries EXACTLY on .5, where that ulp
+    flips ``np.round`` (measured: ~2 coefficients per frame across the
+    whole fixture family) — so the faster contraction would change
+    encoded bytes."""
     q = STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int32)
     blocks, bw, bh = _blocks_from_gray(pixels, width, height)
     coef = np.einsum("ij,njk,lk->nil", DCT, blocks, DCT)
     quantized = np.round(coef / q).astype(np.int64)
     zz = quantized.reshape(-1, 64)[:, ZIGZAG]
+    n_blocks = zz.shape[0]
 
-    # symbol streams: DC differences and AC (run, size) pairs
-    dc_syms: list[tuple[int, int]] = []  # (size, value)
-    ac_syms: list[list[tuple[int, int, int]]] = []  # per block: (runsize, size, value)
-    prev_dc = 0
-    dc_freq: dict[int, int] = {}
-    ac_freq: dict[int, int] = {}
-    for row in zz:
-        diff = int(row[0]) - prev_dc
-        prev_dc = int(row[0])
-        s = _bit_size(diff)
-        dc_syms.append((s, diff))
-        dc_freq[s] = dc_freq.get(s, 0) + 1
-        block_acs: list[tuple[int, int, int]] = []
-        run = 0
-        nz = np.flatnonzero(row[1:])
-        last = nz[-1] + 1 if len(nz) else 0
-        for k in range(1, last + 1):
-            v = int(row[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                block_acs.append((0xF0, 0, 0))  # ZRL
-                ac_freq[0xF0] = ac_freq.get(0xF0, 0) + 1
-                run -= 16
-            s = _bit_size(v)
-            sym = (run << 4) | s
-            block_acs.append((sym, s, v))
-            ac_freq[sym] = ac_freq.get(sym, 0) + 1
-            run = 0
-        if last < 63:
-            block_acs.append((0x00, 0, 0))  # EOB
-            ac_freq[0x00] = ac_freq.get(0x00, 0) + 1
-        ac_syms.append(block_acs)
+    # --- vectorized (run, size) decomposition -----------------------------
+    dc = zz[:, 0]
+    diffs = np.diff(dc, prepend=np.int64(0))  # prepend 0: first block's pred
+    dc_sizes = _bit_sizes(np.abs(diffs))
 
-    dc_bits, dc_vals = _build_huffman(dc_freq)
-    ac_bits, ac_vals = _build_huffman(ac_freq)
+    ac = zz[:, 1:]  # (n_blocks, 63), zigzag order
+    rows, cols = np.nonzero(ac)  # row-major == per-block zigzag order
+    vals = ac[rows, cols]
+    run = np.empty(len(rows), dtype=np.int64)
+    if len(rows):
+        first = np.ones(len(rows), dtype=bool)
+        first[1:] = rows[1:] != rows[:-1]  # first nonzero of its block
+        run[first] = cols[first]
+        nf = ~first
+        run[nf] = cols[nf] - np.concatenate(([0], cols[:-1]))[np.flatnonzero(nf)] - 1
+    nzrl = run >> 4  # ZRL count before each nonzero (run = 16*z + r, r<=15)
+    ac_sizes = _bit_sizes(np.abs(vals))
+    syms = ((run & 15) << 4) | ac_sizes
+
+    # EOB per block: last nonzero zigzag position < 62 (or all-zero AC)
+    last_nz = np.full(n_blocks, -1, dtype=np.int64)
+    if len(rows):
+        last_idx = np.flatnonzero(np.concatenate((rows[1:] != rows[:-1], [True])))
+        last_nz[rows[last_idx]] = cols[last_idx]
+    eob_blocks = np.flatnonzero(last_nz < 62)
+
+    dc_counts = np.bincount(dc_sizes, minlength=17)
+    ac_counts = np.bincount(syms, minlength=256)
+    ac_counts[0xF0] += int(nzrl.sum())
+    ac_counts[0x00] += len(eob_blocks)
+
+    dc_bits, dc_vals = _build_huffman(dc_counts)
+    ac_bits, ac_vals = _build_huffman(ac_counts)
     dc_codes = _canonical_codes(dc_bits, dc_vals)
     ac_codes = _canonical_codes(ac_bits, ac_vals)
+    dc_code_a = np.zeros(17, dtype=np.int64)
+    dc_len_a = np.zeros(17, dtype=np.int64)
+    for s, (c, ln) in dc_codes.items():
+        dc_code_a[s], dc_len_a[s] = c, ln
+    ac_code_a = np.zeros(256, dtype=np.int64)
+    ac_len_a = np.zeros(256, dtype=np.int64)
+    for s, (c, ln) in ac_codes.items():
+        ac_code_a[s], ac_len_a[s] = c, ln
 
-    w = _BitWriter()
-    for (s, diff), block_acs in zip(dc_syms, ac_syms):
-        code, length = dc_codes[s]
-        w.write(code, length)
-        if s:
-            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-        for sym, s2, v in block_acs:
-            code, length = ac_codes[sym]
-            w.write(code, length)
-            if s2:
-                w.write(v if v >= 0 else v + (1 << s2) - 1, s2)
-    entropy = w.flush()
+    # --- token stream in emission order -----------------------------------
+    # Sort key (block, slot, rank): DC at slot -1 (code rank 0, magnitude
+    # rank 1); an AC nonzero at zigzag slot c emits its ZRLs (ranks 0..z-1),
+    # code (rank 8), magnitude (rank 9) at slot c; EOB at slot 63.
+    tb, ts, tr, tv, tl = [], [], [], [], []
+
+    tb.append(np.arange(n_blocks))
+    ts.append(np.full(n_blocks, -1, dtype=np.int64))
+    tr.append(np.zeros(n_blocks, dtype=np.int64))
+    tv.append(dc_code_a[dc_sizes])
+    tl.append(dc_len_a[dc_sizes])
+
+    dm = np.flatnonzero(dc_sizes)
+    dc_mag = np.where(diffs >= 0, diffs, diffs + _POW2[dc_sizes] - 1)
+    tb.append(dm)
+    ts.append(np.full(len(dm), -1, dtype=np.int64))
+    tr.append(np.ones(len(dm), dtype=np.int64))
+    tv.append(dc_mag[dm])
+    tl.append(dc_sizes[dm])
+
+    if len(rows):
+        z_idx = np.repeat(np.arange(len(rows)), nzrl)
+        z_rank = np.arange(len(z_idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(nzrl)[:-1])), nzrl
+        )
+        tb.append(rows[z_idx])
+        ts.append(cols[z_idx])
+        tr.append(z_rank)
+        tv.append(np.full(len(z_idx), ac_code_a[0xF0], dtype=np.int64))
+        tl.append(np.full(len(z_idx), ac_len_a[0xF0], dtype=np.int64))
+
+        tb.append(rows)
+        ts.append(cols)
+        tr.append(np.full(len(rows), 8, dtype=np.int64))
+        tv.append(ac_code_a[syms])
+        tl.append(ac_len_a[syms])
+
+        ac_mag = np.where(vals >= 0, vals, vals + _POW2[ac_sizes] - 1)
+        tb.append(rows)
+        ts.append(cols)
+        tr.append(np.full(len(rows), 9, dtype=np.int64))
+        tv.append(ac_mag)
+        tl.append(ac_sizes)
+
+    tb.append(eob_blocks)
+    ts.append(np.full(len(eob_blocks), 63, dtype=np.int64))
+    tr.append(np.zeros(len(eob_blocks), dtype=np.int64))
+    tv.append(np.full(len(eob_blocks), ac_code_a[0x00], dtype=np.int64))
+    tl.append(np.full(len(eob_blocks), ac_len_a[0x00], dtype=np.int64))
+
+    order = np.lexsort((np.concatenate(tr), np.concatenate(ts), np.concatenate(tb)))
+    tv = np.concatenate(tv)[order]
+    tl = np.concatenate(tl)[order]
+
+    # --- bit packing + byte stuffing --------------------------------------
+    total = int(tl.sum())
+    starts = np.concatenate(([0], np.cumsum(tl)[:-1]))
+    idx = np.repeat(np.arange(len(tl)), tl)
+    within = np.arange(total) - np.repeat(starts, tl)
+    bit_arr = ((tv[idx] >> (tl[idx] - 1 - within)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:  # 1-padding per spec (B.1.1.5), as _BitWriter.flush did
+        bit_arr = np.concatenate([bit_arr, np.ones(pad, dtype=np.uint8)])
+    packed = np.packbits(bit_arr)
+    ff = np.flatnonzero(packed == 0xFF)
+    if len(ff):  # byte stuffing: 0x00 after every 0xFF, in stream order
+        packed = np.insert(packed, ff + 1, np.uint8(0))
+    entropy = packed.tobytes()
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     zz_q = q.reshape(-1)[ZIGZAG]
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(x) for x in zz_q)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + np.asarray(zz_q, dtype=np.uint8).tobytes()
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
-    for cls, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), cls << 4) + bytes(bits) + bytes(vals)
+    for cls, (bits, vals_) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals_), cls << 4) + bytes(bits) + bytes(vals_)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
     out += entropy
     out += b"\xff\xd9"  # EOI
@@ -399,6 +463,10 @@ def decode_jpeg_gray(data: bytes) -> tuple[bytes, int, int]:
     ext = np.concatenate([bits, np.zeros(16, dtype=np.uint8)]).astype(np.int64)
     weights = (1 << np.arange(15, -1, -1)).astype(np.int64)
     peek = np.lib.stride_tricks.sliding_window_view(ext, 16) @ weights
+    # Scale assumption (round-18 ADVICE): this materializes one Python int
+    # per entropy BIT (~28 bytes each, plus the (total+1)x16 int64 matmul)
+    # — ~250x the compressed size, sized for the <=63px fixture frames.
+    # Chunk the peek window before attaching images beyond ~1 MB compressed.
     peek_l = peek.tolist()  # list indexing beats np scalar extraction per symbol
 
     pos = 0
@@ -446,6 +514,14 @@ def decode_jpeg_gray(data: bytes) -> tuple[bytes, int, int]:
             k += 1
     if pos > total:
         raise ValueError("jpeg: entropy data exhausted")
+    # Strict tail check (round-18 ADVICE): after the declared block count,
+    # only sub-byte 1-padding may remain. A truncated/corrupt stream whose
+    # phantom symbols happened to complete the block grid within the data
+    # would otherwise pass the pos<=total check above silently.
+    if total - pos >= 8:
+        raise ValueError("jpeg: trailing entropy data after final block")
+    if pos < total and not all(bits[pos:total]):
+        raise ValueError("jpeg: invalid entropy padding (expected 1-bits)")
 
     coef = (zz[:, UNZIGZAG].reshape(n_blocks, 8, 8)) * q[None, :, :]
     spatial = np.einsum("ji,njk,kl->nil", DCT, coef.astype(np.float64), DCT)

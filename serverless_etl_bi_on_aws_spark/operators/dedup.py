@@ -137,15 +137,23 @@ def neardup_jaccard_pairs(
     # exchanges AQE deduplicates via ReusedExchange)
     sh = shingled if shingled is not None else shingle_rows(docs, id_col, text_col, n)
     if max_df_frac is not None:
-        # Round-18 formulation: anti-join against the HOT list only. At most
-        # floor(1/max_df_frac) distinct shingles can exceed the cap, so the
-        # hot side is a guaranteed-tiny broadcast at ANY corpus size — the
-        # previous shape joined the full vocabulary-sized (shingle, df)
-        # table back to the exploded rows, which stops being broadcastable
-        # (and becomes a third shuffled join stage) at scale. Survivor set
-        # is identical: every shingle has a df row, so inner-join+filter
-        # (df <= cap) == anti-join against (df > cap). The count() that
-        # sizes the cap stays the one O(1)-result driver action.
+        # Round-18 formulation: anti-join against the HOT list only. df is
+        # counted over per-doc DISTINCT-shingle rows, so the number of
+        # shingles exceeding max_df_frac * D is bounded by
+        # total_rows / (max_df_frac * D) = S-bar / max_df_frac (S-bar = avg
+        # distinct shingles per doc; round-18 ADVICE — NOT floor(1/frac),
+        # which ignores that each doc contributes many rows). At S-bar ~ 1e4
+        # and frac 0.01 that is <= 1e6 one-string rows, still a comfortable
+        # broadcast — versus the previous shape, which joined the full
+        # VOCABULARY-sized (shingle, df) table back to the exploded rows and
+        # stops being broadcastable (a third shuffled join stage) at scale.
+        # The hint stays unconditional: the hot side is an aggregate, whose
+        # Catalyst size estimate reports unknown/Long.Max, so an
+        # _estimated_bytes gate would always refuse and re-shuffle; callers
+        # with pathological S-bar/frac should lower the cap, not the hint.
+        # Survivor set is identical: every shingle has a df row, so
+        # inner-join+filter(df <= cap) == anti-join against (df > cap). The
+        # count() that sizes the cap stays the one O(1)-result driver action.
         max_df = int(max_df_frac * docs.count())
         hot = (
             sh.groupBy("_shingle")

@@ -101,7 +101,13 @@ def maxsim_topk(
     vec_col: str = "vec",
 ) -> DataFrame:
     """Top-``k`` documents by exact MaxSim (ties break on the id — fully
-    deterministic, engine-neutral). TakeOrderedAndProject plan."""
+    deterministic, engine-neutral). TakeOrderedAndProject plan.
+
+    Malformed-input contract (inherited from :func:`maxsim_scores`, and
+    where callers actually observe it — round-18 ADVICE): documents whose
+    token vectors are ALL NULL are dropped before scoring, so they simply
+    never appear in the top-``k``; any dimension-mismatched vector raises
+    at execution time rather than silently scoring one doc wrong."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     scores = maxsim_scores(doc_tokens, query_vecs, id_col, vec_col)

@@ -50,7 +50,8 @@ def _worst_case_result() -> dict:
     llm_keys = [
         "q12", "q13", "q24", "q38", "q40", "q41", "q42", "q43", "q49",
         "q51", "q52", "q53", "q54", "q55", "q64", "q78", "q79", "q80",
-        "q81", "q82", "q84", "q85", "q86", "q87", "q121", "q121op",
+        "q81", "q82", "q84", "q85", "q86", "q87", "q98", "q99", "q101",
+        "q110", "q121", "q121op",
     ]
     sf1_queries = {f"q{i}": 10.123456 for i in range(1, 9)}
     return {
@@ -61,7 +62,13 @@ def _worst_case_result() -> dict:
         "queries": {f"q{i}": 10.123456 for i in range(1, 8)},
         "floor_sec": 0.123456,
         "py_floor_sec": 0.2,
+        # round-19 additive phase-robustness keys (verdict r18 ask #3)
+        "reps": 4,
+        "med": {f"q{i}": 10.123456 for i in range(1, 8)},
+        "nof": {f"q{i}": 10.123456 for i in range(1, 8)},
         "llm": {k: 10.123456 for k in llm_keys},
+        "llm_med": {k: 10.123456 for k in llm_keys},
+        "llm_reps": 3,
         "sf1": {
             "queries": sf1_queries,
             "duckdb_warm": dict(sf1_queries),
@@ -120,8 +127,11 @@ def test_compact_line_preserves_graded_quantities():
     for k in ("metric", "value", "unit", "queries", "sf"):
         assert k in d
     assert len(d["queries"]) == 7
+    # round-19 phase-robustness keys survive every slimming stage short
+    # of the never-expected stage 3 (PERF needs them to phase-normalize)
+    assert len(d["med"]) == 7 and len(d["nof"]) == 7 and d["reps"] == 4
     # every LLM-tier per-query time survives
-    assert len(d["llm"]) == 26
+    assert len(d["llm"]) == 30
     # graded scaling quantities survive for every scaling query
     for q in ("q1", "q3", "q44", "dedup"):
         sq = d["scaling"][q]
