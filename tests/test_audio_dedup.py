@@ -54,6 +54,7 @@ def test_fingerprint_gain_invariant_and_separating():
     assert audio_fingerprint_bits(np.arange(10)) is None
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_audio_neardup_pairs_end_to_end(spark):
     """Planted set through the REAL codec: (0,1) same program at
     different gain -> hamming 0; (2,3) same program with light noise ->
@@ -97,6 +98,7 @@ def test_fingerprint_noise_tolerance_measured():
     assert ham <= 4, f"noise moved the fingerprint too far: {ham}"
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_incremental_audio_dedup_via_hash_index(spark, tmp_path):
     """The generic hash index serves audio: batch-2 clips dedup against
     batch-1's fingerprint index under the online rule — a gain-scaled

@@ -5,6 +5,8 @@ determinism, encode agreement, and the packing integration."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -108,6 +110,7 @@ def test_bpe_tokenize_matches_reference_encoder(spark):
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_bpe_token_count_on_fixture_compresses(spark):
     """On the documents fixture: merges learned from the corpus shrink the
     token stream below characters and land at or under one token per word
@@ -131,6 +134,7 @@ def test_bpe_token_count_on_fixture_compresses(spark):
     assert tot["t"] < tot["c"] * 0.8
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_bpe_merges_roundtrip_persistence(spark, tmp_path):
     from serverless_etl_bi_on_aws_spark.functions.bpe import (
         load_bpe_merges,
@@ -144,6 +148,7 @@ def test_bpe_merges_roundtrip_persistence(spark, tmp_path):
     assert load_bpe_merges(spark, path) == merges
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_vocab_prefilter_composition(spark):
     """Round 16 (verdict r15 ask #6): build_vocab output wires in as
     train_bpe's alphabet pre-filter. Two directions pinned:

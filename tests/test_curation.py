@@ -6,6 +6,8 @@ docs that hit every stage."""
 
 from __future__ import annotations
 
+import pytest
+
 from serverless_etl_bi_on_aws_spark.operators.curation import (
     curation_report,
     curation_stages,
@@ -96,6 +98,7 @@ def test_dominance_rule_is_order_independent(spark):
     assert f1.count() == f2.count()
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_minhash_neardup_strategy(spark):
     """The neardup='minhash' knob (round-10 verdict #3 — the funnel's
     100 TB near-dup shape): planted near-dups are caught through the

@@ -4,6 +4,8 @@ vs brute force, and multimodal plumbing shapes."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from serverless_etl_bi_on_aws_spark.catalog import load_table
@@ -449,6 +451,7 @@ def test_star_alternation_vs_union_find(spark):
     assert got == _union_find_roots(edge_list)
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_long_chain_converges_past_propagation_rail(spark):
     """Round-3/5 verdict: a chain longer than max_iter links used to
     RuntimeError out of min-label propagation. Now it must fall through
@@ -1469,6 +1472,7 @@ def test_cluster_safe_split_preserves_cs_named_columns(spark):
     assert got == {3: "keep3", 5: "keep5"}
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_simhash_persisted_index_online_rule(spark, tmp_path):
     """The round-15 text member of the 64-bit hamming index family:
     build over a corpus, probe a new batch (near-dup of an indexed doc
@@ -1530,6 +1534,7 @@ def test_simhash_persisted_index_online_rule(spark, tmp_path):
     assert os.path.exists(os.path.join(idx, "_applied", "b2"))
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_minhash_similarity_join_bipartite_contract(spark):
     """Round 16: the cross-table LSH join links near-identical texts
     across two frames, never unrelated ones, never within one frame;

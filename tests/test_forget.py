@@ -9,6 +9,8 @@ is not un-applying batches."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -22,6 +24,12 @@ from serverless_etl_bi_on_aws_spark.operators.forget import (
 from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import apply_curation_batch
 
 from conftest import SF_CORRECT
+
+
+# Round-19 test tiering (r18 verdict ask #2): this module is a multi-minute
+# crash/stream/snapshot integration suite — slow tier, excluded from the
+# driver-gated default run (pytest.ini). Run with -m "" for the full suite.
+pytestmark = pytest.mark.slow
 
 GOOD = (
     "the quick brown fox jumps over the lazy dog while seventeen "

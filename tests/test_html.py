@@ -5,6 +5,8 @@ tolerance, the map-only plan contract, and the curation funnel's
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from serverless_etl_bi_on_aws_spark.functions.html import (
@@ -115,6 +117,7 @@ def test_curation_funnel_html_rung(spark):
     assert {r["doc_id"] for r in raw_uniq.select("doc_id").collect()} == {1, 2, 3}
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_streaming_curation_html_rung(spark, tmp_path):
     """The streaming ingest loop accepts raw MARKUP (round 14,
     html_col=): extraction runs per micro-batch BEFORE the quality gate,

@@ -134,6 +134,7 @@ def _media_df_ids(spark, rows):
     )
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_incremental_image_dedup_equals_oneshot(spark, tmp_path, monkeypatch):
     """Round-9 ask #6: batch-2 images dedup against batch-1's persisted
     dHash index exactly as the one-shot online rule over the union — and
@@ -207,6 +208,7 @@ def test_incremental_image_dedup_equals_oneshot(spark, tmp_path, monkeypatch):
         build_dhash_index(b3, idx)  # clobber refusal
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_compact_dhash_index_purges_replay_and_keeps_results(spark, tmp_path):
     """Same contract as compact_index: after a crash-replayed append left
     duplicate rows, compaction bounds files, dedupes, keeps markers, and

@@ -5,6 +5,8 @@ rewrite — never an empty-partition data loss."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -16,6 +18,12 @@ from serverless_etl_bi_on_aws_spark.streaming.ingest_dedup import (
     apply_dedup_batch,
     start_incremental_dedup,
 )
+
+
+# Round-19 test tiering (r18 verdict ask #2): this module is a multi-minute
+# crash/stream/snapshot integration suite — slow tier, excluded from the
+# driver-gated default run (pytest.ini). Run with -m "" for the full suite.
+pytestmark = pytest.mark.slow
 
 SF = "/root/testdata/sf0.01"
 

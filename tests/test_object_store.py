@@ -26,6 +26,12 @@ import pytest
 from serverless_etl_bi_on_aws_spark import util
 
 
+
+# Round-19 test tiering (r18 verdict ask #2): this module is a multi-minute
+# crash/stream/snapshot integration suite — slow tier, excluded from the
+# driver-gated default run (pytest.ini). Run with -m "" for the full suite.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture
 def fake_store():
     """Install the rename-free backend for the test, restore after."""

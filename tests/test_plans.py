@@ -33,12 +33,23 @@ def test_dim_joins_are_broadcast(spark):
 def test_no_accidental_cartesian(spark):
     # q24 is exact pairwise by design (nested-loop is the point; its scale
     # path is q18). q5/q8's scalar cutoff joins are single-row broadcasts.
+    #
+    # Round 19: plans build CONCURRENTLY (guide §2.6 — overlap independent
+    # jobs). Building all 133 queries runs their eager localCheckpoint /
+    # count() fronts, which serialized was the suite's single slowest test
+    # (173 s); 6 driver threads overlap those independent jobs and the
+    # assertion set is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
     exempt = {"q24_embedding_similar_pairs"}
-    for name in QUERIES:
-        if name in exempt:
-            continue
-        plan = _plan(spark, name)
-        assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    names = [n for n in QUERIES if n not in exempt]
+
+    def check(name: str) -> tuple[str, bool]:
+        return name, "CartesianProduct" in _plan(spark, name)
+
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        for name, has_cartesian in pool.map(check, names):
+            assert not has_cartesian, f"{name}: cartesian product in plan"
 
 
 def test_column_pruning_reaches_scan(spark):

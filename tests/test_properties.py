@@ -6,6 +6,8 @@ than volume."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -28,6 +30,7 @@ KV = st.dictionaries(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(final=KV, staging=KV)
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_merge_upsert_is_idempotent_upsert(spark, final, staging):
     fdf = spark.createDataFrame(
         [(k, v) for k, v in final.items()] or [(None, None)], "k int, v int"
@@ -194,6 +197,7 @@ def test_riff_parsers_never_accept_truncation():
     ),
     n_clusters=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_semantic_dedup_invariants(spark, vecs, n_clusters):
     """On ANY corpus: clustered pairs ⊆ exact pairs, survivors + dropped
     repartition the corpus, and no surviving pair within one cluster is
@@ -253,6 +257,7 @@ def test_semantic_dedup_invariants(spark, vecs, n_clusters):
         max_size=12,
     )
 )
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_curation_funnel_monotone_and_conserving(spark, docs):
     """On ANY corpus: per-group stage counts are monotone non-increasing
     (n_raw >= n_quality >= n_unique >= n_final) and n_raw sums to the
@@ -572,6 +577,7 @@ def test_ima_adpcm_block_align_and_truncated_header_guards():
     edge_seed=st.integers(min_value=0, max_value=2**31),
     n_edges=st.integers(min_value=0, max_value=20),
 )
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_cluster_safe_split_no_straddle_property(spark, ids, edge_seed, n_edges):
     """q91's invariant over RANDOM pair graphs: no connected component
     ever straddles splits; every row keeps exactly one assignment; rows
@@ -849,6 +855,7 @@ def test_token_budget_guard_refuses_before_collecting(spark, monkeypatch):
     ),
     digits=st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=22),
 )
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_masking_never_touches_checksum_free_text(spark, words, digits):
     """Round-16 property: over arbitrary text containing an arbitrary
     digit run, the card/IBAN redaction chain either replaces a

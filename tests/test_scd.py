@@ -3,6 +3,8 @@ as-of reconstruction, and the open-slice-only join shape."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from serverless_etl_bi_on_aws_spark.operators.scd import (
@@ -82,6 +84,7 @@ def test_scd2_closed_history_never_joins(spark):
     assert [r["is_current"] for r in rows] == [False, True]
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_streaming_scd2_matches_sequential_batch_twin(spark, tmp_path):
     """Two file drops (bootstrap wave, then two change waves landing in
     ONE micro-batch) drained through the maintenance stream produce
@@ -192,6 +195,7 @@ def test_scd2_generation_fold_matches_swap_fold(spark, tmp_path):
     assert again == want
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_scd2_generation_stream_end_to_end(spark, tmp_path):
     """start_scd2_maintenance(generations=True) drains to the same
     history as the swap-backed stream."""

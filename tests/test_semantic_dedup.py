@@ -42,6 +42,7 @@ def _planted(spark, n_groups: int = 6, dim: int = 8):
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_planted_near_identical_pairs_all_captured(spark):
     """Near-identical duplicates co-cluster (the SemDeDup premise): at a
     high threshold every planted (g, g+1000) pair is found and exactly
@@ -107,6 +108,7 @@ def test_external_assignment_reused_no_kmeans_fit(spark, monkeypatch):
     assert pairs.count() > 0
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_sample_fit_assignment_keeps_contracts(spark, monkeypatch):
     """fit_sample_rows on the semantic path (round-10 verdict #2): the
     fit is bounded (trap-pinned), every embedding still gets an
@@ -159,6 +161,7 @@ def test_empty_corpus(spark):
 
 
 @pytest.mark.parametrize("threshold", [0.9])
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_zero_norm_rows_never_pair(spark, threshold):
     """Zero-norm vectors clamp to cosine 0 in the shared kernel — they
     must survive dedup and never appear in a pair."""

@@ -5,6 +5,8 @@ equivalence, every replay point, and checkpoint-wipe convergence."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -39,6 +41,7 @@ def _empty_filter(spark, path):
     build_bloom_index(empty, "key", path, num_bits=1 << 13, num_hashes=5)
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_bloom_stream_end_to_end_and_checkpoint_wipe(spark, tmp_path):
     idx, clean = str(tmp_path / "idx"), str(tmp_path / "clean")
     _empty_filter(spark, idx)
@@ -106,6 +109,7 @@ def test_bloom_batch_replay_points(spark, tmp_path):
     assert rows("bid-1") == [(4, "c")]
 
 
+@pytest.mark.slow  # round-19 tiering: >=10 s integration test
 def test_cms_stream_equals_batch_twin_and_replay(spark, tmp_path):
     sk = str(tmp_path / "sk")
     rows1 = [(i, f"k{i % 7}") for i in range(300)]

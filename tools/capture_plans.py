@@ -44,6 +44,24 @@ BENCH_EXTRA = (
 )
 
 
+def _explain_formatted(spark, df) -> str:
+    """Formatted physical plan, preferring the one-call JVM helper with a
+    public-API fallback (round-18 ADVICE: PythonSQLUtils/queryExecution are
+    private internals — tooling must not break across Spark upgrades)."""
+    try:
+        return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:  # noqa: BLE001 - fall back to the public API
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        return buf.getvalue()
+
+
 def main() -> int:
     tag, suffix = sys.argv[1], sys.argv[2]
     names = sys.argv[3:]
@@ -54,18 +72,44 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("capture-plans")
     allq = {**QUERIES, **EXTRA_QUERIES}
-    jvm = spark.sparkContext._jvm
-    for name in names:
+
+    # Round-19 (r18 verdict ask #7): multi-job query cells hide their real
+    # work behind eager localCheckpoints — the final frame's explain shows
+    # only Scan ExistingRDD stubs, so the r18 "plan diff" for q121's verify
+    # cell was expression-id churn. Wrapping DataFrame.localCheckpoint
+    # captures each checkpointed subtree's OWN plan (in build order) into
+    # <name>_<suffix>_ckpt<N>.txt, which is where the shuffles actually are.
+    import pyspark.sql.dataframe as _dfmod
+
+    orig_ckpt = _dfmod.DataFrame.localCheckpoint
+    ckpt_plans: list[str] = []
+
+    def capturing_ckpt(self, *args, **kwargs):
         try:
-            df = allq[name](spark, sf_dir)
-            txt = jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
-        except Exception as ex:  # noqa: BLE001
-            txt = f"ERROR: {type(ex).__name__}: {ex}\n"
-        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
-            f.write(txt)
-        print(f"wrote {name}_{suffix}.txt ({len(txt)} bytes)")
+            ckpt_plans.append(_explain_formatted(spark, self))
+        except Exception as ex:  # noqa: BLE001 - capture must never break the build
+            ckpt_plans.append(f"ERROR capturing checkpoint plan: {ex}\n")
+        return orig_ckpt(self, *args, **kwargs)
+
+    _dfmod.DataFrame.localCheckpoint = capturing_ckpt
+    try:
+        for name in names:
+            ckpt_plans.clear()
+            try:
+                df = allq[name](spark, sf_dir)
+                txt = _explain_formatted(spark, df)
+            except Exception as ex:  # noqa: BLE001
+                txt = f"ERROR: {type(ex).__name__}: {ex}\n"
+            with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
+                f.write(txt)
+            print(f"wrote {name}_{suffix}.txt ({len(txt)} bytes)")
+            for i, ptxt in enumerate(ckpt_plans):
+                p = os.path.join(out_dir, f"{name}_{suffix}_ckpt{i}.txt")
+                with open(p, "w") as f:
+                    f.write(ptxt)
+                print(f"wrote {os.path.basename(p)} ({len(ptxt)} bytes)")
+    finally:
+        _dfmod.DataFrame.localCheckpoint = orig_ckpt
     return 0
 
 
