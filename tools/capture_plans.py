@@ -79,9 +79,10 @@ def main() -> int:
     # cell was expression-id churn. Wrapping DataFrame.localCheckpoint
     # captures each checkpointed subtree's OWN plan (in build order) into
     # <name>_<suffix>_ckpt<N>.txt, which is where the shuffles actually are.
-    import pyspark.sql.dataframe as _dfmod
-
-    orig_ckpt = _dfmod.DataFrame.localCheckpoint
+    # patch the RUNTIME DataFrame class (Spark 4 classic mode subclasses
+    # pyspark.sql.dataframe.DataFrame — patching the base would miss it)
+    df_cls = type(spark.range(1))
+    orig_ckpt = df_cls.localCheckpoint
     ckpt_plans: list[str] = []
 
     def capturing_ckpt(self, *args, **kwargs):
@@ -91,7 +92,7 @@ def main() -> int:
             ckpt_plans.append(f"ERROR capturing checkpoint plan: {ex}\n")
         return orig_ckpt(self, *args, **kwargs)
 
-    _dfmod.DataFrame.localCheckpoint = capturing_ckpt
+    df_cls.localCheckpoint = capturing_ckpt
     try:
         for name in names:
             ckpt_plans.clear()
@@ -109,7 +110,7 @@ def main() -> int:
                     f.write(ptxt)
                 print(f"wrote {os.path.basename(p)} ({len(ptxt)} bytes)")
     finally:
-        _dfmod.DataFrame.localCheckpoint = orig_ckpt
+        df_cls.localCheckpoint = orig_ckpt
     return 0
 
 
